@@ -1,0 +1,161 @@
+"""Per-vertex triangle counting via degree-ordered sorted-neighbor wedges.
+
+Reference semantics (SURVEY.md §2.2; triangles.c + triangles_template.h):
+the graph is first simplified to an undirected simple graph (loops and
+multi-edges dropped — igraph_i_trans4_al_simplify, triangles.c:399-428),
+each edge is oriented from the lower-(degree, id) endpoint to the higher
+one, and each vertex's *forward* neighbor list is scanned against its
+forward neighbors' lists — every triangle is found exactly once and all
+three corners are credited (triangles_template.h:82-105). Per-vertex
+counts are orientation-invariant, so any correct algorithm matches igraph
+exactly (integers).
+
+Distributed DAG (no supersteps):
+  canonical simple edges → degrees → two hash joins to attach endpoint
+  degrees → orient by (deg, id) → boundary-aligned sort by the forward
+  source → vectorized per-block wedge generation (pairs of forward
+  neighbors in (deg, id) order) → hash join wedges ⋈ oriented edges →
+  per-batch pre-combined corner credits → groupby(vertex).sum.
+
+The degree orientation bounds per-vertex forward degree by O(sqrt(|E|)),
+which bounds the wedge blow-up — the same arboricity trick the reference
+uses to get O(|V|·d²).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.csr import compute_boundaries
+from igraph_ray.graph import Graph
+from igraph_ray.util import hash_join, universe_zeros
+
+
+def triangle_counts(
+    graph: Graph,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Returns a Dataset (vertex, triangles) covering the whole universe."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus() * 2)
+
+    und = graph.canonical_undirected().materialize()
+
+    # undirected degree of the simplified graph
+    def _lo(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["lo"]})
+
+    def _hi(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["hi"]})
+
+    degs = (
+        und.map_batches(_lo, batch_format="pyarrow")
+        .union(und.map_batches(_hi, batch_format="pyarrow"))
+        .groupby("vertex")
+        .count()
+    )
+
+    def _deg_lo(b: pa.Table) -> pa.Table:
+        return pa.table({"lo": b["vertex"], "deg_lo": b["count()"]})
+
+    def _deg_hi(b: pa.Table) -> pa.Table:
+        return pa.table({"hi": b["vertex"], "deg_hi": b["count()"]})
+
+    j1 = hash_join(
+        und, degs.map_batches(_deg_lo, batch_format="pyarrow"),
+        on="lo", num_partitions=num_partitions,
+    )
+    j2 = hash_join(
+        j1, degs.map_batches(_deg_hi, batch_format="pyarrow"),
+        on="hi", num_partitions=num_partitions,
+    )
+
+    def _orient(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        dlo = b["deg_lo"].to_numpy(zero_copy_only=False)
+        dhi = b["deg_hi"].to_numpy(zero_copy_only=False)
+        # forward direction: lower (deg, id) → higher (deg, id)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        dv = np.where(lo_first, dhi, dlo)
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "dv": pa.array(dv.astype(np.int64), pa.int64())}
+        )
+
+    oriented = j2.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    bnds = compute_boundaries(oriented, num_partitions, col="u")
+    osorted = oriented.sort("u", boundaries=bnds) if bnds else oriented.sort("u")
+
+    def _wedges(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        dv = b["dv"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"wa": pa.array([], pa.int64()), "wb": pa.array([], pa.int64()),
+                             "wc": pa.array([], pa.int64())})
+        # within each u group, order forward neighbors by (deg, id) so wedge
+        # endpoints come out rank-ordered (matching the edge orientation)
+        order = np.lexsort((v, dv, u))
+        u, v = u[order], v[order]
+        grp_start = np.empty(len(u), dtype=bool)
+        grp_start[0] = True
+        np.not_equal(u[1:], u[:-1], out=grp_start[1:])
+        gid = np.cumsum(grp_start) - 1
+        starts = np.flatnonzero(grp_start)
+        ends = np.append(starts[1:], len(u))
+        gend = ends[gid]  # group end per position
+        cnt = gend - np.arange(len(u)) - 1  # pairs led by this position
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table({"wa": pa.array([], pa.int64()), "wb": pa.array([], pa.int64()),
+                             "wc": pa.array([], pa.int64())})
+        a_idx = np.repeat(np.arange(len(u)), cnt)
+        off = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off, cnt) + a_idx + 1
+        return pa.table(
+            {"wa": pa.array(v[a_idx], pa.int64()),
+             "wb": pa.array(v[b_idx], pa.int64()),
+             "wc": pa.array(u[a_idx], pa.int64())}
+        )
+
+    wedges = osorted.map_batches(_wedges, batch_format="pyarrow", batch_size=None)
+
+    def _edge_key(b: pa.Table) -> pa.Table:
+        return pa.table({"wa": b["u"], "wb": b["v"]})
+
+    closing = oriented.map_batches(_edge_key, batch_format="pyarrow")
+    tri = hash_join(wedges, closing, on=("wa", "wb"), num_partitions=num_partitions)
+
+    def _credit(b: pa.Table) -> pa.Table:
+        verts = np.concatenate(
+            [
+                b["wa"].to_numpy(zero_copy_only=False),
+                b["wb"].to_numpy(zero_copy_only=False),
+                b["wc"].to_numpy(zero_copy_only=False),
+            ]
+        ) if b.num_rows else np.empty(0, np.int64)
+        uniq, counts = np.unique(verts, return_counts=True)
+        return pa.table(
+            {"vertex": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    credits = tri.map_batches(_credit, batch_format="pyarrow").union(
+        universe_zeros(graph.vertices(), "cnt")
+    )
+    summed = credits.groupby("vertex").sum("cnt")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "triangles": b["sum(cnt)"]})
+
+    return summed.map_batches(_rename, batch_format="pyarrow")

@@ -1,0 +1,164 @@
+"""Per-partition CSR blocks in the Ray object store.
+
+The reference keeps one global CSR index pair (oi/os, ii/is) rebuilt
+wholesale on mutation (type_indexededgelist.c:835-877). At cluster scale a
+global index is impossible; instead edges are **range-partitioned by src**
+(equal-|E| boundaries from a sample) and each partition becomes an
+immutable CSR block (indptr / dst / weight numpy arrays) ``ray.put`` into
+the object store once. Gather stages fetch blocks zero-copy (plasma shared
+memory, one copy per node) and cache the handle per worker process — the
+"stateful stage" of SURVEY.md §2.5 without per-actor rebuild cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@dataclasses.dataclass
+class CSRBlockMeta:
+    vlo: int  # first src vertex covered (inclusive)
+    vhi: int  # last src vertex covered (inclusive)
+    n_edges: int
+    ref: ray.ObjectRef  # -> dict(indptr, dst, weight?, vlo, vhi)
+
+
+@dataclasses.dataclass
+class CSRIndex:
+    blocks: List[CSRBlockMeta]
+    boundaries: List[int]  # range-partition split points (sorted)
+    num_edges: int
+
+    def block_descriptors(self):
+        """Plain picklable descriptors for map_batches closures."""
+        return [(b.vlo, b.vhi, b.ref) for b in self.blocks]
+
+
+@ray.remote(num_returns=2)
+def _build_block(table: pa.Table, weighted: bool):
+    """Build a CSR block from a src-sorted Arrow table. Returns (meta, data)."""
+    if table.num_rows == 0 or "src" not in table.column_names:
+        return (None, None)
+    src = table["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dst = table["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if len(src) == 0:
+        return (None, None)
+    vlo = int(src[0])
+    vhi = int(src[-1])
+    counts = np.bincount(src - vlo, minlength=vhi - vlo + 1)
+    indptr = np.zeros(vhi - vlo + 2, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    data = {"vlo": vlo, "vhi": vhi, "indptr": indptr, "dst": dst}
+    if weighted:
+        data["weight"] = (
+            table["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        )
+    return ((vlo, vhi, len(src)), data)
+
+
+def compute_boundaries(
+    edges: ray.data.Dataset,
+    num_partitions: int,
+    num_edges: Optional[int] = None,
+    seed: int = 42,
+    max_sample: int = 1_000_000,
+    col: str = "src",
+) -> List[int]:
+    """Equal-|E| range boundaries over ``col`` from a bounded sample.
+
+    Equal-edge (not equal-vertex) split is the straggler defense from
+    SURVEY.md §4.2 — hot src ranges get split. Deterministic seed.
+    """
+    if num_partitions <= 1:
+        return []
+    if num_edges is None:
+        num_edges = edges.count()
+    frac = min(1.0, max_sample / max(1, num_edges))
+    sample_ds = edges.select_columns([col])
+    if frac < 1.0:
+        sample_ds = sample_ds.random_sample(frac, seed=seed)
+    sample = np.array([r[col] for r in sample_ds.take_all()], dtype=np.int64)
+    if len(sample) == 0:
+        return []
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    bounds = np.unique(np.quantile(sample, qs).astype(np.int64))
+    return [int(b) for b in bounds]
+
+
+def build_csr_index(
+    edges: ray.data.Dataset,
+    num_partitions: int,
+    weighted: bool = False,
+    drop_loops: bool = False,
+    num_edges: Optional[int] = None,
+    boundaries: Optional[List[int]] = None,
+) -> CSRIndex:
+    """Sort edges by src into range blocks and build one CSR per block.
+
+    One-time O(|E| log) shuffle (the analogue of igraph's index build at
+    igraph_add_edges time, type_indexededgelist.c:258-339); every superstep
+    afterwards reads the blocks zero-copy.
+    """
+    if drop_loops:
+        edges = edges.filter(expr="src != dst")
+    if num_edges is None:
+        num_edges = edges.count()
+    if boundaries is None:
+        boundaries = compute_boundaries(edges, num_partitions, num_edges=num_edges)
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    edges = edges.select_columns(cols)
+    if boundaries:
+        sorted_ds = edges.sort("src", boundaries=list(boundaries)).materialize()
+    else:
+        sorted_ds = edges.sort("src").materialize()
+    block_refs = sorted_ds.to_arrow_refs()
+    metas = []
+    pairs = [_build_block.remote(ref, weighted) for ref in block_refs]
+    meta_refs = [p[0] for p in pairs]
+    data_refs = [p[1] for p in pairs]
+    for meta, data_ref in zip(ray.get(meta_refs), data_refs):
+        if meta is None:
+            continue
+        vlo, vhi, ne = meta
+        metas.append(CSRBlockMeta(vlo=vlo, vhi=vhi, n_edges=ne, ref=data_ref))
+    metas.sort(key=lambda m: m.vlo)
+    return CSRIndex(blocks=metas, boundaries=list(boundaries), num_edges=num_edges)
+
+
+# Per-worker-process cache of fetched CSR blocks. ray.get of a plasma object
+# on the same node is zero-copy; this cache just avoids repeated handle
+# resolution and keeps the numpy views alive across batches.
+_BLOCK_CACHE: dict = {}
+
+
+def fetch_block(ref: ray.ObjectRef) -> dict:
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    blk = _BLOCK_CACHE.get(key)
+    if blk is None:
+        blk = ray.get(ref)
+        _BLOCK_CACHE[key] = blk
+    return blk
+
+
+def slices_for(block: dict, verts: np.ndarray):
+    """Vectorized CSR row gather: for local vertex ids ``verts`` (already
+    clipped to the block range), return (edge_index_array, lens) selecting
+    each vertex's out-edge slice from the block's dst/weight arrays."""
+    indptr = block["indptr"]
+    lid = verts - block["vlo"]
+    starts = indptr[lid]
+    lens = (indptr[lid + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), lens
+    # standard repeat/arange slice-gather
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
+    return idx, lens

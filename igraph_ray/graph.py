@@ -1,0 +1,215 @@
+"""The Graph abstraction: an edge table + an implicit dense vertex universe.
+
+Mirrors the *logical* data model of the reference (igraph's ``igraph_t`` is
+two parallel columnar from/to arrays + CSR sort indexes,
+include/igraph_datatype.h:78-88) re-expressed Ray-Data-first: the edge list
+is a ``ray.data.Dataset`` with Arrow schema ``src:int64, dst:int64
+[, weight:float64]``; vertices are dense integer ids. CSR indexes are built
+on demand per range partition (csr.py) instead of globally
+(type_indexededgelist.c:835-877).
+
+All transforms are lazy Dataset ops; nothing here calls ``ray.init()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _pa_batch(fn):
+    """Wrap a pyarrow.Table -> pyarrow.Table fn for map_batches."""
+    return fn
+
+
+class Graph:
+    """An edge-table graph over dense int64 vertex ids.
+
+    Parameters
+    ----------
+    edges: Dataset with columns ``src:int64, dst:int64`` and optionally
+        ``weight:float64``. Directed interpretation (like igraph's
+        ``directed=True`` graphs); undirected algorithms symmetrize or
+        canonicalize explicitly (igraph stores undirected edges once with
+        from>=to, type_indexededgelist.c:279-287 — we derive equivalent
+        views instead of mutating).
+    n: vertex count. If None, the universe is the set of distinct endpoint
+        ids actually present (computed lazily once).
+    """
+
+    def __init__(
+        self,
+        edges: ray.data.Dataset,
+        n: Optional[int] = None,
+        weighted: bool = False,
+    ) -> None:
+        self.edges = edges
+        self._n = n
+        self.weighted = weighted
+        self._vertices: Optional[ray.data.Dataset] = None  # materialized universe
+        self._num_edges: Optional[int] = None
+
+    # ---------------- constructors ----------------
+
+    @classmethod
+    def from_parquet(cls, path: str, weighted: bool = False, n: Optional[int] = None) -> "Graph":
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        return cls(ray.data.read_parquet(path, columns=cols), n=n, weighted=weighted)
+
+    @classmethod
+    def from_arrow(cls, table: pa.Table, n: Optional[int] = None, weighted: bool = False) -> "Graph":
+        return cls(ray.data.from_arrow(table), n=n, weighted=weighted)
+
+    @classmethod
+    def from_numpy(
+        cls, src: np.ndarray, dst: np.ndarray, weight: Optional[np.ndarray] = None, n: Optional[int] = None
+    ) -> "Graph":
+        cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        if weight is not None:
+            cols["weight"] = pa.array(weight, pa.float64())
+        return cls.from_arrow(pa.table(cols), n=n, weighted=weight is not None)
+
+    # ---------------- universe / counts ----------------
+
+    def vertices(self) -> ray.data.Dataset:
+        """Dataset of the vertex universe: one column ``vertex:int64``.
+
+        With explicit ``n``: the dense range 0..n-1 (igraph's implicit
+        vertex set, igraph_datatype.h:50). Otherwise: distinct endpoints.
+        Materialized once and cached.
+        """
+        if self._vertices is None:
+            if self._n is not None:
+                ds = ray.data.range(self._n).map_batches(
+                    lambda b: pa.table({"vertex": pc.cast(b["id"], pa.int64())}),
+                    batch_format="pyarrow",
+                )
+            else:
+                ds = endpoint_universe(self.edges)
+            self._vertices = ds.materialize()
+        return self._vertices
+
+    def num_vertices(self) -> int:
+        if self._n is None:
+            self._n = self.vertices().count()
+        return self._n
+
+    def num_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
+
+    # ---------------- derived edge views ----------------
+
+    def without_loops(self) -> ray.data.Dataset:
+        """Drop self-loops (igraph degree ``loops=0`` rule, pagerank kernel
+        computes degrees with loops excluded — centrality.c:1414-1417)."""
+        return self.edges.filter(expr="src != dst")
+
+    def symmetrized(self, drop_loops: bool = True) -> ray.data.Dataset:
+        """Both directions of every edge — the IGRAPH_ALL adjacency view
+        (type_indexededgelist.c:788-820) used by components / LPA."""
+        base = self.without_loops() if drop_loops else self.edges
+
+        def _flip(b: pa.Table) -> pa.Table:
+            cols = {"src": b["dst"], "dst": b["src"]}
+            if "weight" in b.column_names:
+                cols["weight"] = b["weight"]
+            return pa.table(cols)
+
+        return base.union(base.map_batches(_flip, batch_format="pyarrow"))
+
+    def canonical_undirected(self) -> ray.data.Dataset:
+        """Simple undirected edge set: ``lo=min(src,dst) < hi=max(src,dst)``,
+        loops dropped, duplicates collapsed — igraph_simplify semantics
+        (structural_properties.c:2248) + the undirected canonical form
+        (type_indexededgelist.c:279-287). Exact dedup = hash-partition
+        (groupby) + per-group first."""
+
+        def _canon(b: pa.Table) -> pa.Table:
+            lo = pc.min_element_wise(b["src"], b["dst"])
+            hi = pc.max_element_wise(b["src"], b["dst"])
+            return pa.table({"lo": lo, "hi": hi})
+
+        canon = self.without_loops().map_batches(_canon, batch_format="pyarrow")
+        # groupby(count) then project = distinct; per-batch pre-dedup first to
+        # shrink the shuffle (combiner before the wide step).
+        def _local_dedup(b: pa.Table) -> pa.Table:
+            return b.group_by(["lo", "hi"]).aggregate([])
+
+        deduped = (
+            canon.map_batches(_local_dedup, batch_format="pyarrow")
+            .groupby(["lo", "hi"])
+            .count()
+            .select_columns(["lo", "hi"])
+        )
+        return deduped
+
+    # ---------------- degrees ----------------
+
+    def out_degrees(self, drop_loops: bool = True) -> ray.data.Dataset:
+        """``(vertex, deg)`` for every vertex in the universe (0 for sinks).
+
+        deg = out-degree count, or sum of out-edge weights when weighted
+        (igraph_strength, structural_properties.c:5970). Self-loops excluded
+        by default (the pagerank degree rule, centrality.c:1414-1417).
+        Join-free: union the universe with per-src partial sums, then one
+        groupby — the partial-aggregate-before-shuffle pattern.
+        """
+        edges = self.without_loops() if drop_loops else self.edges
+        return _degrees_over(edges, "src", self.vertices(), self.weighted)
+
+    def in_degrees(self, drop_loops: bool = True) -> ray.data.Dataset:
+        edges = self.without_loops() if drop_loops else self.edges
+        return _degrees_over(edges, "dst", self.vertices(), self.weighted)
+
+
+def endpoint_universe(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct vertex ids appearing as src or dst → column ``vertex``."""
+
+    def _src(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["src"].combine_chunks().unique()})
+
+    def _dst(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["dst"].combine_chunks().unique()})
+
+    both = edges.map_batches(_src, batch_format="pyarrow").union(
+        edges.map_batches(_dst, batch_format="pyarrow")
+    )
+    return both.groupby("vertex").count().select_columns(["vertex"])
+
+
+def _degrees_over(
+    edges: ray.data.Dataset,
+    key: str,
+    universe: ray.data.Dataset,
+    weighted: bool,
+) -> ray.data.Dataset:
+    def _partial(b: pa.Table) -> pa.Table:
+        if weighted:
+            g = pa.table({"vertex": b[key], "deg": pc.cast(b["weight"], pa.float64())})
+            g = g.group_by("vertex").aggregate([("deg", "sum")])
+            return pa.table({"vertex": g["vertex"], "deg": g["deg_sum"]})
+        g = b.group_by(key).aggregate([([key], "count")])
+        return pa.table(
+            {"vertex": g[key], "deg": pc.cast(g[f"{key}_count"], pa.float64())}
+        )
+
+    def _zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": b["vertex"], "deg": pa.array(np.zeros(b.num_rows), pa.float64())}
+        )
+
+    partials = edges.map_batches(_partial, batch_format="pyarrow").union(
+        universe.map_batches(_zeros, batch_format="pyarrow")
+    )
+    g = partials.groupby("vertex").sum("deg")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "deg": b["sum(deg)"]})
+
+    return g.map_batches(_rename, batch_format="pyarrow")

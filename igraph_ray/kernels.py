@@ -1,0 +1,139 @@
+"""Vectorized per-block message kernels shared by both execution modes.
+
+Each kernel takes a CSR block (csr.py) plus the vertex-state arrays for a
+batch of source vertices and emits the superstep's messages, pre-combined
+within the batch (np.unique / bincount / lexsort+reduceat). The per-batch
+combine is the hub-skew defense: a dst with millions of in-edges receives
+at most one row per (batch × block) instead of one per edge.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from igraph_ray.csr import fetch_block, slices_for
+
+
+def _scan_blocks(blocks, verts: np.ndarray, extra_mask=None):
+    """Yield (blk, sel, idx, lens) for every CSR block overlapping verts."""
+    if len(verts) == 0:
+        return
+    vmin = verts.min()
+    vmax = verts.max()
+    for (vlo, vhi, ref) in blocks:
+        if vhi < vmin or vlo > vmax:
+            continue
+        sel = (verts >= vlo) & (verts <= vhi)
+        if extra_mask is not None:
+            sel = sel & extra_mask
+        if not sel.any():
+            continue
+        blk = fetch_block(ref)
+        idx, lens = slices_for(blk, verts[sel])
+        if len(idx) == 0:
+            continue
+        yield blk, sel, idx, lens
+
+
+def pagerank_messages(
+    blocks, verts: np.ndarray, pr: np.ndarray, deg: np.ndarray, weighted: bool
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(dst, Σ pr[src]*w/deg[src]) pre-combined per dst."""
+    out_d: List[np.ndarray] = []
+    out_v: List[np.ndarray] = []
+    live = deg > 0.0
+    for blk, sel, idx, lens in _scan_blocks(blocks, verts, live):
+        out_d.append(blk["dst"][idx])
+        contrib = pr[sel] / deg[sel]
+        if weighted:
+            out_v.append(np.repeat(contrib, lens) * blk["weight"][idx])
+        else:
+            out_v.append(np.repeat(contrib, lens))
+    if not out_d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    alld = np.concatenate(out_d)
+    allv = np.concatenate(out_v)
+    dsts, inv = np.unique(alld, return_inverse=True)
+    partial = np.bincount(inv, weights=allv)
+    return dsts, partial
+
+
+def minlabel_messages(
+    blocks, verts: np.ndarray, labels: np.ndarray, sentinel: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(dst, min incoming label) pre-combined per dst."""
+    out_d: List[np.ndarray] = []
+    out_l: List[np.ndarray] = []
+    for blk, sel, idx, lens in _scan_blocks(blocks, verts):
+        out_d.append(blk["dst"][idx])
+        out_l.append(np.repeat(labels[sel], lens))
+    if not out_d:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    alld = np.concatenate(out_d)
+    alll = np.concatenate(out_l)
+    dsts, inv = np.unique(alld, return_inverse=True)
+    minl = np.full(len(dsts), sentinel, dtype=np.int64)
+    np.minimum.at(minl, inv, alll)
+    return dsts, minl
+
+
+def label_weight_messages(
+    blocks, verts: np.ndarray, labels: np.ndarray, weighted: bool
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dst, label, Σw) pre-combined per (dst, label)."""
+    out_d: List[np.ndarray] = []
+    out_l: List[np.ndarray] = []
+    out_w: List[np.ndarray] = []
+    for blk, sel, idx, lens in _scan_blocks(blocks, verts):
+        out_d.append(blk["dst"][idx])
+        out_l.append(np.repeat(labels[sel], lens))
+        if weighted:
+            out_w.append(blk["weight"][idx])
+        else:
+            out_w.append(np.ones(len(idx)))
+    if not out_d:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64)
+    alld = np.concatenate(out_d)
+    alll = np.concatenate(out_l)
+    allw = np.concatenate(out_w)
+    return combine_label_weights(alld, alll, allw)
+
+
+def combine_label_weights(
+    dst: np.ndarray, lab: np.ndarray, w: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sum w per (dst, label) via lexsort + reduceat."""
+    if len(dst) == 0:
+        return dst, lab, w
+    order = np.lexsort((lab, dst))
+    dst, lab, w = dst[order], lab[order], w[order]
+    newgrp = np.empty(len(dst), dtype=bool)
+    newgrp[0] = True
+    np.not_equal(dst[1:], dst[:-1], out=newgrp[1:])
+    newgrp[1:] |= lab[1:] != lab[:-1]
+    starts = np.flatnonzero(newgrp)
+    return dst[starts], lab[starts], np.add.reduceat(w, starts)
+
+
+def lpa_argmax(
+    dst: np.ndarray, lab: np.ndarray, w: np.ndarray,
+    own_dst: np.ndarray, own_lab: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synchronous LPA update: per dst pick the max-weight label, ties →
+    smallest label; dsts with no weighted rows keep their own label.
+    ``own_dst`` must be sorted ascending and contain every dst exactly once.
+    Returns (new_labels aligned to own_dst, changed mask)."""
+    new_lab = own_lab.copy()
+    cand = w > 0.0
+    if cand.any():
+        cd, cl, cw = dst[cand], lab[cand], w[cand]
+        order = np.lexsort((cl, -cw, cd))
+        cd, cl = cd[order], cl[order]
+        first = np.empty(len(cd), dtype=bool)
+        first[0] = True
+        np.not_equal(cd[1:], cd[:-1], out=first[1:])
+        pos = np.searchsorted(own_dst, cd[first])
+        new_lab[pos] = cl[first]
+    return new_lab, new_lab != own_lab
