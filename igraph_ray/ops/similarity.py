@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once via ``ray.put`` and every batch does one numpy matmul
+against it (never re-shipped per batch). The LSH-bucketed variant is the
+scale path: random-hyperplane signatures bucket vectors so candidate
+generation touches only same-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k. Returns (query_id, neighbor_id, score) with
+    rank ties broken by neighbor_id ascending; deterministic.
+
+    queries: (Q, D) float array. Broadcast once (ray.put); per-batch
+    partial top-k (numpy matmul + argpartition) → global top-k via one
+    small sort-limit per query on the union of partials.
+    """
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put(qn)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(b[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        scores = q @ m.T  # (Q, B)
+        kk = min(k, scores.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_n.append(ids[idx])
+            out_s.append(row[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(_partial, batch_format="pyarrow").materialize()
+
+    # global top-k per query: the partial stream is tiny (Q*k per block)
+    def _final(b: pa.Table) -> pa.Table:
+        qid = b["query_id"].to_numpy(zero_copy_only=False)
+        nid = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        sc = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sc, qid))
+        qid, nid, sc = qid[order], nid[order], sc[order]
+        keep = np.zeros(len(qid), dtype=bool)
+        count, prev = 0, None
+        for i in range(len(qid)):
+            if qid[i] != prev:
+                prev, count = qid[i], 0
+            if count < k:
+                keep[i] = True
+                count += 1
+        return pa.table(
+            {"query_id": pa.array(qid[keep], pa.int64()),
+             "neighbor_id": pa.array(nid[keep], pa.int64()),
+             "score": pa.array(sc[keep], pa.float64())}
+        )
+
+    return partials.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def lsh_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via random-hyperplane LSH: vectors are
+    scanned once, but scoring touches only batches whose bucket sets
+    intersect the query buckets — the IVF-style scale path. Same output
+    schema as brute_force_topk (approximate recall)."""
+    rng = np.random.default_rng(seed)
+    dim = queries.shape[1]
+    planes = rng.standard_normal((num_planes, dim))
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    qsig = (qn @ planes.T > 0).astype(np.uint32)
+    qbuckets = set((qsig * (1 << np.arange(num_planes, dtype=np.uint32))).sum(axis=1).tolist())
+    q_ref = ray.put(qn)
+    p_ref = ray.put(planes)
+    buckets_ref = ray.put(qbuckets)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        pl = ray.get(p_ref)
+        qb = ray.get(buckets_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(b[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sig = (m @ pl.T > 0).astype(np.uint32)
+        bucket = (sig * (1 << np.arange(pl.shape[0], dtype=np.uint32))).sum(axis=1)
+        mask = np.isin(bucket, list(qb))
+        ids, m = ids[mask], m[mask]
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if len(ids) == 0:
+            return empty
+        scores = q @ m.T
+        kk = min(k, scores.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_n.append(ids[idx])
+            out_s.append(row[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(_partial, batch_format="pyarrow").materialize()
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        qid = b["query_id"].to_numpy(zero_copy_only=False)
+        nid = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        sc = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sc, qid))
+        qid, nid, sc = qid[order], nid[order], sc[order]
+        keep = np.zeros(len(qid), dtype=bool)
+        count, prev = 0, None
+        for i in range(len(qid)):
+            if qid[i] != prev:
+                prev, count = qid[i], 0
+            if count < k:
+                keep[i] = True
+                count += 1
+        return pa.table(
+            {"query_id": pa.array(qid[keep], pa.int64()),
+             "neighbor_id": pa.array(nid[keep], pa.int64()),
+             "score": pa.array(sc[keep], pa.float64())}
+        )
+
+    return partials.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)

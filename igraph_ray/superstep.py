@@ -204,6 +204,9 @@ def _block_sums(t: pa.Table, cols: List[str]) -> List[float]:
 
     out = []
     for c in cols:
+        if t.num_rows == 0 or c not in t.column_names:
+            out.append(0.0)
+            continue
         v = pc.sum(t[c]).as_py()
         out.append(float(v) if v is not None else 0.0)
     return out

@@ -1,0 +1,155 @@
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.ops import dedup, similarity, text, window
+from igraph_ray.ops.multimodal import decode_images, make_fake_media, FrameSampler
+
+
+def _docs(texts):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_exact_dedup():
+    docs = _docs(["hello world", "foo bar", "hello world", "baz", "foo bar", "foo bar"])
+    rows = {r["text_md5"]: (r["keep_id"], r["dup_count"]) for r in dedup.exact_dedup(docs).take_all()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[h("hello world")] == (0, 2)
+    assert rows[h("foo bar")] == (1, 3)
+    assert rows[h("baz")] == (3, 1)
+
+
+def test_minhash_lsh_finds_near_dups():
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("field", "meadow")
+    far = "completely different text about graph engines and ray datasets at scale"
+    docs = _docs([base, near, far, base + " extra"])
+    pairs = sorted((r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, shingle_k=2).take_all())
+    assert (0, 1) in pairs or (0, 3) in pairs  # near-dups bucket together
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # far doc does not
+
+
+def test_ngram_jaccard():
+    base = "a b c d e f g h i j k l m n o p"
+    docs = _docs([base, base.replace(" p", " q"), "z z z z z"])
+    out = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.3, shingle_k=2).take_all()}
+    assert (0, 1) in out and out[(0, 1)] > 0.8
+
+
+def test_simhash_close_for_near_dups():
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = _docs([base, base + "tail", "unrelated words entirely different content"])
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).take_all()}
+    d01 = bin(int(sh[0]) ^ int(sh[1])).count("1")
+    d02 = bin(int(sh[0]) ^ int(sh[2])).count("1")
+    assert d01 < d02
+
+
+def test_text_ops():
+    docs = _docs(["The quick brown fox, it jumps!", "der schöne ich und der"])
+    tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).take_all()}
+    assert tc[0] == 8  # 6 words + comma + bang
+    q = {r["doc_id"]: r for r in text.quality_score(docs).take_all()}
+    assert q[0]["n_words"] == 6
+    assert 0 < q[0]["stopword_ratio"] < 1
+    lid = {r["doc_id"]: r["lang_pred"] for r in text.language_id(docs).take_all()}
+    assert lid[1] == "de"
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).take_all()}
+    assert len(fp[0]) == 32 and fp[0] != fp[1]
+
+
+def test_similarity_brute_force():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    emb = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))})
+    )
+    queries = vecs[:3].astype(np.float64)
+    out = similarity.brute_force_topk(emb, queries, k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["score"]))
+    for qi in range(3):
+        top = by_q[qi]
+        assert len(top) == 5
+        assert top[0][0] == qi  # self is nearest
+        assert abs(top[0][1] - 1.0) < 1e-9
+    # exact check vs numpy for query 0
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ref = np.argsort(-(vn[0] @ vn.T))[:5]
+    assert sorted(x[0] for x in by_q[0]) == sorted(int(i) for i in ref)
+
+
+def test_similarity_lsh_recall_of_self():
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    emb = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))})
+    )
+    out = similarity.lsh_topk(emb, vecs[:5].astype(np.float64), k=3, num_planes=6).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qi in range(5):
+        assert qi in by_q.get(qi, [])  # self always lands in own bucket
+
+
+def test_tumbling_window():
+    ts = pa.array([0, 30, 90, 150, 3700], pa.int64())
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.Array.from_pandas((ts.to_numpy() * 1_000_000).astype("datetime64[us]")),
+        "user_id": pa.array([1, 1, 2, 2, 1], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "a", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    }))
+    rows = {(r["window_us"], r["event_type"]): (r["n"], r["value_sum"])
+            for r in window.tumbling_window(ev, minutes=60).take_all()}
+    hour = 3600 * 1_000_000
+    assert rows[(0, "a")] == (3, 7.0)
+    assert rows[(0, "b")] == (1, 3.0)
+    assert rows[(hour, "a")] == (1, 5.0)
+
+
+def test_sessionize():
+    base = np.array([0, 60, 120, 4000, 4060, 100], dtype=np.int64)  # seconds
+    users = [1, 1, 1, 1, 1, 2]
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.Array.from_pandas((base * 1_000_000).astype("datetime64[us]")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["x"] * 6, pa.string()),
+        "value": pa.array([0.0] * 6, pa.float64()),
+    }))
+    rows = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in window.sessionize(ev, gap_minutes=30).take_all()
+    )
+    assert rows == [
+        (1, 0, 3), (1, 4000 * 1_000_000, 2), (2, 100 * 1_000_000, 1),
+    ]
+
+
+def test_multimodal_plumbing():
+    media = ray.data.from_arrow(make_fake_media(30))
+    feats = decode_images(media, fake=True).take_all()
+    assert len(feats) == 10  # a third are images
+    assert all(len(r["features"]) == 8 for r in feats)
+    # determinism: same payload -> same features
+    again = decode_images(ray.data.from_arrow(make_fake_media(30)), fake=True).take_all()
+    assert [r["features"] for r in feats] == [r["features"] for r in again]
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
+                               concurrency=1, fn_constructor_kwargs={"frames": 2}).take_all()
+    assert all(r["frame_offset_ms"] > 0 for r in frames)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        from igraph_ray.ops.multimodal import DecodeImage
+        DecodeImage(fake=False)
