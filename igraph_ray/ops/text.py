@@ -54,13 +54,15 @@ def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
     """(doc_id, n_chars, n_words, punct_ratio, stopword_ratio, score):
     simple length/punctuation/stopword quality heuristics."""
 
+    punct_re = re.compile(r"[^\sA-Za-z0-9]")
+
     def _f(b: pa.Table) -> pa.Table:
         n_chars, n_words, punct, stopr, score = [], [], [], [], []
         for t in b[text_col].to_pylist():
             words = t.split()
             nw = len(words)
             nc = len(t)
-            np_ = sum(1 for ch in t if not ch.isalnum() and not ch.isspace())
+            np_ = len(punct_re.findall(t))
             ns = sum(1 for w in words if w.lower().strip(".,!?;:") in _STOPWORDS)
             pr = np_ / nc if nc else 0.0
             sr = ns / nw if nw else 0.0

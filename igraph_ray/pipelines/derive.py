@@ -1,0 +1,94 @@
+"""Deterministic edge-table derivations from the driver's TPC-H-ish
+tables. The real input of the north star is a code corpus (repo, path,
+commit, lang, content) — sources/corpus.py covers that path with exact
+planted-edge tests. For the driver's SQL-oracle gate the graph must be
+derivable in BOTH the engine and ANSI SQL from the same parquet, so the
+edge table is a fixed arithmetic projection of `orders` (and `lineitem`
+for the second edge set): dense pseudo-random digraphs over V=512
+vertices with loops removed and duplicates collapsed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from igraph_ray.graph import Graph
+from igraph_ray.ops.relational import _dedup
+
+V = 512
+
+# SQL fragments shared by every oracle query (kept in lockstep with the
+# engine derivations below)
+SQL_EDGES_A = (
+    f"SELECT DISTINCT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst "
+    f"FROM orders WHERE (o_orderkey % {V}) != ((o_custkey * 7) % {V})"
+)
+SQL_EDGES_B = (
+    f"SELECT DISTINCT (l_orderkey % {V}) AS src, ((l_partkey * 3) % {V}) AS dst "
+    f"FROM lineitem WHERE (l_orderkey % {V}) != ((l_partkey * 3) % {V})"
+)
+# multigraph variant (keeps duplicates) for multiplicity/simplify queries
+SQL_EDGES_MULTI = (
+    f"SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst FROM orders"
+)
+SQL_VERTS_A = (
+    f"SELECT src AS v FROM ({SQL_EDGES_A}) UNION SELECT dst FROM ({SQL_EDGES_A})"
+)
+
+
+def edges_a(sf_dir: str) -> ray.data.Dataset:
+    """Distinct loop-free digraph from orders: src=o_orderkey%V,
+    dst=(o_custkey*7)%V."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    return _dedup(orders.map_batches(_derive, batch_format="pyarrow"))
+
+
+def edges_a_multi(sf_dir: str) -> ray.data.Dataset:
+    """Same derivation but keeping loops and duplicates (multigraph)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array((ok % V).astype(np.int64)),
+             "dst": pa.array((ck * 7 % V).astype(np.int64))}
+        )
+
+    return orders.map_batches(_derive, batch_format="pyarrow")
+
+
+def edges_b(sf_dir: str) -> ray.data.Dataset:
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (pk * 3 % V).astype(np.int64)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    return _dedup(li.map_batches(_derive, batch_format="pyarrow"))
+
+
+def graph_a(sf_dir: str) -> Graph:
+    return Graph(edges_a(sf_dir).materialize(), n=None)

@@ -1,0 +1,615 @@
+"""The driver-facing query registry: one engine callable + one DuckDB
+oracle SQL string per implemented operator (SURVEY.md §2 inventory +
+training-data extensions). The driver runs both at sf=0.01 and compares
+row count, schema, and order-insensitive value hashes — so:
+
+- column names match exactly between engine and SQL;
+- float-valued outputs are returned as scaled int64 columns (``*_e8``
+  etc.) on BOTH sides so the hash comparison is exact;
+- iterative algorithms run a FIXED iteration count matched by unrolled
+  CTE chains in the SQL (machine-generated below), making the recurrence
+  — not a convergence heuristic — the thing compared.
+
+Non-SQL-expressible ops (MinHash/SimHash sketches, LSH ANN, corpus
+extraction) have engine entries without oracles → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from igraph_ray.algorithms.components import component_sizes, connected_components
+from igraph_ray.algorithms.lpa import label_propagation
+from igraph_ray.algorithms.modularity import modularity
+from igraph_ray.algorithms.pagerank import pagerank
+from igraph_ray.algorithms.triangles import triangle_counts
+from igraph_ray.graph import Graph
+from igraph_ray.ops import dedup as dd
+from igraph_ray.ops import relational as rel
+from igraph_ray.ops import similarity as sim
+from igraph_ray.ops import text as tx
+from igraph_ray.ops import window as win
+from igraph_ray.pipelines import derive
+from igraph_ray.pipelines.derive import (
+    SQL_EDGES_A,
+    SQL_EDGES_B,
+    SQL_EDGES_MULTI,
+    SQL_VERTS_A,
+    V,
+)
+
+PR_ITERS = 30
+LPA_ITERS = 8
+DAMPING = 0.85
+KNN_K = 5
+KNN_QUERIES = 4
+
+
+def _scale_col(ds: ray.data.Dataset, col: str, out: str, scale: float) -> ray.data.Dataset:
+    def _f(b: pa.Table) -> pa.Table:
+        v = np.round(b[col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+        t = b.drop_columns([col])
+        return t.append_column(out, pa.array(v, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- graph ops
+
+def q_edge_table(sf_dir: str):
+    return derive.edges_a(sf_dir)
+
+
+def q_out_degree(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    deg = g.out_degrees()
+    return _scale_col(deg, "deg", "deg", 1.0)  # integral counts → int64
+
+
+def q_in_degree(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    return _scale_col(g.in_degrees(), "deg", "deg", 1.0)
+
+
+def q_pagerank(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    res = pagerank(g, damping=DAMPING, fixed_iterations=PR_ITERS, num_partitions=8)
+    return _scale_col(res.state, "pr", "pr_e8", 1e8)
+
+
+def q_components(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    return connected_components(g, num_partitions=8).state
+
+
+def q_component_sizes(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    st = connected_components(g, num_partitions=8).state
+    return component_sizes(st)
+
+
+def q_lpa(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    return label_propagation(g, fixed_iterations=LPA_ITERS, num_partitions=8).state
+
+
+def q_triangles(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    return triangle_counts(g, num_partitions=8)
+
+
+def q_modularity(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    st = connected_components(g, num_partitions=8).state
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "community": b["label"]})
+
+    q = modularity(g.edges, st.map_batches(_rn, batch_format="pyarrow"))
+    return pa.table({"q_e9": pa.array([int(round(q * 1e9))], pa.int64())})
+
+
+def q_reciprocity(sf_dir: str):
+    r = rel.reciprocity(derive.edges_a(sf_dir))
+    return pa.table({"reciprocity_e9": pa.array([int(round(r * 1e9))], pa.int64())})
+
+
+def q_mutual_edges(sf_dir: str):
+    return rel.mutual_edges(derive.edges_a(sf_dir))
+
+
+def q_count_multiple(sf_dir: str):
+    return rel.count_multiple(derive.edges_a_multi(sf_dir))
+
+
+def q_degree_topk(sf_dir: str):
+    g = derive.graph_a(sf_dir)
+    deg = _scale_col(g.out_degrees(), "deg", "deg", 1.0)
+    return deg.sort(["deg", "vertex"], descending=[True, False]).limit(10)
+
+
+def q_intersection(sf_dir: str):
+    return rel.intersection_edges(derive.edges_a(sf_dir), derive.edges_b(sf_dir))
+
+
+def q_difference(sf_dir: str):
+    return rel.difference_edges(derive.edges_a(sf_dir), derive.edges_b(sf_dir))
+
+
+def q_compose(sf_dir: str):
+    return rel.compose_edges(derive.edges_a(sf_dir), derive.edges_b(sf_dir))
+
+
+def q_union(sf_dir: str):
+    return rel.union_edges(derive.edges_a(sf_dir), derive.edges_b(sf_dir))
+
+
+def q_strength(sf_dir: str):
+    """Weighted out-degree (igraph_strength) over the multigraph with
+    integer weight (o_orderkey % 10) + 1 per edge occurrence."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        w = (ok % 10 + 1).astype(np.float64)
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep]),
+             "weight": pa.array(w[keep])}
+        )
+
+    edges = orders.map_batches(_derive, batch_format="pyarrow")
+    g = Graph(edges, n=None, weighted=True)
+    return _scale_col(g.out_degrees(), "deg", "strength", 1.0)
+
+
+# ------------------------------------------------------- training-data ops
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_exact_dedup(sf_dir: str):
+    return dd.exact_dedup(_docs(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    return tx.token_count(_docs(sf_dir))
+
+
+def q_text_stats(sf_dir: str):
+    qs = tx.quality_score(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_chars", "n_words", "punct_ratio"]
+    )
+    return _scale_col(qs, "punct_ratio", "punct_ratio_e6", 1e6)
+
+
+def q_lang_id(sf_dir: str):
+    return tx.language_id(_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    return tx.fingerprint(_docs(sf_dir), window=8)
+
+
+def q_minhash_pairs(sf_dir: str):
+    return dd.minhash_lsh_pairs(_docs(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    ds = dd.simhash(_docs(sf_dir))
+
+    def _f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"],
+             "simhash": pc.cast(b["simhash"], pa.int64(), safe=False)}
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_ngram_dups(sf_dir: str):
+    out = dd.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8)
+    return _scale_col(out, "jaccard", "jaccard_e6", 1e6)
+
+
+def q_event_type_count(sf_dir: str):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    g = ev.groupby("event_type").count()
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "n": b["count()"]})
+
+    return g.map_batches(_rn, batch_format="pyarrow")
+
+
+def q_tumbling(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = win.tumbling_window(ev, minutes=60)
+    return _scale_col(out, "value_sum", "value_sum_e6", 1e6)
+
+
+def q_sessions(sf_dir: str):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return win.sessionize(ev, gap_minutes=30)
+
+
+def _knn_common(sf_dir: str, fn):
+    import pyarrow.parquet as pq
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id").slice(0, KNN_QUERIES)
+    queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.array(qt["vec_id"].to_pylist(), dtype=np.int64)
+    out = fn(emb, queries)
+
+    def _remap(b: pa.Table) -> pa.Table:
+        qi = b["query_id"].to_numpy(zero_copy_only=False)
+        t = b.drop_columns(["query_id"])
+        return t.append_column("query_id", pa.array(qids[qi], pa.int64()))
+
+    return _scale_col(
+        out.map_batches(_remap, batch_format="pyarrow"), "score", "score_e6", 1e6
+    )
+
+
+def q_knn(sf_dir: str):
+    return _knn_common(sf_dir, lambda emb, q: sim.brute_force_topk(emb, q, k=KNN_K))
+
+
+def q_lsh_knn(sf_dir: str):
+    return _knn_common(
+        sf_dir, lambda emb, q: sim.lsh_topk(emb, q, k=KNN_K, num_planes=8)
+    )
+
+
+def q_corpus_extract(sf_dir: str):
+    """Corpus → planted edges, scaled by sf via lineitem row count (no
+    SQL oracle — validated exactly in pytest against the planted graph)."""
+    from igraph_ray.sources.corpus import extract_edges, generate_corpus
+
+    n_li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).count()
+    n_repos = max(50, min(2000, n_li // 30))
+    rng = np.random.default_rng(42)
+    m = n_repos * 4
+    src = rng.integers(0, n_repos, m)
+    dst = rng.integers(0, n_repos, m)
+    corpus, _ = generate_corpus(src, dst, n_repos=n_repos, seed=42)
+    edges, _ = extract_edges(ray.data.from_arrow(corpus), num_partitions=4)
+    return edges.groupby(["src", "dst"]).count()
+
+
+# ================================================================ SQL side
+
+def _sql_pagerank(iters: int = PR_ITERS, d: float = DAMPING) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "deg AS MATERIALIZED (SELECT v, (SELECT COUNT(*) FROM edges e WHERE e.src = verts.v) AS outdeg FROM verts)",
+        "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "pr0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM params) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k-1}"
+        parts.append(
+            f"base{k} AS MATERIALIZED (SELECT ((1-{d}) + {d}*COALESCE((SELECT SUM(p.r) FROM {p} p "
+            f"JOIN deg dd ON dd.v = p.v WHERE dd.outdeg = 0), 0))/(SELECT n FROM params) AS b)"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT dgt.v, (SELECT b FROM base{k}) + {d} * COALESCE(m.s, 0) AS r "
+            f"FROM deg dgt LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.r/dd.outdeg) AS s FROM edges e "
+            f"JOIN {p} p ON p.v = e.src JOIN deg dd ON dd.v = e.src "
+            f"WHERE dd.outdeg > 0 GROUP BY e.dst) m ON m.v = dgt.v)"
+        )
+    last = f"pr{iters}"
+    parts.append(f"tot AS (SELECT SUM(r) AS s FROM {last})")
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(ROUND(r/(SELECT s FROM tot)*1e8) AS BIGINT) AS pr_e8 "
+        f"FROM {last} ORDER BY vertex"
+    )
+
+
+_SQL_CC_CORE = f"""
+WITH RECURSIVE edges AS MATERIALIZED ({SQL_EDGES_A}),
+verts AS MATERIALIZED ({SQL_VERTS_A}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.v
+),
+minl AS (SELECT v, MIN(l) AS ml FROM reach GROUP BY v),
+ranks AS (SELECT ml, CAST(DENSE_RANK() OVER (ORDER BY ml) - 1 AS BIGINT) AS rank
+          FROM (SELECT DISTINCT ml FROM minl))
+"""
+
+
+def _sql_components() -> str:
+    return (
+        _SQL_CC_CORE
+        + "SELECT m.v AS vertex, r.rank AS label FROM minl m JOIN ranks r USING (ml) ORDER BY vertex"
+    )
+
+
+def _sql_component_sizes() -> str:
+    return (
+        _SQL_CC_CORE
+        + "SELECT r.rank AS label, COUNT(*) AS csize FROM minl m JOIN ranks r USING (ml) GROUP BY r.rank ORDER BY label"
+    )
+
+
+def _sql_lpa(iters: int = LPA_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        # engine symmetrization keeps both directions of reciprocal edges
+        # (multigraph tally), hence UNION ALL
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT s.dst AS v, p.lab, COUNT(*) AS c FROM sym s "
+            f"JOIN {p} p ON p.v = s.src GROUP BY s.dst, p.lab)"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT v, lab FROM (SELECT v, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, lab ASC) AS rn FROM t{k}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT p.v, COALESCE(w.lab, p.lab) AS lab FROM {p} p "
+            f"LEFT JOIN w{k} w ON w.v = p.v)"
+        )
+    last = f"l{iters}"
+    parts.append(f"minv AS (SELECT lab, MIN(v) AS mv FROM {last} GROUP BY lab)")
+    parts.append(
+        "ranks AS (SELECT mv, CAST(DENSE_RANK() OVER (ORDER BY mv) - 1 AS BIGINT) AS rank "
+        "FROM (SELECT DISTINCT mv FROM minv))"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT l.v AS vertex, r.rank AS community FROM {last} l "
+        f"JOIN minv m ON m.lab = l.lab JOIN ranks r ON r.mv = m.mv ORDER BY vertex"
+    )
+
+
+_SQL_TRIANGLES = f"""
+WITH edges AS ({SQL_EDGES_A}),
+verts AS ({SQL_VERTS_A}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM edges),
+degs AS (SELECT v, COUNT(*) AS deg FROM
+  (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY v),
+orient AS (
+  SELECT CASE WHEN (dl.deg < dh.deg) OR (dl.deg = dh.deg AND u.lo < u.hi)
+              THEN u.lo ELSE u.hi END AS a,
+         CASE WHEN (dl.deg < dh.deg) OR (dl.deg = dh.deg AND u.lo < u.hi)
+              THEN u.hi ELSE u.lo END AS b
+  FROM und u JOIN degs dl ON dl.v = u.lo JOIN degs dh ON dh.v = u.hi),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM orient e1
+  JOIN orient e2 ON e2.a = e1.b
+  JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT verts.v AS vertex, COALESCE(c.n, 0) AS triangles
+FROM verts LEFT JOIN (SELECT v, COUNT(*) AS n FROM corners GROUP BY v) c ON c.v = verts.v
+ORDER BY vertex
+"""
+
+
+def _sql_modularity() -> str:
+    return (
+        _SQL_CC_CORE
+        + f""",
+memb AS (SELECT m.v, r.rank AS c FROM minl m JOIN ranks r USING (ml)),
+je AS (SELECT ms.c AS cs, md.c AS cd FROM edges e
+       JOIN memb ms ON ms.v = e.src JOIN memb md ON md.v = e.dst),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS mm FROM je),
+ec AS (SELECT cs AS c, SUM(CASE WHEN cs = cd THEN 2.0 ELSE 0 END) AS e FROM je GROUP BY cs),
+ac AS (SELECT c, SUM(w) AS a FROM
+  (SELECT cs AS c, 1.0 AS w FROM je UNION ALL SELECT cd, 1.0 FROM je) GROUP BY c),
+q AS (SELECT SUM(COALESCE(ec.e,0)/(2*(SELECT mm FROM m)) -
+              POW(ac.a/(2*(SELECT mm FROM m)), 2)) AS q
+      FROM ac LEFT JOIN ec ON ec.c = ac.c)
+SELECT CAST(ROUND(q*1e9) AS BIGINT) AS q_e9 FROM q"""
+    )
+
+
+_TOKEN_RE_SQL = r"[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+
+_LANG_SQL_SCORES = {
+    "en": ["the", "ing", "and", "ion", "ent"],
+    "de": ["der", "sch", "ein", "ich", "und"],
+    "fr": ["les", "ent", "que", "ion", "eur"],
+    "es": ["que", "los", "ión", "ado", "nte"],
+}
+
+
+def _sql_lang_id() -> str:
+    def score(lang):
+        terms = [
+            f"(length(low) - length(replace(low, '{t}', '')))/3"
+            for t in _LANG_SQL_SCORES[lang]
+        ]
+        return " + ".join(terms)
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, lower(text) AS low FROM documents
+), sc AS (
+  SELECT doc_id,
+    {score('en')} AS s_en,
+    {score('de')} AS s_de,
+    {score('fr')} AS s_fr,
+    {score('es')} AS s_es
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM sc ORDER BY doc_id
+"""
+
+
+def queries() -> Dict[str, Callable]:
+    return {
+        "edge_table": q_edge_table,
+        "out_degree": q_out_degree,
+        "in_degree": q_in_degree,
+        "pagerank": q_pagerank,
+        "components": q_components,
+        "component_sizes": q_component_sizes,
+        "lpa": q_lpa,
+        "triangles": q_triangles,
+        "modularity": q_modularity,
+        "reciprocity": q_reciprocity,
+        "mutual_edges": q_mutual_edges,
+        "count_multiple": q_count_multiple,
+        "degree_topk": q_degree_topk,
+        "intersection": q_intersection,
+        "difference": q_difference,
+        "compose": q_compose,
+        "union": q_union,
+        "strength": q_strength,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_dups": q_ngram_dups,
+        "event_type_count": q_event_type_count,
+        "tumbling_window": q_tumbling,
+        "sessionize": q_sessions,
+        "knn": q_knn,
+        "lsh_knn": q_lsh_knn,
+        "corpus_extract": q_corpus_extract,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "edge_table": SQL_EDGES_A,
+        "out_degree": f"""
+WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A})
+SELECT verts.v AS vertex, COALESCE(d.n, 0) AS deg
+FROM verts LEFT JOIN (SELECT src, COUNT(*) AS n FROM edges GROUP BY src) d
+ON d.src = verts.v ORDER BY vertex""",
+        "in_degree": f"""
+WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A})
+SELECT verts.v AS vertex, COALESCE(d.n, 0) AS deg
+FROM verts LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY dst) d
+ON d.dst = verts.v ORDER BY vertex""",
+        "pagerank": _sql_pagerank(),
+        "components": _sql_components(),
+        "component_sizes": _sql_component_sizes(),
+        "lpa": _sql_lpa(),
+        "triangles": _SQL_TRIANGLES,
+        "modularity": _sql_modularity(),
+        "reciprocity": f"""
+WITH edges AS ({SQL_EDGES_A})
+SELECT CAST(ROUND(
+  (SELECT COUNT(*) FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src)
+  * 1e9 / (SELECT COUNT(*) FROM edges)) AS BIGINT) AS reciprocity_e9""",
+        "mutual_edges": f"""
+WITH edges AS ({SQL_EDGES_A})
+SELECT a.src, a.dst FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src""",
+        "count_multiple": f"""
+SELECT src, dst, COUNT(*) AS multiplicity FROM ({SQL_EDGES_MULTI}) GROUP BY src, dst""",
+        "degree_topk": f"""
+WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A}),
+d AS (SELECT verts.v AS vertex, COALESCE(x.n, 0) AS deg FROM verts
+      LEFT JOIN (SELECT src, COUNT(*) AS n FROM edges GROUP BY src) x ON x.src = verts.v)
+SELECT vertex, deg FROM d ORDER BY deg DESC, vertex ASC LIMIT 10""",
+        "intersection": f"""
+SELECT a.src, a.dst FROM ({SQL_EDGES_A}) a JOIN ({SQL_EDGES_B}) b USING (src, dst)""",
+        "difference": f"""
+SELECT a.src, a.dst FROM ({SQL_EDGES_A}) a ANTI JOIN ({SQL_EDGES_B}) b USING (src, dst)""",
+        "compose": f"""
+SELECT DISTINCT a.src, b.dst FROM ({SQL_EDGES_A}) a JOIN ({SQL_EDGES_B}) b ON b.src = a.dst""",
+        "union": f"""
+SELECT src, dst FROM ({SQL_EDGES_A}) UNION SELECT src, dst FROM ({SQL_EDGES_B})""",
+        "strength": f"""
+WITH em AS (SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst,
+                   (o_orderkey % 10) + 1 AS w
+            FROM orders WHERE (o_orderkey % {V}) != ((o_custkey * 7) % {V})),
+verts AS (SELECT src AS v FROM em UNION SELECT dst FROM em)
+SELECT verts.v AS vertex, COALESCE(s.t, 0) AS strength
+FROM verts LEFT JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS t FROM em GROUP BY src) s
+ON s.src = verts.v ORDER BY vertex""",
+        "exact_dedup": """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)""",
+        "token_count": f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id""",
+        "text_stats": r"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+  CAST(ROUND(CASE WHEN length(text) = 0 THEN 0
+       ELSE CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS DOUBLE) / length(text)
+       END * 1e6) AS BIGINT) AS punct_ratio_e6
+FROM documents ORDER BY doc_id""",
+        "lang_id": _sql_lang_id(),
+        "fingerprint": """
+SELECT doc_id,
+  CASE WHEN length(text) < 8 THEN md5(text)
+       ELSE list_min(list_transform(range(1, length(text) - 8 + 2),
+                     i -> md5(substr(text, CAST(i AS INT), 8))))
+  END AS fingerprint
+FROM documents ORDER BY doc_id""",
+        "event_type_count": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        "tumbling_window": """
+WITH b AS (SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_us,
+                  event_type, value FROM events)
+SELECT window_us, event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value) * 1e6) AS BIGINT) AS value_sum_e6
+FROM b GROUP BY window_us, event_type""",
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+o AS (SELECT user_id, ts_us,
+        CASE WHEN LAG(ts_us) OVER w IS NULL
+             OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+s AS (SELECT user_id, ts_us,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+        "knn": f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+      FROM s)
+SELECT query_id, neighbor_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
+FROM r WHERE rn <= {KNN_K}""",
+    }
