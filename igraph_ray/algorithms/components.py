@@ -57,8 +57,7 @@ def connected_components(
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
 
-    sym = graph.symmetrized(drop_loops=True)
-    csr = build_csr_index(sym, num_partitions, weighted=False)
+    csr = graph.csr_index("sym", num_partitions, weighted=False)
     blocks = csr.block_descriptors()
     boundaries = csr.boundaries
     sentinel = int(n if n else 2**62)
@@ -68,7 +67,7 @@ def connected_components(
 
     if mode == "aligned":
         result = _aligned_impl(
-            graph, blocks, boundaries, sentinel, converged, max_iter, checkpoint
+            graph, csr, blocks, boundaries, sentinel, converged, max_iter, checkpoint
         )
     else:
         result = _dataset_impl(
@@ -83,11 +82,14 @@ def connected_components(
     return result
 
 
-def _aligned_impl(graph, blocks, boundaries, sentinel, converged, max_iter, checkpoint):
+def _aligned_impl(graph, csr, blocks, boundaries, sentinel, converged, max_iter, checkpoint):
     def _init(sd: dict) -> dict:
         return {"vertex": sd["vertex"], "label": sd["vertex"].copy()}
 
-    state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)
+    if graph._n is not None:
+        state = al.state_from_csr(csr, graph.num_vertices(), init_fn=_init)
+    else:
+        state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)
 
     def gather_fn(sb, csr_desc, starts, scalars):
         dsts, minl = minlabel_messages(csr_desc, sb["vertex"], sb["label"], sentinel)
@@ -137,7 +139,7 @@ def _dataset_impl(
              "changed": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64())}
         )
 
-    init_state = graph.vertices().map_batches(_init, batch_format="pyarrow")
+    init_state = graph.vertices().map_batches(_init, batch_format="pyarrow", batch_size=None)
 
     def make_gather(iteration: int):
         def gather(batch):
@@ -166,7 +168,7 @@ def _dataset_impl(
         msgs = state.map_batches(
             make_gather(iteration), batch_format="numpy", batch_size=gather_batch_size
         )
-        carry = state.map_batches(self_message, batch_format="pyarrow")
+        carry = state.map_batches(self_message, batch_format="pyarrow", batch_size=None)
         red = msgs.union(carry).groupby("dst").min(["label", "old"])
 
         def apply(b: pa.Table) -> pa.Table:
@@ -177,7 +179,7 @@ def _dataset_impl(
                  "changed": pa.array((new < old).astype(np.int64), pa.int64())}
             )
 
-        return red.map_batches(apply, batch_format="pyarrow")
+        return red.map_batches(apply, batch_format="pyarrow", batch_size=None)
 
     return run_loop(
         step=step,
@@ -202,7 +204,7 @@ def densify_labels(
     def _project(b: pa.Table) -> pa.Table:
         return pa.table({"vertex": b["vertex"], "label": b["rank"]})
 
-    return joined.map_batches(_project, batch_format="pyarrow")
+    return joined.map_batches(_project, batch_format="pyarrow", batch_size=None)
 
 
 def component_sizes(state: ray.data.Dataset) -> ray.data.Dataset:
@@ -212,4 +214,4 @@ def component_sizes(state: ray.data.Dataset) -> ray.data.Dataset:
     def _rename(b: pa.Table) -> pa.Table:
         return pa.table({"label": b["label"], "csize": b["count()"]})
 
-    return g.map_batches(_rename, batch_format="pyarrow")
+    return g.map_batches(_rename, batch_format="pyarrow", batch_size=None)

@@ -64,8 +64,7 @@ def label_propagation(
         num_partitions = max(2, num_cpus())
 
     weighted = graph.weighted
-    sym = graph.symmetrized(drop_loops=True)
-    csr = build_csr_index(sym, num_partitions, weighted=weighted)
+    csr = graph.csr_index("sym", num_partitions, weighted=weighted)
     blocks = csr.block_descriptors()
     boundaries = csr.boundaries
 
@@ -73,13 +72,15 @@ def label_propagation(
         def converged(scalars: dict, it: int) -> bool:
             return it + 1 >= fixed_iterations
         iters = fixed_iterations
+        check_every = 0
     else:
         def converged(scalars: dict, it: int) -> bool:
             return scalars.get("changed", 1.0) == 0.0
         iters = max_iter
+        check_every = 1
 
     if mode == "aligned":
-        result = _aligned_impl(graph, blocks, boundaries, weighted, converged, iters, checkpoint)
+        result = _aligned_impl(graph, csr, blocks, boundaries, weighted, converged, iters, checkpoint, check_every)
     else:
         result = _dataset_impl(
             graph, blocks, boundaries, weighted, converged, iters, checkpoint,
@@ -92,16 +93,19 @@ def label_propagation(
     else:
         def _rn(b: pa.Table) -> pa.Table:
             return pa.table({"vertex": b["vertex"], "community": b["label"]})
-        state = state.map_batches(_rn, batch_format="pyarrow")
+        state = state.map_batches(_rn, batch_format="pyarrow", batch_size=None)
     result.state = state
     return result
 
 
-def _aligned_impl(graph, blocks, boundaries, weighted, converged, iters, checkpoint):
+def _aligned_impl(graph, csr, blocks, boundaries, weighted, converged, iters, checkpoint, check_every=1):
     def _init(sd: dict) -> dict:
         return {"vertex": sd["vertex"], "label": sd["vertex"].copy()}
 
-    state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)
+    if graph._n is not None:
+        state = al.state_from_csr(csr, graph.num_vertices(), init_fn=_init)
+    else:
+        state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)
 
     def gather_fn(sb, csr_desc, starts, scalars):
         dsts, labs, ws = label_weight_messages(csr_desc, sb["vertex"], sb["label"], weighted)
@@ -143,6 +147,7 @@ def _aligned_impl(graph, blocks, boundaries, weighted, converged, iters, checkpo
         max_iter=iters,
         state_columns=ALIGNED_STATE_COLUMNS,
         checkpoint=checkpoint,
+        check_every=check_every,
     )
 
 
@@ -157,7 +162,7 @@ def _dataset_impl(
              "changed": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64())}
         )
 
-    init_state = graph.vertices().map_batches(_init, batch_format="pyarrow")
+    init_state = graph.vertices().map_batches(_init, batch_format="pyarrow", batch_size=None)
 
     def make_gather(iteration: int):
         def gather(batch):
@@ -209,7 +214,7 @@ def _dataset_impl(
         msgs = state.map_batches(
             make_gather(iteration), batch_format="numpy", batch_size=gather_batch_size
         )
-        carry = state.map_batches(self_message, batch_format="pyarrow")
+        carry = state.map_batches(self_message, batch_format="pyarrow", batch_size=None)
         red = msgs.union(carry).groupby(["dst", "label"]).sum(["w", "own"])
         # boundary-aligned sort keeps each dst's rows in a single block so
         # the arg-max runs vectorized per block with no cross-block groups.
@@ -241,7 +246,7 @@ def canonicalize_communities(
     def _minv(b: pa.Table) -> pa.Table:
         return pa.table({"label": b["label"], "minv": b["min(vertex)"]})
 
-    mapping = g.map_batches(_minv, batch_format="pyarrow")
+    mapping = g.map_batches(_minv, batch_format="pyarrow", batch_size=None)
     ranked = dense_rank_map(mapping.select_columns(["minv"]), "minv")
     mapping = hash_join(mapping, ranked, on="minv", num_partitions=num_partitions)
     joined = hash_join(
@@ -252,4 +257,4 @@ def canonicalize_communities(
     def _project(b: pa.Table) -> pa.Table:
         return pa.table({"vertex": b["vertex"], "community": b["rank"]})
 
-    return joined.map_batches(_project, batch_format="pyarrow")
+    return joined.map_batches(_project, batch_format="pyarrow", batch_size=None)

@@ -30,9 +30,9 @@ def modularity(
     def _md(b: pa.Table) -> pa.Table:
         return pa.table({"dst": b["vertex"], "c_dst": b["community"]})
 
-    j = hash_join(edges, membership.map_batches(_ms, batch_format="pyarrow"),
+    j = hash_join(edges, membership.map_batches(_ms, batch_format="pyarrow", batch_size=None),
                   on="src", num_partitions=num_partitions)
-    j = hash_join(j, membership.map_batches(_md, batch_format="pyarrow"),
+    j = hash_join(j, membership.map_batches(_md, batch_format="pyarrow", batch_size=None),
                   on="dst", num_partitions=num_partitions)
 
     def _partial(b: pa.Table) -> pa.Table:
@@ -59,7 +59,7 @@ def modularity(
         )
 
     g = (
-        j.map_batches(_partial, batch_format="pyarrow")
+        j.map_batches(_partial, batch_format="pyarrow", batch_size=None)
         .groupby("community")
         .sum(["e", "a", "m"])
         .materialize()
@@ -79,5 +79,5 @@ def modularity(
         q = e / (2 * m) - (a / (2 * m)) ** 2
         return pa.table({"q": pa.array(q, pa.float64())})
 
-    qds = g.map_batches(_qpart, batch_format="pyarrow").materialize()
+    qds = g.map_batches(_qpart, batch_format="pyarrow", batch_size=None).materialize()
     return _aggregate(qds, ["q"])["q"]

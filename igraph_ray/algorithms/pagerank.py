@@ -35,7 +35,7 @@ import ray.data
 from igraph_ray import aligned as al
 from igraph_ray.csr import build_csr_index
 from igraph_ray.graph import Graph, _degrees_over
-from igraph_ray.kernels import pagerank_messages
+from igraph_ray.kernels import pagerank_messages, pagerank_messages_csc
 from igraph_ray.superstep import (
     CheckpointConfig,
     SuperstepResult,
@@ -66,22 +66,24 @@ def pagerank(
         empty = pa.table({"vertex": pa.array([], pa.int64()), "pr": pa.array([], pa.float64())})
         return SuperstepResult(state=ray.data.from_arrow(empty), iterations=0, scalars={}, converged=True)
 
-    edges = graph.without_loops()
     weighted = graph.weighted
-    if weighted:
-        def _clamp(b: pa.Table) -> pa.Table:
-            w = pc.max_element_wise(pc.cast(b["weight"], pa.float64()), 0.0)
-            return pa.table({"src": b["src"], "dst": b["dst"], "weight": w})
-        edges = edges.map_batches(_clamp, batch_format="pyarrow")
-
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
 
-    csr = build_csr_index(edges, num_partitions, weighted=weighted)
+    csr = graph.csr_index("out", num_partitions, weighted=weighted)
     blocks = csr.block_descriptors()
     boundaries = csr.boundaries
-    deg = _degrees_over(edges, "src", graph.vertices(), weighted)
+
+    def make_deg():
+        edges = graph.without_loops()
+        if weighted:
+            def _clamp(b: pa.Table) -> pa.Table:
+                w = pc.max_element_wise(pc.cast(b["weight"], pa.float64()), 0.0)
+                return pa.table({"src": b["src"], "dst": b["dst"], "weight": w})
+            edges = edges.map_batches(_clamp, batch_format="pyarrow", batch_size=None)
+        return _degrees_over(edges, "src", graph.vertices(), weighted)
+
     inv_n = 1.0 / n
     d = float(damping)
 
@@ -89,19 +91,22 @@ def pagerank(
         def converged(scalars: dict, it: int) -> bool:
             return it + 1 >= fixed_iterations
         iters = fixed_iterations
+        check_every = 0  # no convergence test: stream all supersteps
     else:
         def converged(scalars: dict, it: int) -> bool:
             return scalars.get("absdiff", 1.0) < tol
         iters = max_iter
+        check_every = 1
 
     if mode == "aligned":
         result = _aligned_impl(
-            deg, blocks, boundaries, n, d, weighted, converged, iters, checkpoint
+            graph, csr, make_deg, blocks, boundaries, n, d, weighted,
+            converged, iters, checkpoint, check_every,
         )
     else:
         result = _dataset_impl(
-            deg, blocks, boundaries, n, d, weighted, converged, iters, checkpoint,
-            metrics_dir, gather_batch_size,
+            make_deg(), blocks, boundaries, n, d, weighted, converged, iters,
+            checkpoint, metrics_dir, gather_batch_size,
         )
 
     total = result.scalars.get("pr", 1.0)
@@ -114,7 +119,7 @@ def pagerank(
                  "pr": pc.multiply(pc.cast(b["pr"], pa.float64()), pa.scalar(scale, pa.float64()))}
             )
 
-        result.state = result.state.map_batches(_norm, batch_format="pyarrow")
+        result.state = result.state.map_batches(_norm, batch_format="pyarrow", batch_size=None)
     else:
         result.state = result.state.select_columns(["vertex", "pr"])
     return result
@@ -122,7 +127,10 @@ def pagerank(
 
 # ---------------------------------------------------------------- aligned
 
-def _aligned_impl(deg, blocks, boundaries, n, d, weighted, converged, iters, checkpoint):
+def _aligned_impl(
+    graph, csr, make_deg, blocks, boundaries, n, d, weighted, converged, iters,
+    checkpoint, check_every=1,
+):
     inv_n = 1.0 / n
 
     def _init(sd: dict) -> dict:
@@ -133,7 +141,14 @@ def _aligned_impl(deg, blocks, boundaries, n, d, weighted, converged, iters, che
             "deg": sd["deg"],
         }
 
-    state = al.state_from_dataset(deg, boundaries, init_fn=_init)
+    if graph._n is not None:
+        # dense universe: state built straight from the CSR blocks (degrees
+        # are implicit in indptr) — no aggregate shuffle at all
+        state = al.state_from_csr(csr, n, init_fn=_init)
+    else:
+        # sparse universe (endpoints incl. loop-only vertices): go through
+        # the Dataset degree path, which covers the exact universe contract
+        state = al.state_from_dataset(make_deg(), boundaries, init_fn=_init)
 
     import ray as _ray
 
@@ -149,24 +164,41 @@ def _aligned_impl(deg, blocks, boundaries, n, d, weighted, converged, iters, che
         "base": ((1.0 - d) + d * dang0) * inv_n,
     }
 
+    dense_universe = graph._n is not None
+
     def gather_fn(sb, csr_desc, starts, scalars):
-        dsts, partial = pagerank_messages(csr_desc, sb["vertex"], sb["pr"], sb["deg"], weighted)
-        bounds = np.searchsorted(dsts, starts[1:])
-        segs = []
-        lo = 0
-        for hi in list(bounds) + [len(dsts)]:
-            segs.append((dsts[lo:hi], partial[lo:hi]))
-            lo = hi
-        return segs, len(dsts)
+        pairs = pagerank_messages_csc(
+            csr_desc, sb["vertex"], sb["pr"], sb["deg"], weighted
+        )
+        # split each block's sorted (dst, partial) run by target range;
+        # a segment is a list of such pairs (dsts unique within a pair)
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        msg_count = 0
+        for (dsts, partial) in pairs:
+            msg_count += len(dsts)
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], partial[lo:hi]))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
 
     def apply_fn(old, segments, scalars):
         vertex = old["vertex"]
         degv = old["deg"]
         acc = np.zeros(len(vertex))
-        for (sd, sp) in segments:
-            if len(sd):
-                pos = np.searchsorted(vertex, sd)
-                np.add.at(acc, pos, sp)
+        lo = vertex[0] if dense_universe and len(vertex) else 0
+        for pairs in segments:
+            for (sd, sp) in pairs:
+                if not len(sd):
+                    continue
+                if dense_universe:
+                    acc[sd - lo] += sp  # dsts unique within a pair
+                else:
+                    pos = np.searchsorted(vertex, sd)
+                    np.add.at(acc, pos, sp)
         new = scalars["base"] + d * acc
         absdiff = float(np.abs(new - old["pr"]).sum())
         dang = float(new[degv == 0.0].sum())
@@ -195,6 +227,7 @@ def _aligned_impl(deg, blocks, boundaries, n, d, weighted, converged, iters, che
         max_iter=iters,
         state_columns=ALIGNED_STATE_COLUMNS,
         checkpoint=checkpoint,
+        check_every=check_every,
     )
 
 
@@ -219,7 +252,7 @@ def _dataset_impl(
             }
         )
 
-    init_state = deg.map_batches(_init, batch_format="pyarrow")
+    init_state = deg.map_batches(_init, batch_format="pyarrow", batch_size=None)
 
     def make_gather(iteration: int):
         def gather(batch):
@@ -251,7 +284,7 @@ def _dataset_impl(
         msgs = state.map_batches(
             make_gather(iteration), batch_format="numpy", batch_size=gather_batch_size
         )
-        carry = state.map_batches(self_message, batch_format="pyarrow")
+        carry = state.map_batches(self_message, batch_format="pyarrow", batch_size=None)
         red = msgs.union(carry).groupby("dst").sum(["partial", "old", "deg"])
 
         def apply(b: pa.Table) -> pa.Table:
@@ -269,7 +302,7 @@ def _dataset_impl(
                 }
             )
 
-        return red.map_batches(apply, batch_format="pyarrow")
+        return red.map_batches(apply, batch_format="pyarrow", batch_size=None)
 
     return run_loop(
         step=step,

@@ -88,6 +88,145 @@ def state_from_dataset(
     )
 
 
+@ray.remote
+def _range_dsts(csr_data: dict, boundaries_arr: np.ndarray):
+    """Unique dsts of one CSR block, split by target range. Returns a tuple
+    of len(boundaries)+1 arrays (the P×P exchange for sparse universes)."""
+    u = np.unique(csr_data["dst"])
+    cuts = np.searchsorted(u, boundaries_arr)
+    segs = []
+    lo = 0
+    for hi in list(cuts) + [len(u)]:
+        segs.append(u[lo:hi])
+        lo = hi
+    return tuple(segs)
+
+
+@ray.remote(num_returns=2)
+def _build_state_block(
+    lo: int,
+    hi: int,
+    csr_datas: List[dict],
+    dst_segs,
+    dense: bool,
+    init_fn,
+):
+    """Build one aligned state block (vertex sorted, deg) for range [lo,hi).
+
+    dense=True: vertex universe is the full integer range (explicit n).
+    dense=False: universe = srcs with out-edges ∪ incoming dsts (segments).
+    Returns ((first_vertex, rows), state_dict).
+    """
+    from igraph_ray.csr import fetch_block
+
+    csr_datas = [fetch_block(r) for r in csr_datas]
+    dst_segs = [s if isinstance(s, np.ndarray) else ray.get(s) for s in (dst_segs or [])]
+    if dense:
+        vertex = np.arange(lo, hi, dtype=np.int64)
+        deg = np.zeros(hi - lo, dtype=np.float64)
+        for blk in csr_datas:
+            vlo, vhi = blk["vlo"], blk["vhi"]
+            d = np.diff(blk["indptr"]).astype(np.float64)
+            if "weight" in blk:
+                # weighted strength per local vertex via reduceat
+                ip = blk["indptr"]
+                w = blk["weight"]
+                nz = ip[:-1] < ip[1:]
+                ws = np.zeros(len(ip) - 1)
+                if nz.any():
+                    ws[nz] = np.add.reduceat(w, ip[:-1][nz])
+                d = ws
+            deg[vlo - lo : vhi + 1 - lo] += d
+    else:
+        parts = [s for s in dst_segs if len(s)]
+        for blk in csr_datas:
+            ip = blk["indptr"]
+            local = np.flatnonzero(ip[1:] > ip[:-1]) + blk["vlo"]
+            parts.append(local)
+        if not parts:
+            return (None, None)
+        vertex = np.unique(np.concatenate(parts))
+        deg = np.zeros(len(vertex), dtype=np.float64)
+        for blk in csr_datas:
+            ip = blk["indptr"]
+            local = np.arange(blk["vlo"], blk["vhi"] + 1, dtype=np.int64)
+            nz = ip[:-1] < ip[1:]
+            if "weight" in blk:
+                w = blk["weight"]
+                d = np.zeros(len(ip) - 1)
+                if nz.any():
+                    d[nz] = np.add.reduceat(w, ip[:-1][nz])
+            else:
+                d = np.diff(ip).astype(np.float64)
+            # only vertices that actually have out-edges are guaranteed to
+            # be in the sparse universe; zero-degree locals may be absent
+            pos = np.searchsorted(vertex, local[nz])
+            deg[pos] += d[nz]
+    if len(vertex) == 0:
+        return (None, None)
+    sd = {"vertex": vertex, "deg": deg}
+    if init_fn is not None:
+        sd = init_fn(sd)
+    return ((int(sd["vertex"][0]), len(sd["vertex"])), sd)
+
+
+def state_from_csr(csr, n: Optional[int], init_fn=None) -> AlignedState:
+    """Build the aligned vertex state straight from the CSR index — no
+    Ray Data aggregate (the sort-based groupby costs tens of seconds per
+    million-row shuffle and the CSR already encodes degrees).
+
+    With explicit ``n`` the universe is dense; otherwise it is assembled
+    from per-block unique dsts exchanged range-to-range plus local srcs.
+    ``deg`` is the out-degree (weighted strength when the CSR carries
+    weights), loops already excluded by the CSR variant.
+    """
+    boundaries = np.array(csr.boundaries, dtype=np.int64)
+    nb = len(boundaries) + 1
+    if n is not None:
+        range_lo = np.concatenate([[0], boundaries])
+        range_hi = np.concatenate([boundaries, [n]])
+    else:
+        big = np.int64(2**62)
+        range_lo = np.concatenate([[np.int64(-big)], boundaries])
+        range_hi = np.concatenate([boundaries, [big]])
+
+    csr_by_range: List[list] = [[] for _ in range(nb)]
+    for m in csr.blocks:
+        r = int(np.searchsorted(boundaries, m.vlo, side="right"))
+        csr_by_range[r].append(m.ref)
+
+    dst_segs_by_range: List[list] = [[] for _ in range(nb)]
+    if n is None:
+        outs = [
+            _range_dsts.options(num_returns=nb).remote(m.ref, boundaries)
+            for m in csr.blocks
+        ]
+        for refs in outs:
+            refs = list(refs) if nb > 1 else [refs]
+            for r in range(nb):
+                dst_segs_by_range[r].append(refs[r])
+
+    pairs = [
+        _build_state_block.remote(
+            int(range_lo[r]), int(range_hi[r]), csr_by_range[r],
+            dst_segs_by_range[r], n is not None, init_fn,
+        )
+        for r in range(nb)
+    ]
+    metas = ray.get([p[0] for p in pairs])
+    blocks, starts = [], []
+    for meta, p in zip(metas, pairs):
+        if meta is None:
+            continue
+        blocks.append(p[1])
+        starts.append(meta[0])
+    order = np.argsort(starts)
+    return AlignedState(
+        blocks=[blocks[i] for i in order],
+        starts=np.array([starts[i] for i in order], dtype=np.int64),
+    )
+
+
 def _csr_for_blocks(csr_descriptors, starts: np.ndarray) -> List[list]:
     """Assign CSR blocks to state blocks by vertex-range overlap."""
     nb = len(starts)
@@ -103,23 +242,60 @@ def _csr_for_blocks(csr_descriptors, starts: np.ndarray) -> List[list]:
     return out
 
 
-def _gather_impl(fn, state_block, csr_desc, starts, scalars, nb):
-    t0 = time.perf_counter()
-    segments, msg_count = fn(state_block, csr_desc, starts, scalars)
-    info = {
-        "wall_ms": (time.perf_counter() - t0) * 1e3,
-        "rows_in": int(len(state_block["vertex"])),
-        "messages_out": int(msg_count),
-    }
-    return (*segments, info)
+def _sum_partials(infos) -> Dict[str, float]:
+    summed: Dict[str, float] = {}
+    for p in infos:
+        for k, v in p.items():
+            if not k.startswith("_"):
+                summed[k] = summed.get(k, 0.0) + float(v)
+    return summed
 
 
-def _apply_impl(fn, old_state, scalars, iteration, *segments):
+def _step_impl(
+    gather_fn, apply_fn, make_scalars, init_scalars,
+    old_state, csr_desc, starts, iteration, nb, group_size,
+    idx_in_group, bootstrap, partial_refs, *groups,
+):
+    """One fused superstep task for one partition: derive this iteration's
+    scalars from the previous step's (tiny) partials, apply the incoming
+    segments, then gather + pack outgoing segments for the next iteration.
+
+    Fusing apply+gather and computing the scalar reduce locally keeps the
+    critical path at ONE scheduling hop per superstep (the BSP minimum) —
+    the split gather/apply/reduce pipeline pays three hops, which dominates
+    wall time once per-task compute is tens of milliseconds. Segments are
+    packed into ceil(nb/group_size) group objects (two-level exchange) to
+    bound object-store operation count.
+    """
+    if isinstance(gather_fn, ray.ObjectRef):
+        gather_fn = ray.get(gather_fn)
+    if isinstance(apply_fn, ray.ObjectRef):
+        apply_fn = ray.get(apply_fn)
+    if isinstance(make_scalars, ray.ObjectRef):
+        make_scalars = ray.get(make_scalars)
     t0 = time.perf_counter()
-    new_state, partials = fn(old_state, list(segments), scalars)
-    partials = dict(partials)
-    partials["_wall_ms"] = (time.perf_counter() - t0) * 1e3
-    return new_state, partials
+    if bootstrap:
+        new_state = old_state
+        partial: Dict[str, float] = {}
+        scalars = init_scalars
+        apply_ms = 0.0
+    else:
+        prev = ray.get(list(partial_refs)) if partial_refs else []
+        prev = [p for p in prev if p]
+        scalars = make_scalars(_sum_partials(prev), iteration - 1) if prev else init_scalars
+        segments = [grp[idx_in_group] for grp in groups]
+        ta = time.perf_counter()
+        new_state, partial = apply_fn(old_state, segments, scalars)
+        partial = dict(partial)
+        apply_ms = (time.perf_counter() - ta) * 1e3
+    tg = time.perf_counter()
+    segs, msg_count = gather_fn(new_state, csr_desc, starts, scalars)
+    groups_out = [tuple(segs[g : g + group_size]) for g in range(0, nb, group_size)]
+    partial["_apply_ms"] = apply_ms
+    partial["_gather_ms"] = (time.perf_counter() - tg) * 1e3
+    partial["_wall_ms"] = (time.perf_counter() - t0) * 1e3
+    partial["_messages"] = float(msg_count)
+    return (new_state, *groups_out, partial)
 
 
 @ray.remote
@@ -150,11 +326,18 @@ def run_aligned_loop(
     max_iter: int,
     state_columns: List[str],
     checkpoint: Optional[CheckpointConfig] = None,
+    check_every: int = 1,
+    segment_group_size: int = 16,
+    gather_needs_scalars: bool = False,
 ) -> SuperstepResult:
     """Generic aligned loop. ``gather_fn(state_block, csr_desc, starts,
     scalars) -> (segments_list, msg_count)``; ``apply_fn(old_state,
     segments, scalars) -> (new_state, partial_scalars)``. ``make_scalars``
-    turns summed partials into the next iteration's scalars dict."""
+    turns summed partials into the next iteration's scalars dict.
+
+    ``check_every``: fetch the scalars and test convergence every k
+    iterations (0 = never, for fixed-iteration runs: the loop then streams
+    all supersteps through the task graph with no driver barrier)."""
     metrics: List[dict] = []
     start_iter = 0
 
@@ -183,52 +366,63 @@ def run_aligned_loop(
 
     nb = len(state.blocks)
     csr_by_block = _csr_for_blocks(csr_descriptors, state.starts)
-    gather_task = ray.remote(_gather_impl)
-    apply_task = ray.remote(_apply_impl)
+    step_task = ray.remote(_step_impl)
+
+    # ship the per-algorithm closures and the starts array to plasma ONCE —
+    # passing them by value would re-pickle them for every one of the
+    # O(P) tasks × iterations (a dominant driver-side cost at small task
+    # sizes). Tasks resolve the tiny refs locally.
+    gather_fn_ref = ray.put(gather_fn)
+    apply_fn_ref = ray.put(apply_fn)
+    make_scalars_ref = ray.put(make_scalars)
+    init_scalars_ref = ray.put(scalars)
+    starts_ref = ray.put(state.starts)
+
+    group_size = max(1, min(segment_group_size, nb))
+    ngroups = (nb + group_size - 1) // group_size
+    nret = ngroups + 2  # state, groups..., partials/info
+    info_refs_by_iter: List[list] = []
+
+    loop_t0 = time.perf_counter()
+    # bootstrap step: gather-only from the initial state
+    prev = []
+    for i in range(nb):
+        out = step_task.options(num_returns=nret).remote(
+            gather_fn_ref, apply_fn_ref, make_scalars_ref, init_scalars_ref,
+            state.blocks[i], csr_by_block[i], starts_ref, start_iter - 1,
+            nb, group_size, 0, True, [],
+        )
+        prev.append(list(out))
 
     it = start_iter
     did_converge = False
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        gouts = []
-        for i in range(nb):
-            out = gather_task.options(num_returns=nb + 1).remote(
-                gather_fn, state.blocks[i], csr_by_block[i], state.starts, scalars, nb
-            )
-            gouts.append(list(out))
-        new_blocks = []
-        partial_refs = []
+        prev_infos = [prev[i][ngroups + 1] for i in range(nb)]
+        outs = []
         for j in range(nb):
-            segs = [gouts[i][j] for i in range(nb)]
-            nb_ref, p_ref = apply_task.options(num_returns=2).remote(
-                apply_fn, state.blocks[j], scalars, it, *segs
+            g = j // group_size
+            groups = [prev[i][1 + g] for i in range(nb)]
+            out = step_task.options(num_returns=nret).remote(
+                gather_fn_ref, apply_fn_ref, make_scalars_ref, init_scalars_ref,
+                prev[j][0], csr_by_block[j], starts_ref, it,
+                nb, group_size, j - g * group_size, False,
+                prev_infos if it > start_iter else [], *groups,
             )
-            new_blocks.append(nb_ref)
-            partial_refs.append(p_ref)
-        gather_infos = ray.get([gouts[i][nb] for i in range(nb)])
-        partials = ray.get(partial_refs)
-        summed: Dict[str, float] = {}
-        for p in partials:
-            for k, v in p.items():
-                if not k.startswith("_"):
-                    summed[k] = summed.get(k, 0.0) + float(v)
-        scalars = make_scalars(summed, it)
-        state = AlignedState(blocks=new_blocks, starts=state.starts)
-        wall = time.perf_counter() - t0
-        apply_walls = [p["_wall_ms"] for p in partials]
-        gather_walls = [g["wall_ms"] for g in gather_infos]
-        row = {
-            "iteration": it,
-            "wall_s": wall,
-            "messages": int(sum(g["messages_out"] for g in gather_infos)),
-            "gather_ms_p50": float(np.percentile(gather_walls, 50)) if gather_walls else 0.0,
-            "gather_ms_p95": float(np.percentile(gather_walls, 95)) if gather_walls else 0.0,
-            "apply_ms_p50": float(np.percentile(apply_walls, 50)) if apply_walls else 0.0,
-            "apply_ms_p95": float(np.percentile(apply_walls, 95)) if apply_walls else 0.0,
-            **scalars,
-        }
+            outs.append(list(out))
+        prev = outs
+        info_refs_by_iter.append([outs[i][ngroups + 1] for i in range(nb)])
+        state = AlignedState(blocks=[outs[i][0] for i in range(nb)], starts=state.starts)
+
+        must_sync = (
+            checkpoint is not None and it % checkpoint.every == 0
+        ) or (check_every > 0 and it % check_every == check_every - 1)
+        if must_sync:
+            scalars = make_scalars(_sum_partials(ray.get(info_refs_by_iter[-1])), it)
+        row = {"iteration": it, "wall_s": time.perf_counter() - t0,
+               **{k: v for k, v in (scalars.items() if must_sync else []) if not k.startswith("_")}}
         metrics.append(row)
-        stop = converged(scalars, it)
+        stop = must_sync and converged(scalars, it)
         if checkpoint is not None and (it % checkpoint.every == 0 or stop):
             cp_dir = os.path.join(checkpoint.path, f"iter={it:05d}")
             os.makedirs(cp_dir, exist_ok=True)
@@ -254,12 +448,29 @@ def run_aligned_loop(
     else:
         it = max_iter
 
+    if info_refs_by_iter:
+        scalars = make_scalars(_sum_partials(ray.get(info_refs_by_iter[-1])), it - 1)
+    loop_wall_s = time.perf_counter() - loop_t0
+
+    # enrich metrics with per-task walls / message counts (collected lazily
+    # so the hot loop never blocked on them)
+    for row, refs in zip(metrics[-len(info_refs_by_iter):], info_refs_by_iter):
+        infos = ray.get(refs)
+        gw = [g.get("_gather_ms", 0.0) for g in infos]
+        aw = [g.get("_apply_ms", 0.0) for g in infos]
+        row["messages"] = int(sum(g.get("_messages", 0.0) for g in infos))
+        row["gather_ms_p50"] = float(np.percentile(gw, 50)) if gw else 0.0
+        row["gather_ms_p95"] = float(np.percentile(gw, 95)) if gw else 0.0
+        row["apply_ms_p50"] = float(np.percentile(aw, 50)) if aw else 0.0
+        row["apply_ms_p95"] = float(np.percentile(aw, 95)) if aw else 0.0
+
     return SuperstepResult(
         state=aligned_to_dataset(state),
         iterations=it,
         scalars=scalars,
         metrics=metrics,
         converged=did_converge,
+        loop_wall_s=loop_wall_s,
     )
 
 

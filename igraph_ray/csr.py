@@ -41,8 +41,17 @@ class CSRIndex:
 
 
 @ray.remote(num_returns=2)
-def _build_block(table: pa.Table, weighted: bool):
-    """Build a CSR block from a src-sorted Arrow table. Returns (meta, data)."""
+def _build_block(table: pa.Table, weighted: bool, with_in_index: bool):
+    """Build a CSR block from a src-sorted Arrow table. Returns (meta, data).
+
+    ``with_in_index`` additionally builds the block's dst-sorted edge view
+    (the per-partition analogue of igraph's ii/is in-index,
+    igraph_datatype.h:58-70): ``in_dst`` (unique dsts ascending),
+    ``in_starts`` (group offsets), ``in_src`` (local src per edge, int32).
+    Gather kernels over the in-index are sequential reduceat scans with
+    random reads confined to the small per-block vertex arrays — the
+    memory-bandwidth-friendly layout for the superstep hot loop.
+    """
     if table.num_rows == 0 or "src" not in table.column_names:
         return (None, None)
     src = table["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -59,6 +68,19 @@ def _build_block(table: pa.Table, weighted: bool):
         data["weight"] = (
             table["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         )
+    if with_in_index:
+        order = np.argsort(dst, kind="stable")
+        dst_sorted = dst[order]
+        data["in_src"] = (src[order] - vlo).astype(np.int32)
+        newgrp = np.empty(len(dst_sorted), dtype=bool)
+        if len(dst_sorted):
+            newgrp[0] = True
+            np.not_equal(dst_sorted[1:], dst_sorted[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        data["in_dst"] = dst_sorted[starts]
+        data["in_starts"] = starts
+        if weighted:
+            data["in_weight"] = data["weight"][order]
     return ((vlo, vhi, len(src)), data)
 
 
@@ -83,7 +105,20 @@ def compute_boundaries(
     sample_ds = edges.select_columns([col])
     if frac < 1.0:
         sample_ds = sample_ds.random_sample(frac, seed=seed)
-    sample = np.array([r[col] for r in sample_ds.take_all()], dtype=np.int64)
+    # pull the sample as numpy per block (never as python row dicts)
+    refs = sample_ds.materialize().to_arrow_refs()
+    import ray as _ray
+
+    @_ray.remote
+    def _np(t):
+        return (
+            t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if t.num_rows and col in t.column_names
+            else np.empty(0, np.int64)
+        )
+
+    parts = _ray.get([_np.remote(r) for r in refs])
+    sample = np.concatenate(parts) if parts else np.empty(0, np.int64)
     if len(sample) == 0:
         return []
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
@@ -98,6 +133,7 @@ def build_csr_index(
     drop_loops: bool = False,
     num_edges: Optional[int] = None,
     boundaries: Optional[List[int]] = None,
+    with_in_index: bool = False,
 ) -> CSRIndex:
     """Sort edges by src into range blocks and build one CSR per block.
 
@@ -119,7 +155,7 @@ def build_csr_index(
         sorted_ds = edges.sort("src").materialize()
     block_refs = sorted_ds.to_arrow_refs()
     metas = []
-    pairs = [_build_block.remote(ref, weighted) for ref in block_refs]
+    pairs = [_build_block.remote(ref, weighted, with_in_index) for ref in block_refs]
     meta_refs = [p[0] for p in pairs]
     data_refs = [p[1] for p in pairs]
     for meta, data_ref in zip(ray.get(meta_refs), data_refs):

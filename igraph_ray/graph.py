@@ -52,6 +52,7 @@ class Graph:
         self.weighted = weighted
         self._vertices: Optional[ray.data.Dataset] = None  # materialized universe
         self._num_edges: Optional[int] = None
+        self._csr_cache: dict = {}
 
     # ---------------- constructors ----------------
 
@@ -121,7 +122,7 @@ class Graph:
                 cols["weight"] = b["weight"]
             return pa.table(cols)
 
-        return base.union(base.map_batches(_flip, batch_format="pyarrow"))
+        return base.union(base.map_batches(_flip, batch_format="pyarrow", batch_size=None))
 
     def canonical_undirected(self) -> ray.data.Dataset:
         """Simple undirected edge set: ``lo=min(src,dst) < hi=max(src,dst)``,
@@ -135,19 +136,52 @@ class Graph:
             hi = pc.max_element_wise(b["src"], b["dst"])
             return pa.table({"lo": lo, "hi": hi})
 
-        canon = self.without_loops().map_batches(_canon, batch_format="pyarrow")
+        canon = self.without_loops().map_batches(_canon, batch_format="pyarrow", batch_size=None)
         # groupby(count) then project = distinct; per-batch pre-dedup first to
         # shrink the shuffle (combiner before the wide step).
         def _local_dedup(b: pa.Table) -> pa.Table:
             return b.group_by(["lo", "hi"]).aggregate([])
 
         deduped = (
-            canon.map_batches(_local_dedup, batch_format="pyarrow")
+            canon.map_batches(_local_dedup, batch_format="pyarrow", batch_size=None)
             .groupby(["lo", "hi"])
             .count()
             .select_columns(["lo", "hi"])
         )
         return deduped
+
+    # ---------------- CSR index cache ----------------
+
+    def csr_index(self, variant: str, num_partitions: int, weighted: bool = False):
+        """Range-partitioned CSR blocks for a derived edge view, built once
+        per (variant, partitioning) and cached — the engine analogue of
+        igraph's oi/os & ii/is indexes (igraph_datatype.h:54-70), except
+        rebuilt per variant on demand instead of on every mutation.
+
+        variants: "out" = directed, loops dropped (PageRank; negative
+        weights clamped per centrality.c:1447-1462); "sym" = both
+        directions, loops dropped (components / LPA IGRAPH_ALL view).
+        """
+        from igraph_ray.csr import build_csr_index
+
+        key = (variant, num_partitions, weighted)
+        if key not in self._csr_cache:
+            with_in_index = variant == "out"  # PageRank's gather kernel
+            if variant == "out":
+                edges = self.without_loops()
+                if weighted:
+                    def _clamp(b: pa.Table) -> pa.Table:
+                        w = pc.max_element_wise(pc.cast(b["weight"], pa.float64()), 0.0)
+                        return pa.table({"src": b["src"], "dst": b["dst"], "weight": w})
+                    edges = edges.map_batches(_clamp, batch_format="pyarrow", batch_size=None)
+            elif variant == "sym":
+                edges = self.symmetrized(drop_loops=True)
+            else:
+                raise ValueError(f"unknown CSR variant {variant!r}")
+            self._csr_cache[key] = build_csr_index(
+                edges, num_partitions, weighted=weighted, with_in_index=with_in_index
+            )
+        return self._csr_cache[key]
 
     # ---------------- degrees ----------------
 
@@ -177,8 +211,8 @@ def endpoint_universe(edges: ray.data.Dataset) -> ray.data.Dataset:
     def _dst(b: pa.Table) -> pa.Table:
         return pa.table({"vertex": b["dst"].combine_chunks().unique()})
 
-    both = edges.map_batches(_src, batch_format="pyarrow").union(
-        edges.map_batches(_dst, batch_format="pyarrow")
+    both = edges.map_batches(_src, batch_format="pyarrow", batch_size=None).union(
+        edges.map_batches(_dst, batch_format="pyarrow", batch_size=None)
     )
     return both.groupby("vertex").count().select_columns(["vertex"])
 
@@ -204,12 +238,12 @@ def _degrees_over(
             {"vertex": b["vertex"], "deg": pa.array(np.zeros(b.num_rows), pa.float64())}
         )
 
-    partials = edges.map_batches(_partial, batch_format="pyarrow").union(
-        universe.map_batches(_zeros, batch_format="pyarrow")
+    partials = edges.map_batches(_partial, batch_format="pyarrow", batch_size=None).union(
+        universe.map_batches(_zeros, batch_format="pyarrow", batch_size=None)
     )
     g = partials.groupby("vertex").sum("deg")
 
     def _rename(b: pa.Table) -> pa.Table:
         return pa.table({"vertex": b["vertex"], "deg": b["sum(deg)"]})
 
-    return g.map_batches(_rename, batch_format="pyarrow")
+    return g.map_batches(_rename, batch_format="pyarrow", batch_size=None)

@@ -37,6 +37,48 @@ def _scan_blocks(blocks, verts: np.ndarray, extra_mask=None):
         yield blk, sel, idx, lens
 
 
+def pagerank_messages_csc(
+    blocks, verts: np.ndarray, pr: np.ndarray, deg: np.ndarray, weighted: bool
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """In-index (CSC) gather: per block, (unique dsts ascending, summed
+    contributions) via one sequential ``np.add.reduceat`` scan.
+
+    The dst-sorted edge layout is prebuilt in the CSR block (csr.py
+    with_in_index — the ii/is analogue), so the hot loop has NO sort,
+    unique, or large scatter: random reads hit only the block-width contrib
+    array (cache resident), everything else streams — this is what keeps
+    per-task time flat under full-core parallelism.
+    """
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+    if len(verts) == 0:
+        return out
+    vmin = verts.min()
+    vmax = verts.max()
+    from igraph_ray.csr import fetch_block
+
+    for (vlo, vhi, ref) in blocks:
+        if vhi < vmin or vlo > vmax:
+            continue
+        sel = (verts >= vlo) & (verts <= vhi)
+        if not sel.any():
+            continue
+        blk = fetch_block(ref)
+        width = blk["vhi"] - blk["vlo"] + 1
+        contrib = np.zeros(width)
+        local = verts[sel] - blk["vlo"]
+        dsel = deg[sel]
+        live = dsel > 0.0
+        contrib[local[live]] = pr[sel][live] / dsel[live]
+        vals = contrib[blk["in_src"]]
+        if weighted:
+            vals = vals * blk["in_weight"]
+        if len(blk["in_starts"]) == 0:
+            continue
+        partial = np.add.reduceat(vals, blk["in_starts"])
+        out.append((blk["in_dst"], partial))
+    return out
+
+
 def pagerank_messages(
     blocks, verts: np.ndarray, pr: np.ndarray, deg: np.ndarray, weighted: bool
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -37,7 +37,7 @@ def exact_dedup(
              "dup_count": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64())}
         )
 
-    hashed = docs.map_batches(_h, batch_format="pyarrow")
+    hashed = docs.map_batches(_h, batch_format="pyarrow", batch_size=None)
 
     def _local(b: pa.Table) -> pa.Table:
         g = b.group_by("text_md5").aggregate([("keep_id", "min"), ("dup_count", "sum")])
@@ -49,7 +49,7 @@ def exact_dedup(
     from ray.data.aggregate import Min, Sum
 
     g = (
-        hashed.map_batches(_local, batch_format="pyarrow")
+        hashed.map_batches(_local, batch_format="pyarrow", batch_size=None)
         .groupby("text_md5")
         .aggregate(Min("keep_id"), Sum("dup_count"))
     )
@@ -60,7 +60,7 @@ def exact_dedup(
              "dup_count": b["sum(dup_count)"]}
         )
 
-    return g.map_batches(_rn, batch_format="pyarrow")
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
 def _word_shingles(text: str, k: int) -> List[str]:
@@ -101,7 +101,7 @@ def minhash_signatures(
             {"doc_id": b[id_col], "sig": pa.array(sigs, pa.list_(pa.uint64()))}
         )
 
-    return docs.map_batches(_f, batch_format="pyarrow")
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_lsh_pairs(
@@ -135,7 +135,7 @@ def minhash_lsh_pairs(
             {"band_key": pa.array(out_key, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
         )
 
-    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+    banded = sigs.map_batches(_bands, batch_format="pyarrow", batch_size=None)
     # bucket → pairs: sort by band_key so each bucket is contiguous,
     # pair generation vectorized per block
     bucketed = banded.sort("band_key")
@@ -163,7 +163,7 @@ def minhash_lsh_pairs(
             i = j
         return pa.table({"a": pa.array(outa, pa.int64()), "b": pa.array(outb, pa.int64())})
 
-    pairs = bucketed.map_batches(_pairs, batch_format="pyarrow")
+    pairs = bucketed.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
     return (
         pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
     )
@@ -191,7 +191,7 @@ def simhash(
             {"doc_id": b[id_col], "simhash": pa.array(np.array(out, dtype=np.uint64), pa.uint64())}
         )
 
-    return docs.map_batches(_f, batch_format="pyarrow")
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def ngram_jaccard_pairs(
@@ -213,9 +213,9 @@ def ngram_jaccard_pairs(
     def _tb(b: pa.Table) -> pa.Table:
         return pa.table({"b": b[id_col], "text_b": b[text_col]})
 
-    j = hash_join(cands, docs.map_batches(_ta, batch_format="pyarrow"),
+    j = hash_join(cands, docs.map_batches(_ta, batch_format="pyarrow", batch_size=None),
                   on="a", num_partitions=num_partitions)
-    j = hash_join(j, docs.map_batches(_tb, batch_format="pyarrow"),
+    j = hash_join(j, docs.map_batches(_tb, batch_format="pyarrow", batch_size=None),
                   on="b", num_partitions=num_partitions)
 
     def _jac(b: pa.Table) -> pa.Table:
@@ -238,4 +238,4 @@ def ngram_jaccard_pairs(
              "jaccard": pa.array(outj, pa.float64())}
         )
 
-    return j.map_batches(_jac, batch_format="pyarrow")
+    return j.map_batches(_jac, batch_format="pyarrow", batch_size=None)

@@ -27,7 +27,7 @@ def _dedup(edges: ray.data.Dataset) -> ray.data.Dataset:
         return b.group_by(["src", "dst"]).aggregate([])
 
     return (
-        edges.map_batches(_local, batch_format="pyarrow")
+        edges.map_batches(_local, batch_format="pyarrow", batch_size=None)
         .groupby(["src", "dst"])
         .count()
         .select_columns(["src", "dst"])
@@ -53,7 +53,7 @@ def reverse(edges: ray.data.Dataset) -> ray.data.Dataset:
             cols["weight"] = b["weight"]
         return pa.table(cols)
 
-    return edges.map_batches(_flip, batch_format="pyarrow")
+    return edges.map_batches(_flip, batch_format="pyarrow", batch_size=None)
 
 
 def to_undirected_collapse(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -66,7 +66,7 @@ def to_undirected_collapse(edges: ray.data.Dataset) -> ray.data.Dataset:
              "dst": pc.max_element_wise(b["src"], b["dst"])}
         )
 
-    return _dedup(edges.map_batches(_canon, batch_format="pyarrow"))
+    return _dedup(edges.map_batches(_canon, batch_format="pyarrow", batch_size=None))
 
 
 def union_edges(a: ray.data.Dataset, b: ray.data.Dataset) -> ray.data.Dataset:
@@ -86,14 +86,14 @@ def difference_edges(a: ray.data.Dataset, b: ray.data.Dataset, num_partitions: i
     def _mark(t: pa.Table) -> pa.Table:
         return t.append_column("_in_b", pa.array(np.ones(t.num_rows, dtype=np.int8)))
 
-    marked = db.map_batches(_mark, batch_format="pyarrow")
+    marked = db.map_batches(_mark, batch_format="pyarrow", batch_size=None)
     j = hash_join(da, marked, on=("src", "dst"), num_partitions=num_partitions, join_type="left_outer")
 
     def _keep(t: pa.Table) -> pa.Table:
         mask = pc.is_null(t["_in_b"])
         return t.filter(mask).select(["src", "dst"])
 
-    return j.map_batches(_keep, batch_format="pyarrow")
+    return j.map_batches(_keep, batch_format="pyarrow", batch_size=None)
 
 
 def compose_edges(a: ray.data.Dataset, b: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
@@ -107,15 +107,15 @@ def compose_edges(a: ray.data.Dataset, b: ray.data.Dataset, num_partitions: int 
         return pa.table({"mid": t["src"], "z": t["dst"]})
 
     j = hash_join(
-        a.map_batches(_ra, batch_format="pyarrow"),
-        b.map_batches(_rb, batch_format="pyarrow"),
+        a.map_batches(_ra, batch_format="pyarrow", batch_size=None),
+        b.map_batches(_rb, batch_format="pyarrow", batch_size=None),
         on="mid", num_partitions=num_partitions,
     )
 
     def _out(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["x"], "dst": t["z"]})
 
-    return _dedup(j.map_batches(_out, batch_format="pyarrow"))
+    return _dedup(j.map_batches(_out, batch_format="pyarrow", batch_size=None))
 
 
 def count_loops(edges: ray.data.Dataset) -> int:
@@ -131,7 +131,7 @@ def count_multiple(edges: ray.data.Dataset) -> ray.data.Dataset:
     def _rn(b: pa.Table) -> pa.Table:
         return pa.table({"src": b["src"], "dst": b["dst"], "multiplicity": b["count()"]})
 
-    return g.map_batches(_rn, batch_format="pyarrow")
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
 def is_simple(edges: ray.data.Dataset) -> bool:
@@ -187,9 +187,9 @@ def induced_subgraph(
     def _vd(b: pa.Table) -> pa.Table:
         return pa.table({"dst": b["vertex"]})
 
-    j = hash_join(edges, vertices.map_batches(_vs, batch_format="pyarrow"),
+    j = hash_join(edges, vertices.map_batches(_vs, batch_format="pyarrow", batch_size=None),
                   on="src", num_partitions=num_partitions)
-    j = hash_join(j, vertices.map_batches(_vd, batch_format="pyarrow"),
+    j = hash_join(j, vertices.map_batches(_vd, batch_format="pyarrow", batch_size=None),
                   on="dst", num_partitions=num_partitions)
     return j.select_columns(["src", "dst"])
 
@@ -207,15 +207,15 @@ def contract_vertices(
     def _md(b: pa.Table) -> pa.Table:
         return pa.table({"dst": b["vertex"], "new_dst": b["target"]})
 
-    j = hash_join(edges, mapping.map_batches(_ms, batch_format="pyarrow"),
+    j = hash_join(edges, mapping.map_batches(_ms, batch_format="pyarrow", batch_size=None),
                   on="src", num_partitions=num_partitions)
-    j = hash_join(j, mapping.map_batches(_md, batch_format="pyarrow"),
+    j = hash_join(j, mapping.map_batches(_md, batch_format="pyarrow", batch_size=None),
                   on="dst", num_partitions=num_partitions)
 
     def _out(b: pa.Table) -> pa.Table:
         return pa.table({"src": b["new_src"], "dst": b["new_dst"]})
 
-    return j.map_batches(_out, batch_format="pyarrow")
+    return j.map_batches(_out, batch_format="pyarrow", batch_size=None)
 
 
 def top_k_by(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray.data.Dataset:

@@ -65,7 +65,7 @@ def brute_force_topk(
             }
         )
 
-    partials = embeddings.map_batches(_partial, batch_format="pyarrow").materialize()
+    partials = embeddings.map_batches(_partial, batch_format="pyarrow", batch_size=None).materialize()
 
     # global top-k per query: the partial stream is tiny (Q*k per block)
     def _final(b: pa.Table) -> pa.Table:
@@ -150,7 +150,7 @@ def lsh_topk(
             }
         )
 
-    partials = embeddings.map_batches(_partial, batch_format="pyarrow").materialize()
+    partials = embeddings.map_batches(_partial, batch_format="pyarrow", batch_size=None).materialize()
 
     def _final(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -47,7 +47,7 @@ def token_count(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
             {"doc_id": b["doc_id"], "n_tokens": pa.array(counts, pa.int64())}
         )
 
-    return docs.map_batches(_f, batch_format="pyarrow")
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -89,7 +89,7 @@ def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
             }
         )
 
-    return docs.map_batches(_f, batch_format="pyarrow")
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def language_id(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -107,7 +107,7 @@ def language_id(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
             preds.append(best)
         return pa.table({"doc_id": b["doc_id"], "lang_pred": pa.array(preds, pa.string())})
 
-    return docs.map_batches(_f, batch_format="pyarrow")
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def fingerprint(docs: ray.data.Dataset, text_col: str = "text", window: int = 8) -> ray.data.Dataset:
@@ -125,4 +125,4 @@ def fingerprint(docs: ray.data.Dataset, text_col: str = "text", window: int = 8)
             fps.append(min(hashlib.md5(g.encode()).hexdigest() for g in grams))
         return pa.table({"doc_id": b["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
-    return docs.map_batches(_f, batch_format="pyarrow")
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)

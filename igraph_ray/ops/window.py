@@ -38,7 +38,7 @@ def tumbling_window(
     from ray.data.aggregate import Sum
 
     g = (
-        events.map_batches(_bucket, batch_format="pyarrow")
+        events.map_batches(_bucket, batch_format="pyarrow", batch_size=None)
         .groupby(["window_us", "event_type"])
         .aggregate(Sum("n"), Sum("value_sum"))
     )
@@ -49,7 +49,7 @@ def tumbling_window(
              "n": b["sum(n)"], "value_sum": b["sum(value_sum)"]}
         )
 
-    return g.map_batches(_rn, batch_format="pyarrow")
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(
@@ -68,7 +68,7 @@ def sessionize(
         )
 
     gap_us = gap_minutes * 60 * 1_000_000
-    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    prepped = events.map_batches(_prep, batch_format="pyarrow", batch_size=None)
     s = prepped.sort(["user_id", "ts_us"])
 
     def _sessions(b: pa.Table) -> pa.Table:

@@ -54,7 +54,7 @@ def edges_a(sf_dir: str) -> ray.data.Dataset:
         keep = src != dst
         return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    return _dedup(orders.map_batches(_derive, batch_format="pyarrow"))
+    return _dedup(orders.map_batches(_derive, batch_format="pyarrow", batch_size=None))
 
 
 def edges_a_multi(sf_dir: str) -> ray.data.Dataset:
@@ -71,7 +71,7 @@ def edges_a_multi(sf_dir: str) -> ray.data.Dataset:
              "dst": pa.array((ck * 7 % V).astype(np.int64))}
         )
 
-    return orders.map_batches(_derive, batch_format="pyarrow")
+    return orders.map_batches(_derive, batch_format="pyarrow", batch_size=None)
 
 
 def edges_b(sf_dir: str) -> ray.data.Dataset:
@@ -87,7 +87,7 @@ def edges_b(sf_dir: str) -> ray.data.Dataset:
         keep = src != dst
         return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    return _dedup(li.map_batches(_derive, batch_format="pyarrow"))
+    return _dedup(li.map_batches(_derive, batch_format="pyarrow", batch_size=None))
 
 
 def graph_a(sf_dir: str) -> Graph:

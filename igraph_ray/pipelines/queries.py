@@ -56,7 +56,7 @@ def _scale_col(ds: ray.data.Dataset, col: str, out: str, scale: float) -> ray.da
         t = b.drop_columns([col])
         return t.append_column(out, pa.array(v, pa.int64()))
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 # --------------------------------------------------------------- graph ops
@@ -110,7 +110,7 @@ def q_modularity(sf_dir: str):
     def _rn(b: pa.Table) -> pa.Table:
         return pa.table({"vertex": b["vertex"], "community": b["label"]})
 
-    q = modularity(g.edges, st.map_batches(_rn, batch_format="pyarrow"))
+    q = modularity(g.edges, st.map_batches(_rn, batch_format="pyarrow", batch_size=None))
     return pa.table({"q_e9": pa.array([int(round(q * 1e9))], pa.int64())})
 
 
@@ -168,7 +168,7 @@ def q_strength(sf_dir: str):
              "weight": pa.array(w[keep])}
         )
 
-    edges = orders.map_batches(_derive, batch_format="pyarrow")
+    edges = orders.map_batches(_derive, batch_format="pyarrow", batch_size=None)
     g = Graph(edges, n=None, weighted=True)
     return _scale_col(g.out_degrees(), "deg", "strength", 1.0)
 
@@ -215,7 +215,7 @@ def q_simhash(sf_dir: str):
              "simhash": pc.cast(b["simhash"], pa.int64(), safe=False)}
         )
 
-    return ds.map_batches(_f, batch_format="pyarrow")
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
 
 def q_ngram_dups(sf_dir: str):
@@ -230,7 +230,7 @@ def q_event_type_count(sf_dir: str):
     def _rn(b: pa.Table) -> pa.Table:
         return pa.table({"event_type": b["event_type"], "n": b["count()"]})
 
-    return g.map_batches(_rn, batch_format="pyarrow")
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
 def q_tumbling(sf_dir: str):
@@ -263,7 +263,7 @@ def _knn_common(sf_dir: str, fn):
         return t.append_column("query_id", pa.array(qids[qi], pa.int64()))
 
     return _scale_col(
-        out.map_batches(_remap, batch_format="pyarrow"), "score", "score_e6", 1e6
+        out.map_batches(_remap, batch_format="pyarrow", batch_size=None), "score", "score_e6", 1e6
     )
 
 

@@ -180,7 +180,7 @@ def content_sha256(corpus: ray.data.Dataset) -> ray.data.Dataset:
              "content_sha256": pa.array(shas, pa.string())}
         )
 
-    return corpus.map_batches(_sha, batch_format="pyarrow")
+    return corpus.map_batches(_sha, batch_format="pyarrow", batch_size=None)
 
 
 def build_vocabulary(repo_names: ray.data.Dataset, col: str = "repo") -> ray.data.Dataset:
@@ -194,7 +194,7 @@ def build_vocabulary(repo_names: ray.data.Dataset, col: str = "repo") -> ray.dat
     def _rn(b: pa.Table) -> pa.Table:
         return pa.table({"repo": b[col], "vertex": b["rank"]})
 
-    return ranked.map_batches(_rn, batch_format="pyarrow")
+    return ranked.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
 def extract_edges(
@@ -210,7 +210,7 @@ def extract_edges(
     """
     pairs = corpus.map_batches(
         ImportExtractor,
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         concurrency=concurrency or 2,
     ).materialize()
 
@@ -225,9 +225,9 @@ def extract_edges(
             return pa.table({"repo": b["repo"]})
 
         names = (
-            pairs.map_batches(_srcs, batch_format="pyarrow")
-            .union(pairs.map_batches(_dsts, batch_format="pyarrow"))
-            .union(corpus.map_batches(_owners, batch_format="pyarrow"))
+            pairs.map_batches(_srcs, batch_format="pyarrow", batch_size=None)
+            .union(pairs.map_batches(_dsts, batch_format="pyarrow", batch_size=None))
+            .union(corpus.map_batches(_owners, batch_format="pyarrow", batch_size=None))
         )
         vocabulary = build_vocabulary(names).materialize()
 
@@ -238,11 +238,11 @@ def extract_edges(
         return pa.table({"dst_repo": b["repo"], "dst": b["vertex"]})
 
     j = hash_join(
-        pairs, vocabulary.map_batches(_vsrc, batch_format="pyarrow"),
+        pairs, vocabulary.map_batches(_vsrc, batch_format="pyarrow", batch_size=None),
         on="src_repo", num_partitions=num_partitions,
     )
     j = hash_join(
-        j, vocabulary.map_batches(_vdst, batch_format="pyarrow"),
+        j, vocabulary.map_batches(_vdst, batch_format="pyarrow", batch_size=None),
         on="dst_repo", num_partitions=num_partitions,
     )
     edges = j.select_columns(["src", "dst"])

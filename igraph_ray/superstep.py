@@ -55,6 +55,9 @@ class SuperstepResult:
     scalars: Dict[str, float]
     metrics: List[dict] = field(default_factory=list)
     converged: bool = False
+    # wall time of the whole iteration loop, submission to completion
+    # (meaningful even when supersteps are pipelined through the task graph)
+    loop_wall_s: float = 0.0
 
 
 def _manifest_path(root: str, iteration: int) -> str:
@@ -89,7 +92,7 @@ def write_checkpoint(
             "iteration", pa.array(np.full(len(v), iteration, dtype=np.int32))
         ).append_column("input_digest", pa.array([digest] * len(v), pa.string()))
 
-    state.map_batches(_lineage, batch_format="pyarrow").write_parquet(out_dir)
+    state.map_batches(_lineage, batch_format="pyarrow", batch_size=None).write_parquet(out_dir)
     with open(_manifest_path(cfg.path, iteration) + ".tmp", "w") as f:
         json.dump({"iteration": iteration, "scalars": scalars, "input_digest": digest}, f)
     os.replace(_manifest_path(cfg.path, iteration) + ".tmp", _manifest_path(cfg.path, iteration))

@@ -93,4 +93,4 @@ def universe_zeros(universe: ray.data.Dataset, value_col: str, dtype=pa.int64())
             {"vertex": b["vertex"], value_col: pa.array(np.zeros(b.num_rows, dtype=np.int64), dtype)}
         )
 
-    return universe.map_batches(_z, batch_format="pyarrow")
+    return universe.map_batches(_z, batch_format="pyarrow", batch_size=None)
