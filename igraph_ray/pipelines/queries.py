@@ -173,6 +173,51 @@ def q_strength(sf_dir: str):
     return _scale_col(g.out_degrees(), "deg", "strength", 1.0)
 
 
+def q_transitivity(sf_dir: str):
+    from igraph_ray.ops.structural import transitivity_undirected
+
+    t = transitivity_undirected(derive.graph_a(sf_dir), num_partitions=8)
+    return pa.table({"transitivity_e9": pa.array([int(round(t * 1e9))], pa.int64())})
+
+
+def q_cocitation(sf_dir: str):
+    from igraph_ray.ops.structural import cocitation
+
+    return cocitation(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_bibcoupling(sf_dir: str):
+    from igraph_ray.ops.structural import bibcoupling
+
+    return bibcoupling(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_neighbor_jaccard(sf_dir: str):
+    from igraph_ray.ops.structural import neighbor_jaccard
+
+    return neighbor_jaccard(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_assortativity(sf_dir: str):
+    from igraph_ray.ops.structural import degree_assortativity
+
+    r = degree_assortativity(derive.graph_a(sf_dir), num_partitions=8)
+    return pa.table({"assortativity_e9": pa.array([int(round(r * 1e9))], pa.int64())})
+
+
+def q_has_cycle(sf_dir: str):
+    from igraph_ray.ops.structural import topological_peel
+
+    is_dag, _ = topological_peel(derive.graph_a(sf_dir), num_partitions=8)
+    return pa.table({"has_cycle": pa.array([0 if is_dag else 1], pa.int64())})
+
+
+def q_k_core(sf_dir: str):
+    from igraph_ray.ops.structural import k_core
+
+    return k_core(derive.graph_a(sf_dir), k=5, num_partitions=8)
+
+
 # ------------------------------------------------------- training-data ops
 
 def _docs(sf_dir: str):
@@ -493,6 +538,13 @@ def queries() -> Dict[str, Callable]:
         "compose": q_compose,
         "union": q_union,
         "strength": q_strength,
+        "transitivity": q_transitivity,
+        "cocitation": q_cocitation,
+        "bibcoupling": q_bibcoupling,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "assortativity": q_assortativity,
+        "has_cycle": q_has_cycle,
+        "k_core": q_k_core,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -560,6 +612,66 @@ verts AS (SELECT src AS v FROM em UNION SELECT dst FROM em)
 SELECT verts.v AS vertex, COALESCE(s.t, 0) AS strength
 FROM verts LEFT JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS t FROM em GROUP BY src) s
 ON s.src = verts.v ORDER BY vertex""",
+        "transitivity": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM edges),
+degs AS (SELECT v, COUNT(*) AS deg FROM
+  (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY v),
+orient AS MATERIALIZED (
+  SELECT CASE WHEN (dl.deg < dh.deg) OR (dl.deg = dh.deg AND u.lo < u.hi)
+              THEN u.lo ELSE u.hi END AS a,
+         CASE WHEN (dl.deg < dh.deg) OR (dl.deg = dh.deg AND u.lo < u.hi)
+              THEN u.hi ELSE u.lo END AS b
+  FROM und u JOIN degs dl ON dl.v = u.lo JOIN degs dh ON dh.v = u.hi),
+tri AS (SELECT COUNT(*) AS nt FROM orient e1
+  JOIN orient e2 ON e2.a = e1.b
+  JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b),
+tp AS (SELECT SUM(CAST(deg AS DOUBLE) * (deg - 1) / 2) AS triples FROM degs)
+SELECT CAST(ROUND(3.0 * (SELECT nt FROM tri) / (SELECT triples FROM tp) * 1e9) AS BIGINT)
+  AS transitivity_e9""",
+        "cocitation": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A})
+SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+FROM edges e1 JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+GROUP BY e1.dst, e2.dst""",
+        "bibcoupling": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A})
+SELECT e1.src AS a, e2.src AS b, COUNT(*) AS common
+FROM edges e1 JOIN edges e2 ON e2.dst = e1.dst AND e1.src < e2.src
+GROUP BY e1.src, e2.src""",
+        "neighbor_jaccard": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+common AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+           FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst
+           GROUP BY e1.dst, e2.dst),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)
+SELECT c.a, c.b, c.common,
+  CAST(ROUND(CAST(c.common AS DOUBLE) / (da.d + db.d - c.common) * 1e9) AS BIGINT)
+    AS jaccard_e9
+FROM common c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b""",
+        "assortativity": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+verts AS ({SQL_VERTS_A}),
+od AS (SELECT verts.v, COALESCE(x.n, 0) AS d FROM verts
+       LEFT JOIN (SELECT src, COUNT(*) AS n FROM edges GROUP BY src) x ON x.src = verts.v),
+idg AS (SELECT verts.v, COALESCE(x.n, 0) AS d FROM verts
+        LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY dst) x ON x.dst = verts.v),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(CAST(o.d AS DOUBLE)) AS sx,
+             SUM(CAST(i.d AS DOUBLE)) AS sy, SUM(CAST(o.d AS DOUBLE)*o.d) AS sxx,
+             SUM(CAST(i.d AS DOUBLE)*i.d) AS syy, SUM(CAST(o.d AS DOUBLE)*i.d) AS sxy
+      FROM edges e JOIN od o ON o.v = e.src JOIN idg i ON i.v = e.dst)
+SELECT CAST(ROUND((sxy/n - (sx/n)*(sy/n)) /
+  SQRT((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) * 1e9) AS BIGINT)
+  AS assortativity_e9 FROM m""",
+        "has_cycle": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({SQL_EDGES_A}),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT CASE WHEN EXISTS (SELECT 1 FROM reach WHERE a = b) THEN 1 ELSE 0 END AS has_cycle""",
         "exact_dedup": """
 SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY md5(text)""",

@@ -1,0 +1,61 @@
+"""Cross-scale determinism (FIXTURES.md §5): identical results across
+partition counts and execution modes — the engine's analogue of the
+reference's ARPACK-vs-PRPACK consistency test."""
+
+import numpy as np
+
+from igraph_ray import Graph, connected_components, label_propagation, pagerank, triangle_counts
+from tests import fixtures as fx
+
+
+def _pr(n, src, dst, parts, **kw):
+    g = Graph.from_numpy(src, dst, n=n)
+    res = pagerank(g, num_partitions=parts, fixed_iterations=12, **kw)
+    got = {r["vertex"]: r["pr"] for r in res.state.take_all()}
+    return np.array([got[i] for i in range(n)])
+
+
+def test_pagerank_partition_invariance():
+    """Integer-result algorithms are byte-identical across partition
+    counts; float PageRank differs only in summation order (last-ulp),
+    bounded far below every correctness tolerance."""
+    n, src, dst = fx.powerlaw(n=800, m=4000, seed=31)
+    a = _pr(n, src, dst, 1)
+    b = _pr(n, src, dst, 4)
+    c = _pr(n, src, dst, 16)
+    assert np.abs(a - b).max() < 1e-14 and np.abs(b - c).max() < 1e-14
+    # same partition count twice → byte-identical
+    b2 = _pr(n, src, dst, 4)
+    assert np.array_equal(b, b2)
+
+
+def test_components_partition_invariance():
+    n, src, dst = fx.forest(seed=19)
+    outs = []
+    for parts in (1, 4, 16):
+        g = Graph.from_numpy(src, dst, n=n)
+        res = connected_components(g, num_partitions=parts)
+        got = {r["vertex"]: r["label"] for r in res.state.take_all()}
+        outs.append([got[i] for i in range(n)])
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_lpa_partition_invariance():
+    n, src, dst = fx.ring_of_cliques()
+    outs = []
+    for parts in (1, 4, 16):
+        g = Graph.from_numpy(src, dst, n=n)
+        res = label_propagation(g, num_partitions=parts)
+        got = {r["vertex"]: r["community"] for r in res.state.take_all()}
+        outs.append([got[i] for i in range(n)])
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_triangles_partition_invariance():
+    n, src, dst = fx.powerlaw(n=400, m=2500, seed=44)
+    outs = []
+    for parts in (2, 8):
+        g = Graph.from_numpy(src, dst, n=n)
+        got = {r["vertex"]: r["triangles"] for r in triangle_counts(g, num_partitions=parts).take_all()}
+        outs.append([got[i] for i in range(n)])
+    assert outs[0] == outs[1]

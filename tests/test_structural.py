@@ -1,0 +1,134 @@
+from collections import defaultdict
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from igraph_ray import Graph
+from igraph_ray.ops import structural as st
+from tests import fixtures as fx
+from tests.oracles import triangles_ref
+
+
+def _und_adj(n, src, dst):
+    nbr = defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            nbr[a].add(b)
+            nbr[b].add(a)
+    return nbr
+
+
+def test_transitivity_global():
+    n, src, dst = fx.karate()
+    g = Graph.from_numpy(src, dst, n=n)
+    got = st.transitivity_undirected(g, num_partitions=4)
+    tri = triangles_ref(n, src, dst).sum()  # 3× triangle count
+    nbr = _und_adj(n, src, dst)
+    triples = sum(len(nbr[v]) * (len(nbr[v]) - 1) / 2 for v in range(n))
+    assert got == pytest.approx(tri / triples, abs=1e-12)
+
+
+def test_transitivity_local():
+    n, src, dst = fx.karate()
+    g = Graph.from_numpy(src, dst, n=n)
+    rows = {r["vertex"]: r["cc_local"] for r in st.transitivity_local(g, num_partitions=4).take_all()}
+    tri = triangles_ref(n, src, dst)
+    nbr = _und_adj(n, src, dst)
+    for v in range(n):
+        d = len(nbr[v])
+        if d < 2:
+            assert np.isnan(rows[v])
+        else:
+            assert rows[v] == pytest.approx(2 * tri[v] / (d * (d - 1)), abs=1e-12)
+
+
+def test_cocitation_and_bibcoupling():
+    n, src, dst = fx.er_digraph(n=60, m=300, seed=15)
+    g = Graph.from_numpy(src, dst, n=n)
+    edges = {(a, b) for a, b in zip(src, dst) if a != b}
+    # oracle
+    in_n = defaultdict(set)
+    out_n = defaultdict(set)
+    for a, b in edges:
+        out_n[a].add(b)
+        in_n[b].add(a)
+    co_ref = defaultdict(int)
+    for citer in out_n:
+        for a, b in combinations(sorted(out_n[citer]), 2):
+            co_ref[(a, b)] += 1
+    got = {(r["a"], r["b"]): r["common"] for r in st.cocitation(g, num_partitions=4).take_all()}
+    assert got == dict(co_ref)
+    bib_ref = defaultdict(int)
+    for cited in in_n:
+        for a, b in combinations(sorted(in_n[cited]), 2):
+            bib_ref[(a, b)] += 1
+    got_b = {(r["a"], r["b"]): r["common"] for r in st.bibcoupling(g, num_partitions=4).take_all()}
+    assert got_b == dict(bib_ref)
+
+
+def test_neighbor_jaccard():
+    n, src, dst = fx.karate()
+    g = Graph.from_numpy(src, dst, n=n)
+    nbr = _und_adj(n, src, dst)
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard_e9"]) for r in
+           st.neighbor_jaccard(g, num_partitions=4).take_all()}
+    for (a, b), (common, je9) in got.items():
+        ref_c = len(nbr[a] & nbr[b])
+        assert common == ref_c
+        ref_j = ref_c / len(nbr[a] | nbr[b])
+        assert je9 == round(ref_j * 1e9)
+
+
+def test_assortativity():
+    n, src, dst = fx.powerlaw(n=300, m=1500, seed=2)
+    g = Graph.from_numpy(src, dst, n=n)
+    got = st.degree_assortativity(g, num_partitions=4)
+    nl = src != dst
+    s, t = src[nl], dst[nl]
+    od = np.zeros(n); np.add.at(od, s, 1)
+    idg = np.zeros(n); np.add.at(idg, t, 1)
+    x, y = od[s], idg[t]
+    ref = np.corrcoef(x, y)[0, 1]
+    assert got == pytest.approx(ref, abs=1e-9)
+
+
+def test_topological_peel_dag():
+    # a DAG: edges always increasing
+    rng = np.random.default_rng(3)
+    n = 50
+    src = rng.integers(0, n - 1, 200)
+    dst = src + rng.integers(1, 5, 200)
+    dst = np.minimum(dst, n - 1)
+    keep = src != dst
+    g = Graph.from_numpy(src[keep], dst[keep], n=n)
+    is_dag, order = st.topological_peel(g, num_partitions=4)
+    assert is_dag
+    layer = {r["vertex"]: r["layer"] for r in order.take_all()}
+    assert len(layer) == n
+    for a, b in zip(src[keep], dst[keep]):
+        assert layer[a] < layer[b]
+
+
+def test_topological_peel_cycle():
+    g = Graph.from_numpy(np.array([0, 1, 2]), np.array([1, 2, 0]), n=4)
+    is_dag, order = st.topological_peel(g, num_partitions=2)
+    assert not is_dag
+    peeled = {r["vertex"] for r in order.take_all()}
+    assert peeled == {3}  # only the isolated vertex peels
+
+
+def test_k_core():
+    # K5 + a tail path: 4-core = the K5
+    src = []
+    dst = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            src.append(i); dst.append(j)
+    src += [4, 5, 6]
+    dst += [5, 6, 7]
+    g = Graph.from_numpy(np.array(src), np.array(dst), n=8)
+    core = {r["vertex"] for r in st.k_core(g, k=4, num_partitions=2).take_all()}
+    assert core == {0, 1, 2, 3, 4}
+    core2 = {r["vertex"] for r in st.k_core(g, k=1, num_partitions=2).take_all()}
+    assert core2 == set(range(8))
