@@ -44,7 +44,7 @@ from igraph_ray.superstep import (
 )
 
 STATE_COLUMNS = ["vertex", "pr", "deg", "absdiff", "dangling_pr"]
-ALIGNED_STATE_COLUMNS = ["vertex", "pr", "deg"]
+ALIGNED_STATE_COLUMNS = ["vertex", "pr", "deg", "reset"]
 
 
 def pagerank(
@@ -59,8 +59,16 @@ def pagerank(
     metrics_dir: Optional[str] = None,
     gather_batch_size: int = 262144,
     mode: str = "aligned",
+    reset=None,
+    engine: str = "tasks",
 ) -> SuperstepResult:
-    """Returns SuperstepResult whose state has columns (vertex, pr)."""
+    """Returns SuperstepResult whose state has columns (vertex, pr).
+
+    ``reset``: optional personalization vector (igraph's personalized
+    pagerank, centrality.c:1284-1316): a numpy array of length n (indexed
+    by vertex id), normalized internally to sum 1. None = uniform 1/n.
+    Only the aligned mode implements personalization.
+    """
     n = graph.num_vertices()
     if n == 0:
         empty = pa.table({"vertex": pa.array([], pa.int64()), "pr": pa.array([], pa.float64())})
@@ -98,10 +106,12 @@ def pagerank(
         iters = max_iter
         check_every = 1
 
+    if reset is not None and mode != "aligned":
+        raise NotImplementedError("personalized pagerank requires mode='aligned'")
     if mode == "aligned":
         result = _aligned_impl(
             graph, csr, make_deg, blocks, boundaries, n, d, weighted,
-            converged, iters, checkpoint, check_every,
+            converged, iters, checkpoint, check_every, reset, engine,
         )
     else:
         result = _dataset_impl(
@@ -129,17 +139,29 @@ def pagerank(
 
 def _aligned_impl(
     graph, csr, make_deg, blocks, boundaries, n, d, weighted, converged, iters,
-    checkpoint, check_every=1,
+    checkpoint, check_every=1, reset=None, engine="tasks",
 ):
     inv_n = 1.0 / n
+    if reset is not None:
+        reset = np.asarray(reset, dtype=np.float64)
+        total = reset.sum()
+        if total <= 0:
+            raise ValueError("reset vector must have positive mass")
+        reset = reset / total
 
     def _init(sd: dict) -> dict:
         m = len(sd["vertex"])
-        return {
+        out = {
             "vertex": sd["vertex"],
             "pr": np.full(m, inv_n),
             "deg": sd["deg"],
         }
+        # the reset distribution is static per vertex; carried in state so
+        # apply never needs a lookup join (uniform when not personalized)
+        out["reset"] = (
+            reset[sd["vertex"]] if reset is not None else np.full(m, inv_n)
+        )
+        return out
 
     if graph._n is not None:
         # dense universe: state built straight from the CSR blocks (degrees
@@ -161,7 +183,7 @@ def _aligned_impl(
         "absdiff": 1.0,
         "dangling_pr": dang0,
         "pr": 1.0,
-        "base": ((1.0 - d) + d * dang0) * inv_n,
+        "base_total": (1.0 - d) + d * dang0,
     }
 
     dense_universe = graph._n is not None
@@ -199,11 +221,13 @@ def _aligned_impl(
                 else:
                     pos = np.searchsorted(vertex, sd)
                     np.add.at(acc, pos, sp)
-        new = scalars["base"] + d * acc
+        # igraph kernel: new[i] = d*Σ tmp + sumfrom*reset[i] with
+        # sumfrom = (1-d) + d*dangling_mass (centrality.c:926-970)
+        new = scalars["base_total"] * old["reset"] + d * acc
         absdiff = float(np.abs(new - old["pr"]).sum())
         dang = float(new[degv == 0.0].sum())
         return (
-            {"vertex": vertex, "pr": new, "deg": degv},
+            {"vertex": vertex, "pr": new, "deg": degv, "reset": old["reset"]},
             {"absdiff": absdiff, "dangling_pr": dang, "pr": float(new.sum())},
         )
 
@@ -213,7 +237,7 @@ def _aligned_impl(
             "absdiff": summed.get("absdiff", 0.0),
             "dangling_pr": dang,
             "pr": summed.get("pr", 1.0),
-            "base": ((1.0 - d) + d * dang) * inv_n,
+            "base_total": (1.0 - d) + d * dang,
         }
 
     return al.run_aligned_loop(
@@ -228,6 +252,7 @@ def _aligned_impl(
         state_columns=ALIGNED_STATE_COLUMNS,
         checkpoint=checkpoint,
         check_every=check_every,
+        engine=engine,
     )
 
 

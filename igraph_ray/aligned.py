@@ -298,6 +298,80 @@ def _step_impl(
     return (new_state, *groups_out, partial)
 
 
+@ray.remote(num_cpus=0)
+class _PartitionActor:
+    """One partition of the superstep state, pinned in a long-lived actor.
+
+    The actor holds its CSR blocks (zero-copy plasma views) and its state
+    arrays in process memory across supersteps: per iteration the only
+    traffic is the message segments and a tiny partials dict. Compared to
+    the task mode this removes per-superstep state put/get (V×32B per
+    iteration) and per-task scheduling/lease overhead — the fixed costs
+    that cap single-node scaling. num_cpus=0 so P actors schedule at any
+    slot count; the OS time-slices them (they are separate processes).
+    """
+
+    def __init__(self, gather_fn, apply_fn, make_scalars, init_scalars,
+                 csr_desc, starts, nb, group_size):
+        self.gather_fn = gather_fn
+        self.apply_fn = apply_fn
+        self.make_scalars = make_scalars
+        self.init_scalars = init_scalars
+        self.csr_desc = csr_desc
+        self.starts = starts
+        self.nb = nb
+        self.group_size = group_size
+        self.state = None
+
+    def set_state(self, block: dict) -> bool:
+        self.state = {k: np.asarray(v) for k, v in block.items()}
+        return True
+
+    def get_state(self) -> dict:
+        return self.state
+
+    def _pack(self, segs):
+        return [tuple(segs[g : g + self.group_size]) for g in range(0, self.nb, self.group_size)]
+
+    def bootstrap(self):
+        t0 = time.perf_counter()
+        segs, cnt = self.gather_fn(self.state, self.csr_desc, self.starts, self.init_scalars)
+        info = {"_gather_ms": (time.perf_counter() - t0) * 1e3, "_apply_ms": 0.0,
+                "_wall_ms": (time.perf_counter() - t0) * 1e3, "_messages": float(cnt)}
+        return (*self._pack(segs), info)
+
+    def step(self, iteration, idx_in_group, prev_partials, *groups):
+        t0 = time.perf_counter()
+        prev = ray.get(list(prev_partials)) if prev_partials else []
+        prev = [p for p in prev if p]
+        scalars = (
+            self.make_scalars(_sum_partials(prev), iteration - 1)
+            if prev else self.init_scalars
+        )
+        segments = [grp[idx_in_group] for grp in groups]
+        ta = time.perf_counter()
+        new_state, partial = self.apply_fn(self.state, segments, scalars)
+        partial = dict(partial)
+        apply_ms = (time.perf_counter() - ta) * 1e3
+        self.state = new_state
+        tg = time.perf_counter()
+        segs, cnt = self.gather_fn(new_state, self.csr_desc, self.starts, scalars)
+        partial["_apply_ms"] = apply_ms
+        partial["_gather_ms"] = (time.perf_counter() - tg) * 1e3
+        partial["_wall_ms"] = (time.perf_counter() - t0) * 1e3
+        partial["_messages"] = float(cnt)
+        return (*self._pack(segs), partial)
+
+    def write_checkpoint(self, path: str, part: int, iteration: int, digest: str) -> int:
+        n = len(self.state["vertex"])
+        cols = {k: pa.array(v) for k, v in self.state.items()}
+        cols["partition"] = pa.array(np.full(n, part, dtype=np.int32))
+        cols["iteration"] = pa.array(np.full(n, iteration, dtype=np.int32))
+        cols["input_digest"] = pa.array([digest] * n, pa.string())
+        pq.write_table(pa.table(cols), os.path.join(path, f"part-{part:05d}.parquet"))
+        return n
+
+
 @ray.remote
 def _write_block(state_block: dict, path: str, part: int, iteration: int, digest: str) -> int:
     n = len(state_block["vertex"])
@@ -329,6 +403,7 @@ def run_aligned_loop(
     check_every: int = 1,
     segment_group_size: int = 16,
     gather_needs_scalars: bool = False,
+    engine: str = "tasks",
 ) -> SuperstepResult:
     """Generic aligned loop. ``gather_fn(state_block, csr_desc, starts,
     scalars) -> (segments_list, msg_count)``; ``apply_fn(old_state,
@@ -366,6 +441,14 @@ def run_aligned_loop(
 
     nb = len(state.blocks)
     csr_by_block = _csr_for_blocks(csr_descriptors, state.starts)
+
+    if engine == "actors":
+        return _run_actor_loop(
+            state, csr_by_block, gather_fn, apply_fn, scalars, make_scalars,
+            converged, start_iter, max_iter, checkpoint, check_every,
+            segment_group_size, metrics,
+        )
+
     step_task = ray.remote(_step_impl)
 
     # ship the per-algorithm closures and the starts array to plasma ONCE —
@@ -472,6 +555,117 @@ def run_aligned_loop(
         converged=did_converge,
         loop_wall_s=loop_wall_s,
     )
+
+
+def _run_actor_loop(
+    state: AlignedState,
+    csr_by_block,
+    gather_fn,
+    apply_fn,
+    scalars,
+    make_scalars,
+    converged,
+    start_iter,
+    max_iter,
+    checkpoint,
+    check_every,
+    segment_group_size,
+    metrics,
+):
+    nb = len(state.blocks)
+    group_size = max(1, min(segment_group_size, nb))
+    ngroups = (nb + group_size - 1) // group_size
+    nret = ngroups + 1
+    starts_ref = ray.put(state.starts)
+
+    actors = [
+        _PartitionActor.remote(
+            gather_fn, apply_fn, make_scalars, scalars,
+            csr_by_block[i], starts_ref, nb, group_size,
+        )
+        for i in range(nb)
+    ]
+    ray.get([a.set_state.remote(state.blocks[i]) for i, a in enumerate(actors)])
+
+    info_refs_by_iter: List[list] = []
+    loop_t0 = time.perf_counter()
+    prev = [list(a.bootstrap.options(num_returns=nret).remote()) for a in actors]
+
+    it = start_iter
+    did_converge = False
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        prev_infos = [prev[i][ngroups] for i in range(nb)]
+        outs = []
+        for j in range(nb):
+            g = j // group_size
+            groups = [prev[i][g] for i in range(nb)]
+            out = actors[j].step.options(num_returns=nret).remote(
+                it, j - g * group_size,
+                prev_infos if it > start_iter else [], *groups,
+            )
+            outs.append(list(out))
+        prev = outs
+        info_refs_by_iter.append([outs[i][ngroups] for i in range(nb)])
+
+        must_sync = (
+            checkpoint is not None and it % checkpoint.every == 0
+        ) or (check_every > 0 and it % check_every == check_every - 1)
+        if must_sync:
+            scalars = make_scalars(_sum_partials(ray.get(info_refs_by_iter[-1])), it)
+        row = {"iteration": it, "wall_s": time.perf_counter() - t0,
+               **{k: v for k, v in (scalars.items() if must_sync else []) if not k.startswith("_")}}
+        metrics.append(row)
+        stop = must_sync and converged(scalars, it)
+        if checkpoint is not None and (it % checkpoint.every == 0 or stop):
+            cp_dir = os.path.join(checkpoint.path, f"iter={it:05d}")
+            os.makedirs(cp_dir, exist_ok=True)
+            ray.get([
+                actors[p].write_checkpoint.remote(cp_dir, p, it, checkpoint.input_digest)
+                for p in range(nb)
+            ])
+            tmp = _manifest_path(checkpoint.path, it) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"iteration": it, "scalars": scalars,
+                           "input_digest": checkpoint.input_digest}, f)
+            os.replace(tmp, _manifest_path(checkpoint.path, it))
+            with open(os.path.join(checkpoint.path, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
+        if stop:
+            did_converge = True
+            it += 1
+            break
+    else:
+        it = max_iter
+
+    if info_refs_by_iter:
+        scalars = make_scalars(_sum_partials(ray.get(info_refs_by_iter[-1])), it - 1)
+    loop_wall_s = time.perf_counter() - loop_t0
+
+    for row, refs in zip(metrics[-len(info_refs_by_iter):], info_refs_by_iter):
+        infos = ray.get(refs)
+        gw = [g.get("_gather_ms", 0.0) for g in infos]
+        aw = [g.get("_apply_ms", 0.0) for g in infos]
+        row["messages"] = int(sum(g.get("_messages", 0.0) for g in infos))
+        row["gather_ms_p50"] = float(np.percentile(gw, 50)) if gw else 0.0
+        row["gather_ms_p95"] = float(np.percentile(gw, 95)) if gw else 0.0
+        row["apply_ms_p50"] = float(np.percentile(aw, 50)) if aw else 0.0
+        row["apply_ms_p95"] = float(np.percentile(aw, 95)) if aw else 0.0
+
+    final_blocks = [a.get_state.remote() for a in actors]
+    result = SuperstepResult(
+        state=aligned_to_dataset(AlignedState(blocks=final_blocks, starts=state.starts)),
+        iterations=it,
+        scalars=scalars,
+        metrics=metrics,
+        converged=did_converge,
+        loop_wall_s=loop_wall_s,
+    )
+    # keep actors alive until the final state is materialized
+    result.state = result.state.materialize()
+    for a in actors:
+        ray.kill(a)
+    return result
 
 
 @ray.remote

@@ -173,6 +173,73 @@ def q_strength(sf_dir: str):
     return _scale_col(g.out_degrees(), "deg", "strength", 1.0)
 
 
+SQL_EDGES_W = (
+    f"SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst, "
+    f"CAST((o_orderkey % 10) + 1 AS DOUBLE) AS w "
+    f"FROM orders WHERE (o_orderkey % {V}) != ((o_custkey * 7) % {V})"
+)
+
+
+def _weighted_graph(sf_dir: str) -> Graph:
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        w = (ok % 10 + 1).astype(np.float64)
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep]),
+             "weight": pa.array(w[keep])}
+        )
+
+    return Graph(orders.map_batches(_derive, batch_format="pyarrow", batch_size=None).materialize(),
+                 n=None, weighted=True)
+
+
+def q_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank over the orders multigraph (per-edge contribution
+    pr*w/strength — the weighted kernel, centrality.c:975-1035)."""
+    g = _weighted_graph(sf_dir)
+    res = pagerank(g, damping=DAMPING, fixed_iterations=PR_ITERS, num_partitions=8)
+    return _scale_col(res.state, "pr", "pr_e8", 1e8)
+
+
+def _sql_pagerank_weighted(iters: int = PR_ITERS, d: float = DAMPING) -> str:
+    parts = [
+        f"WITH em AS MATERIALIZED ({SQL_EDGES_W})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM em UNION SELECT dst FROM em)",
+        "wdeg AS MATERIALIZED (SELECT v, COALESCE((SELECT SUM(w) FROM em e WHERE e.src = verts.v), 0) AS s FROM verts)",
+        "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "pr0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM params) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k-1}"
+        parts.append(
+            f"base{k} AS MATERIALIZED (SELECT ((1-{d}) + {d}*COALESCE((SELECT SUM(p.r) FROM {p} p "
+            f"JOIN wdeg dd ON dd.v = p.v WHERE dd.s = 0), 0))/(SELECT n FROM params) AS b)"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT dgt.v, (SELECT b FROM base{k}) + {d} * COALESCE(m.s, 0) AS r "
+            f"FROM wdeg dgt LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.r * e.w / dd.s) AS s FROM em e "
+            f"JOIN pr{k-1} p ON p.v = e.src JOIN wdeg dd ON dd.v = e.src "
+            f"WHERE dd.s > 0 GROUP BY e.dst) m ON m.v = dgt.v)"
+        )
+    last = f"pr{iters}"
+    parts.append(f"tot AS (SELECT SUM(r) AS s FROM {last})")
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(ROUND(r/(SELECT s FROM tot)*1e8) AS BIGINT) AS pr_e8 "
+        f"FROM {last} ORDER BY vertex"
+    )
+
+
 def q_transitivity(sf_dir: str):
     from igraph_ray.ops.structural import transitivity_undirected
 
@@ -524,6 +591,7 @@ def queries() -> Dict[str, Callable]:
         "out_degree": q_out_degree,
         "in_degree": q_in_degree,
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "components": q_components,
         "component_sizes": q_component_sizes,
         "lpa": q_lpa,
@@ -576,6 +644,7 @@ SELECT verts.v AS vertex, COALESCE(d.n, 0) AS deg
 FROM verts LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY dst) d
 ON d.dst = verts.v ORDER BY vertex""",
         "pagerank": _sql_pagerank(),
+        "pagerank_weighted": _sql_pagerank_weighted(),
         "components": _sql_components(),
         "component_sizes": _sql_component_sizes(),
         "lpa": _sql_lpa(),

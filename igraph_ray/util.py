@@ -66,18 +66,74 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(keep)
 
 
+# broadcast-join threshold: right sides up to this many rows are shipped
+# once via ray.put and joined per batch with pyarrow's acero join — Ray's
+# shuffle hash join costs seconds of fixed overhead per call and is kept
+# for genuinely large-large joins only
+BROADCAST_JOIN_ROWS = 4_000_000
+
+_SMALL_TABLE_CACHE: dict = {}
+
+
+@ray.remote
+def _concat_tables(refs) -> pa.Table:
+    all_t = ray.get(list(refs))
+    tables = [t for t in all_t if t.num_rows > 0]
+    if tables:
+        return pa.concat_tables(tables)
+    # keep a schema-carrying empty table when one exists (joins need it)
+    for t in all_t:
+        if t.num_columns > 0:
+            return t.slice(0, 0)
+    return pa.table({})
+
+
+def _fetch_small(ref) -> pa.Table:
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    t = _SMALL_TABLE_CACHE.get(key)
+    if t is None:
+        t = ray.get(ref)
+        _SMALL_TABLE_CACHE[key] = t
+    return t
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on,
     num_partitions: int = 16,
     join_type: str = "inner",
+    broadcast_threshold: int = BROADCAST_JOIN_ROWS,
 ) -> ray.data.Dataset:
-    """Hash equi-join with empty-block sanitation on both sides."""
+    """Equi-join with empty-block sanitation.
+
+    Small right sides take the broadcast path: the right table is
+    assembled once in a task, put in the object store, and every left
+    batch joins against it with pyarrow's in-memory join (zero extra
+    shuffle; the canonical broadcast-hash-join). Large-large joins fall
+    back to Ray Data's partitioned hash join.
+    """
     if isinstance(on, str):
         on = (on,)
-    return drop_empty_blocks(left).join(
-        drop_empty_blocks(right),
+    on = list(on)
+    left_c = drop_empty_blocks(left)
+    right_c = drop_empty_blocks(right)
+    if right_c.count() <= broadcast_threshold:
+        small_ref = _concat_tables.remote(right_c.to_arrow_refs())
+        arrow_type = {"inner": "inner", "left_outer": "left outer"}.get(join_type)
+        if arrow_type is not None:
+            def _bj(b: pa.Table) -> pa.Table:
+                small = _fetch_small(small_ref)
+                if small.num_rows == 0:
+                    if arrow_type == "inner":
+                        # empty inner join: empty table with combined schema
+                        return b.slice(0, 0)
+                    return b
+                return b.join(small, keys=on, join_type=arrow_type)
+
+            return left_c.map_batches(_bj, batch_format="pyarrow", batch_size=None)
+    return left_c.join(
+        right_c,
         join_type=join_type,
         num_partitions=num_partitions,
         on=tuple(on),

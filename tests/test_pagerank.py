@@ -85,3 +85,42 @@ def test_dataset_mode_matches_aligned():
     pr_a, _ = _run(n, src, dst, fixed_iterations=4, mode="aligned")
     pr_d, _ = _run(n, src, dst, fixed_iterations=4, mode="dataset")
     assert np.allclose(pr_a, pr_d, atol=1e-14)
+
+
+def test_personalized_reset_vector():
+    """igraph personalized pagerank semantics: new = d*msg + sumfrom*reset
+    (centrality.c:926-970)."""
+    n, src, dst = fx.er_digraph(n=150, m=900, seed=33)
+    rng = np.random.default_rng(7)
+    reset = rng.random(n)
+
+    g = Graph.from_numpy(src, dst, n=n)
+    res = pagerank(g, num_partitions=4, tol=1e-13, max_iter=400, reset=reset)
+    got = {r["vertex"]: r["pr"] for r in res.state.take_all()}
+    gv = np.array([got[i] for i in range(n)])
+
+    # independent oracle
+    r = reset / reset.sum()
+    nl = src != dst
+    s, t = src[nl], dst[nl]
+    deg = np.zeros(n)
+    np.add.at(deg, s, 1.0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(res.iterations):
+        D = pr[deg == 0].sum()
+        base_total = (1 - 0.85) + 0.85 * D
+        msg = np.zeros(n)
+        np.add.at(msg, t, pr[s] / np.where(deg[s] > 0, deg[s], 1.0))
+        pr = base_total * r + 0.85 * msg
+    pr = pr / pr.sum()
+    assert np.allclose(gv, pr, atol=1e-10)
+
+
+def test_uniform_reset_equals_default():
+    n, src, dst = fx.er_digraph(n=80, m=400, seed=9)
+    a, _ = _run(n, src, dst, fixed_iterations=6)
+    g = Graph.from_numpy(src, dst, n=n)
+    res = pagerank(g, num_partitions=4, fixed_iterations=6, reset=np.ones(n))
+    got = {r["vertex"]: r["pr"] for r in res.state.take_all()}
+    b = np.array([got[i] for i in range(n)])
+    assert np.allclose(a, b, atol=1e-15)
