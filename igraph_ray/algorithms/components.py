@@ -27,7 +27,7 @@ import ray.data
 from igraph_ray import aligned as al
 from igraph_ray.csr import build_csr_index
 from igraph_ray.graph import Graph
-from igraph_ray.kernels import minlabel_messages
+from igraph_ray.kernels import minlabel_messages, minlabel_messages_csc
 from igraph_ray.superstep import (
     CheckpointConfig,
     SuperstepResult,
@@ -91,23 +91,37 @@ def _aligned_impl(graph, csr, blocks, boundaries, sentinel, converged, max_iter,
     else:
         state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)
 
+    dense_universe = graph._n is not None
+
     def gather_fn(sb, csr_desc, starts, scalars):
-        dsts, minl = minlabel_messages(csr_desc, sb["vertex"], sb["label"], sentinel)
-        bounds = np.searchsorted(dsts, starts[1:])
-        segs = []
-        lo = 0
-        for hi in list(bounds) + [len(dsts)]:
-            segs.append((dsts[lo:hi], minl[lo:hi]))
-            lo = hi
-        return segs, len(dsts)
+        pairs = minlabel_messages_csc(csr_desc, sb["vertex"], sb["label"], sentinel)
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        msg_count = 0
+        for (dsts, minl) in pairs:
+            msg_count += len(dsts)
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], minl[lo:hi]))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
 
     def apply_fn(old, segments, scalars):
         vertex = old["vertex"]
         new = old["label"].copy()
-        for (sd, sl) in segments:
-            if len(sd):
-                pos = np.searchsorted(vertex, sd)
-                np.minimum.at(new, pos, sl)
+        lo = vertex[0] if dense_universe and len(vertex) else 0
+        for pairs in segments:
+            for (sd, sl) in pairs:
+                if not len(sd):
+                    continue
+                if dense_universe:
+                    idx = sd - lo  # dsts unique within a pair
+                    new[idx] = np.minimum(new[idx], sl)
+                else:
+                    pos = np.searchsorted(vertex, sd)
+                    np.minimum.at(new, pos, sl)
         changed = int((new < old["label"]).sum())
         return ({"vertex": vertex, "label": new}, {"changed": float(changed)})
 

@@ -166,7 +166,9 @@ class Graph:
 
         key = (variant, num_partitions, weighted)
         if key not in self._csr_cache:
-            with_in_index = variant == "out"  # PageRank's gather kernel
+            # both variants carry the in-index: PageRank's reduceat gather
+            # and components' reduceat min-label gather rely on it
+            with_in_index = True
             if variant == "out":
                 edges = self.without_loops()
                 if weighted:

@@ -102,6 +102,43 @@ def pagerank_messages(
     return dsts, partial
 
 
+def minlabel_messages_csc(
+    blocks, verts: np.ndarray, labels: np.ndarray, sentinel: int
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """In-index variant of the min-label gather: per block, (unique dsts
+    ascending, min incoming label) via one sequential
+    ``np.minimum.reduceat`` — no sort / scatter in the hot loop."""
+    out: List[Tuple[np.ndarray, np.ndarray]] = []
+    if len(verts) == 0:
+        return out
+    vmin = verts.min()
+    vmax = verts.max()
+    from igraph_ray.csr import fetch_block
+
+    for (vlo, vhi, ref) in blocks:
+        if vhi < vmin or vlo > vmax:
+            continue
+        sel = (verts >= vlo) & (verts <= vhi)
+        if not sel.any():
+            continue
+        blk = fetch_block(ref)
+        if "in_src" not in blk:
+            # fall back to the generic kernel for this block
+            d, m = minlabel_messages([(vlo, vhi, ref)], verts[sel], labels[sel], sentinel)
+            if len(d):
+                out.append((d, m))
+            continue
+        width = blk["vhi"] - blk["vlo"] + 1
+        lab_local = np.full(width, sentinel, dtype=np.int64)
+        lab_local[verts[sel] - blk["vlo"]] = labels[sel]
+        vals = lab_local[blk["in_src"]]
+        if len(blk["in_starts"]) == 0:
+            continue
+        minl = np.minimum.reduceat(vals, blk["in_starts"])
+        out.append((blk["in_dst"], minl))
+    return out
+
+
 def minlabel_messages(
     blocks, verts: np.ndarray, labels: np.ndarray, sentinel: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -68,8 +68,18 @@ def sessionize(
         )
 
     gap_us = gap_minutes * 60 * 1_000_000
-    prepped = events.map_batches(_prep, batch_format="pyarrow", batch_size=None)
-    s = prepped.sort(["user_id", "ts_us"])
+    prepped = events.map_batches(_prep, batch_format="pyarrow", batch_size=None).materialize()
+    # boundary-aligned sort on user_id: blocks split only at user
+    # boundaries, so every user's events land whole in one block and the
+    # per-block session scan needs no cross-block repair
+    from igraph_ray.csr import compute_boundaries
+
+    bnds = compute_boundaries(prepped, num_partitions=8, col="user_id")
+    s = (
+        prepped.sort(["user_id", "ts_us"], boundaries=bnds)
+        if bnds
+        else prepped.sort(["user_id", "ts_us"])
+    )
 
     def _sessions(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -91,9 +101,4 @@ def sessionize(
              "n_events": pa.array((ends - starts).astype(np.int64), pa.int64())}
         )
 
-    # NOTE: plain sort can split one user across two blocks; at block edges
-    # a session could be split in two. The boundary-repair groupby below
-    # merges sessions that share (user, start) after edge-merge; for exact
-    # semantics tests we repartition to one block. At scale, sort with
-    # per-user boundaries (user histogram) bounds the error to block seams.
-    return s.repartition(1).map_batches(_sessions, batch_format="pyarrow", batch_size=None)
+    return s.map_batches(_sessions, batch_format="pyarrow", batch_size=None)
