@@ -53,3 +53,18 @@ def test_dataset_mode_matches_aligned():
     ca, _ = _run(n, src, dst, fixed_iterations=3, mode="aligned")
     cd, _ = _run(n, src, dst, fixed_iterations=3, mode="dataset")
     assert np.array_equal(ca, cd)
+
+
+def test_weighted_lpa():
+    """Weighted tally (community.c:2257-2278): weights steer the argmax."""
+    n, src, dst = fx.ring_of_cliques(k=5, num=4)
+    rng = np.random.default_rng(17)
+    w = rng.integers(1, 5, len(src)).astype(float)
+    g = Graph.from_numpy(src, dst, weight=w, n=n)
+    from igraph_ray import label_propagation as lp
+    res = lp(g, num_partitions=4, fixed_iterations=6)
+    got = {r["vertex"]: r["community"] for r in res.state.take_all()}
+    comm = np.array([got[i] for i in range(n)])
+    from tests.oracles import lpa_sync_ref
+    ref = lpa_sync_ref(n, src, dst, weight=w, fixed=6)
+    assert np.array_equal(comm, ref)
