@@ -49,6 +49,7 @@ def connected_components(
     metrics_dir: Optional[str] = None,
     gather_batch_size: int = 262144,
     mode: str = "aligned",
+    engine: str = "tasks",
 ) -> SuperstepResult:
     """Returns SuperstepResult with state (vertex, label); labels follow the
     rank-of-min-vertex contract when densify=True (the igraph default)."""
@@ -67,7 +68,8 @@ def connected_components(
 
     if mode == "aligned":
         result = _aligned_impl(
-            graph, csr, blocks, boundaries, sentinel, converged, max_iter, checkpoint
+            graph, csr, blocks, boundaries, sentinel, converged, max_iter,
+            checkpoint, engine,
         )
     else:
         result = _dataset_impl(
@@ -82,16 +84,16 @@ def connected_components(
     return result
 
 
-def _aligned_impl(graph, csr, blocks, boundaries, sentinel, converged, max_iter, checkpoint):
+def _aligned_impl(graph, csr, blocks, boundaries, sentinel, converged, max_iter, checkpoint, engine="tasks"):
     def _init(sd: dict) -> dict:
         return {"vertex": sd["vertex"], "label": sd["vertex"].copy()}
 
-    if graph._n is not None:
+    if graph._explicit_n:
         state = al.state_from_csr(csr, graph.num_vertices(), init_fn=_init)
     else:
         state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)
 
-    dense_universe = graph._n is not None
+    dense_universe = graph._explicit_n
 
     def gather_fn(sb, csr_desc, starts, scalars):
         pairs = minlabel_messages_csc(csr_desc, sb["vertex"], sb["label"], sentinel)
@@ -139,6 +141,7 @@ def _aligned_impl(graph, csr, blocks, boundaries, sentinel, converged, max_iter,
         max_iter=max_iter,
         state_columns=ALIGNED_STATE_COLUMNS,
         checkpoint=checkpoint,
+        engine=engine,
     )
 
 

@@ -57,6 +57,7 @@ def label_propagation(
     metrics_dir: Optional[str] = None,
     gather_batch_size: int = 262144,
     mode: str = "aligned",
+    engine: str = "tasks",
 ) -> SuperstepResult:
     """Returns SuperstepResult with state (vertex, community)."""
     if num_partitions is None:
@@ -102,7 +103,7 @@ def _aligned_impl(graph, csr, blocks, boundaries, weighted, converged, iters, ch
     def _init(sd: dict) -> dict:
         return {"vertex": sd["vertex"], "label": sd["vertex"].copy()}
 
-    if graph._n is not None:
+    if graph._explicit_n:
         state = al.state_from_csr(csr, graph.num_vertices(), init_fn=_init)
     else:
         state = al.state_from_dataset(graph.vertices(), boundaries, init_fn=_init)

@@ -163,7 +163,7 @@ def _aligned_impl(
         )
         return out
 
-    if graph._n is not None:
+    if graph._explicit_n:
         # dense universe: state built straight from the CSR blocks (degrees
         # are implicit in indptr) — no aggregate shuffle at all
         state = al.state_from_csr(csr, n, init_fn=_init)
@@ -186,7 +186,7 @@ def _aligned_impl(
         "base_total": (1.0 - d) + d * dang0,
     }
 
-    dense_universe = graph._n is not None
+    dense_universe = graph._explicit_n
 
     def gather_fn(sb, csr_desc, starts, scalars):
         pairs = pagerank_messages_csc(

@@ -402,7 +402,6 @@ def run_aligned_loop(
     checkpoint: Optional[CheckpointConfig] = None,
     check_every: int = 1,
     segment_group_size: int = 16,
-    gather_needs_scalars: bool = False,
     engine: str = "tasks",
 ) -> SuperstepResult:
     """Generic aligned loop. ``gather_fn(state_block, csr_desc, starts,
@@ -441,6 +440,22 @@ def run_aligned_loop(
 
     nb = len(state.blocks)
     csr_by_block = _csr_for_blocks(csr_descriptors, state.starts)
+
+    if engine == "cgraph":
+        from igraph_ray.cgraph import run_cgraph_loop
+
+        return run_cgraph_loop(
+            state, csr_by_block, gather_fn, apply_fn, scalars, make_scalars,
+            converged, start_iter, max_iter, checkpoint, check_every, metrics,
+        )
+
+    if engine == "spmd":
+        from igraph_ray.spmd import run_spmd_loop
+
+        return run_spmd_loop(
+            state, csr_by_block, gather_fn, apply_fn, scalars, make_scalars,
+            converged, start_iter, max_iter, checkpoint, metrics,
+        )
 
     if engine == "actors":
         return _run_actor_loop(

@@ -77,7 +77,16 @@ def _build_block(table: pa.Table, weighted: bool, with_in_index: bool):
             newgrp[0] = True
             np.not_equal(dst_sorted[1:], dst_sorted[:-1], out=newgrp[1:])
         starts = np.flatnonzero(newgrp)
-        data["in_dst"] = dst_sorted[starts]
+        in_dst = dst_sorted[starts]
+        # narrow the in-index streams: the gather hot loop is memory-
+        # bandwidth bound, and int32 halves the bytes of the two arrays it
+        # streams (valid while ids/offsets fit 31 bits; falls back to
+        # int64 on huge blocks / vertex ids)
+        if len(in_dst) and 0 <= int(in_dst[0]) and int(in_dst[-1]) < 2**31:
+            in_dst = in_dst.astype(np.int32)
+        if len(dst_sorted) < 2**31:
+            starts = starts.astype(np.int32)
+        data["in_dst"] = in_dst
         data["in_starts"] = starts
         if weighted:
             data["in_weight"] = data["weight"][order]

@@ -49,6 +49,10 @@ class Graph:
     ) -> None:
         self.edges = edges
         self._n = n
+        # whether the user declared a dense 0..n-1 universe; num_vertices()
+        # caches the distinct-endpoint count into _n for sparse graphs, so
+        # "dense?" must NOT be inferred from `_n is not None` afterwards
+        self._explicit_n = n is not None
         self.weighted = weighted
         self._vertices: Optional[ray.data.Dataset] = None  # materialized universe
         self._num_edges: Optional[int] = None
@@ -84,7 +88,7 @@ class Graph:
         Materialized once and cached.
         """
         if self._vertices is None:
-            if self._n is not None:
+            if self._explicit_n:
                 ds = ray.data.range(self._n).map_batches(
                     lambda b: pa.table({"vertex": pc.cast(b["id"], pa.int64())}),
                     batch_format="pyarrow",

@@ -2,14 +2,27 @@
 table. Exact dedup is hash-partition + per-group first; near-dup families
 (MinHash+LSH, SimHash, n-gram Jaccard) follow the standard
 shingle → sketch → band-bucket groupby shape, all deterministic (md5-based
-hashing, no process salt) so runs are reproducible across cluster sizes.
+word hashing + splitmix64 mixing, no process salt) so runs are
+reproducible across cluster sizes AND expressible in the DuckDB oracle SQL
+(md5 per word + UHUGEINT mod-2^64 arithmetic — see tests/oracles.py).
+
+Scale notes:
+- the only per-string Python work is one md5 per *unique word per batch*
+  (memoized); shingling, minhashing, banding and SimHash bit-counting are
+  numpy over flat word-hash arrays with per-doc reduceat;
+- band buckets are int64 keys range-sorted with explicit boundaries
+  (csr.compute_boundaries), so a bucket can never straddle two blocks —
+  the cross-block pair-loss hazard of an unaligned sort;
+- oversized buckets (> max_bucket) emit star pairs against the bucket's
+  min doc_id instead of being dropped: every member stays connected to
+  the cluster for dedup purposes at O(n) instead of O(n^2) pairs.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -18,9 +31,51 @@ import ray.data
 
 from igraph_ray.util import hash_join
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
 
 def _md5_64(s: str) -> int:
     return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[:8])[0]
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Steele et al., OOPSLA 2014), vectorized on
+    uint64 with wrapping arithmetic. Mirrored in SQL via UHUGEINT % 2^64."""
+    x = (x ^ (x >> np.uint64(30))) * _MIX1
+    x = (x ^ (x >> np.uint64(27))) * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
+def _word_hash_arrays(texts: List[str]):
+    """Tokenize (str.split) every text; md5-hash each unique word once.
+    Returns (flat uint64 word hashes, doc start offsets incl. end)."""
+    cache: Dict[str, int] = {}
+    flat: List[int] = []
+    starts = np.empty(len(texts) + 1, dtype=np.int64)
+    pos = 0
+    for i, t in enumerate(texts):
+        starts[i] = pos
+        for w in t.split():
+            h = cache.get(w)
+            if h is None:
+                h = cache[w] = _md5_64(w)
+            flat.append(h)
+        pos = len(flat)
+    starts[len(texts)] = pos
+    return np.array(flat, dtype=np.uint64), starts
+
+
+def _shingle_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+    """Combine k consecutive word hashes into shingle hashes:
+    splitmix64(sum_j (j+1)*w[i+j]). Caller masks cross-doc windows."""
+    if len(wh) < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(len(wh) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc + np.uint64(j + 1) * wh[j : len(wh) - k + 1 + j]
+    return _splitmix(acc)
 
 
 def exact_dedup(
@@ -63,13 +118,6 @@ def exact_dedup(
     return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
-def _word_shingles(text: str, k: int) -> List[str]:
-    words = text.split()
-    if len(words) < k:
-        return [" ".join(words)] if words else [""]
-    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-
-
 def minhash_signatures(
     docs: ray.data.Dataset,
     text_col: str = "text",
@@ -79,29 +127,69 @@ def minhash_signatures(
 ) -> ray.data.Dataset:
     """(doc_id, sig: list<uint64>) MinHash signatures over word shingles.
 
-    Hash family: md5(f"{seed}:{shingle}") — deterministic across workers
-    and cluster sizes (no python hash salt).
+    Hash family: md5 per word + splitmix64 shingle combine + per-seed
+    golden-ratio remix — deterministic across workers and cluster sizes
+    (no python hash salt), and mirrored exactly by the SQL oracle.
+    Fully vectorized: one ``np.minimum.reduceat`` per seed over the flat
+    shingle-hash array of the whole batch.
     """
+    seeds = np.arange(num_hashes, dtype=np.uint64) * _GOLDEN
 
     def _f(b: pa.Table) -> pa.Table:
-        sigs = []
-        for t in b[text_col].to_pylist():
-            shingles = _word_shingles(t, shingle_k)
-            base = np.array([_md5_64(s) for s in shingles], dtype=np.uint64)
-            sig = np.empty(num_hashes, dtype=np.uint64)
+        texts = b[text_col].to_pylist()
+        wh, starts = _word_hash_arrays(texts)
+        n = len(texts)
+        k = shingle_k
+        # per-doc shingle ranges on the flat array; docs shorter than k
+        # words hash their full word run as the single shingle
+        sh_parts: List[np.ndarray] = []
+        doc_sh_starts = np.empty(n + 1, dtype=np.int64)
+        pos = 0
+        for i in range(n):
+            lo, hi = starts[i], starts[i + 1]
+            doc_sh_starts[i] = pos
+            nw = hi - lo
+            if nw == 0:
+                sh = np.array([_splitmix(np.uint64(0))], dtype=np.uint64)
+            elif nw < k:
+                acc = np.uint64(0)
+                for j in range(nw):
+                    acc = acc + np.uint64(j + 1) * wh[lo + j]
+                sh = np.array([_splitmix(acc)], dtype=np.uint64)
+            else:
+                sh = _shingle_hashes(wh[lo:hi], k)
+            sh_parts.append(sh)
+            pos += len(sh)
+        doc_sh_starts[n] = pos
+        flat_sh = (
+            np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64)
+        )
+        sig = np.empty((n, num_hashes), dtype=np.uint64)
+        if n:
             for h in range(num_hashes):
-                # splitmix-style per-seed remix of the base md5 hashes
-                x = base + np.uint64(h) * np.uint64(0x9E3779B97F4A7C15)
-                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                x = x ^ (x >> np.uint64(31))
-                sig[h] = x.min() if len(x) else 0
-            sigs.append(sig.tolist())
+                x = _splitmix(flat_sh + seeds[h])
+                sig[:, h] = np.minimum.reduceat(x, doc_sh_starts[:-1])
         return pa.table(
-            {"doc_id": b[id_col], "sig": pa.array(sigs, pa.list_(pa.uint64()))}
+            {"doc_id": b[id_col],
+             "sig": pa.array(list(sig), pa.list_(pa.uint64()))}
         )
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def _band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, bands) int64 bucket keys: splitmix-fold each band's signature
+    rows with the band index, truncated to non-negative int63 so the keys
+    range-sort cleanly."""
+    n = sig.shape[0]
+    keys = np.empty((n, bands), dtype=np.int64)
+    for band in range(bands):
+        acc = np.full(n, np.uint64(band + 1) * _GOLDEN, dtype=np.uint64)
+        chunk = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
+        for r in range(chunk.shape[1]):
+            acc = _splitmix(acc ^ chunk[:, r])
+        keys[:, band] = (acc >> np.uint64(1)).astype(np.int64)
+    return keys
 
 
 def minhash_lsh_pairs(
@@ -111,57 +199,78 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int = 200,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Candidate near-duplicate pairs via banded MinHash LSH:
-    shingle → minhash → band-hash → groupby(band_key) → within-bucket
-    pairs → distinct (a, b) with a < b. The groupby is the scale-out
-    step; bucket sizes are bounded by banding."""
+    shingle → minhash → band-key → boundary-aligned range sort →
+    within-bucket pairs → distinct (a, b) with a < b.
+
+    The band_key sort uses explicit boundaries (one block per key range,
+    like ops/window.sessionize), so a bucket can never straddle two output
+    blocks and silently lose its cross-block pairs. Buckets larger than
+    ``max_bucket`` emit star pairs against the bucket's min doc_id —
+    O(n) connectivity instead of O(n^2) pairs, nothing dropped."""
+    from igraph_ray.csr import compute_boundaries
+
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
     rows_per_band = num_hashes // bands
 
     def _bands(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        sigs_ = b["sig"].to_pylist()
-        out_key, out_id = [], []
-        for i, sig in zip(ids, sigs_):
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                key = hashlib.md5(
-                    (str(band) + ":" + ",".join(map(str, chunk))).encode()
-                ).hexdigest()
-                out_key.append(key)
-                out_id.append(i)
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        sig = np.array(b["sig"].to_pylist(), dtype=np.uint64)
+        keys = _band_keys(sig, bands, rows_per_band)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
-            {"band_key": pa.array(out_key, pa.string()), "doc_id": pa.array(out_id, pa.int64())}
+            {"band_key": pa.array(keys.reshape(-1), pa.int64()),
+             "doc_id": pa.array(np.repeat(ids, bands), pa.int64())}
         )
 
-    banded = sigs.map_batches(_bands, batch_format="pyarrow", batch_size=None)
-    # bucket → pairs: sort by band_key so each bucket is contiguous,
-    # pair generation vectorized per block
-    bucketed = banded.sort("band_key")
+    banded = sigs.map_batches(_bands, batch_format="pyarrow", batch_size=None).materialize()
+    bounds = compute_boundaries(banded, num_partitions, col="band_key")
+    # boundary-aligned range sort: every band_key lives in exactly one block
+    bucketed = (
+        banded.sort("band_key", boundaries=bounds) if bounds else banded.sort("band_key")
+    )
 
     def _pairs(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        keys = np.array(b["band_key"].to_pylist())
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "band_key" not in b.column_names:
+            return empty
+        keys = b["band_key"].to_numpy(zero_copy_only=False)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, keys))
         keys, ids = keys[order], ids[order]
+        newgrp = np.empty(len(keys), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        lens = np.diff(np.append(starts, len(keys)))
         outa, outb = [], []
-        i = 0
-        while i < len(keys):
-            j = i
-            while j < len(keys) and keys[j] == keys[i]:
-                j += 1
-            group = ids[i:j]
-            if 1 < len(group) <= 200:  # cap pathological buckets
-                for x in range(len(group)):
-                    for y in range(x + 1, len(group)):
-                        if group[x] != group[y]:
-                            outa.append(min(group[x], group[y]))
-                            outb.append(max(group[x], group[y]))
-            i = j
-        return pa.table({"a": pa.array(outa, pa.int64()), "b": pa.array(outb, pa.int64())})
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            group = np.unique(ids[s : s + ln])
+            if len(group) < 2:
+                continue
+            if len(group) <= max_bucket:
+                x, y = np.triu_indices(len(group), k=1)
+                outa.append(group[x])
+                outb.append(group[y])
+            else:
+                # star pairs: keep every member reachable from the bucket
+                # representative without O(n^2) output
+                outa.append(np.full(len(group) - 1, group[0], dtype=np.int64))
+                outb.append(group[1:])
+        if not outa:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(outa), pa.int64()),
+             "b": pa.array(np.concatenate(outb), pa.int64())}
+        )
 
     pairs = bucketed.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
     return (
@@ -172,26 +281,48 @@ def minhash_lsh_pairs(
 def simhash(
     docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> ray.data.Dataset:
-    """(doc_id, simhash:uint64): token-weighted SimHash."""
+    """(doc_id, simhash:uint64): token-weighted SimHash (Charikar, STOC
+    2002). Vectorized: md5-per-unique-word (memoized), little-endian bit
+    unpack of the flat word-hash array, one reduceat per batch."""
+    assert bits == 64, "simhash is fixed to 64-bit word hashes"
 
     def _f(b: pa.Table) -> pa.Table:
-        out = []
-        for t in b[text_col].to_pylist():
-            acc = np.zeros(bits, dtype=np.int64)
-            for w in t.split():
-                h = _md5_64(w)
-                for bit in range(bits):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(bits):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            out.append(v)
+        texts = b[text_col].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"doc_id": b[id_col],
+                             "simhash": pa.array([], pa.uint64())})
+        wh, starts = _word_hash_arrays(texts)
+        if len(wh) == 0:
+            out = np.zeros(n, dtype=np.uint64)
+        else:
+            # (n_words, 64) sign matrix: +1 where bit set, -1 where clear;
+            # bit column j == (h >> j) & 1 (little-endian unpack)
+            bits_m = np.unpackbits(
+                wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            signs = 2 * bits_m - 1
+            # empty docs contribute zero rows: reduceat needs care when a
+            # doc start equals the next (empty slice yields the row AT the
+            # index) — mask those docs to zero afterwards
+            idx = np.minimum(starts[:-1], len(wh) - 1)
+            acc = np.add.reduceat(signs, idx, axis=0)
+            nwords = np.diff(starts)
+            acc[nwords == 0] = 0
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            out = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
         return pa.table(
-            {"doc_id": b[id_col], "simhash": pa.array(np.array(out, dtype=np.uint64), pa.uint64())}
+            {"doc_id": b[id_col], "simhash": pa.array(out, pa.uint64())}
         )
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def _word_shingles(text: str, k: int) -> List[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else [""]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
 
 
 def ngram_jaccard_pairs(

@@ -1,11 +1,14 @@
 """Text-analysis operators for training-data pipelines over a documents
-table (doc_id, text, lang, ...). All vectorized per Arrow batch; regexes
-and stopword tables are module-level constants (compiled once per worker
-process — the stateless-task analogue of actor-pool init state).
+table (doc_id, text, lang, ...). All hot paths run on pyarrow.compute
+string/regex kernels (RE2) — zero per-row Python in token counting,
+quality scoring and language ID; only the rolling-md5 fingerprint keeps a
+Python loop (no Arrow kernel exists for incremental md5).
 
 These have no reference-repo counterpart (igraph has no string functions,
 SURVEY.md §2.10); they are the large-scale-pipeline extensions the task
-mandates.
+mandates. Output values are bit-identical to the original per-row Python
+implementations (cross-checked against the DuckDB oracles), the regexes
+avoid constructs RE2 lacks (no lookaround).
 """
 
 from __future__ import annotations
@@ -21,12 +24,22 @@ import ray.data
 
 # BPE-ish word/token regex: words with internal apostrophes, numbers,
 # or single non-space symbols
-_TOKEN_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]")
+_TOKEN_PATTERN = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+_TOKEN_RE = re.compile(_TOKEN_PATTERN)
 
 _STOPWORDS = {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "was", "at", "by", "be", "this", "are",
 }
+
+# token-anchored stopword pattern over space-isolated text (see
+# quality_score): replicates `word.lower().strip(".,!?;:") in _STOPWORDS`
+# without lookaround — each token is wrapped in its own spaces, so the
+# leading/trailing " " anchors never overlap between adjacent tokens
+_STOPWORD_PATTERN = (
+    " [.,!?;:]*(?:" + "|".join(sorted(_STOPWORDS, key=len, reverse=True))
+    + ")[.,!?;:]* "
+)
 
 # tiny n-gram language-ID heuristic: characteristic trigrams per language
 _LANG_TRIGRAMS = {
@@ -39,12 +52,12 @@ _LANG_TRIGRAMS = {
 
 def token_count(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, n_tokens): whitespace+punctuation tokenization with the
-    module token regex."""
+    module token regex — one ``count_substring_regex`` kernel per batch."""
 
     def _f(b: pa.Table) -> pa.Table:
-        counts = [len(_TOKEN_RE.findall(t)) for t in b[text_col].to_pylist()]
+        counts = pc.count_substring_regex(b[text_col], _TOKEN_PATTERN)
         return pa.table(
-            {"doc_id": b["doc_id"], "n_tokens": pa.array(counts, pa.int64())}
+            {"doc_id": b["doc_id"], "n_tokens": pc.cast(counts, pa.int64())}
         )
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
@@ -52,39 +65,42 @@ def token_count(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
 
 def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, n_chars, n_words, punct_ratio, stopword_ratio, score):
-    simple length/punctuation/stopword quality heuristics."""
-
-    punct_re = re.compile(r"[^\sA-Za-z0-9]")
+    simple length/punctuation/stopword quality heuristics, fully on Arrow
+    kernels. Stopword counting works on a space-isolated copy of the text
+    (every whitespace run doubled) so the token-boundary anchors of
+    ``_STOPWORD_PATTERN`` never have to share a space between adjacent
+    stopwords — RE2 has no lookaround to do this in place."""
 
     def _f(b: pa.Table) -> pa.Table:
-        n_chars, n_words, punct, stopr, score = [], [], [], [], []
-        for t in b[text_col].to_pylist():
-            words = t.split()
-            nw = len(words)
-            nc = len(t)
-            np_ = len(punct_re.findall(t))
-            ns = sum(1 for w in words if w.lower().strip(".,!?;:") in _STOPWORDS)
-            pr = np_ / nc if nc else 0.0
-            sr = ns / nw if nw else 0.0
-            s = 1.0
-            if nw < 5 or nw > 100000:
-                s *= 0.1
-            if pr > 0.3:
-                s *= 0.5
-            if sr < 0.01:
-                s *= 0.7
-            n_chars.append(nc)
-            n_words.append(nw)
-            punct.append(pr)
-            stopr.append(sr)
-            score.append(s)
+        txt = b[text_col]
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+        n_punct = pc.count_substring_regex(txt, r"[^\sA-Za-z0-9]")
+        iso = pc.binary_join_element_wise(
+            pa.array([" "] * b.num_rows),
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", "  "),
+            pa.array([" "] * b.num_rows),
+            "",
+        )
+        n_stop = pc.count_substring_regex(iso, _STOPWORD_PATTERN)
+
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+        npu = n_punct.to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = np.divide(npu, nc, out=np.zeros_like(npu), where=nc > 0)
+        sr = np.divide(ns, nw, out=np.zeros_like(ns), where=nw > 0)
+        score = np.ones(len(nc))
+        score[(nw < 5) | (nw > 100000)] *= 0.1
+        score[pr > 0.3] *= 0.5
+        score[sr < 0.01] *= 0.7
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "n_chars": pa.array(n_chars, pa.int64()),
-                "n_words": pa.array(n_words, pa.int64()),
-                "punct_ratio": pa.array(punct, pa.float64()),
-                "stopword_ratio": pa.array(stopr, pa.float64()),
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "punct_ratio": pa.array(pr, pa.float64()),
+                "stopword_ratio": pa.array(sr, pa.float64()),
                 "score": pa.array(score, pa.float64()),
             }
         )
@@ -93,19 +109,26 @@ def quality_score(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
 
 
 def language_id(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """(doc_id, lang_pred): n-gram-overlap heuristic language ID."""
+    """(doc_id, lang_pred): n-gram-overlap heuristic language ID — one
+    ``count_substring`` kernel per characteristic trigram, argmax in
+    numpy (ties → first language in table order, 0 → "unknown")."""
+    langs = list(_LANG_TRIGRAMS)
 
     def _f(b: pa.Table) -> pa.Table:
-        preds = []
-        for t in b[text_col].to_pylist():
-            low = t.lower()
-            best, best_score = "unknown", 0
-            for lang, tris in _LANG_TRIGRAMS.items():
-                sc = sum(low.count(tri) for tri in tris)
-                if sc > best_score:
-                    best, best_score = lang, sc
-            preds.append(best)
-        return pa.table({"doc_id": b["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+        low = pc.utf8_lower(b[text_col])
+        scores = np.zeros((b.num_rows, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for tri in _LANG_TRIGRAMS[lang]:
+                scores[:, li] += (
+                    pc.count_substring(low, tri)
+                    .to_numpy(zero_copy_only=False)
+                )
+        best = np.argmax(scores, axis=1)  # first max wins, as dict order
+        preds = np.array(langs, dtype=object)[best]
+        preds[scores.max(axis=1) == 0] = "unknown"
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang_pred": pa.array(list(preds), pa.string())}
+        )
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
 
@@ -113,7 +136,8 @@ def language_id(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
 def fingerprint(docs: ray.data.Dataset, text_col: str = "text", window: int = 8) -> ray.data.Dataset:
     """(doc_id, fingerprint): winnowing-style rolling-hash document
     fingerprint — min md5 over character n-gram windows (deterministic,
-    matches an md5-based SQL oracle)."""
+    matches an md5-based SQL oracle). The per-window md5 loop has no Arrow
+    kernel; it stays a Python loop by design."""
 
     def _f(b: pa.Table) -> pa.Table:
         fps = []
