@@ -23,6 +23,7 @@ from igraph_ray.graph import Graph
 from igraph_ray.algorithms.pagerank import pagerank
 from igraph_ray.algorithms.components import connected_components
 from igraph_ray.algorithms.lpa import label_propagation
+from igraph_ray.algorithms.scc import strongly_connected_components
 from igraph_ray.algorithms.triangles import triangle_counts
 
 __all__ = [
@@ -30,6 +31,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "strongly_connected_components",
     "triangle_counts",
 ]
 

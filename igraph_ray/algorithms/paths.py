@@ -1,0 +1,342 @@
+"""Shortest-path family: BFS hop distances, weighted SSSP, multi-source
+distances, and the path-length histogram.
+
+Reference semantics: igraph's unweighted shortest paths are BFS levels
+(structural_properties.c:406-933, igraph_shortest_paths); the histogram is
+igraph_path_length_hist (structural_properties.c:293) — counts of ordered
+reachable pairs by distance. Sequential BFS does not distribute; the
+equivalent fixpoint here is frontier min-relaxation (Bellman-Ford with a
+changed-set frontier), which terminates in diameter supersteps unweighted
+and is correct to fixpoint for non-negative weights.
+
+Two execution shapes on the aligned engine:
+
+- ``sssp_hops`` (single source): frontier-SPARSE gather — only vertices
+  whose distance changed last superstep emit messages, via the generic
+  out-CSR slice kernel (kernels.minlabel_messages with label = dist+w).
+  Work per superstep is O(|frontier out-edges|/P), the BFS optimum.
+- ``multi_source_hops`` (K sources at once): dense CSC reduceat gather
+  over a (width, K) distance matrix — one ``np.minimum.reduceat`` per
+  superstep regardless of K, the right shape when K is large enough that
+  frontiers cover most of the graph anyway. K state columns ``d0..d{K-1}``
+  keep every array 1-D for the engine's Arrow conversion.
+
+``path_length_hist`` chunks the source set through multi_source_hops and
+sums per-chunk histograms driver-side (a K_chunk-sized dict per chunk —
+never per-vertex data on the driver).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from igraph_ray import aligned as al
+from igraph_ray.graph import Graph
+from igraph_ray.kernels import minlabel_messages
+from igraph_ray.superstep import SuperstepResult
+
+_INF = np.float64(np.inf)
+
+
+def _universe_state(graph: Graph, csr, init_fn):
+    if graph._explicit_n:
+        return al.state_from_csr(csr, graph.num_vertices(), init_fn=init_fn)
+    boundaries = [int(b) for b in csr.boundaries]
+    return al.state_from_dataset(graph.vertices(), boundaries, init_fn=init_fn)
+
+
+def sssp_hops(
+    graph: Graph,
+    source: int,
+    weighted: bool = False,
+    num_partitions: Optional[int] = None,
+    max_iter: int = 10_000,
+    engine: str = "tasks",
+) -> SuperstepResult:
+    """Single-source shortest distances. Returns SuperstepResult whose
+    state is (vertex, dist) over REACHED vertices only — hop count
+    (int64) unweighted, sum of weights (float64) otherwise.
+
+    igraph parity: BFS levels / Dijkstra distances from ``source``
+    (structural_properties.c:406-933), unreachable vertices omitted
+    (igraph reports IGRAPH_INFINITY)."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+
+    csr = graph.csr_index("out", num_partitions, weighted=weighted)
+    blocks = csr.block_descriptors()
+
+    def _init(sd: dict) -> dict:
+        v = sd["vertex"]
+        dist = np.where(v == source, 0.0, _INF)
+        return {"vertex": v, "dist": dist, "changed": v == source}
+
+    state = _universe_state(graph, csr, _init)
+
+    big = np.float64(np.finfo(np.float64).max)
+
+    def gather_fn(sb, csr_desc, starts, scalars):
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        fr = sb["changed"]
+        msg_count = 0
+        if fr.any():
+            verts = sb["vertex"][fr]
+            base = sb["dist"][fr]
+            if weighted:
+                # per-edge relaxation dist+w via the generic slice kernel:
+                # emit (dst, min(dist[src]+w)) pre-combined per dst
+                from igraph_ray.csr import fetch_block, slices_for
+
+                out_d, out_v = [], []
+                vmin, vmax = verts.min(), verts.max()
+                for (vlo, vhi, ref) in csr_desc:
+                    if vhi < vmin or vlo > vmax:
+                        continue
+                    sel = (verts >= vlo) & (verts <= vhi)
+                    if not sel.any():
+                        continue
+                    blk = fetch_block(ref)
+                    idx, lens = slices_for(blk, verts[sel])
+                    if len(idx) == 0:
+                        continue
+                    out_d.append(blk["dst"][idx])
+                    out_v.append(np.repeat(base[sel], lens) + blk["weight"][idx])
+                if out_d:
+                    alld = np.concatenate(out_d)
+                    allv = np.concatenate(out_v)
+                    dsts, inv = np.unique(alld, return_inverse=True)
+                    mins = np.full(len(dsts), np.inf)
+                    np.minimum.at(mins, inv, allv)
+                else:
+                    dsts = np.empty(0, np.int64)
+                    mins = np.empty(0, np.float64)
+            else:
+                # hop metric: labels are int-valued; reuse the min-label
+                # combiner with label = dist+1
+                labs = (base + 1.0).astype(np.int64)
+                dsts, minl = minlabel_messages(csr_desc, verts, labs, int(2**62))
+                mins = minl.astype(np.float64)
+            msg_count = len(dsts)
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], mins[lo:hi]))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
+
+    def apply_fn(old, segments, scalars):
+        vertex = old["vertex"]
+        new = old["dist"].copy()
+        for pairs in segments:
+            for (sd, sm) in pairs:
+                if not len(sd):
+                    continue
+                pos = np.searchsorted(vertex, sd)
+                np.minimum.at(new, pos, sm)
+        changed = new < old["dist"]
+        return (
+            {"vertex": vertex, "dist": new, "changed": changed},
+            {"changed": float(changed.sum())},
+        )
+
+    res = al.run_aligned_loop(
+        state=state,
+        csr_descriptors=blocks,
+        gather_fn=gather_fn,
+        apply_fn=apply_fn,
+        scalars={"changed": 1.0},
+        make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
+        converged=lambda s, it: s.get("changed", 1.0) == 0.0,
+        max_iter=max_iter,
+        state_columns=["vertex", "dist", "changed"],
+        engine=engine,
+    )
+
+    def _project(b: pa.Table) -> pa.Table:
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        keep = np.isfinite(d)
+        v = b["vertex"].to_numpy(zero_copy_only=False)[keep]
+        if weighted:
+            return pa.table({"vertex": pa.array(v, pa.int64()),
+                             "dist": pa.array(d[keep], pa.float64())})
+        return pa.table({"vertex": pa.array(v, pa.int64()),
+                         "dist": pa.array(d[keep].astype(np.int64), pa.int64())})
+
+    res.state = res.state.map_batches(_project, batch_format="pyarrow", batch_size=None)
+    return res
+
+
+def multi_source_hops(
+    graph: Graph,
+    sources: Sequence[int],
+    num_partitions: Optional[int] = None,
+    max_iter: int = 10_000,
+    chunk: int = 128,
+) -> ray.data.Dataset:
+    """Unweighted hop distances from every source in ``sources``:
+    Dataset (source, vertex, dist) over reached pairs. Sources are
+    processed in chunks of ``chunk`` columns through one dense K-column
+    BFS each (see module docstring)."""
+    out: List[ray.data.Dataset] = []
+    sources = list(sources)
+    for lo in range(0, len(sources), chunk):
+        out.append(_k_column_hops(graph, sources[lo : lo + chunk],
+                                  num_partitions, max_iter))
+    ds = out[0]
+    for o in out[1:]:
+        ds = ds.union(o)
+    return ds
+
+
+def _k_column_hops(graph, sources, num_partitions, max_iter) -> ray.data.Dataset:
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    K = len(sources)
+    src_arr = np.asarray(sources, dtype=np.int64)
+    csr = graph.csr_index("out", num_partitions, weighted=False)
+    blocks = csr.block_descriptors()
+    cols = [f"d{k}" for k in range(K)]
+
+    def _init(sd: dict) -> dict:
+        v = sd["vertex"]
+        out = {"vertex": v}
+        for k in range(K):
+            out[cols[k]] = np.where(v == src_arr[k], 0.0, _INF)
+        return out
+
+    state = _universe_state(graph, csr, _init)
+
+    def gather_fn(sb, csr_desc, starts, scalars):
+        from igraph_ray.csr import fetch_block
+
+        verts = sb["vertex"]
+        dmat = np.stack([sb[c] for c in cols], axis=1)  # (m, K)
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        msg_count = 0
+        if len(verts) == 0:
+            return [tuple(s) for s in segs], 0
+        vmin, vmax = verts.min(), verts.max()
+        for (vlo, vhi, ref) in csr_desc:
+            if vhi < vmin or vlo > vmax:
+                continue
+            sel = (verts >= vlo) & (verts <= vhi)
+            if not sel.any():
+                continue
+            blk = fetch_block(ref)
+            width = blk["vhi"] - blk["vlo"] + 1
+            contrib = np.full((width, K), np.inf)
+            contrib[verts[sel] - blk["vlo"], :] = dmat[sel, :] + 1.0
+            if len(blk["in_starts"]) == 0:
+                continue
+            vals = contrib[blk["in_src"], :]
+            mins = np.minimum.reduceat(vals, blk["in_starts"], axis=0)
+            dsts = blk["in_dst"]
+            msg_count += len(dsts) * K
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], mins[lo:hi, :].ravel()))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
+
+    def apply_fn(old, segments, scalars):
+        vertex = old["vertex"]
+        dmat = np.stack([old[c] for c in cols], axis=1)
+        new = dmat.copy()
+        for pairs in segments:
+            for (sd, sm) in pairs:
+                if not len(sd):
+                    continue
+                pos = np.searchsorted(vertex, sd)
+                np.minimum.at(new, (pos[:, None], np.arange(K)[None, :]),
+                              sm.reshape(len(sd), K))
+        changed = float((new < dmat).sum())
+        out = {"vertex": vertex}
+        for k in range(K):
+            out[cols[k]] = new[:, k]
+        return out, {"changed": changed}
+
+    res = al.run_aligned_loop(
+        state=state,
+        csr_descriptors=blocks,
+        gather_fn=gather_fn,
+        apply_fn=apply_fn,
+        scalars={"changed": 1.0},
+        make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
+        converged=lambda s, it: s.get("changed", 1.0) == 0.0,
+        max_iter=max_iter,
+        state_columns=["vertex"] + cols,
+    )
+
+    def _long(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        outs, outv, outd = [], [], []
+        for k in range(K):
+            d = b[cols[k]].to_numpy(zero_copy_only=False)
+            keep = np.isfinite(d)
+            outs.append(np.full(int(keep.sum()), src_arr[k], dtype=np.int64))
+            outv.append(v[keep])
+            outd.append(d[keep].astype(np.int64))
+        return pa.table(
+            {"source": pa.array(np.concatenate(outs), pa.int64()),
+             "vertex": pa.array(np.concatenate(outv), pa.int64()),
+             "dist": pa.array(np.concatenate(outd), pa.int64())}
+        )
+
+    return res.state.map_batches(_long, batch_format="pyarrow", batch_size=None)
+
+
+def path_length_hist(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+) -> pa.Table:
+    """(dist, count) histogram of directed shortest-path lengths over
+    ordered reachable pairs (source != target), igraph_path_length_hist
+    semantics restricted to the given sources (default: every vertex —
+    the exact histogram; pass a sample of sources for the estimated
+    variant at scale, counts scale by |V|/|sources|)."""
+    if sources is None:
+        sources = [
+            int(r["vertex"]) for r in graph.vertices().take_all()
+        ]
+    hist: dict = {}
+    sources = list(sources)
+    for lo in range(0, len(sources), chunk):
+        ds = _k_column_hops(graph, sources[lo : lo + chunk], num_partitions, 10_000)
+
+        def _h(b: pa.Table) -> pa.Table:
+            d = b["dist"].to_numpy(zero_copy_only=False)
+            s = b["source"].to_numpy(zero_copy_only=False)
+            v = b["vertex"].to_numpy(zero_copy_only=False)
+            d = d[s != v]  # ordered pairs, no self-pairs
+            if len(d) == 0:
+                return pa.table({"dist": pa.array([], pa.int64()),
+                                 "count": pa.array([], pa.int64())})
+            uniq, cnt = np.unique(d, return_counts=True)
+            return pa.table({"dist": pa.array(uniq, pa.int64()),
+                             "count": pa.array(cnt, pa.int64())})
+
+        part = (
+            ds.map_batches(_h, batch_format="pyarrow", batch_size=None)
+            .groupby("dist").sum("count")
+        )
+        for r in part.take_all():
+            hist[int(r["dist"])] = hist.get(int(r["dist"]), 0) + int(r["sum(count)"])
+    dists = sorted(hist)
+    return pa.table(
+        {"dist": pa.array(dists, pa.int64()),
+         "count": pa.array([hist[d] for d in dists], pa.int64())}
+    )

@@ -57,7 +57,13 @@ def triangle_counts(
 
     und = graph.canonical_undirected().materialize()
     n_edges = und.count()
-    if n_edges <= broadcast_threshold:
+    # the broadcast path packs each edge as (lo<<32)|hi in uint64, which
+    # silently corrupts lookups for vertex ids >= 2^32 — route such graphs
+    # through the join plan regardless of edge count (hi >= lo, so one
+    # cheap max() decides)
+    if n_edges <= broadcast_threshold and (
+        n_edges == 0 or int(und.max("hi")) < 2**32
+    ):
         return _broadcast_impl(graph, und, num_partitions)
     return _join_impl(graph, und, num_partitions)
 
@@ -84,6 +90,11 @@ def _pack_edges(tables, use_unique_ids: bool):
         lo_i, hi_i = los, his
     ndense = (ids.size if ids is not None else int(max(los.max(), his.max())) + 1) if len(los) else 0
     deg = np.bincount(lo_i, minlength=ndense) + np.bincount(hi_i, minlength=ndense)
+    if len(his) and int(his.max()) >= 2**32:
+        raise ValueError(
+            "broadcast triangle path requires vertex ids < 2^32 "
+            "(caller routes larger ids to the join plan)"
+        )
     keys = np.sort((los.astype(np.uint64) << np.uint64(32)) | his.astype(np.uint64))
     return ({"ids": ids, "deg": deg.astype(np.int64)}, keys)
 

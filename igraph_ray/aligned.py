@@ -40,7 +40,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from igraph_ray.superstep import CheckpointConfig, SuperstepResult, _manifest_path, latest_checkpoint
+from igraph_ray.superstep import (
+    CheckpointConfig,
+    SuperstepResult,
+    _manifest_path,
+    latest_checkpoint,
+    prune_checkpoints,
+)
 
 
 @dataclass
@@ -539,6 +545,7 @@ def run_aligned_loop(
             os.replace(tmp, _manifest_path(checkpoint.path, it))
             with open(os.path.join(checkpoint.path, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(row) + "\n")
+            prune_checkpoints(checkpoint, it)
         if stop:
             did_converge = True
             it += 1
@@ -569,6 +576,7 @@ def run_aligned_loop(
         metrics=metrics,
         converged=did_converge,
         loop_wall_s=loop_wall_s,
+        aligned_state=state,
     )
 
 
@@ -646,6 +654,7 @@ def _run_actor_loop(
             os.replace(tmp, _manifest_path(checkpoint.path, it))
             with open(os.path.join(checkpoint.path, "metrics.jsonl"), "a") as f:
                 f.write(json.dumps(row) + "\n")
+            prune_checkpoints(checkpoint, it)
         if stop:
             did_converge = True
             it += 1

@@ -72,7 +72,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from igraph_ray.superstep import CheckpointConfig, SuperstepResult, _manifest_path
+from igraph_ray.superstep import (
+    CheckpointConfig,
+    SuperstepResult,
+    _manifest_path,
+    prune_checkpoints,
+)
 
 
 @ray.remote(num_cpus=0)
@@ -84,21 +89,32 @@ class _CgActor:
         self._msgs = 0
         self._gather_ms = 0.0
 
-    def set_fns(self, gather_fn, apply_fn, csr_desc, starts,
+    def set_fns(self, gather_fn, apply_fn, make_scalars, init_scalars,
+                csr_desc, starts,
                 checkpoint: Optional[CheckpointConfig]) -> bool:
         self.gather_fn = gather_fn
         self.apply_fn = apply_fn
+        self.make_scalars = make_scalars
         self.csr_desc = csr_desc
         self.starts = starts
         self.checkpoint = checkpoint
-        # pin this actor to one core of the allowed set (round-robin by
-        # partition index): with P actors on C cores, OS migrations were
-        # the dominant barrier-skew source (gather p95 2-8x p50); a BSP
-        # superstep runs at the pace of its slowest partition, so jitter
-        # is paid in full every iteration. Standard per-rank core binding.
+        self.init_scalars = init_scalars
+        self._scalars = init_scalars
+        self._partial_prev: dict = {}
+        # pin this actor to one core — but ONLY when each actor can own a
+        # core (P <= cores). A BSP superstep runs at the pace of its
+        # slowest partition, so OS migration jitter is paid in full every
+        # iteration (measured gather p95 2-8x p50 unpinned at 32/32).
+        # When actors outnumber cores, static pinning instead AMPLIFIES
+        # skew (a core stuck with the heaviest partitions can't shed
+        # load, measured 2x iteration spikes at 32 actors on 8 cores) —
+        # leave placement to the OS there.
         try:
             allowed = sorted(os.sched_getaffinity(0))
-            os.sched_setaffinity(0, {allowed[self.idx % len(allowed)]})
+            if self.nb <= len(allowed):
+                os.sched_setaffinity(0, {allowed[self.idx % len(allowed)]})
+            else:
+                os.sched_setaffinity(0, set(allowed))
         except (AttributeError, OSError):
             pass
         return True
@@ -123,18 +139,41 @@ class _CgActor:
     def gather(self, ctl: dict):
         t0 = time.perf_counter()
         segs, cnt = self.gather_fn(self.state, self.csr_desc, self.starts,
-                                   ctl["scalars"])
+                                   self._scalars)
         self._msgs = int(cnt)
         self._gather_ms = (time.perf_counter() - t0) * 1e3
-        return tuple(segs)
+        # each outgoing segment carries this actor's PREVIOUS apply
+        # partials: every receiver can then derive the iteration's global
+        # scalars locally (fixed partition-order float sum — identical on
+        # every actor and to the old driver-side reduction), so the
+        # driver round trip leaves the critical path and fixed-iteration
+        # runs pipeline executes back-to-back
+        meta = (self.idx, self._partial_prev)
+        return tuple((seg, meta) for seg in segs)
 
     def apply(self, ctl: dict, *segments):
         if ctl.get("warmup"):
             return {}
         t0 = time.perf_counter()
-        new_state, partial = self.apply_fn(self.state, list(segments),
-                                           ctl["scalars"])
+        by_idx = {}
+        segs = []
+        for (seg, (idx, part)) in segments:
+            segs.append(seg)
+            if part:
+                by_idx[idx] = part
+        if by_idx:
+            summed: dict = {}
+            for idx in sorted(by_idx):
+                for k, v in by_idx[idx].items():
+                    if not k.startswith("_"):
+                        summed[k] = summed.get(k, 0.0) + float(v)
+            scalars = self.make_scalars(summed, ctl["it"] - 1)
+        else:
+            scalars = self.init_scalars
+        self._scalars = scalars
+        new_state, partial = self.apply_fn(self.state, segs, scalars)
         partial = dict(partial)
+        self._partial_prev = {k: v for k, v in partial.items() if not k.startswith("_")}
         self.state = new_state
         apply_ms = (time.perf_counter() - t0) * 1e3
         ck = ctl.get("ckpt_iter")
@@ -233,7 +272,7 @@ def _get_dag(nb: int):
                 for j, a in enumerate(actors)
             ]
         dag = MultiOutputNode(applies)
-    cdag = dag.experimental_compile()
+    cdag = dag.experimental_compile(_max_inflight_executions=16)
     last_compile_s = time.perf_counter() - t0
     _DAG_CACHE[nb] = (actors, cdag)
     return _DAG_CACHE[nb]
@@ -255,25 +294,33 @@ def run_cgraph_loop(
     if max_iter > start_iter:
         actors, cdag = _get_dag(nb)
         ray.get([
-            a.set_fns.remote(gather_fn, apply_fn, csr_by_block[i],
-                             state.starts, checkpoint)
+            a.set_fns.remote(gather_fn, apply_fn, make_scalars, scalars,
+                             csr_by_block[i], state.starts, checkpoint)
             for i, a in enumerate(actors)
         ])
         ray.get([a.set_state.remote(state.blocks[i]) for i, a in enumerate(actors)])
         # no-op warmup: gathers run (faulting in state pages, growing every
         # channel buffer to its real working size), applies skip — state
         # unchanged, loop timer unaffected
-        ray.get(cdag.execute({"scalars": scalars, "warmup": True}))
+        ray.get(cdag.execute({"warmup": True, "it": start_iter}))
 
-        loop_t0 = time.perf_counter()
-        for it in range(start_iter, max_iter):
-            t0 = time.perf_counter()
-            ck_due = checkpoint is not None and it % checkpoint.every == 0
-            ctl = {"scalars": scalars, "ckpt_iter": it if ck_due else None}
-            partials = ray.get(cdag.execute(ctl))
-            scalars = make_scalars(_sum_partials(partials), it)
+        # check_every == 0 (fixed-iteration runs): scalars are derived
+        # inside the actors, so the driver submits executes WINDOW-deep
+        # and drains results behind the pipeline — no per-superstep
+        # round trip. Convergence-tested runs keep window 1 so the state
+        # never advances past the converged iteration.
+        window = 8 if check_every == 0 else 1
+        from collections import deque
+
+        in_flight: deque = deque()
+
+        def _drain():
+            nonlocal scalars
+            d_it, t0, fut = in_flight.popleft()
+            partials = ray.get(fut)
+            scalars = make_scalars(_sum_partials(partials), d_it)
             row = {
-                "iteration": it,
+                "iteration": d_it,
                 "wall_s": time.perf_counter() - t0,
                 "messages": int(sum(p.get("_messages", 0.0) for p in partials)),
             }
@@ -283,17 +330,41 @@ def run_cgraph_loop(
                 row[out + "_p95"] = float(np.percentile(vals, 95))
             row.update({k: v for k, v in scalars.items() if not k.startswith("_")})
             metrics.append(row)
-            stop = converged(scalars, it)
-            if ck_due or (checkpoint is not None and stop):
-                if not ck_due:
-                    ray.get([a.write_final_part.remote(it) for a in actors])
-                _commit_manifest(checkpoint, it, scalars)
+            stop = converged(scalars, d_it)
+            if checkpoint is not None and (
+                d_it % checkpoint.every == 0 or stop
+            ):
+                if d_it % checkpoint.every != 0:
+                    ray.get([a.write_final_part.remote(d_it) for a in actors])
+                _commit_manifest(checkpoint, d_it, scalars)
                 with open(os.path.join(checkpoint.path, "metrics.jsonl"), "a") as f:
                     f.write(json.dumps(row) + "\n")
-            if stop:
-                did_converge = True
-                it += 1
+                prune_checkpoints(checkpoint, d_it)
+            return d_it, stop
+
+        loop_t0 = time.perf_counter()
+        it = start_iter
+        stopped_at = None
+        for sub_it in range(start_iter, max_iter):
+            while len(in_flight) >= window:
+                d_it, stop = _drain()
+                if stop:
+                    stopped_at = d_it
+                    break
+            if stopped_at is not None:
                 break
+            ck_due = checkpoint is not None and sub_it % checkpoint.every == 0
+            ctl = {"it": sub_it, "ckpt_iter": sub_it if ck_due else None}
+            in_flight.append((sub_it, time.perf_counter(), cdag.execute(ctl)))
+        while in_flight and stopped_at is None:
+            d_it, stop = _drain()
+            if stop:
+                stopped_at = d_it
+        while in_flight:
+            _drain()  # drain remaining pipelined results in order
+        if stopped_at is not None:
+            did_converge = True
+            it = stopped_at + 1
         else:
             it = max_iter
         loop_wall_s = time.perf_counter() - loop_t0
@@ -301,13 +372,17 @@ def run_cgraph_loop(
     else:
         final_blocks = state.blocks
 
+    final_aligned = AlignedState(blocks=final_blocks, starts=state.starts)
     result = SuperstepResult(
-        state=aligned_to_dataset(AlignedState(blocks=final_blocks, starts=state.starts)),
+        state=aligned_to_dataset(final_aligned),
         iterations=it,
         scalars=scalars,
         metrics=metrics,
         converged=did_converge,
         loop_wall_s=loop_wall_s,
+        # block refs are owned by the cached actor pool: valid until the
+        # next run through the same pool replaces them — consume promptly
+        aligned_state=final_aligned,
     )
     # materialize while the (cached) actors still hold the blocks
     result.state = result.state.materialize()

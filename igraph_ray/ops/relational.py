@@ -145,15 +145,27 @@ def is_simple(edges: ray.data.Dataset) -> bool:
 
 def mutual_edges(edges: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
     """igraph_is_mutual (structural_properties.c:5657): edges whose reverse
-    also exists (loops excluded)."""
+    also exists (loops excluded).
+
+    Simple-graph semantics: the input is dedup'd first, so a multi-edge
+    counts once. igraph's edge-level is_mutual pairs multi-edges by
+    multiplicity via the in/out neighbor merge scan — use count_multiple
+    + a multiplicity-aware join if that behavior is needed."""
     d = _dedup(edges.filter(expr="src != dst"))
     rev = reverse(d)
     return hash_join(d, rev, on=("src", "dst"), num_partitions=num_partitions)
 
 
 def reciprocity(edges: ray.data.Dataset) -> float:
-    """igraph_reciprocity(ignore_loops=True) (structural_properties.c:2375):
-    fraction of non-loop distinct edges whose reverse exists."""
+    """Reciprocity over the SIMPLE graph: fraction of non-loop distinct
+    edges whose reverse exists.
+
+    Deviation from igraph_reciprocity (structural_properties.c:2417):
+    igraph pairs multi-edges by multiplicity (min(in,out) per ordered
+    pair) during its neighbor merge scan; this operator collapses
+    duplicates first, so results differ on multigraphs. Matching the
+    multiplicity rule distributed = count_multiple on both directions +
+    SUM(LEAST(m_fwd, m_rev)) — intentionally not the default here."""
     d = _dedup(edges.filter(expr="src != dst")).materialize()
     total = d.count()
     if total == 0:
@@ -222,3 +234,162 @@ def top_k_by(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) ->
     """Top-k helper (engine-side; the reference's analogue is
     sort_vertex_ids_by_degree, structural_properties.c:6223)."""
     return ds.sort(col, descending=descending).limit(k)
+
+
+def dyad_census(edges: ray.data.Dataset, n: int, num_partitions: int = 8) -> "pa.Table":
+    """igraph_dyad_census (/root/reference/src/motifs.c:848): counts of
+    (mut, asym, null) unordered vertex pairs over the simple loop-free
+    digraph — mutual = both directions present, asymmetric = exactly one,
+    null = no edge. Three streaming counts, no pair materialization:
+    mut = |mutual ordered edges|/2, asym = |distinct edges| - that*2,
+    null = C(n,2) - mut - asym."""
+    d = _dedup(edges.filter(expr="src != dst")).materialize()
+    e_s = d.count()
+    m_rows = mutual_edges(d, num_partitions=num_partitions).count()
+    mut = m_rows // 2
+    asym = e_s - m_rows
+    null = n * (n - 1) // 2 - mut - asym
+    return pa.table(
+        {"mut": pa.array([mut], pa.int64()),
+         "asym": pa.array([asym], pa.int64()),
+         "null": pa.array([null], pa.int64())}
+    )
+
+
+def disjoint_union(
+    a: ray.data.Dataset, n_a: int, b: ray.data.Dataset, n_b: int
+) -> ray.data.Dataset:
+    """igraph_disjoint_union (operators.c:38): graphs side by side — b's
+    vertex ids shifted by n_a. Returns the combined edge table over the
+    dense universe 0..n_a+n_b-1 (pure map + union, no shuffle)."""
+
+    def _shift(t: pa.Table) -> pa.Table:
+        cols = {"src": pc.add(t["src"], n_a), "dst": pc.add(t["dst"], n_a)}
+        if "weight" in t.column_names:
+            cols["weight"] = t["weight"]
+        return pa.table(cols)
+
+    return a.select_columns([c for c in a.schema().names if c in ("src", "dst", "weight")]).union(
+        b.map_batches(_shift, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def complementer(
+    edges: ray.data.Dataset, n: int, loops: bool = False, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """igraph_complementer (operators.c:1038): directed edges NOT present
+    (loops excluded unless ``loops``). Generated per src range — each task
+    materializes only its rows of the complement (n*n output total; the
+    caller owns that cost, exactly as in the reference)."""
+    import ray as _ray
+
+    present = _dedup(edges)
+    bnds = [int(x) for x in np.linspace(0, n, num_partitions + 1).astype(np.int64)[1:-1]]
+    srted = (
+        present.sort("src", boundaries=bnds) if bnds else present.sort("src")
+    ).materialize()
+    # exactly one block per src range, in range order — each task owns
+    # range [ranges[i], ranges[i+1]) and emits only its complement rows
+    refs = srted.to_arrow_refs()
+    ranges = [0] + bnds + [n]
+
+    @_ray.remote
+    def _complement_range(lo: int, hi: int, t: pa.Table) -> pa.Table:
+        if t.num_rows and "src" in t.column_names:
+            have_src = t["src"].to_numpy(zero_copy_only=False)
+            have_dst = t["dst"].to_numpy(zero_copy_only=False)
+        else:
+            have_src = np.empty(0, np.int64)
+            have_dst = np.empty(0, np.int64)
+        order = np.lexsort((have_dst, have_src))
+        have_key = have_src[order] * n + have_dst[order]
+        out_s, out_d = [], []
+        row = np.arange(n, dtype=np.int64)
+        for s in range(lo, hi):
+            keys = s * n + row
+            if len(have_key):
+                pos = np.searchsorted(have_key, keys)
+                pos[pos >= len(have_key)] = len(have_key) - 1
+                miss = have_key[pos] != keys
+            else:
+                miss = np.ones(n, bool)
+            if not loops:
+                miss &= row != s
+            out_s.append(np.full(int(miss.sum()), s, dtype=np.int64))
+            out_d.append(row[miss])
+        if not out_s:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return pa.table(
+            {"src": pa.array(np.concatenate(out_s)), "dst": pa.array(np.concatenate(out_d))}
+        )
+
+    n_blocks = min(len(refs), len(ranges) - 1)
+    tasks = [
+        _complement_range.remote(ranges[i], ranges[i + 1], refs[i])
+        for i in range(n_blocks)
+    ]
+    # trailing ranges with no block at all (possible when the sort merged
+    # empties) still need their complement rows
+    empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    tasks += [
+        _complement_range.remote(ranges[i], ranges[i + 1], empty)
+        for i in range(n_blocks, len(ranges) - 1)
+    ]
+    return ray.data.from_arrow_refs(tasks)
+
+
+def rewire(
+    edges: ray.data.Dataset, n_swaps: Optional[int] = None, seed: int = 42,
+) -> ray.data.Dataset:
+    """Degree-preserving randomization (igraph_rewire,
+    structural_properties.c:1734 / games.c:2816): repeated random
+    two-edge swaps (a->b, c->d) => (a->d, c->b), rejecting swaps that
+    create loops or duplicate edges. In- and out-degree sequences are
+    preserved exactly.
+
+    Distribution note: the reference swaps over the single global edge
+    list; distributed, swaps are done independently WITHIN each shuffled
+    partition (edges are first repartitioned by a seeded hash so any edge
+    pair can meet). Each partition preserves its own degree multiset, so
+    the global sequences are preserved; mixing quality grows with
+    n_swaps/|E| exactly as in the sequential algorithm."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        # deterministic pseudo-random partition key (splitmix of src,dst)
+        x = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            d.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        ) ^ np.uint64(seed)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0x94D049BB133111EB)
+        return t.append_column("_rk", pa.array((x >> np.uint64(32)).astype(np.int64)))
+
+    keyed = edges.map_batches(_key, batch_format="pyarrow", batch_size=None)
+    srted = keyed.sort("_rk")
+
+    def _swap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        s = t["src"].to_numpy(zero_copy_only=False).copy()
+        d = t["dst"].to_numpy(zero_copy_only=False).copy()
+        m = len(s)
+        rng = np.random.default_rng(seed ^ m ^ int(s[0]) if m else seed)
+        swaps = n_swaps if n_swaps is not None else 10 * m
+        existing = set(zip(s.tolist(), d.tolist()))
+        for _ in range(swaps):
+            i, j = rng.integers(0, m, 2)
+            if i == j:
+                continue
+            a, b_, c, dd = int(s[i]), int(d[i]), int(s[j]), int(d[j])
+            if a == dd or c == b_:
+                continue  # would create a loop
+            if (a, dd) in existing or (c, b_) in existing:
+                continue  # would create a multi-edge
+            existing.discard((a, b_))
+            existing.discard((c, dd))
+            existing.add((a, dd))
+            existing.add((c, b_))
+            d[i], d[j] = dd, b_
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    return srted.map_batches(_swap, batch_format="pyarrow", batch_size=None)

@@ -96,53 +96,174 @@ def embedding_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_bands: int = 8,
     seed: int = 42,
     exact: bool = True,
+    max_bucket: int = 500,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by embedding cosine: (a, b, score) with a < b
     and cosine ≥ threshold.
 
     exact=True (the oracle-matched mode): every batch scores against the
     full normalized matrix broadcast once via ray.put — O(N²/P) per task,
-    fine up to ~10^5 vectors. exact=False: random-hyperplane LSH buckets
-    prune candidates first (the scale path; approximate recall).
+    fine up to ~10^5 vectors.
+
+    exact=False (the scale path): banded random-hyperplane LSH (Charikar,
+    STOC 2002). ``num_bands`` bands of ``num_planes`` hyperplanes each;
+    two vectors collide in a band with probability (1 - θ/π)^num_planes,
+    so overall candidate recall is 1-(1-p^r)^L — ~0.998 at cosine 0.9 with
+    the r=4, L=8 defaults. Candidate pairs come from per-band bucket
+    groups (boundary-aligned int64-key sort, exactly one block per key
+    range, so buckets never straddle blocks), then exact cosine rescoring
+    over the joined vectors keeps only true ≥-threshold pairs: precision
+    1.0, recall = candidate recall. Output matches the exact mode minus
+    LSH misses.
     """
-    refs = embeddings.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
+    if exact:
+        refs = embeddings.select_columns([id_col, vec_col]).materialize().to_arrow_refs()
 
-    @ray.remote
-    def _assemble(rs):
-        tables = [t for t in ray.get(list(rs)) if t.num_rows]
-        t = pa.concat_tables(tables)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _to_matrix(t[vec_col])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return {"ids": ids, "m": m}
+        @ray.remote
+        def _assemble(rs):
+            tables = [t for t in ray.get(list(rs)) if t.num_rows]
+            t = pa.concat_tables(tables)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _to_matrix(t[vec_col])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            return {"ids": ids, "m": m}
 
-    side_ref = _assemble.remote(refs)
+        side_ref = _assemble.remote(refs)
 
-    if not exact:
-        rng = np.random.default_rng(seed)
-        planes_ref = ray.put(rng.standard_normal((num_planes, 1)))  # dim fixed below
+        def _pairs(b: pa.Table) -> pa.Table:
+            side = ray.get(side_ref)
+            all_ids, mat = side["ids"], side["m"]
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _to_matrix(b[vec_col])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            scores = m @ mat.T  # (B, N)
+            ii, jj = np.nonzero(scores >= threshold)
+            a = ids[ii]
+            bb = all_ids[jj]
+            keep = a < bb  # each unordered pair once, no self-pairs
+            return pa.table(
+                {"a": pa.array(a[keep], pa.int64()),
+                 "b": pa.array(bb[keep], pa.int64()),
+                 "score": pa.array(scores[ii, jj][keep], pa.float64())}
+            )
 
-    def _pairs(b: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
-        all_ids, mat = side["ids"], side["m"]
+        return embeddings.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+
+    # ---------------- LSH scale path ----------------
+    from igraph_ray.csr import compute_boundaries
+    from igraph_ray.util import hash_join
+
+    planes_by_dim: dict = {}
+
+    def _planes_for(dim: int) -> np.ndarray:
+        # deterministic per dim: fresh generator seeded identically in
+        # every worker (no cross-task state)
+        p = planes_by_dim.get(dim)
+        if p is None:
+            p = np.random.default_rng(seed).standard_normal(
+                (num_bands * num_planes, dim)
+            )
+            planes_by_dim[dim] = p
+        return p
+
+    def _bucket(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _to_matrix(b[vec_col])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        scores = m @ mat.T  # (B, N)
-        ii, jj = np.nonzero(scores >= threshold)
-        a = ids[ii]
-        bb = all_ids[jj]
-        keep = a < bb  # each unordered pair once, no self-pairs
+        pl = _planes_for(m.shape[1])
+        bits = (m @ pl.T > 0).astype(np.uint64)  # (n, L*r)
+        keys = np.empty((len(ids), num_bands), dtype=np.int64)
+        weights = (np.uint64(1) << np.arange(num_planes, dtype=np.uint64))
+        for band in range(num_bands):
+            chunk = bits[:, band * num_planes : (band + 1) * num_planes]
+            code = (chunk * weights[None, :]).sum(axis=1)
+            keys[:, band] = ((np.uint64(band) << np.uint64(num_planes)) | code).astype(np.int64)
         return pa.table(
-            {"a": pa.array(a[keep], pa.int64()),
-             "b": pa.array(bb[keep], pa.int64()),
-             "score": pa.array(scores[ii, jj][keep], pa.float64())}
+            {"band_key": pa.array(keys.reshape(-1), pa.int64()),
+             "a": pa.array(np.repeat(ids, num_bands), pa.int64())}
         )
 
-    return embeddings.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+    banded = embeddings.map_batches(_bucket, batch_format="pyarrow", batch_size=None).materialize()
+    bounds = compute_boundaries(banded, num_partitions, col="band_key")
+    bucketed = (
+        banded.sort("band_key", boundaries=bounds) if bounds else banded.sort("band_key")
+    )
+
+    def _cand(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "band_key" not in b.column_names:
+            return empty
+        keys = b["band_key"].to_numpy(zero_copy_only=False)
+        ids = b["a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        newgrp = np.empty(len(keys), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        lens = np.diff(np.append(starts, len(keys)))
+        outa, outb = [], []
+        for s, ln in zip(starts, lens):
+            group = np.unique(ids[s : s + ln])
+            if len(group) < 2:
+                continue
+            if len(group) <= max_bucket:
+                x, y = np.triu_indices(len(group), k=1)
+                outa.append(group[x])
+                outb.append(group[y])
+            else:
+                # star pairs against the bucket representative: O(n)
+                # connectivity instead of O(n^2) output, nothing dropped
+                outa.append(np.full(len(group) - 1, group[0], dtype=np.int64))
+                outb.append(group[1:])
+        if not outa:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(outa), pa.int64()),
+             "b": pa.array(np.concatenate(outb), pa.int64())}
+        )
+
+    cands = (
+        bucketed.map_batches(_cand, batch_format="pyarrow", batch_size=None)
+        .groupby(["a", "b"]).count().select_columns(["a", "b"])
+    )
+
+    def _va(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b[id_col], "vec_a": b[vec_col]})
+
+    def _vb(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b[id_col], "vec_b": b[vec_col]})
+
+    j = hash_join(cands, embeddings.map_batches(_va, batch_format="pyarrow", batch_size=None),
+                  on="a", num_partitions=num_partitions)
+    j = hash_join(j, embeddings.map_batches(_vb, batch_format="pyarrow", batch_size=None),
+                  on="b", num_partitions=num_partitions)
+
+    def _score(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if b.num_rows == 0 or "vec_a" not in b.column_names:
+            return empty
+        va = _to_matrix(b["vec_a"])
+        vb = _to_matrix(b["vec_b"])
+        va = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
+        vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
+        sc = (va * vb).sum(axis=1)
+        keep = sc >= threshold
+        return pa.table(
+            {"a": pa.array(b["a"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "b": pa.array(b["b"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "score": pa.array(sc[keep], pa.float64())}
+        )
+
+    return j.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 def lsh_topk(

@@ -354,6 +354,17 @@ def k_core(graph: Graph, k: int, max_iter: int = 10_000, num_partitions: int = 8
         und = marked2.map_batches(_k2, batch_format="pyarrow", batch_size=None).materialize()
 
     def _v(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64())})
         return pa.table({"vertex": b["src"].combine_chunks().unique()})
 
-    return und.map_batches(_v, batch_format="pyarrow", batch_size=None).groupby("vertex").count().select_columns(["vertex"])
+    grouped = (
+        und.map_batches(_v, batch_format="pyarrow", batch_size=None)
+        .groupby("vertex").count().select_columns(["vertex"]).materialize()
+    )
+    # an all-empty groupby result carries a NULL schema (known Ray Data
+    # sort-groupby artifact; empty blocks bypass map_batches UDFs) — an
+    # empty k-core is returned as a typed empty dataset instead
+    if grouped.count() == 0:
+        return ray.data.from_arrow(pa.table({"vertex": pa.array([], pa.int64())}))
+    return grouped

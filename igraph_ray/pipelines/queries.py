@@ -27,6 +27,9 @@ from igraph_ray.algorithms.components import component_sizes, connected_componen
 from igraph_ray.algorithms.lpa import label_propagation
 from igraph_ray.algorithms.modularity import modularity
 from igraph_ray.algorithms.pagerank import pagerank
+from igraph_ray.algorithms.kcore import coreness
+from igraph_ray.algorithms.paths import path_length_hist, sssp_hops
+from igraph_ray.algorithms.scc import strongly_connected_components
 from igraph_ray.algorithms.triangles import triangle_counts
 from igraph_ray.graph import Graph
 from igraph_ray.ops import dedup as dd
@@ -87,6 +90,31 @@ def q_components(sf_dir: str):
     return connected_components(g, num_partitions=8).state
 
 
+def q_scc(sf_dir: str):
+    """Strong components over the directed edges_a digraph; labels follow
+    the rank-of-min contract (components.c:164-316 semantics)."""
+    g = derive.graph_a(sf_dir)
+    return strongly_connected_components(g, num_partitions=8).state
+
+
+def q_sssp_hops(sf_dir: str):
+    """Single-source BFS hop distances from the min universe vertex over
+    the directed edges_a digraph; reached vertices only
+    (structural_properties.c:406-933 semantics)."""
+    g = derive.graph_a(sf_dir)
+    source = int(
+        g.vertices().min("vertex")
+    )
+    return sssp_hops(g, source=source, num_partitions=8).state
+
+
+def q_path_length_hist(sf_dir: str):
+    """Exact directed path-length histogram over ordered reachable pairs
+    (igraph_path_length_hist, structural_properties.c:293)."""
+    g = derive.graph_a(sf_dir)
+    return path_length_hist(g, num_partitions=8, chunk=128)
+
+
 def q_component_sizes(sf_dir: str):
     g = derive.graph_a(sf_dir)
     st = connected_components(g, num_partitions=8).state
@@ -112,6 +140,13 @@ def q_modularity(sf_dir: str):
 
     q = modularity(g.edges, st.map_batches(_rn, batch_format="pyarrow", batch_size=None))
     return pa.table({"q_e9": pa.array([int(round(q * 1e9))], pa.int64())})
+
+
+def q_dyad_census(sf_dir: str):
+    """(mut, asym, null) dyad counts over edges_a with n = |universe|
+    (motifs.c:848)."""
+    n = derive.graph_a(sf_dir).num_vertices()
+    return rel.dyad_census(derive.edges_a(sf_dir), n)
 
 
 def q_reciprocity(sf_dir: str):
@@ -279,10 +314,21 @@ def q_has_cycle(sf_dir: str):
     return pa.table({"has_cycle": pa.array([0 if is_dag else 1], pa.int64())})
 
 
+def q_coreness(sf_dir: str):
+    """Coreness per vertex via the h-operator fixpoint over the
+    symmetrized multigraph view (cores.c:31 semantics)."""
+    g = derive.graph_a(sf_dir)
+    return coreness(g, num_partitions=8).state
+
+
 def q_k_core(sf_dir: str):
     from igraph_ray.ops.structural import k_core
 
-    return k_core(derive.graph_a(sf_dir), k=5, num_partitions=8)
+    ds = k_core(derive.graph_a(sf_dir), k=5, num_partitions=8)
+    # return a typed Table: Ray cannot carry a 0-row schema through
+    # to_pandas, and an empty 5-core is a legitimate result
+    vs = [r["vertex"] for r in ds.take_all()]
+    return pa.table({"vertex": pa.array(vs, pa.int64())})
 
 
 # ------------------------------------------------------- training-data ops
@@ -459,6 +505,281 @@ ranks AS (SELECT ml, CAST(DENSE_RANK() OVER (ORDER BY ml) - 1 AS BIGINT) AS rank
 """
 
 
+_SQL_SCC_CORE = f"""
+WITH RECURSIVE edges AS MATERIALIZED ({SQL_EDGES_A}),
+verts AS MATERIALIZED ({SQL_VERTS_A}),
+reach(s, t) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.t
+),
+mutual AS (SELECT r1.s AS a, r1.t AS b FROM reach r1
+           JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s),
+minl AS (SELECT a AS v, MIN(b) AS ml FROM mutual GROUP BY a),
+ranks AS (SELECT ml, CAST(DENSE_RANK() OVER (ORDER BY ml) - 1 AS BIGINT) AS rank
+          FROM (SELECT DISTINCT ml FROM minl))
+"""
+
+
+def _sql_scc() -> str:
+    return (
+        _SQL_SCC_CORE
+        + "SELECT m.v AS vertex, r.rank AS label FROM minl m JOIN ranks r USING (ml) ORDER BY vertex"
+    )
+
+
+_SSSP_ITERS = 30
+_BIG = 1_000_000_000
+
+
+def _sql_sssp(iters: int = _SSSP_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        f"h0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT MIN(v) FROM verts) "
+        f"THEN 0 ELSE {_BIG} END AS d FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT h.v, LEAST(h.d, COALESCE(m.md, {_BIG})) AS d "
+            f"FROM {p} h LEFT JOIN (SELECT e.dst AS v, MIN(p.d) + 1 AS md FROM edges e "
+            f"JOIN {p} p ON p.v = e.src WHERE p.d < {_BIG} GROUP BY e.dst) m ON m.v = h.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(d AS BIGINT) AS dist FROM h{iters} "
+        f"WHERE d < {_BIG} ORDER BY vertex"
+    )
+
+
+def _sql_path_length_hist(iters: int = _SSSP_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "p0 AS MATERIALIZED (SELECT v AS s, v AS t, 0 AS d FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"p{k-1}"
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT s, t, MIN(d) AS d FROM ("
+            f"SELECT s, t, d FROM {p} UNION ALL "
+            f"SELECT p.s, e.dst AS t, p.d + 1 AS d FROM {p} p JOIN edges e ON e.src = p.t"
+            f") GROUP BY s, t)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT CAST(d AS BIGINT) AS dist, COUNT(*) AS count FROM p{iters} "
+        f"WHERE s != t GROUP BY d ORDER BY dist"
+    )
+
+
+def _sql_coreness_core(iters: int = 40, distinct: bool = False) -> str:
+    """Unrolled h-operator recurrence (see algorithms/kcore.py): c0 = sym
+    degree; c_k(v) = min(c_{k-1}(v), h-index of neighbor c_{k-1}s) with
+    h-index = MAX(LEAST(rank_desc, value)). distinct=True = simple-graph
+    view (k_core), False = multigraph view (coreness)."""
+    u = "UNION" if distinct else "UNION ALL"
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        f"sym AS MATERIALIZED (SELECT src, dst FROM edges {u} SELECT dst, src FROM edges)",
+        "c0 AS MATERIALIZED (SELECT verts.v, COALESCE(d.n, 0) AS c FROM verts "
+        "LEFT JOIN (SELECT src, COUNT(*) AS n FROM sym GROUP BY src) d ON d.src = verts.v)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"c{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT c.v, LEAST(c.c, COALESCE(h.h, 0)) AS c "
+            f"FROM {prev} c LEFT JOIN (SELECT dst AS v, MAX(LEAST(rn, nc)) AS h FROM ("
+            f"SELECT s.dst, p.c AS nc, ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY p.c DESC) AS rn "
+            f"FROM sym s JOIN {prev} p ON p.v = s.src) GROUP BY dst) h ON h.v = c.v)"
+        )
+    return ",\n".join(parts) + f"\n-- final table c{iters}"
+
+
+def _sql_coreness(iters: int = 40) -> str:
+    return (
+        _sql_coreness_core(iters, distinct=False).replace(f"-- final table c{iters}", "")
+        + f"SELECT v AS vertex, CAST(c AS BIGINT) AS coreness FROM c{iters} ORDER BY vertex"
+    )
+
+
+def _sql_k_core(k: int = 5, iters: int = 40) -> str:
+    return (
+        _sql_coreness_core(iters, distinct=True).replace(f"-- final table c{iters}", "")
+        + f"SELECT v AS vertex FROM c{iters} WHERE c >= {k} ORDER BY vertex"
+    )
+
+
+# ---------------------------------------------------- sketch-family oracles
+# SQL mirrors of the md5-word-hash + splitmix64 family in ops/dedup.py —
+# md5_number_upper(w) == struct.unpack("<Q", md5(w).digest()[:8]) exactly,
+# and UHUGEINT mod-2^64 arithmetic reproduces numpy uint64 wraparound.
+# CAUTION: DuckDB SUM over UHUGEINT goes through DOUBLE (silent rounding
+# above 2^53) — all power-of-two folds sum HUGEINT instead.
+
+_M64 = "18446744073709551616::UHUGEINT"
+_GOLDEN64 = 0x9E3779B97F4A7C15
+_MIX1_64 = 0xBF58476D1CE4E5B9
+_MIX2_64 = 0x94D049BB133111EB
+
+
+def _sm_sql(x: str) -> str:
+    """splitmix64 of a (< 2^64) UHUGEINT-typed SQL expression."""
+    a = f"xor(({x})::UBIGINT::UHUGEINT, ((({x})::UBIGINT) >> 30)::UHUGEINT)"
+    s1 = f"((({a}) * {_MIX1_64}::UHUGEINT) % {_M64})"
+    b = f"xor(({s1})::UBIGINT::UHUGEINT, ((({s1})::UBIGINT) >> 27)::UHUGEINT)"
+    s2 = f"((({b}) * {_MIX2_64}::UHUGEINT) % {_M64})"
+    c = f"xor(({s2})::UBIGINT::UHUGEINT, ((({s2})::UBIGINT) >> 31)::UHUGEINT)"
+    return f"({c})"
+
+
+def _sql_simhash() -> str:
+    pow2 = ", ".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    return rf"""
+WITH pw(j, p) AS (VALUES {pow2}),
+w AS (
+  SELECT doc_id, md5_number_upper(word) AS h
+  FROM (SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS word FROM documents)
+  WHERE word <> ''
+),
+b AS (
+  SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w CROSS JOIN (SELECT UNNEST(range(64)) AS j)
+  GROUP BY doc_id, j
+),
+s AS (SELECT b.doc_id, SUM(CASE WHEN b.acc > 0 THEN pw.p ELSE 0::HUGEINT END) AS sh
+      FROM b JOIN pw ON pw.j = b.j GROUP BY b.doc_id)
+SELECT d.doc_id,
+       (CASE WHEN COALESCE(s.sh, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+             THEN COALESCE(s.sh, 0::HUGEINT) - 18446744073709551616::HUGEINT
+             ELSE COALESCE(s.sh, 0::HUGEINT) END)::BIGINT AS simhash
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id"""
+
+
+def _sql_minhash_core(num_hashes=64, bands=16, shingle_k=3, max_bucket=200) -> str:
+    rpb = num_hashes // bands
+    # band-key fold as CHAINED CTE stages (f0..f{rpb}) — nesting the
+    # splitmix macro textually blows up ~6x per level
+    fold_ctes = [
+        f"f0 AS (SELECT doc_id, band, "
+        + ", ".join(f"s{r}" for r in range(rpb))
+        + f", (((band+1)::UHUGEINT * {_GOLDEN64}::UHUGEINT) % {_M64})::UBIGINT AS acc FROM piv)"
+    ]
+    for r in range(rpb):
+        keep = ", ".join(f"s{q}" for q in range(r + 1, rpb))
+        keep = (keep + ", ") if keep else ""
+        fold_ctes.append(
+            f"f{r+1} AS (SELECT doc_id, band, {keep}"
+            + _sm_sql(f"xor(acc::UHUGEINT, s{r}::UHUGEINT)")
+            + "::UBIGINT AS acc FROM f" + str(r) + ")"
+        )
+    fold_sql = ",\n".join(fold_ctes)
+    piv_cols = ",\n         ".join(
+        f"MAX(CASE WHEN r = {r} THEN s END) AS s{r}" for r in range(rpb)
+    )
+    small_shingle = _sm_sql(f"SUM(t.pos::UHUGEINT * t.w::UHUGEINT) % {_M64}")
+    big_shingle = _sm_sql(
+        "(" + " + ".join(f"{j+1}::UHUGEINT*{c}.w" for j, c in enumerate("abc"[:shingle_k]))
+        + f") % {_M64}"
+    )
+    sig_hash = _sm_sql(f"(sh::UHUGEINT + h::UHUGEINT * {_GOLDEN64}::UHUGEINT) % {_M64}")
+    joins = " ".join(
+        f"JOIN toks {c} ON {c}.doc_id = a.doc_id AND {c}.pos = a.pos + {j}"
+        for j, c in enumerate("abc"[:shingle_k]) if j > 0
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos,
+         word, md5_number_upper(word) AS w
+  FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS word,
+           UNNEST(range(1, len(string_split_regex(text, '\s+')) + 1)) AS i
+    FROM documents
+  ) WHERE word <> ''
+),
+nw AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+sh_big AS (
+  SELECT a.doc_id, {big_shingle}::UBIGINT AS sh
+  FROM toks a {joins}
+  WHERE a.doc_id IN (SELECT doc_id FROM nw WHERE n >= {shingle_k})
+),
+sh_small AS (
+  SELECT t.doc_id, {small_shingle}::UBIGINT AS sh
+  FROM toks t WHERE t.doc_id IN (SELECT doc_id FROM nw WHERE n < {shingle_k})
+  GROUP BY t.doc_id
+),
+sh_empty AS (
+  SELECT d.doc_id, {_sm_sql("0::UHUGEINT")}::UBIGINT AS sh FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM nw)
+),
+shingles AS (SELECT * FROM sh_big UNION ALL SELECT * FROM sh_small UNION ALL SELECT * FROM sh_empty),
+sig AS (
+  SELECT doc_id, h, MIN({sig_hash}::UBIGINT) AS s
+  FROM shingles CROSS JOIN (SELECT UNNEST(range({num_hashes})) AS h)
+  GROUP BY doc_id, h
+),
+bandrows AS (SELECT doc_id, h // {rpb} AS band, h % {rpb} AS r, s FROM sig),
+piv AS (
+  SELECT doc_id, band,
+         {piv_cols}
+  FROM bandrows GROUP BY doc_id, band
+),
+{fold_sql},
+keys AS (SELECT doc_id, (acc >> 1)::BIGINT AS band_key FROM f{rpb}),
+bk AS (SELECT DISTINCT band_key, doc_id FROM keys),
+bsz AS (SELECT band_key, COUNT(*) AS c FROM bk GROUP BY band_key),
+pair_small AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON y.band_key = x.band_key AND y.doc_id > x.doc_id
+  WHERE x.band_key IN (SELECT band_key FROM bsz WHERE c BETWEEN 2 AND {max_bucket})
+),
+pair_star AS (
+  SELECT m.mn AS a, y.doc_id AS b
+  FROM (SELECT band_key, MIN(doc_id) AS mn FROM bk GROUP BY band_key) m
+  JOIN bk y ON y.band_key = m.band_key AND y.doc_id > m.mn
+  WHERE m.band_key IN (SELECT band_key FROM bsz WHERE c > {max_bucket})
+),
+cands AS (SELECT DISTINCT a, b FROM (SELECT * FROM pair_small UNION ALL SELECT * FROM pair_star))"""
+
+
+def _sql_minhash_pairs() -> str:
+    return _sql_minhash_core() + "\nSELECT a, b FROM cands ORDER BY a, b"
+
+
+def _sql_ngram_dups(shingle_k=3) -> str:
+    return _sql_minhash_core() + rf"""
+, shtxt AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    WHERE a.doc_id IN (SELECT doc_id FROM nw WHERE n >= {shingle_k})
+    UNION ALL
+    SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.pos) AS sh
+    FROM toks t WHERE t.doc_id IN (SELECT doc_id FROM nw WHERE n < {shingle_k}) GROUP BY t.doc_id
+    UNION ALL
+    SELECT d.doc_id, '' AS sh FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM nw)
+  )
+),
+sz AS (SELECT doc_id, COUNT(*) AS c FROM shtxt GROUP BY doc_id),
+inter AS (
+  SELECT cd.a, cd.b, COUNT(*) AS i
+  FROM cands cd JOIN shtxt x ON x.doc_id = cd.a JOIN shtxt y ON y.doc_id = cd.b AND y.sh = x.sh
+  GROUP BY cd.a, cd.b
+),
+jac AS (
+  SELECT cd.a, cd.b, COALESCE(it.i, 0) AS i, sa.c AS na, sb.c AS nb
+  FROM cands cd LEFT JOIN inter it ON it.a = cd.a AND it.b = cd.b
+  JOIN sz sa ON sa.doc_id = cd.a JOIN sz sb ON sb.doc_id = cd.b
+)
+SELECT a, b, CAST(round_even(1e6 * i / (na + nb - i), 0) AS BIGINT) AS jaccard_e6
+FROM jac WHERE 2*i >= na + nb - i ORDER BY a, b"""
+
+
 def _sql_components() -> str:
     return (
         _SQL_CC_CORE
@@ -599,10 +920,14 @@ def queries() -> Dict[str, Callable]:
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
         "components": q_components,
+        "scc": q_scc,
+        "sssp_hops": q_sssp_hops,
+        "path_length_hist": q_path_length_hist,
         "component_sizes": q_component_sizes,
         "lpa": q_lpa,
         "triangles": q_triangles,
         "modularity": q_modularity,
+        "dyad_census": q_dyad_census,
         "reciprocity": q_reciprocity,
         "mutual_edges": q_mutual_edges,
         "count_multiple": q_count_multiple,
@@ -618,6 +943,7 @@ def queries() -> Dict[str, Callable]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "assortativity": q_assortativity,
         "has_cycle": q_has_cycle,
+        "coreness": q_coreness,
         "k_core": q_k_core,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
@@ -653,10 +979,30 @@ ON d.dst = verts.v ORDER BY vertex""",
         "pagerank": _sql_pagerank(),
         "pagerank_weighted": _sql_pagerank_weighted(),
         "components": _sql_components(),
+        "scc": _sql_scc(),
+        "sssp_hops": _sql_sssp(),
+        "coreness": _sql_coreness(),
+        "simhash": _sql_simhash(),
+        "minhash_pairs": _sql_minhash_pairs(),
+        "ngram_dups": _sql_ngram_dups(),
+        "k_core": _sql_k_core(),
+        "path_length_hist": _sql_path_length_hist(),
         "component_sizes": _sql_component_sizes(),
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,
         "modularity": _sql_modularity(),
+        "dyad_census": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+verts AS ({SQL_VERTS_A}),
+m AS (SELECT COUNT(*) AS c FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src),
+t AS (SELECT COUNT(*) AS c FROM edges),
+nv AS (SELECT COUNT(*) AS c FROM verts)
+SELECT CAST((SELECT c FROM m) / 2 AS BIGINT) AS mut,
+       CAST((SELECT c FROM t) - (SELECT c FROM m) AS BIGINT) AS asym,
+       CAST((SELECT c FROM nv) * ((SELECT c FROM nv) - 1) / 2
+            - (SELECT c FROM m) / 2
+            - ((SELECT c FROM t) - (SELECT c FROM m)) AS BIGINT) AS "null"
+""",
         "reciprocity": f"""
 WITH edges AS ({SQL_EDGES_A})
 SELECT CAST(ROUND(

@@ -69,7 +69,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from igraph_ray.superstep import CheckpointConfig, SuperstepResult, _manifest_path
+from igraph_ray.superstep import (
+    CheckpointConfig,
+    SuperstepResult,
+    _manifest_path,
+    prune_checkpoints,
+)
 
 
 def _pack_segments(segs):
@@ -224,6 +229,7 @@ class _SpmdActor:
             json.dump({"iteration": it, "scalars": scalars,
                        "input_digest": cp.input_digest}, f)
         os.replace(tmp, _manifest_path(cp.path, it))
+        prune_checkpoints(cp, it)
         self._committed_manifests.add(it)
 
     def run(self):
@@ -335,6 +341,7 @@ def run_spmd_loop(
             json.dump({"iteration": last_ck, "scalars": final_scalars,
                        "input_digest": checkpoint.input_digest}, f)
         os.replace(tmp, _manifest_path(checkpoint.path, last_ck))
+        prune_checkpoints(checkpoint, last_ck)
 
     # merge per-actor metrics into per-iteration rows
     by_iter: Dict[int, List[dict]] = {}

@@ -48,6 +48,28 @@ class CheckpointConfig:
     keep_last: int = 0  # 0 = keep all iterations
 
 
+def prune_checkpoints(cfg: "CheckpointConfig", committed_iter: int) -> None:
+    """Delete iter= dirs older than the last ``keep_last`` committed ones.
+
+    Called after a manifest commit; keep_last=0 keeps everything. Only
+    directories with a committed manifest count toward the budget — a
+    half-written iteration dir is never what resume reads, but it is also
+    never deleted out from under a writer."""
+    import shutil
+
+    if cfg.keep_last <= 0 or not os.path.isdir(cfg.path):
+        return
+    committed = sorted(
+        int(name.split("=")[1])
+        for name in os.listdir(cfg.path)
+        if name.startswith("iter=")
+        and os.path.exists(_manifest_path(cfg.path, int(name.split("=")[1])))
+        and int(name.split("=")[1]) <= committed_iter
+    )
+    for it in committed[: -cfg.keep_last]:
+        shutil.rmtree(os.path.join(cfg.path, f"iter={it:05d}"), ignore_errors=True)
+
+
 @dataclass
 class SuperstepResult:
     state: ray.data.Dataset
@@ -58,6 +80,10 @@ class SuperstepResult:
     # wall time of the whole iteration loop, submission to completion
     # (meaningful even when supersteps are pipelined through the task graph)
     loop_wall_s: float = 0.0
+    # the final per-partition numpy state (aligned.AlignedState), set by
+    # the aligned engines so multi-pass algorithms (e.g. strong components)
+    # can chain passes without a re-sort
+    aligned_state: Optional[object] = None
 
 
 def _manifest_path(root: str, iteration: int) -> str:

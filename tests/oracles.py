@@ -136,3 +136,121 @@ def modularity_ref(n, src, dst, membership, weight=None):
         a[cs] += ww
         a[ct] += ww
     return sum(e[c] / m - (a[c] / (2 * m)) ** 2 for c in a)
+
+
+def scc_ref(n, src, dst):
+    """Strong components oracle: iterative Tarjan (explicit stack), labels
+    canonicalized to rank-of-min-vertex — matches
+    strongly_connected_components(densify=True)."""
+    import numpy as np
+
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[int(s)].append(int(d))
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    comp = [-1] * n
+    counter = [0]
+    ncomp = [0]
+
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp[w] = ncomp[0]
+                    if w == v:
+                        break
+                ncomp[0] += 1
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    # canonicalize: label = rank of the min vertex of each component
+    comp = np.array(comp)
+    mins = np.full(ncomp[0], n, dtype=np.int64)
+    np.minimum.at(mins, comp, np.arange(n))
+    order = np.argsort(mins)
+    rank = np.empty(ncomp[0], dtype=np.int64)
+    rank[order] = np.arange(ncomp[0])
+    return rank[comp]
+
+
+def bfs_hops_ref(n, src, dst, source, weight=None):
+    """Dijkstra/BFS distances from source; dict vertex->dist (reached only)."""
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for i, (s, d) in enumerate(zip(src, dst)):
+        w = 1 if weight is None else weight[i]
+        adj[int(s)].append((int(d), w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        dd, v = heapq.heappop(pq)
+        if dd > dist.get(v, float("inf")):
+            continue
+        for (u, w) in adj[v]:
+            nd = dd + w
+            if nd < dist.get(u, float("inf")):
+                dist[u] = nd
+                heapq.heappush(pq, (nd, u))
+    return dist
+
+
+def coreness_ref(n, src, dst):
+    """Exact coreness by bucket peeling on the symmetrized multigraph view
+    (loops dropped, multi-edges with multiplicity) — cores.c:31 semantics."""
+    import numpy as np
+
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s != d:
+            adj[s].append(d)
+            adj[d].append(s)
+    deg = np.array([len(a) for a in adj])
+    core = deg.copy()
+    import heapq
+
+    pq = [(deg[v], v) for v in range(n)]
+    heapq.heapify(pq)
+    removed = [False] * n
+    k = 0
+    while pq:
+        dv, v = heapq.heappop(pq)
+        if removed[v] or dv > core[v]:
+            continue
+        k = max(k, core[v])
+        core[v] = k
+        removed[v] = True
+        for u in adj[v]:
+            if not removed[u]:
+                core[u] -= 1
+                heapq.heappush(pq, (core[u], u))
+    return core

@@ -1,0 +1,71 @@
+"""BFS / SSSP / path-length histogram vs an exact Dijkstra oracle.
+Reference: igraph shortest paths (structural_properties.c:406-933) and
+igraph_path_length_hist (structural_properties.c:293)."""
+
+import numpy as np
+import pytest
+
+from igraph_ray import Graph
+from igraph_ray.algorithms.paths import multi_source_hops, path_length_hist, sssp_hops
+from tests.oracles import bfs_hops_ref
+
+
+def _random(seed, n, m):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, n, m), rng.integers(0, n, m)
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 50, 120), (2, 200, 600)])
+def test_sssp_hops_matches_bfs(seed, n, m):
+    src, dst = _random(seed, n, m)
+    g = Graph.from_numpy(src, dst, n=n)
+    res = sssp_hops(g, source=0, num_partitions=4)
+    got = {r["vertex"]: r["dist"] for r in res.state.take_all()}
+    ref = bfs_hops_ref(n, src, dst, 0)
+    assert got == ref
+
+
+def test_sssp_weighted():
+    src = np.array([0, 0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 3, 4])
+    w = np.array([1.0, 5.0, 1.0, 1.0, 2.0])
+    g = Graph.from_numpy(src, dst, weight=w, n=5)
+    res = sssp_hops(g, source=0, weighted=True, num_partitions=3)
+    got = {r["vertex"]: r["dist"] for r in res.state.take_all()}
+    ref = bfs_hops_ref(5, src, dst, 0, weight=w)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v] == pytest.approx(ref[v])
+
+
+def test_sssp_disconnected_and_chain():
+    # chain 0->1->2, isolated 3
+    g = Graph.from_numpy(np.array([0, 1]), np.array([1, 2]), n=4)
+    res = sssp_hops(g, source=0, num_partitions=2)
+    got = {r["vertex"]: r["dist"] for r in res.state.take_all()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_multi_source_matches_single():
+    src, dst = _random(5, 80, 240)
+    g = Graph.from_numpy(src, dst, n=80)
+    sources = [0, 7, 33]
+    ds = multi_source_hops(g, sources, num_partitions=4, chunk=2)
+    got = {}
+    for r in ds.take_all():
+        got.setdefault(r["source"], {})[r["vertex"]] = r["dist"]
+    for s in sources:
+        assert got.get(s, {}) == bfs_hops_ref(80, src, dst, s)
+
+
+def test_path_length_hist_exact():
+    src, dst = _random(9, 40, 100)
+    g = Graph.from_numpy(src, dst, n=40)
+    t = path_length_hist(g, num_partitions=3, chunk=16)
+    got = {d: c for d, c in zip(t["dist"].to_pylist(), t["count"].to_pylist())}
+    ref = {}
+    for s in range(40):
+        for v, d in bfs_hops_ref(40, src, dst, s).items():
+            if v != s:
+                ref[d] = ref.get(d, 0) + 1
+    assert got == ref
