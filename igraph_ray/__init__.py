@@ -21,6 +21,7 @@ Nothing in this package calls ``ray.init()``; the caller owns the session.
 
 from igraph_ray.graph import Graph
 from igraph_ray.algorithms.pagerank import pagerank
+from igraph_ray.algorithms.centrality import eigenvector_centrality, hits
 from igraph_ray.algorithms.components import connected_components
 from igraph_ray.algorithms.lpa import label_propagation
 from igraph_ray.algorithms.scc import strongly_connected_components
@@ -29,6 +30,8 @@ from igraph_ray.algorithms.triangles import triangle_counts
 __all__ = [
     "Graph",
     "pagerank",
+    "eigenvector_centrality",
+    "hits",
     "connected_components",
     "label_propagation",
     "strongly_connected_components",

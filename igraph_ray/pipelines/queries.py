@@ -275,6 +275,93 @@ def _sql_pagerank_weighted(iters: int = PR_ITERS, d: float = DAMPING) -> str:
     )
 
 
+EV_ITERS = 30
+HITS_ITERS = 20
+
+
+def q_eigenvector(sf_dir: str):
+    """Eigenvector centrality by fixed-count power iteration over the
+    edges_a digraph (centrality.c:308-520 semantics; max-normalized)."""
+    from igraph_ray.algorithms.centrality import eigenvector_centrality
+
+    g = derive.graph_a(sf_dir)
+    res = eigenvector_centrality(g, fixed_iterations=EV_ITERS, num_partitions=8)
+    return _scale_col(res.state, "ev", "ev_e8", 1e8)
+
+
+def _sql_eigenvector(iters: int = EV_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM params) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"raw{k} AS MATERIALIZED (SELECT vt.v, COALESCE(m.s, 0) AS r "
+            f"FROM verts vt LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(x.r) AS s FROM edges e "
+            f"JOIN x{k-1} x ON x.v = e.src GROUP BY e.dst) m ON m.v = vt.v)"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT v, r/(SELECT SUM(r) FROM raw{k}) AS r FROM raw{k})"
+        )
+    last = f"x{iters}"
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(ROUND(r/(SELECT MAX(r) FROM {last})*1e8) AS BIGINT) AS ev_e8 "
+        f"FROM {last} ORDER BY vertex"
+    )
+
+
+def q_hits(sf_dir: str):
+    """HITS hub/authority scores (centrality.c:560-720 semantics via
+    fixed-count power iteration, both max-normalized)."""
+    from igraph_ray.algorithms.centrality import hits
+
+    g = derive.graph_a(sf_dir)
+    res = hits(g, iterations=HITS_ITERS, num_partitions=8)
+    out = _scale_col(res.state, "hub", "hub_e8", 1e8)
+    return _scale_col(out, "authority", "auth_e8", 1e8)
+
+
+def _sql_hits(iters: int = HITS_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "h0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM params) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"araw{k} AS MATERIALIZED (SELECT vt.v, COALESCE(m.s, 0) AS r "
+            f"FROM verts vt LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(h.r) AS s FROM edges e "
+            f"JOIN h{k-1} h ON h.v = e.src GROUP BY e.dst) m ON m.v = vt.v)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v, r/(SELECT SUM(r) FROM araw{k}) AS r FROM araw{k})"
+        )
+        parts.append(
+            f"hraw{k} AS MATERIALIZED (SELECT vt.v, COALESCE(m.s, 0) AS r "
+            f"FROM verts vt LEFT JOIN ("
+            f"SELECT e.src AS v, SUM(a.r) AS s FROM edges e "
+            f"JOIN a{k} a ON a.v = e.dst GROUP BY e.src) m ON m.v = vt.v)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v, r/(SELECT SUM(r) FROM hraw{k}) AS r FROM hraw{k})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT h.v AS vertex, "
+        f"CAST(ROUND(h.r/(SELECT MAX(r) FROM h{iters})*1e8) AS BIGINT) AS hub_e8, "
+        f"CAST(ROUND(a.r/(SELECT MAX(r) FROM a{iters})*1e8) AS BIGINT) AS auth_e8 "
+        f"FROM h{iters} h JOIN a{iters} a ON a.v = h.v ORDER BY vertex"
+    )
+
+
 def q_transitivity(sf_dir: str):
     from igraph_ray.ops.structural import transitivity_undirected
 
@@ -919,6 +1006,8 @@ def queries() -> Dict[str, Callable]:
         "in_degree": q_in_degree,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
+        "eigenvector": q_eigenvector,
+        "hits": q_hits,
         "components": q_components,
         "scc": q_scc,
         "sssp_hops": q_sssp_hops,
@@ -978,6 +1067,8 @@ FROM verts LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY dst) d
 ON d.dst = verts.v ORDER BY vertex""",
         "pagerank": _sql_pagerank(),
         "pagerank_weighted": _sql_pagerank_weighted(),
+        "eigenvector": _sql_eigenvector(),
+        "hits": _sql_hits(),
         "components": _sql_components(),
         "scc": _sql_scc(),
         "sssp_hops": _sql_sssp(),
