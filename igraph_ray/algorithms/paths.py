@@ -180,29 +180,31 @@ def multi_source_hops(
     num_partitions: Optional[int] = None,
     max_iter: int = 10_000,
     chunk: int = 128,
+    variant: str = "out",
 ) -> ray.data.Dataset:
     """Unweighted hop distances from every source in ``sources``:
     Dataset (source, vertex, dist) over reached pairs. Sources are
     processed in chunks of ``chunk`` columns through one dense K-column
-    BFS each (see module docstring)."""
+    BFS each (see module docstring). ``variant``: "out" follows edge
+    direction, "rev" reverses it (igraph IGRAPH_IN), "sym" ignores it."""
     out: List[ray.data.Dataset] = []
     sources = list(sources)
     for lo in range(0, len(sources), chunk):
         out.append(_k_column_hops(graph, sources[lo : lo + chunk],
-                                  num_partitions, max_iter))
+                                  num_partitions, max_iter, variant))
     ds = out[0]
     for o in out[1:]:
         ds = ds.union(o)
     return ds
 
 
-def _k_column_hops(graph, sources, num_partitions, max_iter) -> ray.data.Dataset:
+def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out") -> ray.data.Dataset:
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
     K = len(sources)
     src_arr = np.asarray(sources, dtype=np.int64)
-    csr = graph.csr_index("out", num_partitions, weighted=False)
+    csr = graph.csr_index(variant, num_partitions, weighted=False)
     blocks = csr.block_descriptors()
     cols = [f"d{k}" for k in range(K)]
 
@@ -295,6 +297,206 @@ def _k_column_hops(graph, sources, num_partitions, max_iter) -> ray.data.Dataset
         )
 
     return res.state.map_batches(_long, batch_format="pyarrow", batch_size=None)
+
+
+# lcm(1..20): the exact-rational denominator for harmonic sums (see
+# harmonic_centrality) — any hop distance ≤ 20 divides it exactly
+_HARMONIC_LCM = 232792560
+
+
+def distance_profile(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    variant: str = "out",
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+) -> ray.data.Dataset:
+    """Per-source histogram of hop distances: Dataset (source, dist,
+    count) over ordered reachable pairs, self-pairs excluded. The shared
+    building block for closeness / harmonic / eccentricity — one K-column
+    BFS per source chunk, per-batch partial histograms, one small
+    groupby per chunk (source chunks are disjoint, so chunks union
+    without a cross-chunk shuffle)."""
+    if sources is None:
+        sources = [int(r["vertex"]) for r in graph.vertices().take_all()]
+    sources = list(sources)
+    outs: List[ray.data.Dataset] = []
+    for lo in range(0, len(sources), chunk):
+        ds = _k_column_hops(graph, sources[lo : lo + chunk], num_partitions,
+                            10_000, variant)
+
+        def _h(b: pa.Table) -> pa.Table:
+            s = b["source"].to_numpy(zero_copy_only=False)
+            v = b["vertex"].to_numpy(zero_copy_only=False)
+            d = b["dist"].to_numpy(zero_copy_only=False)
+            keep = s != v
+            s, d = s[keep], d[keep]
+            if len(s) == 0:
+                return pa.table({"source": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64()),
+                                 "count": pa.array([], pa.int64())})
+            key = s * (d.max() + 1) + d
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.table({"source": pa.array(uk // (d.max() + 1), pa.int64()),
+                             "dist": pa.array(uk % (d.max() + 1), pa.int64()),
+                             "count": pa.array(cnt, pa.int64())})
+
+        part = (
+            ds.map_batches(_h, batch_format="pyarrow", batch_size=None)
+            .groupby(["source", "dist"]).sum("count")
+        )
+
+        def _rename(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"source": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64()),
+                                 "count": pa.array([], pa.int64())})
+            return pa.table({"source": b["source"], "dist": b["dist"],
+                             "count": b["sum(count)"]})
+
+        outs.append(part.map_batches(_rename, batch_format="pyarrow", batch_size=None))
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
+def _profile_reduce(prof: ray.data.Dataset, value_fn) -> ray.data.Dataset:
+    """Per-batch partial reduction of a (source, dist, count) profile
+    followed by one small groupby — value_fn(dist, count) -> per-row
+    contributions dict of numpy arrays."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        s = b["source"].to_numpy(zero_copy_only=False)
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        c = b["count"].to_numpy(zero_copy_only=False)
+        return value_fn(s, d, c)
+
+    return prof.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+
+
+def closeness_centrality(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    variant: str = "out",
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+) -> ray.data.Dataset:
+    """igraph closeness (structural_properties.c, igraph_closeness):
+    reached / Σ distance over reachable vertices (self excluded),
+    restricted to the given ``variant`` direction. Vertices that reach
+    nothing are omitted (igraph reports NaN). Returns (vertex,
+    closeness) float64."""
+    prof = distance_profile(graph, sources, variant, num_partitions, chunk)
+
+    def _vals(s, d, c):
+        return pa.table({"vertex": pa.array(s, pa.int64()),
+                         "r": pa.array(c, pa.int64()),
+                         "s": pa.array(d * c, pa.int64())})
+
+    agg = (
+        _profile_reduce(prof, _vals)
+        .groupby("vertex").sum(["r", "s"])
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "closeness": pa.array([], pa.float64())})
+        r = b["sum(r)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sm = b["sum(s)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = sm > 0
+        return pa.table({"vertex": b["vertex"].to_numpy(zero_copy_only=False)[keep],
+                         "closeness": pa.array(r[keep] / sm[keep], pa.float64())})
+
+    return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def harmonic_centrality(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    variant: str = "out",
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+    return_numerator: bool = False,
+) -> ray.data.Dataset:
+    """igraph harmonic centrality (Σ 1/d over reachable, self excluded).
+
+    The sum is computed as an EXACT integer numerator over the fixed
+    denominator lcm(1..20) — N = Σ count_d · (L // d) — so the result is
+    order-of-summation deterministic (the SQL oracle mirrors the same
+    integer arithmetic). Requires every finite distance ≤ 20; guarded.
+    ``return_numerator`` emits (vertex, hnum) int64 instead of the float
+    N/L. Sources that reach nothing are omitted."""
+    L = _HARMONIC_LCM
+    prof = distance_profile(graph, sources, variant, num_partitions, chunk)
+
+    def _vals(s, d, c):
+        if len(d) and d.max() > 20:
+            raise ValueError(
+                f"harmonic_centrality exact-rational path requires hop "
+                f"distances <= 20 (got {int(d.max())}); use distance_profile "
+                f"directly for deeper graphs"
+            )
+        return pa.table({"vertex": pa.array(s, pa.int64()),
+                         "hnum": pa.array(c * (L // np.maximum(d, 1)), pa.int64())})
+
+    agg = _profile_reduce(prof, _vals).groupby("vertex").sum("hnum")
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            cols = {"vertex": pa.array([], pa.int64())}
+            cols["hnum" if return_numerator else "harmonic"] = pa.array(
+                [], pa.int64() if return_numerator else pa.float64())
+            return pa.table(cols)
+        n = b["sum(hnum)"].to_numpy(zero_copy_only=False)
+        if return_numerator:
+            return pa.table({"vertex": b["vertex"],
+                             "hnum": pa.array(n, pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "harmonic": pa.array(n.astype(np.float64) / L,
+                                              pa.float64())})
+
+    return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def eccentricity(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    variant: str = "sym",
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+) -> ray.data.Dataset:
+    """igraph_eccentricity (structural_properties.c): max hop distance to
+    any reachable vertex. Default mode ALL (variant="sym") like igraph;
+    sources reaching nothing are omitted. Returns (vertex, ecc) int64."""
+    prof = distance_profile(graph, sources, variant, num_partitions, chunk)
+    agg = prof.groupby("source").max("dist")
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "ecc": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["source"], "ecc": b["max(dist)"]})
+
+    return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def diameter_radius(
+    graph: Graph,
+    variant: str = "out",
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+) -> pa.Table:
+    """(diameter, radius) over finite distances: diameter = max d(s,t)
+    (igraph_diameter, unconn=False analogue — unreachable pairs ignored),
+    radius = min eccentricity over sources that reach something."""
+    ecc = eccentricity(graph, variant=variant, num_partitions=num_partitions,
+                       chunk=chunk)
+    dia = ecc.max("ecc")
+    rad = ecc.min("ecc")
+    return pa.table({"diameter": pa.array([int(dia)], pa.int64()),
+                     "radius": pa.array([int(rad)], pa.int64())})
 
 
 def path_length_hist(

@@ -115,6 +115,53 @@ def q_path_length_hist(sf_dir: str):
     return path_length_hist(g, num_partitions=8, chunk=128)
 
 
+def q_closeness(sf_dir: str):
+    """Directed (out-mode) closeness = reached/Σdist over reachable,
+    self excluded; unreachable-from sources omitted (igraph_closeness
+    semantics)."""
+    from igraph_ray.algorithms.paths import closeness_centrality
+
+    g = derive.graph_a(sf_dir)
+    out = closeness_centrality(g, variant="out", num_partitions=8)
+    return _scale_col(out, "closeness", "closeness_e8", 1e8)
+
+
+def q_harmonic(sf_dir: str):
+    """Directed harmonic centrality Σ 1/d via the exact lcm(1..20)
+    integer numerator (igraph_harmonic_centrality semantics)."""
+    from igraph_ray.algorithms.paths import _HARMONIC_LCM, harmonic_centrality
+
+    g = derive.graph_a(sf_dir)
+    num = harmonic_centrality(g, variant="out", num_partitions=8,
+                              return_numerator=True)
+
+    def _f(b: pa.Table) -> pa.Table:
+        n = b["hnum"].to_numpy(zero_copy_only=False)
+        v = np.round(n.astype(np.float64) * 1e8 / _HARMONIC_LCM).astype(np.int64)
+        return pa.table({"vertex": b["vertex"],
+                         "harmonic_e8": pa.array(v, pa.int64())})
+
+    return num.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def q_eccentricity(sf_dir: str):
+    """Directed (out-mode) eccentricity = max hop distance to any
+    reachable vertex (igraph_eccentricity restricted to IGRAPH_OUT)."""
+    from igraph_ray.algorithms.paths import eccentricity
+
+    g = derive.graph_a(sf_dir)
+    return eccentricity(g, variant="out", num_partitions=8)
+
+
+def q_diameter(sf_dir: str):
+    """Directed diameter + radius over finite distances
+    (igraph_diameter / igraph_radius, unreachable pairs ignored)."""
+    from igraph_ray.algorithms.paths import diameter_radius
+
+    g = derive.graph_a(sf_dir)
+    return diameter_radius(g, variant="out", num_partitions=8)
+
+
 def q_component_sizes(sf_dir: str):
     g = derive.graph_a(sf_dir)
     st = connected_components(g, num_partitions=8).state
@@ -277,6 +324,100 @@ def _sql_pagerank_weighted(iters: int = PR_ITERS, d: float = DAMPING) -> str:
 
 EV_ITERS = 30
 HITS_ITERS = 20
+
+
+def q_triad_census(sf_dir: str):
+    """Davis–Leinhardt 16-class triad census over the edges_a digraph
+    (igraph_triad_census, motifs.c:976-1100)."""
+    from igraph_ray.ops.census import triad_census
+
+    g = derive.graph_a(sf_dir)
+    return triad_census(g, num_partitions=8)
+
+
+def q_motifs3(sf_dir: str):
+    """Directed size-3 motif counts in isoclass order
+    (igraph_motifs_randesu size 3, connected classes)."""
+    from igraph_ray.ops.census import motifs3
+
+    g = derive.graph_a(sf_dir)
+    return motifs3(g, num_partitions=8)
+
+
+def _sql_census_body() -> str:
+    from igraph_ray.ops.census import TRIAD_LOOKUP, TRIAD_NAMES
+
+    lut_rows = ",".join(f"({k},{int(TRIAD_LOOKUP[k])})" for k in range(64))
+    names_rows = ",".join(f"({i},'{TRIAD_NAMES[i]}')" for i in range(16))
+    return f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+verts AS MATERIALIZED ({SQL_VERTS_A}),
+nv AS (SELECT COUNT(*) AS n FROM verts),
+pairs AS MATERIALIZED (
+  SELECT LEAST(src,dst) AS lo, GREATEST(src,dst) AS hi,
+         SUM(CASE WHEN src<dst THEN 1 ELSE 2 END) AS code
+  FROM edges GROUP BY 1,2),
+links AS MATERIALIZED (
+  SELECT lo AS c, hi AS nb, code FROM pairs
+  UNION ALL SELECT hi, lo, code FROM pairs),
+wedges AS MATERIALIZED (
+  SELECT l1.nb AS i, l2.nb AS k, l1.c AS j, l1.code AS cij, l2.code AS cjk
+  FROM links l1 JOIN links l2 ON l2.c = l1.c AND l1.nb < l2.nb),
+wj AS MATERIALIZED (
+  SELECT w.i, w.k, w.j, w.cij, w.cjk, COALESCE(p.code, 0) AS cik
+  FROM wedges w LEFT JOIN pairs p ON p.lo = w.i AND p.hi = w.k),
+keyed AS (
+  SELECT CASE WHEN j < i THEN cij WHEN j > k THEN cik ELSE cij END * 16
+       + CASE WHEN j < i THEN cjk WHEN j > k THEN cij ELSE cik END * 4
+       + CASE WHEN j < i THEN cik ELSE cjk END AS key,
+       cik FROM wj),
+lut(key, clazz) AS (VALUES {lut_rows}),
+wcounts AS (
+  SELECT l.clazz,
+         SUM(CASE WHEN k.cik = 0 THEN 1 ELSE 0 END)
+       + SUM(CASE WHEN k.cik > 0 THEN 1 ELSE 0 END) // 3 AS cnt
+  FROM keyed k JOIN lut l ON l.key = k.key GROUP BY l.clazz),
+deg AS MATERIALIZED (SELECT c AS v, COUNT(*) AS d FROM links GROUP BY c),
+common AS MATERIALIZED (SELECT i, k, COUNT(*) AS cm FROM wedges GROUP BY i, k),
+iso AS (
+  SELECT p.code,
+         ((SELECT n FROM nv) - 2) - (dl.d - 1) - (dh.d - 1) + COALESCE(c.cm, 0) AS isolated
+  FROM pairs p JOIN deg dl ON dl.v = p.lo JOIN deg dh ON dh.v = p.hi
+  LEFT JOIN common c ON c.i = p.lo AND c.k = p.hi),
+onecounts AS (
+  SELECT 1 AS clazz,
+         COALESCE(SUM(CASE WHEN code IN (1,2) THEN isolated ELSE 0 END),0) AS cnt FROM iso
+  UNION ALL
+  SELECT 2, COALESCE(SUM(CASE WHEN code = 3 THEN isolated ELSE 0 END),0) FROM iso),
+allc AS (
+  SELECT clazz, SUM(cnt) AS cnt FROM
+  (SELECT * FROM wcounts UNION ALL SELECT * FROM onecounts) GROUP BY clazz),
+names(clazz, name) AS (VALUES {names_rows}),
+tot AS (SELECT (SELECT n FROM nv)*((SELECT n FROM nv)-1)*((SELECT n FROM nv)-2)//6
+             - COALESCE((SELECT SUM(cnt) FROM allc),0) AS zero),
+census AS (
+  SELECT nm.clazz, nm.name,
+         CAST(CASE WHEN nm.clazz = 0 THEN (SELECT zero FROM tot)
+              ELSE COALESCE(a.cnt,0) END AS BIGINT) AS count
+  FROM names nm LEFT JOIN allc a ON a.clazz = nm.clazz)"""
+
+
+def _sql_triad_census() -> str:
+    return f"{_sql_census_body()}\nSELECT clazz, name, count FROM census ORDER BY clazz"
+
+
+def _sql_motifs3() -> str:
+    from igraph_ray.ops.census import _CENSUS_TO_ISOCLASS
+
+    remap_rows = ",".join(
+        f"({c},{m})" for c, m in enumerate(_CENSUS_TO_ISOCLASS) if m not in (0, 1, 3)
+    )
+    return (
+        f"{_sql_census_body()},\n"
+        f"remap(clazz, isoclass) AS (VALUES {remap_rows})\n"
+        f"SELECT r.isoclass, c.count FROM census c JOIN remap r ON r.clazz = c.clazz "
+        f"ORDER BY r.isoclass"
+    )
 
 
 def q_eigenvector(sf_dir: str):
@@ -641,7 +782,11 @@ def _sql_sssp(iters: int = _SSSP_ITERS) -> str:
     )
 
 
-def _sql_path_length_hist(iters: int = _SSSP_ITERS) -> str:
+def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
+    """Shared unrolled all-pairs BFS: CTE chain ending in p{iters}(s,t,d)
+    = hop distance over reachable ordered pairs (self pairs d=0
+    included). Used by path_length_hist / closeness / harmonic /
+    eccentricity / diameter oracles."""
     parts = [
         f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
         f"verts AS MATERIALIZED ({SQL_VERTS_A})",
@@ -655,11 +800,55 @@ def _sql_path_length_hist(iters: int = _SSSP_ITERS) -> str:
             f"SELECT p.s, e.dst AS t, p.d + 1 AS d FROM {p} p JOIN edges e ON e.src = p.t"
             f") GROUP BY s, t)"
         )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _sql_path_length_hist(iters: int = _SSSP_ITERS) -> str:
     return (
-        f"{body}\n"
+        f"{_sql_allpairs_body(iters)}\n"
         f"SELECT CAST(d AS BIGINT) AS dist, COUNT(*) AS count FROM p{iters} "
         f"WHERE s != t GROUP BY d ORDER BY dist"
+    )
+
+
+def _sql_closeness(iters: int = _SSSP_ITERS) -> str:
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT s AS vertex, "
+        f"CAST(round_even(CAST(cnt AS DOUBLE)/sumd*1e8, 0) AS BIGINT) AS closeness_e8 "
+        f"FROM (SELECT s, COUNT(*) AS cnt, SUM(d) AS sumd FROM p{iters} "
+        f"WHERE s != t GROUP BY s) q WHERE sumd > 0 ORDER BY vertex"
+    )
+
+
+def _sql_harmonic(iters: int = _SSSP_ITERS) -> str:
+    # exact integer numerator over lcm(1..20) — mirrors
+    # algorithms/paths.harmonic_centrality's order-free rational sum
+    L = 232792560
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT s AS vertex, "
+        f"CAST(round_even(CAST(n AS DOUBLE)*1e8/{L}, 0) AS BIGINT) AS harmonic_e8 "
+        f"FROM (SELECT s, SUM(CAST({L} AS BIGINT) // d) AS n FROM p{iters} "
+        f"WHERE s != t GROUP BY s) q ORDER BY vertex"
+    )
+
+
+def _sql_eccentricity(iters: int = _SSSP_ITERS) -> str:
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT s AS vertex, CAST(MAX(d) AS BIGINT) AS ecc FROM p{iters} "
+        f"WHERE s != t GROUP BY s ORDER BY vertex"
+    )
+
+
+def _sql_diameter(iters: int = _SSSP_ITERS) -> str:
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT CAST(MAX(d) AS BIGINT) AS diameter, "
+        f"(SELECT CAST(MIN(m) AS BIGINT) FROM ("
+        f"SELECT MAX(d) AS m FROM p{iters} WHERE s != t GROUP BY s) e) AS radius "
+        f"FROM p{iters} WHERE s != t"
     )
 
 
@@ -1012,11 +1201,17 @@ def queries() -> Dict[str, Callable]:
         "scc": q_scc,
         "sssp_hops": q_sssp_hops,
         "path_length_hist": q_path_length_hist,
+        "closeness": q_closeness,
+        "harmonic": q_harmonic,
+        "eccentricity": q_eccentricity,
+        "diameter": q_diameter,
         "component_sizes": q_component_sizes,
         "lpa": q_lpa,
         "triangles": q_triangles,
         "modularity": q_modularity,
         "dyad_census": q_dyad_census,
+        "triad_census": q_triad_census,
+        "motifs3": q_motifs3,
         "reciprocity": q_reciprocity,
         "mutual_edges": q_mutual_edges,
         "count_multiple": q_count_multiple,
@@ -1069,6 +1264,8 @@ ON d.dst = verts.v ORDER BY vertex""",
         "pagerank_weighted": _sql_pagerank_weighted(),
         "eigenvector": _sql_eigenvector(),
         "hits": _sql_hits(),
+        "triad_census": _sql_triad_census(),
+        "motifs3": _sql_motifs3(),
         "components": _sql_components(),
         "scc": _sql_scc(),
         "sssp_hops": _sql_sssp(),
@@ -1078,6 +1275,10 @@ ON d.dst = verts.v ORDER BY vertex""",
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
         "path_length_hist": _sql_path_length_hist(),
+        "closeness": _sql_closeness(),
+        "harmonic": _sql_harmonic(),
+        "eccentricity": _sql_eccentricity(),
+        "diameter": _sql_diameter(),
         "component_sizes": _sql_component_sizes(),
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,

@@ -1,0 +1,149 @@
+"""Triad census vs an INDEPENDENT brute-force classifier.
+
+The engine classifies via the orbit-closure lookup table built from the
+motifs.c:983-1013 exemplars; this oracle classifies every triple from
+first principles — MAN dyad counts (mut/asym/null) plus the documented
+D/U/C and T/C structural distinctions — so a mislabeled lookup entry
+cannot self-confirm."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from igraph_ray.graph import Graph
+from igraph_ray.ops.census import TRIAD_NAMES, motifs3, triad_census, _CENSUS_TO_ISOCLASS
+
+
+def _classify_triple(E, t):
+    """E: set of directed edges; t: triple (3 vertices). Returns class
+    name from the documented rules."""
+    a, b, c = t
+    dyads = []
+    for (x, y) in ((a, b), (a, c), (b, c)):
+        fwd, bwd = (x, y) in E, (y, x) in E
+        if fwd and bwd:
+            dyads.append(("m", x, y))
+        elif fwd:
+            dyads.append(("a", x, y))
+        elif bwd:
+            dyads.append(("a", y, x))
+        else:
+            dyads.append(("n", x, y))
+    m = sum(1 for d in dyads if d[0] == "m")
+    asym = [d for d in dyads if d[0] == "a"]
+    na = len(asym)
+    if (m, na) == (0, 0):
+        return "003"
+    if (m, na) == (0, 1):
+        return "012"
+    if (m, na) == (1, 0):
+        return "102"
+    if (m, na) == (0, 2):
+        s = {asym[0][1], asym[1][1]}
+        tg = {asym[0][2], asym[1][2]}
+        if len(s) == 1:
+            return "021D"      # common source: out-star
+        if len(tg) == 1:
+            return "021U"      # common target: in-star
+        return "021C"
+    if (m, na) == (1, 1):
+        mut = next(d for d in dyads if d[0] == "m")
+        pair = {mut[1], mut[2]}
+        return "111D" if asym[0][2] in pair else "111U"
+    if (m, na) == (0, 3):
+        outdeg = {v: 0 for v in t}
+        for (_, x, y) in asym:
+            outdeg[x] += 1
+        return "030C" if all(v == 1 for v in outdeg.values()) else "030T"
+    if (m, na) == (2, 0):
+        return "201"
+    if (m, na) == (1, 2):
+        s = {asym[0][1], asym[1][1]}
+        tg = {asym[0][2], asym[1][2]}
+        if len(s) == 1:
+            return "120D"
+        if len(tg) == 1:
+            return "120U"
+        return "120C"
+    if (m, na) == (2, 1):
+        return "210"
+    assert (m, na) == (3, 0)
+    return "300"
+
+
+def _brute_census(src, dst, n):
+    E = set(zip(src.tolist(), dst.tolist()))
+    counts = {nm: 0 for nm in TRIAD_NAMES}
+    for t in itertools.combinations(range(n), 3):
+        counts[_classify_triple(E, t)] += 1
+    return counts
+
+
+def _census_dict(table: pa.Table):
+    return {nm: int(cv) for nm, cv in zip(table["name"].to_pylist(),
+                                          table["count"].to_pylist())}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 25, 80), (2, 40, 260), (3, 18, 40)])
+def test_triad_census_random(seed, n, m):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph(ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})), n=n)
+    got = _census_dict(triad_census(g, num_partitions=3))
+    want = _brute_census(src, dst, n)
+    assert got == want
+    assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+
+
+def test_triad_census_exemplars():
+    # each documented 3-vertex exemplar graph censuses to exactly itself
+    from igraph_ray.ops.census import _EXEMPLARS
+
+    for name, edges in zip(TRIAD_NAMES, _EXEMPLARS):
+        if not edges:
+            continue
+        src = pa.array([e[0] for e in edges], pa.int64())
+        dst = pa.array([e[1] for e in edges], pa.int64())
+        g = Graph(ray.data.from_arrow(pa.table({"src": src, "dst": dst})), n=3)
+        got = _census_dict(triad_census(g, num_partitions=2))
+        assert got[name] == 1, (name, got)
+        assert sum(got.values()) == 1
+
+
+def test_triad_census_multigraph_and_loops_simplified():
+    # duplicates + loops must not change the census (simple-graph domain)
+    edges = pa.table({"src": pa.array([0, 0, 0, 1, 2, 2], pa.int64()),
+                      "dst": pa.array([1, 1, 0, 2, 1, 1], pa.int64())})
+    g = Graph(ray.data.from_arrow(edges), n=3)
+    got = _census_dict(triad_census(g, num_partitions=2))
+    want = _brute_census(np.array([0, 1, 2]), np.array([1, 2, 1]), 3)
+    assert got == want
+
+
+def test_motifs3_mapping():
+    rng = np.random.default_rng(9)
+    n, m = 30, 160
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph(ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})), n=n)
+    census = triad_census(g, num_partitions=3)
+    moto = motifs3(g, num_partitions=3)
+    cvals = census["count"].to_pylist()
+    got = dict(zip(moto["isoclass"].to_pylist(), moto["count"].to_pylist()))
+    for c_idx, m_idx in enumerate(_CENSUS_TO_ISOCLASS):
+        if m_idx in (0, 1, 3):
+            assert m_idx not in got or c_idx in (0, 1, 2)
+        else:
+            assert got[m_idx] == cvals[c_idx]
