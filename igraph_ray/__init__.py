@@ -21,7 +21,13 @@ Nothing in this package calls ``ray.init()``; the caller owns the session.
 
 from igraph_ray.graph import Graph
 from igraph_ray.algorithms.pagerank import pagerank
+from igraph_ray.algorithms.betweenness import betweenness
 from igraph_ray.algorithms.centrality import eigenvector_centrality, hits
+from igraph_ray.algorithms.paths import (
+    closeness_centrality,
+    eccentricity,
+    harmonic_centrality,
+)
 from igraph_ray.algorithms.components import connected_components
 from igraph_ray.algorithms.lpa import label_propagation
 from igraph_ray.algorithms.scc import strongly_connected_components
@@ -32,6 +38,10 @@ __all__ = [
     "pagerank",
     "eigenvector_centrality",
     "hits",
+    "betweenness",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "eccentricity",
     "connected_components",
     "label_propagation",
     "strongly_connected_components",

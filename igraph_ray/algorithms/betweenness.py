@@ -1,0 +1,291 @@
+"""Betweenness centrality — distributed Brandes over the aligned engine.
+
+Reference semantics: ``igraph_betweenness``
+(/root/reference/src/centrality.c:1700-1900, Brandes 2001): bc(w) =
+Σ_{s≠w≠t} σ_st(w)/σ_st over directed shortest paths, endpoints excluded.
+The reference runs one sequential BFS + dependency sweep per source; the
+distributed shape here processes K sources at once in dense columns
+(like paths.multi_source_hops) and two level-synchronous phases per
+chunk:
+
+- FORWARD: frontier BFS carrying path counts σ. Superstep t discovers
+  level-t vertices: dist = t, σ = Σ σ(predecessors at t−1).
+- BACKWARD: dependency accumulation δ_u = σ_u · Σ_{v: u→v, d_v=d_u+1}
+  (1+δ_v)/σ_v, swept from the deepest level down over the REVERSED CSR.
+
+Neither phase needs a driver-synchronized level scalar: state carries a
+per-row level counter ``t`` (incremented/decremented in apply), so the
+frontier test (dist == t) and the receiver filter (dist == t−1) are
+local — the supersteps stream through the task graph back-pressure-free.
+
+Exactly one backward level is live per superstep, which makes the
+receiver filter sound: every message in flight was sent by a vertex at
+the same level.
+
+Scale notes: work per chunk is O(|E|·K/P) per level in both phases —
+the Brandes optimum; σ/δ are float64 (path counts overflow int64 on
+real graphs; the reference uses double too). Sources chunk through the
+same CSR (built once); per-chunk partial bc vectors are tiny (n rows)
+and sum through one groupby.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from igraph_ray import aligned as al
+from igraph_ray.csr import fetch_block
+from igraph_ray.graph import Graph
+from igraph_ray.superstep import SuperstepResult
+
+_INF = np.float64(np.inf)
+
+
+def _universe_state(graph: Graph, csr, init_fn):
+    if graph._explicit_n:
+        return al.state_from_csr(csr, graph.num_vertices(), init_fn=init_fn)
+    return al.state_from_dataset(
+        graph.vertices(), [int(b) for b in csr.boundaries], init_fn=init_fn
+    )
+
+
+def _csc_push(sb_verts, contrib, csr_desc, starts, K):
+    """Dense CSC push: per csr block, (width,K) contribution rows summed
+    per dst via one reduceat — the multi_source_hops gather shape with
+    SUM instead of MIN."""
+    nb = len(starts)
+    segs = [[] for _ in range(nb)]
+    msg = 0
+    if len(sb_verts) == 0:
+        return [tuple(s) for s in segs], 0
+    vmin, vmax = sb_verts.min(), sb_verts.max()
+    for (vlo, vhi, ref) in csr_desc:
+        if vhi < vmin or vlo > vmax:
+            continue
+        sel = (sb_verts >= vlo) & (sb_verts <= vhi)
+        if not sel.any():
+            continue
+        blk = fetch_block(ref)
+        width = blk["vhi"] - blk["vlo"] + 1
+        c = np.zeros((width, K))
+        c[sb_verts[sel] - blk["vlo"], :] = contrib[sel, :]
+        if len(blk["in_starts"]) == 0:
+            continue
+        sums = np.add.reduceat(c[blk["in_src"], :], blk["in_starts"], axis=0)
+        nz = sums.any(axis=1)
+        if not nz.any():
+            continue
+        dsts = blk["in_dst"][nz]
+        msg += int(nz.sum()) * K
+        bounds = np.searchsorted(dsts, starts[1:])
+        lo = 0
+        smat = sums[nz, :]
+        for r, hi in enumerate(list(bounds) + [len(dsts)]):
+            if hi > lo:
+                segs[r].append((dsts[lo:hi], smat[lo:hi, :].ravel()))
+            lo = hi
+    return [tuple(s) for s in segs], msg
+
+
+def betweenness(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    chunk: int = 64,
+    engine: str = "tasks",
+) -> ray.data.Dataset:
+    """Directed vertex betweenness. ``sources=None`` = exact (every
+    vertex a source); pass a sample of sources for the estimated variant
+    at scale (igraph_betweenness_estimate analogue — scale results by
+    |V|/|sources| yourself). Returns (vertex, bc) float64 over the full
+    universe (zeros included)."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+
+    csr_out = graph.csr_index("out", num_partitions, weighted=False)
+    csr_rev = graph.csr_index("rev", num_partitions, weighted=False)
+    out_blocks = csr_out.block_descriptors()
+    rev_blocks = csr_rev.block_descriptors()
+
+    if sources is None:
+        sources = [int(r["vertex"]) for r in graph.vertices().take_all()]
+    sources = list(sources)
+    if not sources:
+        return ray.data.from_arrow(pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             "bc": pa.array([], pa.float64())}))
+
+    partials: List[ray.data.Dataset] = []
+    for lo in range(0, len(sources), chunk):
+        part = _chunk_betweenness(
+            graph, csr_out, out_blocks, rev_blocks,
+            sources[lo : lo + chunk], engine,
+        )
+        partials.append(part)
+
+    ds = partials[0]
+    for o in partials[1:]:
+        ds = ds.union(o)
+    agg = ds.groupby("vertex").sum("bc")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "bc": pa.array([], pa.float64())})
+        return pa.table({"vertex": b["vertex"], "bc": b["sum(bc)"]})
+
+    return agg.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def _chunk_betweenness(graph, csr_out, out_blocks, rev_blocks, sources, engine):
+    K = len(sources)
+    src_arr = np.asarray(sources, dtype=np.int64)
+    dcols = [f"d{k}" for k in range(K)]
+    scols = [f"s{k}" for k in range(K)]
+    ecols = [f"e{k}" for k in range(K)]
+
+    # ---------------- forward: BFS levels + path counts -----------------
+    def _init(sd: dict) -> dict:
+        v = sd["vertex"]
+        out = {"vertex": v, "t": np.zeros(len(v))}
+        for k in range(K):
+            is_src = v == src_arr[k]
+            out[dcols[k]] = np.where(is_src, 0.0, _INF)
+            out[scols[k]] = np.where(is_src, 1.0, 0.0)
+        return out
+
+    state = _universe_state(graph, csr_out, _init)
+
+    def fwd_gather(sb, csr_desc, starts, scalars):
+        verts = sb["vertex"]
+        t = sb["t"][0] if len(sb["t"]) else 0.0
+        dmat = np.stack([sb[c] for c in dcols], axis=1)
+        smat = np.stack([sb[c] for c in scols], axis=1)
+        contrib = np.where(dmat == t, smat, 0.0)
+        live = contrib.any(axis=1)
+        return _csc_push(verts[live], contrib[live, :], csr_desc, starts, K)
+
+    def fwd_apply(old, segments, scalars):
+        vertex = old["vertex"]
+        t = old["t"][0] if len(old["t"]) else 0.0
+        dmat = np.stack([old[c] for c in dcols], axis=1)
+        smat = np.stack([old[c] for c in scols], axis=1)
+        acc = np.zeros_like(smat)
+        for pairs in segments:
+            for (sd, sv) in pairs:
+                if not len(sd):
+                    continue
+                pos = np.searchsorted(vertex, sd)
+                acc[pos, :] += sv.reshape(len(sd), K)
+        undiscovered = ~np.isfinite(dmat)
+        newly = undiscovered & (acc > 0)
+        dmat = np.where(newly, t + 1.0, dmat)
+        smat = np.where(newly, acc, smat)
+        out = {"vertex": vertex, "t": np.full(len(vertex), t + 1.0)}
+        for k in range(K):
+            out[dcols[k]] = dmat[:, k]
+            out[scols[k]] = smat[:, k]
+        return out, {"changed": float(newly.sum())}
+
+    fwd = al.run_aligned_loop(
+        state=state,
+        csr_descriptors=out_blocks,
+        gather_fn=fwd_gather,
+        apply_fn=fwd_apply,
+        scalars={"changed": 1.0},
+        make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
+        converged=lambda s, it: s.get("changed", 1.0) == 0.0,
+        max_iter=10_000,
+        state_columns=["vertex", "t"] + dcols + scols,
+        engine=engine,
+    )
+    maxdist = fwd.iterations - 1  # the last superstep discovered nothing
+
+    # ---------------- backward: dependency sweep ------------------------
+    @ray.remote
+    def _init_back(block: dict, L: float) -> dict:
+        out = dict(block)
+        out["t"] = np.full(len(block["vertex"]), L)
+        for k in range(K):
+            out[ecols[k]] = np.zeros(len(block["vertex"]))
+        return out
+
+    if maxdist >= 1:
+        bstate = al.AlignedState(
+            blocks=[_init_back.remote(b, float(maxdist)) for b in fwd.aligned_state.blocks],
+            starts=fwd.aligned_state.starts,
+        )
+
+        def bwd_gather(sb, csr_desc, starts, scalars):
+            verts = sb["vertex"]
+            t = sb["t"][0] if len(sb["t"]) else 0.0
+            dmat = np.stack([sb[c] for c in dcols], axis=1)
+            smat = np.stack([sb[c] for c in scols], axis=1)
+            emat = np.stack([sb[c] for c in ecols], axis=1)
+            on_level = dmat == t
+            with np.errstate(divide="ignore", invalid="ignore"):
+                val = np.where(on_level & (smat > 0), (1.0 + emat) / smat, 0.0)
+            live = val.any(axis=1)
+            return _csc_push(verts[live], val[live, :], csr_desc, starts, K)
+
+        def bwd_apply(old, segments, scalars):
+            vertex = old["vertex"]
+            t = old["t"][0] if len(old["t"]) else 0.0
+            dmat = np.stack([old[c] for c in dcols], axis=1)
+            smat = np.stack([old[c] for c in scols], axis=1)
+            emat = np.stack([old[c] for c in ecols], axis=1)
+            acc = np.zeros_like(emat)
+            for pairs in segments:
+                for (sd, sv) in pairs:
+                    if not len(sd):
+                        continue
+                    pos = np.searchsorted(vertex, sd)
+                    acc[pos, :] += sv.reshape(len(sd), K)
+            receivers = dmat == (t - 1.0)
+            emat = np.where(receivers, emat + smat * acc, emat)
+            out = {"vertex": vertex, "t": np.full(len(vertex), t - 1.0)}
+            for k in range(K):
+                out[dcols[k]] = dmat[:, k]
+                out[scols[k]] = smat[:, k]
+                out[ecols[k]] = emat[:, k]
+            return out, {}
+
+        back = al.run_aligned_loop(
+            state=bstate,
+            csr_descriptors=rev_blocks,
+            gather_fn=bwd_gather,
+            apply_fn=bwd_apply,
+            scalars={},
+            make_scalars=lambda s, it: {},
+            converged=lambda s, it: it + 1 >= maxdist,
+            max_iter=maxdist,
+            state_columns=["vertex", "t"] + dcols + scols + ecols,
+            engine=engine,
+        )
+        final_state = back.aligned_state
+    else:
+        final_state = fwd.aligned_state
+
+    @ray.remote
+    def _partial(block: dict) -> pa.Table:
+        v = block["vertex"]
+        bc = np.zeros(len(v))
+        for k in range(K):
+            delta = block.get(ecols[k])
+            if delta is None:
+                continue
+            contrib = delta.copy()
+            contrib[v == src_arr[k]] = 0.0  # endpoints excluded
+            bc += contrib
+        return pa.table({"vertex": pa.array(v, pa.int64()),
+                         "bc": pa.array(bc, pa.float64())})
+
+    return ray.data.from_arrow_refs(
+        [_partial.remote(b) for b in final_state.blocks]
+    )

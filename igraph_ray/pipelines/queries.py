@@ -115,6 +115,52 @@ def q_path_length_hist(sf_dir: str):
     return path_length_hist(g, num_partitions=8, chunk=128)
 
 
+_BC_ITERS = 14
+
+
+def q_betweenness(sf_dir: str):
+    """Exact directed betweenness, Brandes over every source
+    (centrality.c:1700-1900). The oracle computes the same quantity by
+    the σ-triple-join pair formula — an independent algorithm."""
+    from igraph_ray.algorithms.betweenness import betweenness
+
+    g = derive.graph_a(sf_dir)
+    bc = betweenness(g, num_partitions=8, chunk=64)
+    return _scale_col(bc, "bc", "bc_e6", 1e6)
+
+
+def _sql_betweenness(iters: int = _BC_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, 0 AS d, CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {p} UNION ALL "
+            f"SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, {k} AS d, SUM(p.sig) AS sig "
+            f"FROM {p} p JOIN edges e ON e.src = p.t WHERE p.d = {k-1} "
+            f"GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} o WHERE o.s = n.s AND o.t = n.t))"
+        )
+    q = f"q{iters}"
+    parts.append(
+        f"bc AS (SELECT p1.t AS v, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM {q} p1 JOIN {q} p2 ON p2.s = p1.t "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t AND p3.d = p1.d + p2.d "
+        f"WHERE p1.s != p1.t AND p2.s != p2.t AND p1.s != p2.t GROUP BY p1.t)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT verts.v AS vertex, "
+        f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) AS bc_e6 "
+        f"FROM verts LEFT JOIN bc b ON b.v = verts.v ORDER BY vertex"
+    )
+
+
 def q_closeness(sf_dir: str):
     """Directed (out-mode) closeness = reached/Σdist over reachable,
     self excluded; unreachable-from sources omitted (igraph_closeness
@@ -1201,6 +1247,7 @@ def queries() -> Dict[str, Callable]:
         "scc": q_scc,
         "sssp_hops": q_sssp_hops,
         "path_length_hist": q_path_length_hist,
+        "betweenness": q_betweenness,
         "closeness": q_closeness,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
@@ -1275,6 +1322,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
         "path_length_hist": _sql_path_length_hist(),
+        "betweenness": _sql_betweenness(),
         "closeness": _sql_closeness(),
         "harmonic": _sql_harmonic(),
         "eccentricity": _sql_eccentricity(),

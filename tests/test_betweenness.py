@@ -1,0 +1,121 @@
+"""Distributed Brandes betweenness vs a sequential Brandes oracle
+(centrality.c:1700-1900 semantics: directed shortest paths, endpoints
+excluded)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.algorithms.betweenness import betweenness
+from igraph_ray.graph import Graph
+
+
+def _brandes_ref(n, adj):
+    bc = np.zeros(n)
+    for s in range(n):
+        S = []
+        P = collections.defaultdict(list)
+        sigma = np.zeros(n)
+        sigma[s] = 1
+        dist = np.full(n, -1)
+        dist[s] = 0
+        Q = collections.deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    Q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = np.zeros(n)
+        for w in reversed(S):
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def _graph(seed, n, m):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    src = np.array([p[0] for p in pairs], dtype=np.int64)
+    dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    adj = collections.defaultdict(list)
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    g = Graph(ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})), n=n)
+    return g, adj, n
+
+
+def test_betweenness_exact():
+    g, adj, n = _graph(21, 60, 250)
+    got = np.zeros(n)
+    for r in betweenness(g, num_partitions=3, chunk=16).take_all():
+        got[int(r["vertex"])] = r["bc"]
+    want = _brandes_ref(n, adj)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_betweenness_chunk_invariance():
+    # chunking the source set must not change the result
+    g, adj, n = _graph(22, 40, 140)
+    a = np.zeros(n)
+    for r in betweenness(g, num_partitions=2, chunk=7).take_all():
+        a[int(r["vertex"])] = r["bc"]
+    b = np.zeros(n)
+    for r in betweenness(g, num_partitions=4, chunk=40).take_all():
+        b[int(r["vertex"])] = r["bc"]
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_betweenness_sampled_sources():
+    # restricting sources = partial sums of per-source dependencies
+    g, adj, n = _graph(23, 30, 90)
+    srcs = [0, 3, 7]
+    got = np.zeros(n)
+    for r in betweenness(g, sources=srcs, num_partitions=2, chunk=2).take_all():
+        got[int(r["vertex"])] = r["bc"]
+
+    bc = np.zeros(n)
+    for s in srcs:
+        sub = _brandes_ref_single(n, adj, s)
+        bc += sub
+    np.testing.assert_allclose(got, bc, atol=1e-9)
+
+
+def _brandes_ref_single(n, adj, s):
+    bc = np.zeros(n)
+    S = []
+    P = collections.defaultdict(list)
+    sigma = np.zeros(n)
+    sigma[s] = 1
+    dist = np.full(n, -1)
+    dist[s] = 0
+    Q = collections.deque([s])
+    while Q:
+        v = Q.popleft()
+        S.append(v)
+        for w in adj[v]:
+            if dist[w] < 0:
+                dist[w] = dist[v] + 1
+                Q.append(w)
+            if dist[w] == dist[v] + 1:
+                sigma[w] += sigma[v]
+                P[w].append(v)
+    delta = np.zeros(n)
+    for w in reversed(S):
+        for v in P[w]:
+            delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        if w != s:
+            bc[w] += delta[w]
+    return bc
