@@ -46,8 +46,13 @@ class Graph:
         edges: ray.data.Dataset,
         n: Optional[int] = None,
         weighted: bool = False,
+        attrs: Optional[dict] = None,
     ) -> None:
         self.edges = edges
+        # graph-level attributes — the GAN/GAS surface (igraph's
+        # attribute table, attributes.c GAN/GAS/SETGAN): small scalar/str
+        # metadata carried by the graph object and through save()/load().
+        self.attrs: dict = dict(attrs) if attrs else {}
         self._n = n
         # whether the user declared a dense 0..n-1 universe; num_vertices()
         # caches the distinct-endpoint count into _n for sparse graphs, so
@@ -68,6 +73,36 @@ class Graph:
     @classmethod
     def from_arrow(cls, table: pa.Table, n: Optional[int] = None, weighted: bool = False) -> "Graph":
         return cls(ray.data.from_arrow(table), n=n, weighted=weighted)
+
+    def save(self, path: str) -> None:
+        """Persist the graph: partitioned edge Parquet under ``path`` plus
+        a ``_GRAPH.json`` carrying n/weighted/attrs — the conventional
+        place for graph-level metadata to survive checkpoints (the GAN/GAS
+        persistence gap flagged in round 1). Metadata is written LAST so a
+        partial write is detectable (no _GRAPH.json = no graph)."""
+        import json
+        import os
+
+        os.makedirs(os.path.join(path, "edges"), exist_ok=True)
+        self.edges.write_parquet(os.path.join(path, "edges"))
+        meta = {"n": self._n if self._explicit_n else None,
+                "weighted": self.weighted, "attrs": self.attrs}
+        tmp = os.path.join(path, "_GRAPH.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "_GRAPH.json"))
+
+    @classmethod
+    def load(cls, path: str) -> "Graph":
+        """Inverse of save(): restores edges, n, weighted and attrs."""
+        import json
+        import os
+
+        with open(os.path.join(path, "_GRAPH.json")) as f:
+            meta = json.load(f)
+        cols = ["src", "dst"] + (["weight"] if meta["weighted"] else [])
+        edges = ray.data.read_parquet(os.path.join(path, "edges"), columns=cols)
+        return cls(edges, n=meta["n"], weighted=meta["weighted"], attrs=meta["attrs"])
 
     @classmethod
     def from_numpy(

@@ -230,6 +230,106 @@ def contract_vertices(
     return j.map_batches(_out, batch_format="pyarrow", batch_size=None)
 
 
+def disjoint_union_edges(
+    a: ray.data.Dataset, b: ray.data.Dataset, n_left: int
+) -> ray.data.Dataset:
+    """igraph_disjoint_union (operators.c:38): concatenate two graphs on
+    disjoint vertex sets — b's vertex ids are shifted by ``n_left`` (the
+    left graph's vertex count), exactly the reference's id-offset rule.
+    Pure per-batch map + union: no shuffle, streams at any scale."""
+
+    def _shift(t: pa.Table) -> pa.Table:
+        off = pa.scalar(n_left, pa.int64())
+        cols = {"src": pc.add(t["src"], off), "dst": pc.add(t["dst"], off)}
+        if "weight" in t.column_names:
+            cols["weight"] = t["weight"]
+        return pa.table(cols)
+
+    keep = ["src", "dst"]
+    if "weight" in a.schema().names and "weight" in b.schema().names:
+        keep = ["src", "dst", "weight"]
+    return a.select_columns(keep).union(
+        b.select_columns(keep).map_batches(_shift, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def complementer_edges(
+    edges: ray.data.Dataset,
+    n: int,
+    loops: bool = False,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """igraph_complementer (operators.c:1038): directed edge (i,j) present
+    iff absent from the input (loops excluded unless ``loops``).
+
+    The output is inherently Θ(n²) − |E| (same as the reference), so this
+    targets small-to-mid vertex counts; the *input* edge set can be large.
+    Plan: range-partition the src axis into ``num_partitions`` even vertex
+    ranges, sort the (dedup'd) edges by src with exactly those boundaries
+    so output block k holds precisely range k's edges, then one Ray task
+    per range emits its complement rows (vectorized per-src-row setdiff via
+    a masked dense row). Every range task covers ALL its vertices —
+    including those with no out-edges — so no driver-side pass touches
+    more than P descriptors.
+    """
+    if n <= 0:
+        return ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+    d = _dedup(edges).materialize()
+    # even vertex-range splits (complement output is uniform n per src, so
+    # equal-vertex = equal-output ranges; edge skew only affects the small
+    # "present" side)
+    P = max(1, min(num_partitions, n))
+    splits = [int(i * n / P) for i in range(1, P)]
+    splits = sorted(set(s for s in splits if 0 < s < n))
+    if splits:
+        sorted_ds = d.sort("src", boundaries=list(splits)).materialize()
+    else:
+        sorted_ds = d.sort("src").materialize()
+    refs = sorted_ds.to_arrow_refs()
+    lows = [0] + splits
+    highs = splits + [n]
+    # sort(boundaries=...) yields exactly len(splits)+1 blocks in range
+    # order; guard in case the backend ever merges empty blocks
+    if len(refs) != len(lows):
+        raise RuntimeError(
+            f"boundary-aligned sort returned {len(refs)} blocks for {len(lows)} ranges"
+        )
+
+    @ray.remote
+    def _complement_range(t: pa.Table, lo: int, hi: int) -> pa.Table:
+        srcs_out = []
+        dsts_out = []
+        if t.num_rows:
+            es = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ed = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            es = np.empty(0, np.int64)
+            ed = np.empty(0, np.int64)
+        order = np.argsort(es, kind="stable")
+        es, ed = es[order], ed[order]
+        starts = np.searchsorted(es, np.arange(lo, hi + 1), side="left")
+        full = np.arange(n, dtype=np.int64)
+        for i, v in enumerate(range(lo, hi)):
+            present = ed[starts[i]: starts[i + 1]]
+            mask = np.ones(n, dtype=bool)
+            mask[present] = False
+            if not loops:
+                mask[v] = False
+            miss = full[mask]
+            dsts_out.append(miss)
+            srcs_out.append(np.full(len(miss), v, dtype=np.int64))
+        src = np.concatenate(srcs_out) if srcs_out else np.empty(0, np.int64)
+        dst = np.concatenate(dsts_out) if dsts_out else np.empty(0, np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    out_refs = [
+        _complement_range.remote(r, lo, hi) for r, lo, hi in zip(refs, lows, highs)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def top_k_by(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray.data.Dataset:
     """Top-k helper (engine-side; the reference's analogue is
     sort_vertex_ids_by_degree, structural_properties.c:6223)."""

@@ -1,0 +1,308 @@
+"""Degree-preserving graph randomization — the engine's counterpart of
+igraph_rewire (/root/reference/src/structural_properties.c:1734 →
+games.c:2816 igraph_i_rewire), which runs edge-swap trials that keep the
+graph simple. Needed for null-model significance testing of
+motif/community/census results (SURVEY.md §2.4).
+
+Distributed plan (NOT the reference's sequential MCMC): a full random
+permutation of the dst column preserves every vertex's out-degree (src
+rows untouched) and in-degree (dst multiset unchanged) in one shot — the
+configuration-model shuffle — and mixes *globally*, where per-partition
+swaps would only mix locally. The permutation is a seeded splitmix64 sort
+key per row: sort the dst column by key (one boundary-free range shuffle),
+re-zip with the src column by global row position. Rows whose permuted
+result violates simplicity (loops or duplicate (src,dst) pairs) are
+re-permuted together with an equal-size seeded sample of clean rows
+(the partner-swap that breaks identical-dst deadlocks) for up to
+``max_rounds`` shrinking rounds; each round touches only the violating
+fraction (~m·d/n expected), not the full edge set.
+
+Determinism: everything keys off splitmix64(rowid, seed) — same seed,
+same input order ⇒ identical output on any partition count.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from igraph_ray.util import hash_join
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (public-domain constant
+    mix; same recurrence the dedup sketches use)."""
+    z = x + _GOLDEN
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _with_rowids(ds: ray.data.Dataset) -> Tuple[List[ray.ObjectRef], List[int]]:
+    """Materialized block refs + per-block global row offsets (driver holds
+    only P descriptors; the id-assignment pass is one task per block)."""
+    mat = ds.materialize()
+    refs = list(mat.to_arrow_refs())
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64).tolist()
+    return refs, offsets
+
+
+def _permute_dst(
+    pairs: ray.data.Dataset, seed: int, num_partitions: int
+) -> ray.data.Dataset:
+    """Return (src, dst) with the dst column globally permuted by the
+    seeded splitmix64 order. Two boundary-free sorts + one hash join,
+    all over (int64, int64) columns — no full-row materialization on the
+    driver."""
+    refs, offsets = _with_rowids(pairs)
+
+    @ray.remote(num_returns=2)
+    def _split(t: pa.Table, off: int, sd: int):
+        if t.num_rows == 0 or "src" not in t.column_names:
+            e = pa.array([], pa.int64())
+            return (pa.table({"rowid": e, "src": e}),
+                    pa.table({"key": e, "dst": e}))
+        rid = np.arange(off, off + t.num_rows, dtype=np.int64)
+        key = _splitmix(rid.astype(np.uint64) + np.uint64(sd)).astype(np.int64)
+        left = pa.table({"rowid": pa.array(rid), "src": t["src"]})
+        right = pa.table({"key": pa.array(key), "dst": t["dst"]})
+        return left, right
+
+    split = [_split.remote(r, o, seed) for r, o in zip(refs, offsets)]
+    left = ray.data.from_arrow_refs([p[0] for p in split])
+    keyed = ray.data.from_arrow_refs([p[1] for p in split])
+    # sort dsts into the random order, then assign the SAME global row-id
+    # space by position: row i of the sorted stream becomes the dst of
+    # row i of the original src order
+    srefs, soffs = _with_rowids(keyed.sort("key"))
+
+    @ray.remote
+    def _rank(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return pa.table(
+                {"rowid": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        rid = np.arange(off, off + t.num_rows, dtype=np.int64)
+        return pa.table({"rowid": pa.array(rid), "dst": t["dst"]})
+
+    right = ray.data.from_arrow_refs(
+        [_rank.remote(r, o) for r, o in zip(srefs, soffs)]
+    )
+    j = hash_join(left, right, on="rowid", num_partitions=num_partitions)
+    return j.select_columns(["src", "dst"])
+
+
+def _mark_violations(
+    edges: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Tag each row ok/violating: loops, plus all-but-one row of every
+    duplicate (src,dst) group (the kept one is fine — the pair exists
+    once)."""
+    refs, offsets = _with_rowids(edges)
+
+    @ray.remote
+    def _rid(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            e = pa.array([], pa.int64())
+            return pa.table({"src": e, "dst": e, "rowid": e})
+        rid = np.arange(off, off + t.num_rows, dtype=np.int64)
+        return t.append_column("rowid", pa.array(rid))
+
+    ridded = ray.data.from_arrow_refs(
+        [_rid.remote(r, o) for r, o in zip(refs, offsets)]
+    )
+    # keeper rowid per (src,dst) group = min rowid; every other group
+    # member is a duplicate violation
+    keepers = ridded.groupby(["src", "dst"]).min("rowid")
+
+    def _k(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "keeper": t["min(rowid)"]}
+        )
+
+    keepers = keepers.map_batches(_k, batch_format="pyarrow", batch_size=None)
+    j = hash_join(ridded, keepers, on=("src", "dst"), num_partitions=num_partitions)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        dup = pc.not_equal(t["rowid"], t["keeper"])
+        loop = pc.equal(t["src"], t["dst"])
+        return pa.table(
+            {"rowid": t["rowid"], "src": t["src"], "dst": t["dst"],
+             "bad": pc.or_(dup, loop)}
+        )
+
+    return j.map_batches(_flag, batch_format="pyarrow", batch_size=None)
+
+
+def rewire(
+    edges: ray.data.Dataset,
+    seed: int = 42,
+    num_partitions: int = 8,
+    max_rounds: int = 30,
+    keep_simple: bool = True,
+    tail_cap: int = 200_000,
+) -> ray.data.Dataset:
+    """Degree-preserving randomization of a simple directed edge table.
+
+    Matches igraph_rewire's contract (structural_properties.c:1734): the
+    out- and in-degree sequences are preserved exactly, and with
+    ``keep_simple`` the result has no loops and no multi-edges (assuming
+    the input is simple). The *distribution* differs from the reference's
+    swap MCMC — this is the configuration-model permutation with
+    violation repair, which mixes at least as fast and runs distributed.
+
+    Raises RuntimeError if simplicity cannot be repaired in
+    ``max_rounds`` (pathological degree sequences, e.g. a star — the
+    reference's trial loop equally cannot rewire those).
+    """
+    clean = edges.select_columns(["src", "dst"])
+    out = _permute_dst(clean, seed, num_partitions)
+    if not keep_simple:
+        return out
+    for rnd in range(max_rounds):
+        flagged = _mark_violations(out, num_partitions).materialize()
+        n_bad = int(
+            flagged.map_batches(
+                lambda t: pa.table(
+                    {"n": pa.array(
+                        [pc.sum(t["bad"]).as_py() or 0 if "bad" in t.column_names else 0],
+                        pa.int64())}
+                ),
+                batch_format="pyarrow", batch_size=None,
+            ).sum("n")
+            or 0
+        )
+        if n_bad == 0:
+            return flagged.select_columns(["src", "dst"])
+        out = _repair_round(flagged, n_bad, seed, rnd, num_partitions, tail_cap)
+    raise RuntimeError(
+        f"rewire: could not restore simplicity in {max_rounds} rounds "
+        f"(degree sequence may admit no simple rewiring)"
+    )
+
+
+def _repair_round(
+    flagged: ray.data.Dataset,
+    n_bad: int,
+    seed: int,
+    rnd: int,
+    num_partitions: int,
+    tail_cap: int,
+) -> ray.data.Dataset:
+    """One targeted edge-swap repair round (the distributed analogue of the
+    reference's rejection trials, games.c:2816): pair each violating row
+    with one seeded-random clean partner, propose the dst swap
+    (b.src,c.dst)+(c.src,b.dst), and accept ONLY swaps whose two new pairs
+    are loop-free, mutually distinct across this round's proposals, and
+    absent from the current edge multiset (one distributed membership
+    semi-join of the small proposal table against the full edge table).
+    Accepted swaps strictly reduce the violation count and can never
+    introduce a new violation — unlike blind re-permutation, which
+    re-collides at the graph's density rate and stalls on dense inputs.
+
+    Driver-side state is O(min(n_bad, tail_cap)) rows; the edge table
+    itself stays distributed (rowid-keyed replacement map broadcast into
+    map_batches)."""
+    rsd = np.uint64((seed + 1) * 1_000_003 + rnd)
+
+    def _pull(ds: ray.data.Dataset) -> pa.Table:
+        t = ds.to_pandas()
+        return t
+
+    # violating tail, deterministic order, capped
+    bad_df = _pull(
+        flagged.map_batches(
+            lambda t: t.filter(t["bad"]).select(["rowid", "src", "dst"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+    ).sort_values("rowid").head(tail_cap)
+    k = len(bad_df)
+    total = flagged.count()
+    frac = min(1.0, (4.0 * k + 64.0) / max(1, total - n_bad))
+
+    def _sample_clean(t: pa.Table, _rsd=rsd, _frac=frac) -> pa.Table:
+        good = pc.invert(t["bad"]).to_numpy(zero_copy_only=False)
+        rid = t["rowid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix(rid ^ _rsd)
+        pick = good & ((h.astype(np.float64) / 2**64) < _frac)
+        return t.filter(pa.array(pick)).select(["rowid", "src", "dst"])
+
+    part_df = _pull(
+        flagged.map_batches(_sample_clean, batch_format="pyarrow", batch_size=None)
+    )
+    if len(part_df) == 0:
+        return flagged.select_columns(["rowid", "src", "dst"]).map_batches(
+            lambda t: t.select(["src", "dst"]), batch_format="pyarrow", batch_size=None
+        )
+    # pseudo-random deterministic pairing order
+    ph = _splitmix(part_df["rowid"].to_numpy().astype(np.uint64) + rsd)
+    part_df = part_df.iloc[np.argsort(ph, kind="stable")].head(max(k, 1))
+    kk = min(k, len(part_df))
+    b_rid = bad_df["rowid"].to_numpy()[:kk]
+    b_src = bad_df["src"].to_numpy()[:kk]
+    b_dst = bad_df["dst"].to_numpy()[:kk]
+    c_rid = part_df["rowid"].to_numpy()[:kk]
+    c_src = part_df["src"].to_numpy()[:kk]
+    c_dst = part_df["dst"].to_numpy()[:kk]
+    n1s, n1d = b_src, c_dst  # proposal's first new pair
+    n2s, n2d = c_src, b_dst  # and second
+    ok = (n1s != n1d) & (n2s != n2d)
+    # all 2·k proposed keys must be mutually distinct (first occurrence
+    # wins); a proposal needs BOTH its keys to be first occurrences
+    keys = np.concatenate(
+        [np.stack([n1s, n1d], axis=1), np.stack([n2s, n2d], axis=1)]
+    )
+    _, first_idx = np.unique(keys, axis=0, return_index=True)
+    is_first = np.zeros(2 * kk, dtype=bool)
+    is_first[first_idx] = True
+    ok &= is_first[:kk] & is_first[kk:]
+    # distributed membership: which proposed keys already exist?
+    prop_keys = pa.table(
+        {"src": pa.array(keys[:, 0], pa.int64()),
+         "dst": pa.array(keys[:, 1], pa.int64()),
+         "pk": pa.array(np.arange(2 * kk), pa.int64())}
+    )
+    existing = hash_join(
+        flagged.select_columns(["src", "dst"]),
+        ray.data.from_arrow(prop_keys),
+        on=("src", "dst"), num_partitions=num_partitions,
+    ).to_pandas()
+    hit = np.zeros(2 * kk, dtype=bool)
+    if len(existing):
+        hit[existing["pk"].to_numpy()] = True
+    ok &= ~hit[:kk] & ~hit[kk:]
+    # rowid-keyed replacement map for accepted swaps, broadcast once
+    rep_rid = np.concatenate([b_rid[ok], c_rid[ok]])
+    rep_src = np.concatenate([n1s[ok], n2s[ok]])
+    rep_dst = np.concatenate([n1d[ok], n2d[ok]])
+    order = np.argsort(rep_rid, kind="stable")
+    rep_ref = ray.put(
+        {"rid": rep_rid[order], "src": rep_src[order], "dst": rep_dst[order]}
+    )
+
+    def _apply(t: pa.Table) -> pa.Table:
+        rep = ray.get(rep_ref)
+        rid = t["rowid"].to_numpy(zero_copy_only=False)
+        s = t["src"].to_numpy(zero_copy_only=False).copy()
+        d = t["dst"].to_numpy(zero_copy_only=False).copy()
+        pos = np.searchsorted(rep["rid"], rid)
+        pos_c = np.clip(pos, 0, len(rep["rid"]) - 1)
+        m = (len(rep["rid"]) > 0) & (rep["rid"][pos_c] == rid)
+        s[m] = rep["src"][pos_c[m]]
+        d[m] = rep["dst"][pos_c[m]]
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    return flagged.map_batches(_apply, batch_format="pyarrow", batch_size=None)

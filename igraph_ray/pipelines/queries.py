@@ -277,6 +277,51 @@ def q_union(sf_dir: str):
     return rel.union_edges(derive.edges_a(sf_dir), derive.edges_b(sf_dir))
 
 
+def q_disjoint_union(sf_dir: str):
+    """igraph_disjoint_union (operators.c:38): edges_b's ids offset by
+    V=512 (edges_a's declared vertex-universe size)."""
+    return rel.disjoint_union_edges(
+        derive.edges_a(sf_dir), derive.edges_b(sf_dir), n_left=V
+    )
+
+
+def q_complementer(sf_dir: str):
+    """igraph_complementer (operators.c:1038) over the V=512 dense
+    universe, loops excluded."""
+    return rel.complementer_edges(derive.edges_a(sf_dir), n=V, num_partitions=8)
+
+
+def q_rewire_degrees(sf_dir: str):
+    """Degree-preservation invariant of rewire
+    (structural_properties.c:1734): the rewired graph's out/in degree
+    tables equal the original's — the SQL oracle computes them on the
+    ORIGINAL edges, the engine on the rewired output, so the hash check
+    verifies exact degree-sequence preservation (the randomized edge set
+    itself has no SQL-expressible oracle)."""
+    from igraph_ray.ops.rewire import rewire as _rw
+
+    rewired = _rw(derive.edges_a(sf_dir), seed=42, num_partitions=8)
+    g = Graph(rewired.materialize(), n=None)
+    out_d = g.out_degrees()
+    in_d = g.in_degrees()
+
+    def _o(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"],
+                         "out_deg": pc.cast(b["deg"], pa.int64())})
+
+    def _i(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"],
+                         "in_deg": pc.cast(b["deg"], pa.int64())})
+
+    from igraph_ray.util import hash_join
+
+    return hash_join(
+        out_d.map_batches(_o, batch_format="pyarrow", batch_size=None),
+        in_d.map_batches(_i, batch_format="pyarrow", batch_size=None),
+        on="vertex", num_partitions=8,
+    )
+
+
 def q_strength(sf_dir: str):
     """Weighted out-degree (igraph_strength) over the multigraph with
     integer weight (o_orderkey % 10) + 1 per edge occurrence."""
@@ -1267,6 +1312,9 @@ def queries() -> Dict[str, Callable]:
         "difference": q_difference,
         "compose": q_compose,
         "union": q_union,
+        "disjoint_union": q_disjoint_union,
+        "complementer": q_complementer,
+        "rewire_degrees": q_rewire_degrees,
         "strength": q_strength,
         "transitivity": q_transitivity,
         "cocitation": q_cocitation,
@@ -1366,6 +1414,24 @@ SELECT a.src, a.dst FROM ({SQL_EDGES_A}) a ANTI JOIN ({SQL_EDGES_B}) b USING (sr
 SELECT DISTINCT a.src, b.dst FROM ({SQL_EDGES_A}) a JOIN ({SQL_EDGES_B}) b ON b.src = a.dst""",
         "union": f"""
 SELECT src, dst FROM ({SQL_EDGES_A}) UNION SELECT src, dst FROM ({SQL_EDGES_B})""",
+        "disjoint_union": f"""
+SELECT src, dst FROM ({SQL_EDGES_A})
+UNION ALL SELECT src + {V} AS src, dst + {V} AS dst FROM ({SQL_EDGES_B})""",
+        "complementer": f"""
+WITH e AS ({SQL_EDGES_A}), v AS (SELECT range AS x FROM range({V}))
+SELECT a.x AS src, b.x AS dst
+FROM v a CROSS JOIN v b
+WHERE a.x != b.x
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = a.x AND e.dst = b.x)""",
+        "rewire_degrees": f"""
+WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A})
+SELECT verts.v AS vertex,
+       COALESCE(o.n, 0) AS out_deg,
+       COALESCE(i.n, 0) AS in_deg
+FROM verts
+LEFT JOIN (SELECT src, COUNT(*) AS n FROM edges GROUP BY src) o ON o.src = verts.v
+LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY dst) i ON i.dst = verts.v
+ORDER BY vertex""",
         "strength": f"""
 WITH em AS (SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst,
                    (o_orderkey % 10) + 1 AS w
