@@ -233,11 +233,21 @@ def embedding_near_dups(
         .groupby(["a", "b"]).count().select_columns(["a", "b"])
     )
 
+    # acero joins reject list-typed payload columns, so vectors ride
+    # through the candidate joins as float64 binary blobs
     def _va(b: pa.Table) -> pa.Table:
-        return pa.table({"a": b[id_col], "vec_a": b[vec_col]})
+        m = _to_matrix(b[vec_col]).astype(np.float64)
+        return pa.table(
+            {"a": b[id_col],
+             "vec_a": pa.array([row.tobytes() for row in m], pa.large_binary())}
+        )
 
     def _vb(b: pa.Table) -> pa.Table:
-        return pa.table({"b": b[id_col], "vec_b": b[vec_col]})
+        m = _to_matrix(b[vec_col]).astype(np.float64)
+        return pa.table(
+            {"b": b[id_col],
+             "vec_b": pa.array([row.tobytes() for row in m], pa.large_binary())}
+        )
 
     j = hash_join(cands, embeddings.map_batches(_va, batch_format="pyarrow", batch_size=None),
                   on="a", num_partitions=num_partitions)
@@ -251,8 +261,8 @@ def embedding_near_dups(
         )
         if b.num_rows == 0 or "vec_a" not in b.column_names:
             return empty
-        va = _to_matrix(b["vec_a"])
-        vb = _to_matrix(b["vec_b"])
+        va = np.stack([np.frombuffer(x, np.float64) for x in b["vec_a"].to_pylist()])
+        vb = np.stack([np.frombuffer(x, np.float64) for x in b["vec_b"].to_pylist()])
         va = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
         vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
         sc = (va * vb).sum(axis=1)

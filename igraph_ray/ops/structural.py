@@ -99,7 +99,7 @@ def _common_neighbor_pairs(
 
     def _pairs(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
         u = b[key].to_numpy(zero_copy_only=False)
         v = b[other].to_numpy(zero_copy_only=False)
         order = np.lexsort((v, u))
@@ -114,18 +114,23 @@ def _common_neighbor_pairs(
         cnt = gend - np.arange(len(u)) - 1
         total = int(cnt.sum())
         if total == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
         a_idx = np.repeat(np.arange(len(u)), cnt)
         off = np.zeros(len(cnt), dtype=np.int64)
         np.cumsum(cnt[:-1], out=off[1:])
         b_idx = np.arange(total, dtype=np.int64) - np.repeat(off, cnt) + a_idx + 1
-        return pa.table({"a": pa.array(v[a_idx], pa.int64()), "b": pa.array(v[b_idx], pa.int64())})
+        raw = pa.table({"a": pa.array(v[a_idx], pa.int64()), "b": pa.array(v[b_idx], pa.int64())})
+        # per-block combiner: the raw wedge stream is |wedges| rows but at
+        # most |distinct pairs| survive the count — pre-aggregate before
+        # the wide groupby so the shuffle moves counts, not wedges
+        return pa.TableGroupBy(raw, ["a", "b"]).aggregate([([], "count_all")]) \
+            .rename_columns(["a", "b", "cnt"])
 
     pairs = s.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
-    g = pairs.groupby(["a", "b"]).count()
+    g = pairs.groupby(["a", "b"]).sum("cnt")
 
     def _rn(b: pa.Table) -> pa.Table:
-        return pa.table({"a": b["a"], "b": b["b"], "common": b["count()"]})
+        return pa.table({"a": b["a"], "b": b["b"], "common": b["sum(cnt)"]})
 
     return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 

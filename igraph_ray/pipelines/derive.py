@@ -92,3 +92,49 @@ def edges_b(sf_dir: str) -> ray.data.Dataset:
 
 def graph_a(sf_dir: str) -> Graph:
     return Graph(edges_a(sf_dir).materialize(), n=None)
+
+
+# weighted variant of edges_a: per distinct (src,dst) the MIN of the
+# deterministic per-row weight (o_orderkey % 10) + 1 — same multigraph
+# weight rule the strength query uses, collapsed for simple-graph algos
+SQL_EDGES_A_W = (
+    f"SELECT src, dst, MIN(w) AS weight FROM ("
+    f"SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst, "
+    f"(o_orderkey % 10) + 1 AS w FROM orders) "
+    f"WHERE src != dst GROUP BY src, dst"
+)
+
+
+def edges_a_weighted(sf_dir: str) -> ray.data.Dataset:
+    """edges_a with weight = MIN((o_orderkey % 10) + 1) per distinct
+    loop-free (src,dst) — kept in lockstep with SQL_EDGES_A_W."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        w = (ok % 10 + 1).astype(np.float64)
+        keep = src != dst
+        t = pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep]),
+             "weight": pa.array(w[keep])}
+        )
+        # per-batch pre-combine before the global min-groupby
+        return pa.TableGroupBy(t, ["src", "dst"]).aggregate([("weight", "min")]) \
+            .rename_columns(["src", "dst", "weight"])
+
+    g = orders.map_batches(_derive, batch_format="pyarrow", batch_size=None) \
+        .groupby(["src", "dst"]).min("weight")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"], "dst": b["dst"], "weight": b["min(weight)"]})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def graph_a_weighted(sf_dir: str) -> Graph:
+    return Graph(edges_a_weighted(sf_dir).materialize(), n=None, weighted=True)

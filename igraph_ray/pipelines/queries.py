@@ -108,6 +108,27 @@ def q_sssp_hops(sf_dir: str):
     return sssp_hops(g, source=source, num_partitions=8).state
 
 
+def q_sssp_weighted(sf_dir: str):
+    """Single-source Dijkstra-semantics distances (weighted Bellman-Ford
+    relaxation on the aligned engine) from the min universe vertex over
+    the weighted edges_a digraph; reached vertices only. Weights are the
+    integer-valued MIN((o_orderkey%10)+1) per edge, so dist is
+    integer-valued and cast to int64 for the hash compare
+    (structural_properties.c:1930 igraph_shortest_paths_dijkstra
+    semantics)."""
+    g = derive.graph_a_weighted(sf_dir)
+    source = int(g.vertices().min("vertex"))
+    st = sssp_hops(g, source=source, weighted=True, num_partitions=8).state
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": b["vertex"],
+             "dist": pc.cast(pc.round(b["dist"]), pa.int64())}
+        )
+
+    return st.map_batches(_cast, batch_format="pyarrow", batch_size=None)
+
+
 def q_path_length_hist(sf_dir: str):
     """Exact directed path-length histogram over ordered reachable pairs
     (igraph_path_length_hist, structural_properties.c:293)."""
@@ -760,6 +781,18 @@ def q_embedding_near_dups(sf_dir: str):
     return _scale_col(out, "score", "score_e6", 1e6)
 
 
+def q_embedding_near_dups_lsh(sf_dir: str):
+    """Banded random-hyperplane LSH scale path (exact=False): candidate
+    recall < 1 by design, so no SQL oracle — the recall floor (≥95% of
+    the exact pairs on a planted fixture) is asserted in
+    tests/test_training_ops.py."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.embedding_near_dups(
+        emb, threshold=0.35, exact=False, num_planes=4, num_bands=8
+    )
+    return _scale_col(out, "score", "score_e6", 1e6)
+
+
 def q_corpus_extract(sf_dir: str):
     """Corpus → planted edges, scaled by sf via lineitem row count (no
     SQL oracle — validated exactly in pytest against the planted graph)."""
@@ -849,6 +882,35 @@ def _sql_scc() -> str:
 
 _SSSP_ITERS = 30
 _BIG = 1_000_000_000
+
+
+def _sql_sssp_weighted(iters: int = _SSSP_ITERS) -> str:
+    """Unrolled weighted Bellman-Ford (min-plus) — same shape as
+    _sql_sssp with MIN(p.d + e.weight) relaxation. 30 unrolled rounds
+    cover any weighted shortest path of ≤30 hops; the dense V=512
+    digraph's weighted hop-depth is far below that."""
+    from igraph_ray.pipelines.derive import SQL_EDGES_A_W
+
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A_W})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        f"h0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT MIN(v) FROM verts) "
+        f"THEN 0 ELSE {_BIG} END AS d FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT h.v, LEAST(h.d, COALESCE(m.md, {_BIG})) AS d "
+            f"FROM {p} h LEFT JOIN (SELECT e.dst AS v, MIN(p.d + e.weight) AS md "
+            f"FROM edges e JOIN {p} p ON p.v = e.src WHERE p.d < {_BIG} GROUP BY e.dst) m "
+            f"ON m.v = h.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(d AS BIGINT) AS dist FROM h{iters} "
+        f"WHERE d < {_BIG} ORDER BY vertex"
+    )
 
 
 def _sql_sssp(iters: int = _SSSP_ITERS) -> str:
@@ -1291,6 +1353,7 @@ def queries() -> Dict[str, Callable]:
         "components": q_components,
         "scc": q_scc,
         "sssp_hops": q_sssp_hops,
+        "sssp_weighted": q_sssp_weighted,
         "path_length_hist": q_path_length_hist,
         "betweenness": q_betweenness,
         "closeness": q_closeness,
@@ -1338,6 +1401,7 @@ def queries() -> Dict[str, Callable]:
         "knn": q_knn,
         "lsh_knn": q_lsh_knn,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "corpus_extract": q_corpus_extract,
     }
 
@@ -1364,6 +1428,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "components": _sql_components(),
         "scc": _sql_scc(),
         "sssp_hops": _sql_sssp(),
+        "sssp_weighted": _sql_sssp_weighted(),
         "coreness": _sql_coreness(),
         "simhash": _sql_simhash(),
         "minhash_pairs": _sql_minhash_pairs(),

@@ -153,3 +153,77 @@ def test_multimodal_plumbing():
     with pytest.raises(NotImplementedError):
         from igraph_ray.ops.multimodal import DecodeImage
         DecodeImage(fake=False)
+
+
+def test_embedding_near_dups_lsh_recall():
+    """exact=False must recover >=95% of the exact near-dup pairs on a
+    planted-cluster fixture, with precision 1.0 (candidates are rescored
+    with true cosine)."""
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 40, 4, 24
+    centers = rng.standard_normal((n_clusters, dim))
+    vecs = []
+    for c in centers:
+        for _ in range(per):
+            vecs.append(c + 0.05 * rng.standard_normal(dim))
+    # plus background noise vectors with no near neighbors
+    for _ in range(80):
+        vecs.append(rng.standard_normal(dim) * 3)
+    vecs = np.array(vecs)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    emb = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))})
+    )
+    thr = 0.9
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sc = vn @ vn.T
+    ii, jj = np.nonzero(np.triu(sc >= thr, k=1))
+    exact_pairs = set(zip(ii.tolist(), jj.tolist()))
+    assert len(exact_pairs) >= n_clusters  # fixture actually has dups
+
+    got = similarity.embedding_near_dups(
+        emb, threshold=thr, exact=False, num_planes=4, num_bands=8
+    ).take_all()
+    lsh_pairs = {(r["a"], r["b"]) for r in got}
+    # precision 1.0: every reported pair is a true pair
+    assert lsh_pairs <= exact_pairs
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    # scores match the true cosine
+    for r in got[:10]:
+        assert abs(r["score"] - sc[r["a"], r["b"]]) < 1e-9
+
+
+def test_minhash_bucket_integrity_across_blocks():
+    """A duplicate cluster spread over many input blocks must keep ALL its
+    candidate pairs: band buckets are boundary-aligned (one block per key
+    range), and oversized buckets emit star pairs instead of dropping
+    (round-1 straddle + silent-cap findings)."""
+    rng = np.random.default_rng(3)
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [dup_text] * 30
+    for i in range(300):
+        texts.append(" ".join(rng.choice(
+            ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"],
+            size=12).tolist()) + f" tail{i}")
+    ids = np.arange(len(texts), dtype=np.int64)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+    ).repartition(8)
+
+    # small max_bucket forces the star-pair path for the 30-dup cluster
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(
+        docs, max_bucket=10, num_partitions=4).take_all()}
+    # star connectivity: every dup doc pairs (directly or via the hub) —
+    # at minimum the hub 0 reaches all 29 others
+    for i in range(1, 30):
+        assert (0, i) in pairs, f"lost dup pair (0,{i})"
+
+    # generous max_bucket: the full clique must be present
+    pairs_full = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(
+        docs, max_bucket=200, num_partitions=4).take_all()}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            assert (i, j) in pairs_full, f"lost dup pair ({i},{j})"
