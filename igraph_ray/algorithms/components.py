@@ -232,3 +232,46 @@ def component_sizes(state: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"label": b["label"], "csize": b["count()"]})
 
     return g.map_batches(_rename, batch_format="pyarrow", batch_size=None)
+
+
+def decompose_edges(
+    graph, num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """igraph_decompose (components.c:493) expressed relationally: every
+    edge tagged with its weak-component label (both endpoints share it by
+    definition), so per-component subgraphs are a partition filter /
+    partitioned Parquet write away instead of a list of materialized
+    graph objects (which cannot exist at 10^12-edge scale)."""
+    from igraph_ray.util import hash_join
+
+    st = connected_components(graph, num_partitions=num_partitions).state
+
+    def _lab(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["vertex"], "component": b["label"]})
+
+    return hash_join(
+        graph.edges.select_columns(["src", "dst"]),
+        st.map_batches(_lab, batch_format="pyarrow", batch_size=None),
+        on="src", num_partitions=num_partitions,
+    )
+
+
+def is_connected(graph, mode: str = "weak", num_partitions: int = 8) -> bool:
+    """igraph_is_connected (components.c:343): single weak component
+    (mode="weak") or single strong component (mode="strong"). Empty
+    graphs count as connected like the reference's n<=1 shortcut."""
+    if graph.num_vertices() <= 1:
+        return True
+    if mode == "weak":
+        st = connected_components(graph, num_partitions=num_partitions).state
+    elif mode == "strong":
+        from igraph_ray.algorithms.scc import strongly_connected_components
+
+        st = strongly_connected_components(graph, num_partitions=num_partitions).state
+    else:
+        raise ValueError(f"mode must be weak/strong, got {mode!r}")
+    lab = st.map_batches(
+        lambda b: pa.table({"label": b["label"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return lab.groupby("label").count().count() == 1

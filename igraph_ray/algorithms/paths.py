@@ -542,3 +542,27 @@ def path_length_hist(
         {"dist": pa.array(dists, pa.int64()),
          "count": pa.array([hist[d] for d in dists], pa.int64())}
     )
+
+
+def subcomponent(
+    graph: Graph,
+    v: int,
+    mode: str = "out",
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """igraph_subcomponent (structural_properties.c:1193): the set of
+    vertices reachable from ``v`` (mode="out"), reaching ``v``
+    (mode="in"), or weakly connected to it (mode="all"). Returns a
+    one-column Dataset (vertex,) including ``v`` itself."""
+    variant = {"out": "out", "in": "rev", "all": "sym"}.get(mode)
+    if variant is None:
+        raise ValueError(f"mode must be out/in/all, got {mode!r}")
+    prof = multi_source_hops(graph, [v], num_partitions=num_partitions,
+                             variant=variant)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"]})
+
+    return prof.map_batches(_proj, batch_format="pyarrow", batch_size=None)

@@ -10,6 +10,10 @@ from igraph_ray.algorithms.paths import multi_source_hops, path_length_hist, sss
 from tests.oracles import bfs_hops_ref
 
 
+def _g(src, dst, n):
+    return Graph.from_numpy(np.asarray(src, np.int64), np.asarray(dst, np.int64), n=n)
+
+
 def _random(seed, n, m):
     rng = np.random.default_rng(seed)
     return rng.integers(0, n, m), rng.integers(0, n, m)
@@ -69,3 +73,36 @@ def test_path_length_hist_exact():
             if v != s:
                 ref[d] = ref.get(d, 0) + 1
     assert got == ref
+
+
+def test_subcomponent_modes():
+    import numpy as np
+    from igraph_ray.algorithms.paths import subcomponent
+    # 0->1->2, 3->1, isolated-ish 4->5
+    g = _g(np.array([0, 1, 3, 4]), np.array([1, 2, 1, 5]), n=6)
+    out = sorted(r["vertex"] for r in subcomponent(g, 1, "out", num_partitions=2).take_all())
+    assert out == [1, 2]
+    inn = sorted(r["vertex"] for r in subcomponent(g, 1, "in", num_partitions=2).take_all())
+    assert inn == [0, 1, 3]
+    alls = sorted(r["vertex"] for r in subcomponent(g, 1, "all", num_partitions=2).take_all())
+    assert alls == [0, 1, 2, 3]
+
+
+def test_decompose_and_is_connected():
+    import numpy as np
+    from igraph_ray.algorithms.components import decompose_edges, is_connected
+    g = _g(np.array([0, 1, 3, 4]), np.array([1, 2, 1, 5]), n=6)
+    rows = decompose_edges(g, num_partitions=2).take_all()
+    comp_of = {}
+    for r in rows:
+        comp_of[(r["src"], r["dst"])] = r["component"]
+    # edges within {0,1,2,3} share one label; (4,5) another
+    assert comp_of[(0, 1)] == comp_of[(1, 2)] == comp_of[(3, 1)]
+    assert comp_of[(4, 5)] != comp_of[(0, 1)]
+    assert not is_connected(g, "weak")
+    g2 = _g(np.array([0, 1, 2]), np.array([1, 2, 0]), n=3)  # directed cycle
+    assert is_connected(g2, "weak")
+    assert is_connected(g2, "strong")
+    g3 = _g(np.array([0, 1]), np.array([1, 2]), n=3)  # path, not strong
+    assert is_connected(g3, "weak")
+    assert not is_connected(g3, "strong")
