@@ -240,6 +240,18 @@ def q_lpa(sf_dir: str):
     return label_propagation(g, fixed_iterations=LPA_ITERS, num_partitions=8).state
 
 
+def q_louvain(sf_dir: str):
+    """Multilevel modularity communities (community.c:2854 analogue) over
+    the undirected view of edges_a. Deterministic (no RNG, min-id tie
+    breaks) but not SQL-expressible — rows-only driver check; quality
+    gates (planted-partition recovery, karate modularity floor) live in
+    tests/test_louvain.py."""
+    from igraph_ray.algorithms.louvain import louvain
+
+    g = derive.graph_a(sf_dir)
+    return louvain(g, num_partitions=8).state
+
+
 def q_triangles(sf_dir: str):
     g = derive.graph_a(sf_dir)
     return triangle_counts(g, num_partitions=8)
@@ -1362,6 +1374,7 @@ def queries() -> Dict[str, Callable]:
         "diameter": q_diameter,
         "component_sizes": q_component_sizes,
         "lpa": q_lpa,
+        "louvain": q_louvain,
         "triangles": q_triangles,
         "modularity": q_modularity,
         "dyad_census": q_dyad_census,

@@ -1,0 +1,276 @@
+"""Random-graph generators — the engine's games.c analogue
+(/root/reference/src/games.c: erdos_renyi :760-814, watts_strogatz
+:1441, degree_sequence :1205, static power-law :419-ish family).
+
+Every generator is deterministic AND partition-layout-independent: the
+edge/pair index space is cut into fixed-size chunks (CHUNK indices), one
+seeded generator per chunk (`default_rng(splitmix(seed, chunk_id))`), and
+Ray tasks each own a contiguous run of chunks — so the same (args, seed)
+produce the identical edge multiset at any parallelism, the property the
+reference gets from its single sequential MT19937 stream (random.c:391)
+and that a distributed run must engineer explicitly.
+
+G(n,p) uses the Batagelj–Brandes geometric-jump enumeration of the
+loop-free pair-index space (O(m) work, embarrassingly parallel per index
+range); G(n,m) samples m distinct pair indices by draw-dedup-top-up
+rounds (collision fraction m/n² — negligible at scale); Watts–Strogatz
+builds the ring lattice per vertex range and rewires each edge with
+probability p; the configuration model pairs out-stubs with a globally
+permuted in-stub stream (the same seeded-sort-key permutation rewire
+uses); static_power_law is the Chung–Lu sampler bench.py's fixture uses,
+with the inverse-CDF table broadcast once via ray.put.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_CHUNK = 1 << 20  # fixed index-space chunk: the unit of determinism
+
+
+def _mix(seed: int, chunk_id: int) -> int:
+    z = (np.uint64(seed) * _GOLDEN) ^ np.uint64(chunk_id)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return int(z ^ (z >> np.uint64(31)))
+
+
+def _pairs_from_index(k: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Map loop-free directed pair index k ∈ [0, n(n-1)) to (src, dst)."""
+    src = k // (n - 1)
+    r = k % (n - 1)
+    dst = np.where(r < src, r, r + 1)
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+def _from_refs(refs: List) -> ray.data.Dataset:
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow_refs(refs)
+
+
+def _chunk_runs(total_chunks: int, num_partitions: int) -> List[Tuple[int, int]]:
+    """Split chunk ids [0, total_chunks) into ≤num_partitions contiguous runs."""
+    P = max(1, min(num_partitions, total_chunks))
+    bounds = [total_chunks * i // P for i in range(P + 1)]
+    return [(bounds[i], bounds[i + 1]) for i in range(P) if bounds[i + 1] > bounds[i]]
+
+
+def erdos_renyi_gnp(
+    n: int, p: float, seed: int = 42, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """G(n, p) directed, no loops (igraph_erdos_renyi_game GNP,
+    games.c:760): each ordered loop-free pair present independently with
+    probability p, via geometric jumps over the pair-index space."""
+    if n < 2 or p <= 0.0:
+        return _from_refs([])
+    if p >= 1.0:
+        from igraph_ray.ops.relational import complementer_edges
+
+        none = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        return complementer_edges(none, n=n, num_partitions=num_partitions)
+    space = n * (n - 1)
+    total_chunks = (space + _CHUNK - 1) // _CHUNK
+
+    @ray.remote
+    def _run(lo_chunk: int, hi_chunk: int) -> pa.Table:
+        outs = []
+        for c in range(lo_chunk, hi_chunk):
+            rng = np.random.default_rng(_mix(seed, c))
+            lo = c * _CHUNK
+            hi = min(space, lo + _CHUNK)
+            span = hi - lo
+            # geometric(p) jump enumeration: expected span*p hits
+            est = int(span * p * 1.2) + 16
+            ks: List[np.ndarray] = []
+            pos = lo - 1
+            while pos < hi - 1:
+                jumps = rng.geometric(p, size=est)
+                hits = pos + np.cumsum(jumps)
+                take = hits[hits < hi]
+                ks.append(take)
+                if len(take) < len(hits):
+                    break
+                pos = int(hits[-1])
+            k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+            if len(k):
+                s, d = _pairs_from_index(k, n)
+                outs.append(pa.table({"src": pa.array(s), "dst": pa.array(d)}))
+        if not outs:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    refs = [_run.remote(a, b) for a, b in _chunk_runs(total_chunks, num_partitions)]
+    return _from_refs(refs)
+
+
+def erdos_renyi_gnm(
+    n: int, m: int, seed: int = 42, num_partitions: int = 8, max_rounds: int = 8
+) -> ray.data.Dataset:
+    """G(n, m) directed, no loops, exactly m DISTINCT edges
+    (igraph_erdos_renyi_game GNM, games.c:814): m distinct pair indices
+    by parallel draw → dedup → top-up; the final exact-m cut takes the
+    m smallest splitmix-hashed survivors (deterministic, order-free)."""
+    space = n * (n - 1) if n > 1 else 0
+    if m <= 0 or space == 0:
+        return _from_refs([])
+    if m > space:
+        raise ValueError(f"m={m} exceeds loop-free pair space {space}")
+
+    got: Optional[ray.data.Dataset] = None
+    need = m
+    have = 0
+    for rnd in range(max_rounds):
+        # a uniform draw lands on a NEW pair with prob (space-have)/space;
+        # scale the overdraw by the inverse (the coupon-collector tail —
+        # m close to the full pair space needs ~space·ln(space) draws)
+        hit_rate = max(1e-9, (space - have) / space)
+        draw = int(need / hit_rate * 1.2) + 16
+        chunks = (draw + _CHUNK - 1) // _CHUNK
+
+        @ray.remote
+        def _draw(lo_chunk: int, hi_chunk: int, _rnd=rnd, _draw=draw, _chunks=chunks) -> pa.Table:
+            outs = []
+            for c in range(lo_chunk, hi_chunk):
+                rng = np.random.default_rng(_mix(seed + 7919 * _rnd, c))
+                cnt = min(_CHUNK, _draw - c * _CHUNK)
+                k = rng.integers(0, space, size=cnt, dtype=np.int64)
+                outs.append(pa.table({"k": pa.array(k)}))
+            return pa.concat_tables(outs)
+
+        new = _from_refs(
+            [_draw.remote(a, b) for a, b in _chunk_runs(chunks, num_partitions)]
+        )
+        allk = new if got is None else got.union(new)
+        got = allk.groupby("k").count().select_columns(["k"]).materialize()
+        have = got.count()
+        if have >= m:
+            break
+        need = m - have
+    else:
+        raise RuntimeError(f"gnm: could not reach {m} distinct pairs in {max_rounds} rounds")
+
+    def _hash_cut(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = (k + np.uint64(seed)) * _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (z ^ (z >> np.uint64(31))).astype(np.int64)
+        return pa.table({"k": b["k"], "h": pa.array(h)})
+
+    cut = got.map_batches(_hash_cut, batch_format="pyarrow", batch_size=None) \
+        .sort("h").limit(m)
+
+    def _to_pairs(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        s, d = _pairs_from_index(k, n)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+
+    return cut.map_batches(_to_pairs, batch_format="pyarrow", batch_size=None)
+
+
+def watts_strogatz(
+    n: int, k_half: int, p: float, seed: int = 42, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Undirected ring lattice (each vertex linked to its k_half nearest
+    clockwise neighbors) with per-edge rewiring probability p
+    (igraph_watts_strogatz_game, games.c:1441; loops avoided, duplicate
+    edges possible like the reference). Edges canonical as (src, dst) in
+    ring order; rewired edges point anywhere."""
+    if n < 2 or k_half < 1:
+        return _from_refs([])
+    total_chunks = (n + _CHUNK - 1) // _CHUNK
+
+    @ray.remote
+    def _run(lo_chunk: int, hi_chunk: int) -> pa.Table:
+        outs = []
+        for c in range(lo_chunk, hi_chunk):
+            rng = np.random.default_rng(_mix(seed * 31 + 7, c))
+            lo = c * _CHUNK
+            hi = min(n, lo + _CHUNK)
+            v = np.repeat(np.arange(lo, hi, dtype=np.int64), k_half)
+            j = np.tile(np.arange(1, k_half + 1, dtype=np.int64), hi - lo)
+            dst = (v + j) % n
+            rew = rng.random(len(v)) < p
+            if rew.any():
+                nd = rng.integers(0, n, size=int(rew.sum()), dtype=np.int64)
+                # avoid self-loops: shift collisions by one (mod n)
+                nd = np.where(nd == v[rew], (nd + 1) % n, nd)
+                dst[rew] = nd
+            outs.append(pa.table({"src": pa.array(v), "dst": pa.array(dst)}))
+        return pa.concat_tables(outs)
+
+    refs = [_run.remote(a, b) for a, b in _chunk_runs(total_chunks, num_partitions)]
+    return _from_refs(refs)
+
+
+def degree_sequence_game(
+    out_degrees: np.ndarray,
+    in_degrees: Optional[np.ndarray] = None,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Directed configuration model (igraph_degree_sequence_game,
+    games.c:1205 SIMPLE method): expand out-stubs and in-stubs, pair them
+    through the seeded global permutation (rewire's sort-key machinery).
+    Loops/multi-edges possible, exactly like the reference's SIMPLE
+    method. Degree arrays are driver-side (one int per vertex) — at
+    10^10+ vertices feed stub Datasets directly into
+    igraph_ray.ops.rewire._permute_dst instead."""
+    from igraph_ray.ops.rewire import _permute_dst
+
+    out_degrees = np.asarray(out_degrees, dtype=np.int64)
+    if in_degrees is None:
+        in_degrees = out_degrees
+    in_degrees = np.asarray(in_degrees, dtype=np.int64)
+    if out_degrees.sum() != in_degrees.sum():
+        raise ValueError("out/in stub counts differ")
+    src = np.repeat(np.arange(len(out_degrees), dtype=np.int64), out_degrees)
+    dst = np.repeat(np.arange(len(in_degrees), dtype=np.int64), in_degrees)
+    stubs = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(max(1, num_partitions))
+    return _permute_dst(stubs, seed, num_partitions)
+
+
+def static_power_law(
+    n: int, m: int, exponent: float = 2.3, seed: int = 42, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Chung–Lu style static power-law digraph: both endpoints drawn with
+    P(v) ∝ rank^(−1/(γ−1)) via a broadcast inverse-CDF table (the
+    igraph_static_power_law_game analogue, games.c; the same construction
+    bench.py's fixture uses). Table is O(n) floats shipped once via
+    ray.put — fine to ~10^8 vertices, chunk the CDF beyond that."""
+    if n < 1 or m <= 0:
+        return _from_refs([])
+    s = 1.0 / (exponent - 1.0)
+    w = np.arange(1, n + 1, dtype=np.float64) ** (-s)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    cdf_ref = ray.put(cdf)
+    total_chunks = (m + _CHUNK - 1) // _CHUNK
+
+    @ray.remote
+    def _run(lo_chunk: int, hi_chunk: int) -> pa.Table:
+        table = ray.get(cdf_ref)
+        outs = []
+        for c in range(lo_chunk, hi_chunk):
+            rng = np.random.default_rng(_mix(seed * 13 + 5, c))
+            cnt = min(_CHUNK, m - c * _CHUNK)
+            src = np.searchsorted(table, rng.random(cnt)).astype(np.int64)
+            dst = np.searchsorted(table, rng.random(cnt)).astype(np.int64)
+            outs.append(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+        return pa.concat_tables(outs)
+
+    refs = [_run.remote(a, b) for a, b in _chunk_runs(total_chunks, num_partitions)]
+    return _from_refs(refs)

@@ -1,0 +1,85 @@
+"""Random-graph generators (games.c analogue): exact structural
+invariants + partition-layout-independent determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from igraph_ray.sources import games
+
+
+def _pairs(ds):
+    t = ds.to_pandas()
+    return list(zip(t["src"].astype(int), t["dst"].astype(int)))
+
+
+def test_gnp_counts_and_determinism():
+    n, p = 400, 0.01
+    a = _pairs(games.erdos_renyi_gnp(n, p, seed=5, num_partitions=3))
+    b = _pairs(games.erdos_renyi_gnp(n, p, seed=5, num_partitions=7))
+    assert sorted(a) == sorted(b)  # layout-independent
+    c = _pairs(games.erdos_renyi_gnp(n, p, seed=6, num_partitions=3))
+    assert sorted(a) != sorted(c)
+    m = len(a)
+    exp = n * (n - 1) * p
+    sd = (n * (n - 1) * p * (1 - p)) ** 0.5
+    assert abs(m - exp) < 6 * sd
+    assert all(s != d and 0 <= s < n and 0 <= d < n for s, d in a)
+    assert len(set(a)) == m  # distinct by construction
+
+
+def test_gnm_exact_count():
+    n, m = 300, 5000
+    a = _pairs(games.erdos_renyi_gnm(n, m, seed=1, num_partitions=4))
+    assert len(a) == m
+    assert len(set(a)) == m
+    assert all(s != d for s, d in a)
+    b = _pairs(games.erdos_renyi_gnm(n, m, seed=1, num_partitions=2))
+    assert sorted(a) == sorted(b)
+
+
+def test_gnm_full_space():
+    n = 12
+    m = n * (n - 1)
+    a = _pairs(games.erdos_renyi_gnm(n, m, seed=3, num_partitions=2))
+    assert sorted(a) == sorted((i, j) for i in range(n) for j in range(n) if i != j)
+    with pytest.raises(ValueError):
+        games.erdos_renyi_gnm(n, m + 1, seed=3)
+
+
+def test_watts_strogatz():
+    n, k = 500, 3
+    a = _pairs(games.watts_strogatz(n, k, p=0.0, seed=2, num_partitions=3))
+    assert sorted(a) == sorted((v, (v + j) % n) for v in range(n) for j in range(1, k + 1))
+    b = _pairs(games.watts_strogatz(n, k, p=0.2, seed=2, num_partitions=3))
+    assert len(b) == n * k
+    rewired = len(set(b) - set(a))
+    assert 0.1 * n * k < rewired < 0.3 * n * k  # ~20% rewired
+    assert all(s != d for s, d in b)
+
+
+def test_degree_sequence_game():
+    rng = np.random.default_rng(0)
+    outd = rng.integers(0, 6, 200)
+    ind = np.zeros_like(outd)
+    # a valid in-sequence with the same total
+    tot = outd.sum()
+    idx = rng.integers(0, 200, tot)
+    np.add.at(ind, idx, 1)
+    ds = games.degree_sequence_game(outd, ind, seed=4, num_partitions=3)
+    t = ds.to_pandas()
+    np.testing.assert_array_equal(np.bincount(t["src"], minlength=200), outd)
+    np.testing.assert_array_equal(np.bincount(t["dst"], minlength=200), ind)
+
+
+def test_static_power_law():
+    n, m = 1000, 20000
+    ds = games.static_power_law(n, m, seed=9, num_partitions=4)
+    t = ds.to_pandas()
+    assert len(t) == m
+    assert t["src"].between(0, n - 1).all() and t["dst"].between(0, n - 1).all()
+    # heavy head: top-1% of vertices take a disproportionate share
+    top = int(n * 0.01)
+    share = (t["src"] < top).mean()
+    assert share > 0.05  # uniform would give 0.01
