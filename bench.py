@@ -38,7 +38,14 @@ BENCH_PARTITIONS = 28
 SCALE_V = 1 << 22
 SCALE_E = 1 << 26
 SCALE_PARTITIONS = 28
-BENCH_ENGINE = "cgraph"
+# headline suite engine: the fused-step task loop — pays no DAG-compile
+# cost, so per-query wall reflects what a fresh batch job sees. The
+# compiled-graph engine (10 ms/superstep steady-state, ~30-100 s one-time
+# compile at P=28) is what --scaling measures: its protocol reports
+# best-of-5 LOOP walls, where compile amortizes like it does in a
+# long-running cluster session.
+BENCH_ENGINE = "tasks"
+SCALING_ENGINE = "cgraph"
 
 
 def ensure_bench_graph(v: int = BENCH_V, e: int = BENCH_E) -> str:
@@ -79,6 +86,7 @@ def bench_pagerank(
     e: int = BENCH_E,
     partitions: int = BENCH_PARTITIONS,
     reps: int = 1,
+    engine: str = BENCH_ENGINE,
 ) -> dict:
     import ray
     import ray.data
@@ -93,7 +101,7 @@ def bench_pagerank(
     t0 = time.perf_counter()
     g = Graph(ray.data.read_parquet(path), n=v)
     res = pagerank(g, fixed_iterations=iters, num_partitions=partitions,
-                   mode="aligned", engine=BENCH_ENGINE)
+                   mode="aligned", engine=engine)
     res.state.count()  # force the final normalize pass
     total = time.perf_counter() - t0
     compile_s = cg.last_compile_s
@@ -103,7 +111,7 @@ def bench_pagerank(
     rep_loops = [res.loop_wall_s]
     for _ in range(max(0, reps - 1)):
         r2 = pagerank(g, fixed_iterations=iters, num_partitions=partitions,
-                      mode="aligned", engine=BENCH_ENGINE)
+                      mode="aligned", engine=engine)
         rep_loops.append(r2.loop_wall_s)
         if r2.loop_wall_s < res.loop_wall_s:
             res = r2
@@ -216,7 +224,8 @@ def _scaling_child(num_cpus: int) -> dict:
              logging_level="ERROR")
     try:
         return bench_pagerank(
-            num_cpus, v=SCALE_V, e=SCALE_E, partitions=SCALE_PARTITIONS, reps=5
+            num_cpus, v=SCALE_V, e=SCALE_E, partitions=SCALE_PARTITIONS, reps=5,
+            engine=SCALING_ENGINE,
         )
     finally:
         ray.shutdown()

@@ -85,6 +85,22 @@ def q_pagerank(sf_dir: str):
     return _scale_col(res.state, "pr", "pr_e8", 1e8)
 
 
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (centrality.c:1284 reset-vector contract:
+    teleport AND dangling mass land on the reset distribution): reset
+    weight 1 on universe vertices with v % 7 == 0, 0 elsewhere."""
+    g = derive.graph_a(sf_dir)
+    verts = np.sort(np.array(
+        [r["vertex"] for r in g.vertices().take_all()], dtype=np.int64
+    ))
+    reset = np.zeros(int(verts.max()) + 1, dtype=np.float64)
+    sel = verts[verts % 7 == 0]
+    reset[sel] = 1.0
+    res = pagerank(g, damping=DAMPING, fixed_iterations=PR_ITERS,
+                   num_partitions=8, reset=reset)
+    return _scale_col(res.state, "pr", "pr_e8", 1e8)
+
+
 def q_components(sf_dir: str):
     g = derive.graph_a(sf_dir)
     return connected_components(g, num_partitions=8).state
@@ -854,6 +870,41 @@ def _sql_pagerank(iters: int = PR_ITERS, d: float = DAMPING) -> str:
     )
 
 
+def _sql_pagerank_personalized(iters: int = PR_ITERS, d: float = DAMPING) -> str:
+    """The _sql_pagerank recurrence with the uniform teleport replaced by
+    the normalized reset distribution (weight 1 on v % 7 == 0)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "deg AS MATERIALIZED (SELECT v, (SELECT COUNT(*) FROM edges e WHERE e.src = verts.v) AS outdeg FROM verts)",
+        "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "rz AS MATERIALIZED (SELECT v, CASE WHEN v % 7 = 0 THEN 1.0 ELSE 0.0 END AS rw FROM verts)",
+        "rdist AS MATERIALIZED (SELECT v, rw/(SELECT SUM(rw) FROM rz) AS rr FROM rz)",
+        "pr0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM params) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k-1}"
+        parts.append(
+            f"base{k} AS MATERIALIZED (SELECT ((1-{d}) + {d}*COALESCE((SELECT SUM(p.r) FROM {p} p "
+            f"JOIN deg dd ON dd.v = p.v WHERE dd.outdeg = 0), 0)) AS b)"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT dgt.v, (SELECT b FROM base{k}) * rd.rr + {d} * COALESCE(m.s, 0) AS r "
+            f"FROM deg dgt JOIN rdist rd ON rd.v = dgt.v LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(p.r/dd.outdeg) AS s FROM edges e "
+            f"JOIN {p} p ON p.v = e.src JOIN deg dd ON dd.v = e.src "
+            f"WHERE dd.outdeg > 0 GROUP BY e.dst) m ON m.v = dgt.v)"
+        )
+    last = f"pr{iters}"
+    parts.append(f"tot AS (SELECT SUM(r) AS s FROM {last})")
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(ROUND(r/(SELECT s FROM tot)*1e8) AS BIGINT) AS pr_e8 "
+        f"FROM {last} ORDER BY vertex"
+    )
+
+
 _SQL_CC_CORE = f"""
 WITH RECURSIVE edges AS MATERIALIZED ({SQL_EDGES_A}),
 verts AS MATERIALIZED ({SQL_VERTS_A}),
@@ -1360,6 +1411,7 @@ def queries() -> Dict[str, Callable]:
         "in_degree": q_in_degree,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
+        "pagerank_personalized": q_pagerank_personalized,
         "eigenvector": q_eigenvector,
         "hits": q_hits,
         "components": q_components,
@@ -1434,6 +1486,7 @@ FROM verts LEFT JOIN (SELECT dst, COUNT(*) AS n FROM edges GROUP BY dst) d
 ON d.dst = verts.v ORDER BY vertex""",
         "pagerank": _sql_pagerank(),
         "pagerank_weighted": _sql_pagerank_weighted(),
+        "pagerank_personalized": _sql_pagerank_personalized(),
         "eigenvector": _sql_eigenvector(),
         "hits": _sql_hits(),
         "triad_census": _sql_triad_census(),
