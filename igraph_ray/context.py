@@ -23,6 +23,14 @@ def configure(quiet: bool = True, target_max_block_size: int | None = None) -> N
         ctx.enable_progress_bars = False
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
+    # Ray's read planner has a 200-block parallelism floor; on a small input
+    # that shatters the read into confetti blocks and every downstream stage
+    # pays per-block dispatch. Cap the floor at the cluster slot count — at
+    # scale the target_max_block_size cap governs and this is a no-op.
+    if hasattr(ctx, "read_op_min_num_blocks"):
+        ctx.read_op_min_num_blocks = min(
+            int(getattr(ctx, "read_op_min_num_blocks", 200)), num_cpus()
+        )
 
 
 def num_cpus() -> int:

@@ -136,11 +136,17 @@ def compute_boundaries(
 
 
 @ray.remote
-def _sample_block(t: pa.Table, col: str, stride: int):
-    if t.num_rows == 0 or col not in t.column_names:
-        return np.empty(0, np.int64)
-    v = t[col].to_numpy(zero_copy_only=False)
-    return v[::stride].astype(np.int64)
+def _sample_block(ref_chunk, col: str, stride: int):
+    """Strided sample over a CHUNK of block refs — one task per ~16 blocks,
+    so a confetti-block input (hundreds of tiny read blocks) doesn't pay
+    per-block task dispatch."""
+    outs = []
+    for t in ray.get(list(ref_chunk)):
+        if t.num_rows == 0 or col not in t.column_names:
+            continue
+        v = t[col].to_numpy(zero_copy_only=False)
+        outs.append(v[::stride].astype(np.int64))
+    return np.concatenate(outs) if outs else np.empty(0, np.int64)
 
 
 def _boundaries_from_refs(
@@ -152,7 +158,10 @@ def _boundaries_from_refs(
     if num_partitions <= 1:
         return []
     stride = max(1, num_edges // max_sample)
-    parts = ray.get([_sample_block.remote(r, col, stride) for r in refs])
+    refs = list(refs)
+    chunk = 16
+    chunks = [refs[i : i + chunk] for i in range(0, len(refs), chunk)]
+    parts = ray.get([_sample_block.remote(c, col, stride) for c in chunks])
     sample = np.concatenate(parts) if parts else np.empty(0, np.int64)
     if len(sample) == 0:
         return []
@@ -185,6 +194,13 @@ def build_csr_index(
     mat = edges.select_columns(cols).materialize()
     if num_edges is None:
         num_edges = mat.count()
+    # Ray's default read parallelism shatters small inputs into hundreds of
+    # tiny blocks; every downstream stage (sample, sort map) then pays
+    # per-block task dispatch. Coalesce (no shuffle) when the block count is
+    # far above the partition target. At 100-TB scale blocks sit at the
+    # target_max_block_size cap and this branch never fires.
+    if mat.num_blocks() > 4 * num_partitions:
+        mat = mat.repartition(2 * num_partitions).materialize()
     if boundaries is None:
         boundaries = _boundaries_from_refs(
             mat.to_arrow_refs(), num_partitions, num_edges
