@@ -88,6 +88,44 @@ def transitivity_local(graph: Graph, num_partitions: int = 8) -> ray.data.Datase
     return j.map_batches(_cc, batch_format="pyarrow", batch_size=None)
 
 
+def local_scan1(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
+    """(vertex, scan1): local scan-1 statistic — edges inside the closed
+    neighborhood N[v] of the simple undirected view
+    (igraph_local_scan_1_ecount, scan.c:347-365; scan-0 is just degree,
+    scan.c:54-64). For a simple undirected graph the edges of G[N[v]]
+    split into deg(v) edges incident to v plus one edge per triangle
+    through v, so scan1 = deg + triangles — both already distributed
+    kernels. Isolated vertices score 0.
+    """
+    from igraph_ray.algorithms.triangles import triangle_counts
+
+    tri = triangle_counts(graph, num_partitions=num_partitions)
+    und = graph.canonical_undirected()
+
+    def _lo(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["lo"]})
+
+    def _hi(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["hi"]})
+
+    degs = (
+        und.map_batches(_lo, batch_format="pyarrow", batch_size=None)
+        .union(und.map_batches(_hi, batch_format="pyarrow", batch_size=None))
+        .union(universe_zeros(graph.vertices(), "pad").map_batches(
+            lambda b: pa.table({"vertex": b["vertex"]}), batch_format="pyarrow", batch_size=None))
+        .groupby("vertex")
+        .count()
+    )
+    j = hash_join(tri, degs, on="vertex", num_partitions=num_partitions)
+
+    def _s1(b: pa.Table) -> pa.Table:
+        t = b["triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (b["count()"].to_numpy(zero_copy_only=False) - 1).astype(np.int64)  # pad row
+        return pa.table({"vertex": b["vertex"], "scan1": pa.array(d + t, pa.int64())})
+
+    return j.map_batches(_s1, batch_format="pyarrow", batch_size=None)
+
+
 def _common_neighbor_pairs(
     edges: ray.data.Dataset, key: str, other: str, num_partitions: int
 ) -> ray.data.Dataset:

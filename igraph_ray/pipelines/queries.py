@@ -643,6 +643,42 @@ def _sql_hits(iters: int = HITS_ITERS) -> str:
     )
 
 
+def q_local_scan1(sf_dir: str):
+    """Local scan-1 statistic (scan.c:347): edges inside the closed
+    neighborhood of the simple undirected view."""
+    from igraph_ray.ops.structural import local_scan1
+
+    return local_scan1(derive.graph_a(sf_dir), num_partitions=8)
+
+
+_SQL_SCAN1 = f"""
+WITH edges AS ({SQL_EDGES_A}),
+verts AS ({SQL_VERTS_A}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+        FROM edges WHERE src <> dst),
+degs AS (SELECT v, COUNT(*) AS deg FROM
+  (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY v),
+orient AS (
+  SELECT CASE WHEN (dl.deg < dh.deg) OR (dl.deg = dh.deg AND u.lo < u.hi)
+              THEN u.lo ELSE u.hi END AS a,
+         CASE WHEN (dl.deg < dh.deg) OR (dl.deg = dh.deg AND u.lo < u.hi)
+              THEN u.hi ELSE u.lo END AS b
+  FROM und u JOIN degs dl ON dl.v = u.lo JOIN degs dh ON dh.v = u.hi),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM orient e1
+  JOIN orient e2 ON e2.a = e1.b
+  JOIN orient e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT verts.v AS vertex,
+       COALESCE(d.deg, 0) + COALESCE(c.n, 0) AS scan1
+FROM verts
+LEFT JOIN degs d ON d.v = verts.v
+LEFT JOIN (SELECT v, COUNT(*) AS n FROM corners GROUP BY v) c ON c.v = verts.v
+ORDER BY vertex
+"""
+
+
 def q_transitivity(sf_dir: str):
     from igraph_ray.ops.structural import transitivity_undirected
 
@@ -1428,6 +1464,7 @@ def queries() -> Dict[str, Callable]:
         "lpa": q_lpa,
         "louvain": q_louvain,
         "triangles": q_triangles,
+        "local_scan1": q_local_scan1,
         "modularity": q_modularity,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
@@ -1509,6 +1546,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "component_sizes": _sql_component_sizes(),
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,
+        "local_scan1": _SQL_SCAN1,
         "modularity": _sql_modularity(),
         "dyad_census": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),

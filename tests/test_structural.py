@@ -132,3 +132,19 @@ def test_k_core():
     assert core == {0, 1, 2, 3, 4}
     core2 = {r["vertex"] for r in st.k_core(g, k=1, num_partitions=2).take_all()}
     assert core2 == set(range(8))
+
+
+def test_local_scan1():
+    # scan.c:347 undirected ecount semantics on the simple view: edges in
+    # the closed neighborhood = deg + triangles-through-v
+    n, src, dst = fx.er_digraph(n=120, m=900, seed=3)
+    g = Graph.from_numpy(src, dst, n=n)
+    got = {r["vertex"]: r["scan1"] for r in st.local_scan1(g, num_partitions=4).take_all()}
+    nbr = _und_adj(n, src, dst)
+    for v in range(n):
+        closed = nbr[v] | {v}
+        expect = sum(
+            1 for a in closed for b in nbr[a] if b in closed and a < b
+        )
+        assert got[v] == expect, v
+    assert len(got) == n
