@@ -94,6 +94,37 @@ def graph_a(sf_dir: str) -> Graph:
     return Graph(edges_a(sf_dir).materialize(), n=None)
 
 
+# thinned variant of edges_a for clique enumeration: graph_a at sf>=0.01
+# is dense enough that the DuckDB clique-CTE oracle blows up; keeping one
+# in five source rows (deterministic arithmetic filter) keeps the oracle
+# tractable while still planting triangles and K4s
+SQL_EDGES_SPARSE = (
+    f"SELECT DISTINCT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst "
+    f"FROM orders WHERE (o_orderkey % {V}) != ((o_custkey * 7) % {V}) "
+    f"AND ((o_orderkey * 13 + o_custkey) % 5) = 0"
+)
+
+
+def edges_sparse(sf_dir: str) -> ray.data.Dataset:
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        keep = (src != dst) & ((ok * 13 + ck) % 5 == 0)
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    return _dedup(orders.map_batches(_derive, batch_format="pyarrow", batch_size=None))
+
+
+def graph_sparse(sf_dir: str) -> Graph:
+    return Graph(edges_sparse(sf_dir).materialize(), n=None)
+
+
 # weighted variant of edges_a: per distinct (src,dst) the MIN of the
 # deterministic per-row weight (o_orderkey % 10) + 1 — same multigraph
 # weight rule the strength query uses, collapsed for simple-graph algos

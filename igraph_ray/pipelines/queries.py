@@ -679,6 +679,43 @@ ORDER BY vertex
 """
 
 
+def q_maximal_cliques(sf_dir: str):
+    """Maximal-clique size histogram (cliques.c:576 igraph_maximal_cliques)
+    over the thinned graph (graph_a at sf>=0.01 is too dense for the SQL
+    clique-CTE oracle)."""
+    from igraph_ray.algorithms.cliques import clique_size_histogram
+
+    return clique_size_histogram(derive.graph_sparse(sf_dir), num_partitions=8)
+
+
+_SQL_MAXIMAL_CLIQUES = f"""
+WITH RECURSIVE und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+verts AS MATERIALIZED (SELECT lo AS v FROM und UNION SELECT hi FROM und),
+adj AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und UNION ALL SELECT hi, lo FROM und),
+cl AS (
+  -- all cliques, grown in ascending vertex order (each clique built once)
+  SELECT [v] AS members, v AS last FROM verts
+  UNION
+  SELECT list_append(c.members, u.hi), u.hi
+  FROM cl c JOIN und u ON u.lo = c.last
+  WHERE (SELECT COUNT(*) FROM adj a
+         WHERE a.a = u.hi AND list_contains(c.members, a.b)) = len(c.members)
+),
+maxcl AS (
+  -- maximal = no outside vertex adjacent to every member
+  SELECT members FROM cl c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj a
+    WHERE list_contains(c.members, a.b) AND NOT list_contains(c.members, a.a)
+    GROUP BY a.a
+    HAVING COUNT(*) = len(c.members)))
+SELECT len(members) AS size, COUNT(*) AS n_cliques
+FROM maxcl GROUP BY size ORDER BY size
+"""
+
+
 def q_transitivity(sf_dir: str):
     from igraph_ray.ops.structural import transitivity_undirected
 
@@ -1465,6 +1502,7 @@ def queries() -> Dict[str, Callable]:
         "louvain": q_louvain,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
+        "maximal_cliques": q_maximal_cliques,
         "modularity": q_modularity,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
@@ -1547,6 +1585,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,
         "local_scan1": _SQL_SCAN1,
+        "maximal_cliques": _SQL_MAXIMAL_CLIQUES,
         "modularity": _sql_modularity(),
         "dyad_census": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
