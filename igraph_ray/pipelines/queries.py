@@ -755,6 +755,40 @@ def q_has_cycle(sf_dir: str):
     return pa.table({"has_cycle": pa.array([0 if is_dag else 1], pa.int64())})
 
 
+def q_st_maxflow(sf_dir: str):
+    """s-t max-flow value + min cut on edges_a with deterministic integer
+    capacities cap = (src*7 + dst*13) % 9 + 1 (flow.c:53 semantics,
+    phase 1). Output is one row: the flow value, the size of the source
+    side of the returned cut, and the cut's crossing capacity — duality
+    (value == crossing) makes the row self-certifying even without a SQL
+    oracle."""
+    from igraph_ray.algorithms.flow import maxflow
+
+    edges = derive.edges_a(sf_dir)
+
+    def _cap(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        cap = ((src * 7 + dst * 13) % 9 + 1).astype(np.float64)
+        return b.append_column("capacity", pa.array(cap, pa.float64()))
+
+    cedges = edges.map_batches(_cap, batch_format="pyarrow", batch_size=None)
+    res = maxflow(cedges, 0, V - 1, n=V, num_partitions=4)
+    cut = set(res.cut_side_s.tolist())
+    crossing = 0.0
+    for b in cedges.iter_batches(batch_format="pyarrow"):
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        cap = b["capacity"].to_numpy(zero_copy_only=False)
+        in_s = np.isin(src, list(cut)) & ~np.isin(dst, list(cut))
+        crossing += float(cap[in_s].sum())
+    return pa.table({
+        "maxflow_e9": pa.array([int(round(res.value * 1e9))], pa.int64()),
+        "cut_size": pa.array([len(cut)], pa.int64()),
+        "crossing_e9": pa.array([int(round(crossing * 1e9))], pa.int64()),
+    })
+
+
 def q_coreness(sf_dir: str):
     """Coreness per vertex via the h-operator fixpoint over the
     symmetrized multigraph view (cores.c:31 semantics)."""
@@ -1527,6 +1561,7 @@ def queries() -> Dict[str, Callable]:
         "has_cycle": q_has_cycle,
         "coreness": q_coreness,
         "k_core": q_k_core,
+        "st_maxflow": q_st_maxflow,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
