@@ -29,6 +29,12 @@ from igraph_ray.algorithms.paths import (
     harmonic_centrality,
 )
 from igraph_ray.algorithms.components import connected_components
+from igraph_ray.algorithms.flow import (
+    maxflow,
+    mincut,
+    st_edge_connectivity,
+    st_vertex_connectivity,
+)
 from igraph_ray.algorithms.lpa import label_propagation
 from igraph_ray.algorithms.scc import strongly_connected_components
 from igraph_ray.algorithms.triangles import triangle_counts
@@ -43,6 +49,10 @@ __all__ = [
     "harmonic_centrality",
     "eccentricity",
     "connected_components",
+    "maxflow",
+    "mincut",
+    "st_edge_connectivity",
+    "st_vertex_connectivity",
     "label_propagation",
     "strongly_connected_components",
     "triangle_counts",

@@ -477,6 +477,99 @@ def maxflow(
     return MaxflowResult(value=float(value), cut_side_s=cut_side, pulses=pulses)
 
 
+def st_edge_connectivity(
+    edges: ray.data.Dataset,
+    source: int,
+    target: int,
+    n: Optional[int] = None,
+    directed: bool = True,
+    num_partitions: int = 4,
+) -> int:
+    """igraph_st_edge_connectivity (flow.c:1263): max number of
+    edge-disjoint s→t paths = maxflow with unit capacity per distinct
+    arc. Undirected graphs count each edge once per direction."""
+
+    def _unit(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        if not directed:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        return pa.table({
+            "src": pa.array(src.astype(np.int64)),
+            "dst": pa.array(dst.astype(np.int64)),
+            "capacity": pa.array(np.ones(len(src), np.float64)),
+        })
+
+    unit = edges.map_batches(_unit, batch_format="pyarrow", batch_size=None)
+    res = maxflow(unit, source, target, n=n, num_partitions=num_partitions)
+    return int(round(res.value))
+
+
+def st_vertex_connectivity(
+    edges: ray.data.Dataset,
+    source: int,
+    target: int,
+    n: Optional[int] = None,
+    directed: bool = True,
+    neighbors: str = "number_of_nodes",
+    num_partitions: int = 4,
+) -> int:
+    """igraph_st_vertex_connectivity (flow.c:1652-1715 dispatch;
+    construction flow.c:1717-1803): vertex-split transform — vertex v
+    becomes v_out = v and v_in = n + v; each arc u→v is rewritten
+    u→(n+v) unless v is source/target (then u→v), plus a unit splitter
+    arc (n+v)→v per vertex; all capacities 1; answer = maxflow value.
+    Undirected graphs are symmetrized first (flow.c:1805-1861).
+
+    ``neighbors`` handles adjacent s,t as the reference's
+    igraph_vconn_nei_t: "error" raises, "negative" returns -1,
+    "number_of_nodes" returns n, "ignore" proceeds anyway."""
+    if source == target:
+        raise ValueError("source == target")
+
+    if n is None:
+        n = int(
+            max(edges.max("src"), edges.max("dst"))
+        ) + 1 if edges.count() else max(source, target) + 1
+
+    if neighbors != "ignore":
+        adj = edges.filter(
+            expr=f"(src == {source} and dst == {target})"
+            + ("" if directed else f" or (src == {target} and dst == {source})")
+        ).count()
+        if adj:
+            if neighbors == "error":
+                raise ValueError("source and target are adjacent")
+            if neighbors == "negative":
+                return -1
+            return int(n)
+
+    def _split(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not directed:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        dst_in = np.where((dst == source) | (dst == target), dst, dst + n)
+        return pa.table({
+            "src": pa.array(src),
+            "dst": pa.array(dst_in),
+            "capacity": pa.array(np.ones(len(src), np.float64)),
+        })
+
+    split = edges.map_batches(_split, batch_format="pyarrow", batch_size=None)
+    vs = np.arange(n, dtype=np.int64)
+    splitters = ray.data.from_arrow(pa.table({
+        "src": pa.array(vs + n),
+        "dst": pa.array(vs),
+        "capacity": pa.array(np.ones(n, np.float64)),
+    }))
+    res = maxflow(split.union(splitters), source, target, n=2 * n,
+                  num_partitions=num_partitions)
+    return int(round(res.value))
+
+
 def mincut(
     edges: ray.data.Dataset,
     source: int,

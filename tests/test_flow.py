@@ -121,3 +121,51 @@ def test_mincut_alias():
     res = mincut(_ds(src, dst, cap), 0, 2, n=3)
     assert res.value == pytest.approx(3.0)
     assert set(res.cut_side_s.tolist()) == {0, 1}
+
+
+# ---------------------------------------------------------- connectivity
+
+def test_st_edge_connectivity_cycle():
+    from igraph_ray.algorithms.flow import st_edge_connectivity
+    # C5 undirected: two edge-disjoint paths between any pair
+    src = [0, 1, 2, 3, 4]
+    dst = [1, 2, 3, 4, 0]
+    cap = [1.0] * 5
+    assert st_edge_connectivity(_ds(src, dst, cap), 0, 2, n=5,
+                                directed=False) == 2
+    # directed C5: only one
+    assert st_edge_connectivity(_ds(src, dst, cap), 0, 2, n=5,
+                                directed=True) == 1
+
+
+def test_st_vertex_connectivity():
+    from igraph_ray.algorithms.flow import st_vertex_connectivity
+    # two triangles sharing vertex 2: cut vertex -> connectivity 1
+    src = [0, 1, 0, 2, 3, 2]
+    dst = [1, 2, 2, 3, 4, 4]
+    cap = [1.0] * 6
+    assert st_vertex_connectivity(_ds(src, dst, cap), 0, 4, n=5,
+                                  directed=False) == 1
+    # C5 non-adjacent pair: 2
+    assert st_vertex_connectivity(
+        _ds([0, 1, 2, 3, 4], [1, 2, 3, 4, 0], [1.0] * 5),
+        0, 2, n=5, directed=False) == 2
+    # adjacent pair: reference NEI_NUMBER_OF_NODES rule
+    assert st_vertex_connectivity(
+        _ds([0, 1], [1, 2], [1.0, 1.0]), 0, 1, n=3, directed=True) == 3
+    assert st_vertex_connectivity(
+        _ds([0, 1], [1, 2], [1.0, 1.0]), 0, 1, n=3, directed=True,
+        neighbors="negative") == -1
+    with pytest.raises(ValueError):
+        st_vertex_connectivity(_ds([0], [1], [1.0]), 0, 1, n=2,
+                               directed=True, neighbors="error")
+
+
+def test_st_vertex_connectivity_k4_minus():
+    from igraph_ray.algorithms.flow import st_vertex_connectivity
+    # K4 minus edge (0,3): vconn(0,3) = 2 (through 1 and 2)
+    src = [0, 0, 1, 1, 2]
+    dst = [1, 2, 2, 3, 3]
+    cap = [1.0] * 5
+    assert st_vertex_connectivity(_ds(src, dst, cap), 0, 3, n=4,
+                                  directed=False) == 2
