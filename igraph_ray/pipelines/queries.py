@@ -40,6 +40,7 @@ from igraph_ray.ops import window as win
 from igraph_ray.pipelines import derive
 from igraph_ray.pipelines.derive import (
     SQL_EDGES_A,
+    SQL_EDGES_A_W,
     SQL_EDGES_B,
     SQL_EDGES_MULTI,
     SQL_VERTS_A,
@@ -812,6 +813,17 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def q_mst(sf_dir: str):
+    """Minimum spanning forest (spanning_trees.c:78-86 semantics, Borůvka
+    execution) of the undirected weighted view of edges_a; deterministic
+    via the total edge order (weight, lo, hi)."""
+    from igraph_ray.algorithms.mst import minimum_spanning_forest
+
+    msf = minimum_spanning_forest(derive.edges_a_weighted(sf_dir),
+                                  weight_col="weight", num_partitions=8)
+    return _scale_col(msf, "weight", "weight", 1.0)  # integral 1..10 → int64
+
+
 def q_exact_dedup(sf_dir: str):
     return dd.exact_dedup(_docs(sf_dir))
 
@@ -1009,6 +1021,65 @@ def _sql_pagerank_personalized(iters: int = PR_ITERS, d: float = DAMPING) -> str
         f"{body}\n"
         f"SELECT v AS vertex, CAST(ROUND(r/(SELECT s FROM tot)*1e8) AS BIGINT) AS pr_e8 "
         f"FROM {last} ORDER BY vertex"
+    )
+
+
+def _sql_mst(rounds: int = 10) -> str:
+    """Unrolled Borůvka over the undirected weighted view of edges_a.
+
+    Parallel edges collapse to their lightest representative (the total
+    order (w, lo, hi) makes that equivalent to the engine's per-component
+    min pick over raw rows).  Each round: per-component minimum cross
+    edge by (w, lo, hi); contraction = connected components of the
+    chosen-so-far forest via a recursive min-label reach CTE.  Component
+    count at least halves per round, so 10 rounds cover V=512.
+    """
+    parts = [
+        f"WITH RECURSIVE ew AS MATERIALIZED ({SQL_EDGES_A_W})",
+        "ue AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, "
+        "GREATEST(src, dst) AS hi, MIN(weight) AS w FROM ew GROUP BY 1, 2)",
+        "uverts AS MATERIALIZED (SELECT lo AS v FROM ue UNION SELECT hi FROM ue)",
+        "comp0 AS MATERIALIZED (SELECT v, v AS comp FROM uverts)",
+    ]
+    for k in range(1, rounds + 1):
+        c = f"comp{k-1}"
+        half = (
+            f"SELECT {{side}}.comp AS comp, u.lo, u.hi, u.w FROM ue u "
+            f"JOIN {c} c1 ON c1.v = u.lo JOIN {c} c2 ON c2.v = u.hi "
+            f"WHERE c1.comp <> c2.comp"
+        )
+        parts.append(
+            f"cand{k} AS MATERIALIZED ({half.format(side='c1')} "
+            f"UNION ALL {half.format(side='c2')})"
+        )
+        parts.append(
+            f"pick{k} AS MATERIALIZED (SELECT DISTINCT lo, hi, w FROM "
+            f"(SELECT lo, hi, w, ROW_NUMBER() OVER "
+            f"(PARTITION BY comp ORDER BY w, lo, hi) AS rn FROM cand{k}) "
+            f"WHERE rn = 1)"
+        )
+        if k == 1:
+            parts.append("chosen1 AS MATERIALIZED (SELECT lo, hi, w FROM pick1)")
+        else:
+            parts.append(
+                f"chosen{k} AS MATERIALIZED (SELECT lo, hi, w FROM chosen{k-1} "
+                f"UNION SELECT lo, hi, w FROM pick{k})"
+            )
+        if k < rounds:
+            parts.append(
+                f"reach{k}(v, l) AS (SELECT v, v FROM uverts UNION "
+                f"SELECT x.o, r.l FROM reach{k} r JOIN "
+                f"(SELECT lo AS a, hi AS o FROM chosen{k} "
+                f"UNION ALL SELECT hi, lo FROM chosen{k}) x ON x.a = r.v)"
+            )
+            parts.append(
+                f"comp{k} AS MATERIALIZED "
+                f"(SELECT v, MIN(l) AS comp FROM reach{k} GROUP BY v)"
+            )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT lo AS src, hi AS dst, CAST(w AS BIGINT) AS weight "
+        f"FROM chosen{rounds} ORDER BY src, dst"
     )
 
 
@@ -1562,6 +1633,7 @@ def queries() -> Dict[str, Callable]:
         "coreness": q_coreness,
         "k_core": q_k_core,
         "st_maxflow": q_st_maxflow,
+        "mst": q_mst,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -1610,6 +1682,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "minhash_pairs": _sql_minhash_pairs(),
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
+        "mst": _sql_mst(),
         "path_length_hist": _sql_path_length_hist(),
         "betweenness": _sql_betweenness(),
         "closeness": _sql_closeness(),
