@@ -411,3 +411,311 @@ def k_core(graph: Graph, k: int, max_iter: int = 10_000, num_partitions: int = 8
     if grouped.count() == 0:
         return ray.data.from_arrow(pa.table({"vertex": pa.array([], pa.int64())}))
     return grouped
+
+
+# ----------------------------------------------------- similarity family
+
+
+def _neighbor_overlap(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
+    """(a, b, common, deg_a, deg_b) over the simple undirected neighbor
+    sets, pairs with ≥1 common neighbor — shared base for Jaccard/Dice
+    (igraph_similarity_jaccard / igraph_similarity_dice, cocitation.c:
+    276-375 and 455-530; dice = 2J/(1+J) of the same overlap counts)."""
+    sym = graph.symmetrized(drop_loops=True)
+    from igraph_ray.ops.relational import _dedup
+
+    sym = _dedup(sym)
+    common = _common_neighbor_pairs(sym, "src", "dst", num_partitions)
+    deg = _degrees_over(sym, "src", graph.vertices(), False)
+
+    def _da(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["vertex"], "deg_a": b["deg"]})
+
+    def _db(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b["vertex"], "deg_b": b["deg"]})
+
+    j = hash_join(common, deg.map_batches(_da, batch_format="pyarrow", batch_size=None),
+                  on="a", num_partitions=num_partitions)
+    return hash_join(j, deg.map_batches(_db, batch_format="pyarrow", batch_size=None),
+                     on="b", num_partitions=num_partitions)
+
+
+def similarity_dice(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
+    """(a, b, common, dice_e9) a<b over undirected simple neighbor sets,
+    pairs with ≥1 common neighbor: dice = 2·common/(deg_a+deg_b)
+    (igraph_similarity_dice, cocitation.c:455-530)."""
+    j = _neighbor_overlap(graph, num_partitions)
+
+    def _dice(b: pa.Table) -> pa.Table:
+        c = b["common"].to_numpy(zero_copy_only=False).astype(np.float64)
+        da = b["deg_a"].to_numpy(zero_copy_only=False)
+        db = b["deg_b"].to_numpy(zero_copy_only=False)
+        den = (da + db).astype(np.float64)
+        dice = np.where(den > 0, 2.0 * c / np.where(den > 0, den, 1.0), 0.0)
+        return pa.table(
+            {"a": b["a"], "b": b["b"], "common": b["common"],
+             "dice_e9": pa.array(np.round(dice * 1e9).astype(np.int64), pa.int64())}
+        )
+
+    return j.map_batches(_dice, batch_format="pyarrow", batch_size=None)
+
+
+def similarity_inverse_log_weighted(
+    graph: Graph, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """(a, b, sim_e9) a<b: common-neighbor similarity where each shared
+    neighbor u contributes 1/ln(deg(u)) — hubs count less
+    (igraph_similarity_inverse_log_weighted, cocitation.c:159-185; the
+    reference keeps weight = deg for deg ≤ 1, i.e. deg-1 neighbors weigh
+    1.0).  Computed over the simple undirected neighbor sets (mode ALL);
+    only pairs with ≥1 common neighbor are emitted.
+
+    Dataflow: degree table → per-vertex weight column → broadcast-join
+    onto the edge list keyed by the wedge center → the same range-sorted
+    wedge expansion as cocitation, summing w(center) per (a, b) with a
+    per-block pre-combine before the groupby.
+
+    Weights are quantized to integers at 1e-9 resolution BEFORE the sum,
+    so the distributed reduction is associative-exact: the result is
+    bit-identical at any partitioning / cluster size (and exactly
+    mirrored by the SQL oracle)."""
+    sym = graph.symmetrized(drop_loops=True)
+    from igraph_ray.ops.relational import _dedup
+
+    sym = _dedup(sym)
+    deg = _degrees_over(sym, "src", graph.vertices(), False)
+
+    def _w(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.where(d > 1, 1.0 / np.log(np.where(d > 1, d, 2.0)), d)
+        wq = np.round(w * 1e9).astype(np.int64)
+        return pa.table({"src": b["vertex"], "w": pa.array(wq, pa.int64())})
+
+    wtab = deg.map_batches(_w, batch_format="pyarrow", batch_size=None)
+    we = hash_join(sym, wtab, on="src", num_partitions=num_partitions)
+
+    bnds = compute_boundaries(we, num_partitions, col="src")
+    s = we.sort("src", boundaries=bnds) if bnds else we.sort("src")
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return empty
+        u = b["src"].to_numpy(zero_copy_only=False)
+        v = b["dst"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, w = u[order], v[order], w[order]
+        grp = np.empty(len(u), dtype=bool)
+        grp[0] = True
+        np.not_equal(u[1:], u[:-1], out=grp[1:])
+        gid = np.cumsum(grp) - 1
+        starts = np.flatnonzero(grp)
+        ends = np.append(starts[1:], len(u))
+        gend = ends[gid]
+        cnt = gend - np.arange(len(u)) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(u)), cnt)
+        off = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off, cnt) + a_idx + 1
+        raw = pa.table({"a": pa.array(v[a_idx], pa.int64()),
+                        "b": pa.array(v[b_idx], pa.int64()),
+                        "s": pa.array(w[a_idx], pa.int64())})
+        return pa.TableGroupBy(raw, ["a", "b"]).aggregate([("s", "sum")]) \
+            .rename_columns(["a", "b", "s"])
+
+    pairs = s.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+    g = pairs.groupby(["a", "b"]).sum("s")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        sim = b["sum(s)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": b["a"], "b": b["b"],
+                         "sim_e9": pa.array(sim, pa.int64())})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------- degree-neighborhood family
+
+
+def avg_neighbor_degree(graph: Graph, num_partitions: int = 8):
+    """((vertex, knn_e9), (deg, knnk_e9)): average nearest-neighbor
+    degree per vertex and its average over vertices of equal degree
+    (igraph_avg_nearest_neighbor_degree, structural_properties.c; simple
+    graphs, mode ALL, so each directed edge contributes its opposite
+    endpoint's ALL-degree to both sides).  Isolated vertices (NaN in the
+    reference) are omitted."""
+    edges = graph.without_loops()
+
+    def _ends(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        return pa.table({"vertex": pa.array(v)})
+
+    deg = edges.map_batches(_ends, batch_format="pyarrow", batch_size=None) \
+        .groupby("vertex").count()
+    deg = deg.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "deg": b["count()"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    def _dd(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["vertex"], "deg_d": b["deg"]})
+
+    def _ds(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["vertex"], "deg_s": b["deg"]})
+
+    j = hash_join(edges, deg.map_batches(_dd, batch_format="pyarrow", batch_size=None),
+                  on="dst", num_partitions=num_partitions)
+    j = hash_join(j, deg.map_batches(_ds, batch_format="pyarrow", batch_size=None),
+                  on="src", num_partitions=num_partitions)
+
+    def _contrib(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        t = pa.table({
+            "vertex": pa.array(np.concatenate([
+                b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)])),
+            "s": pa.array(np.concatenate([
+                b["deg_d"].to_numpy(zero_copy_only=False).astype(np.float64),
+                b["deg_s"].to_numpy(zero_copy_only=False).astype(np.float64)])),
+        })
+        return pa.TableGroupBy(t, ["vertex"]).aggregate([("s", "sum")]) \
+            .rename_columns(["vertex", "s"])
+
+    sums = j.map_batches(_contrib, batch_format="pyarrow", batch_size=None) \
+        .groupby("vertex").sum("s")
+    sums = sums.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "s": b["sum(s)"]}),
+        batch_format="pyarrow", batch_size=None)
+    knn = hash_join(sums, deg, on="vertex", num_partitions=num_partitions)
+
+    def _knn(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = s / d
+        return pa.table({"vertex": b["vertex"],
+                         "deg": b["deg"],
+                         "knn_e9": pa.array(np.round(val * 1e9).astype(np.int64),
+                                            pa.int64())})
+
+    return knn.map_batches(_knn, batch_format="pyarrow", batch_size=None)
+
+
+def knnk(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
+    """(deg, knnk_e9): avg_neighbor_degree averaged over vertices of
+    equal ALL-degree (the knnk output of
+    igraph_avg_nearest_neighbor_degree).  The mean is computed on the
+    1e-9-quantized knn values in exact integer arithmetic (half-up via
+    (2·Σ + n) div 2n), so it is associative-exact and oracle-matched."""
+    knn = avg_neighbor_degree(graph, num_partitions)
+
+    g = knn.groupby("deg").aggregate(
+        ray.data.aggregate.Sum("knn_e9", alias_name="S"),
+        ray.data.aggregate.Count(alias_name="n"),
+    )
+
+    def _rn(b: pa.Table) -> pa.Table:
+        s = b["S"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = (2 * s + n) // (2 * n)
+        return pa.table({"deg": b["deg"],
+                         "knnk_e9": pa.array(val, pa.int64())})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def diversity(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
+    """(vertex, div_e9): Shannon entropy of incident edge weights scaled
+    by log(degree) — (ln Σw − Σ(w·ln w)/Σw) / ln k over the k incident
+    edges, both directions (igraph_diversity,
+    structural_properties.c).  The reference's k ≤ 1 cases are NaN by
+    IEEE arithmetic; here they are emitted as 0 (documented deviation so
+    the integer-scaled driver compare stays exact)."""
+    edges = graph.without_loops()
+    wcol = "weight" if graph.weighted else None
+
+    def _inc(b: pa.Table) -> pa.Table:
+        w = (b[wcol].to_numpy(zero_copy_only=False).astype(np.float64)
+             if wcol else np.ones(b.num_rows, np.float64))
+        v = np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        ww = np.concatenate([w, w])
+        t = pa.table({"vertex": pa.array(v),
+                      "s": pa.array(ww),
+                      "ent": pa.array(ww * np.log(ww)),
+                      "k": pa.array(np.ones(len(v), np.int64))})
+        return pa.TableGroupBy(t, ["vertex"]).aggregate(
+            [("s", "sum"), ("ent", "sum"), ("k", "sum")]
+        ).rename_columns(["vertex", "s", "ent", "k"])
+
+    agg = edges.map_batches(_inc, batch_format="pyarrow", batch_size=None) \
+        .groupby("vertex").aggregate(
+            ray.data.aggregate.Sum("s", alias_name="S"),
+            ray.data.aggregate.Sum("ent", alias_name="E"),
+            ray.data.aggregate.Sum("k", alias_name="K"),
+        )
+
+    def _div(b: pa.Table) -> pa.Table:
+        s = b["S"].to_numpy(zero_copy_only=False)
+        e = b["E"].to_numpy(zero_copy_only=False)
+        k = b["K"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = (np.log(s) - e / s) / np.log(k)
+        val = np.where(k > 1, val, 0.0)
+        return pa.table({"vertex": b["vertex"],
+                         "div": pa.array(val, pa.float64())})
+
+    return agg.map_batches(_div, batch_format="pyarrow", batch_size=None)
+
+
+def neighborhood_size2(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
+    """(vertex, nsize): number of vertices within ≤ 2 hops, self
+    included, over the simple undirected view (igraph_neighborhood_size
+    with order=2 / mode ALL, neighborhood.c:39-120).
+
+    order-2 is the wedge join: pairs = self ∪ 1-hop ∪ (1-hop ∘ 1-hop),
+    distinct, counted per source.  The intermediate is the 2-hop pair
+    set — the same size class as cocitation's output, with the same
+    hub caveat (a hub of degree d contributes d² wedges)."""
+    sym = graph.symmetrized(drop_loops=True)
+    from igraph_ray.ops.relational import _dedup
+
+    sym = _dedup(sym).materialize()
+
+    def _mid(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["src"], "hop2": b["dst"]})
+
+    two = hash_join(sym, sym.map_batches(_mid, batch_format="pyarrow", batch_size=None),
+                    on="dst", num_partitions=num_partitions)
+
+    def _p2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        t = pa.table({"v": pa.array(b["src"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                      "u": pa.array(b["hop2"].to_numpy(zero_copy_only=False).astype(np.int64))})
+        return pa.TableGroupBy(t, ["v", "u"]).aggregate([]).select(["v", "u"])
+
+    def _p1(b: pa.Table) -> pa.Table:
+        v = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(np.concatenate([v, v])),
+                         "u": pa.array(np.concatenate([u, v]))})
+
+    pairs = two.map_batches(_p2, batch_format="pyarrow", batch_size=None) \
+        .union(sym.map_batches(_p1, batch_format="pyarrow", batch_size=None))
+    cnt = pairs.groupby(["v", "u"]).count().groupby("v").count()
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["v"], "nsize": b["count()"]})
+
+    return cnt.map_batches(_rn, batch_format="pyarrow", batch_size=None)

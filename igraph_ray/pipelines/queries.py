@@ -742,6 +742,43 @@ def q_neighbor_jaccard(sf_dir: str):
     return neighbor_jaccard(derive.graph_a(sf_dir), num_partitions=8)
 
 
+def q_dice(sf_dir: str):
+    from igraph_ray.ops.structural import similarity_dice
+
+    return similarity_dice(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_inv_log_weighted(sf_dir: str):
+    from igraph_ray.ops.structural import similarity_inverse_log_weighted
+
+    return similarity_inverse_log_weighted(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_knn_degree(sf_dir: str):
+    from igraph_ray.ops.structural import avg_neighbor_degree
+
+    return avg_neighbor_degree(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_knnk(sf_dir: str):
+    from igraph_ray.ops.structural import knnk
+
+    return knnk(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def q_diversity(sf_dir: str):
+    from igraph_ray.ops.structural import diversity
+
+    d = diversity(derive.graph_a_weighted(sf_dir), num_partitions=8)
+    return _scale_col(d, "div", "div_e6", 1e6)
+
+
+def q_neighborhood2(sf_dir: str):
+    from igraph_ray.ops.structural import neighborhood_size2
+
+    return neighborhood_size2(derive.graph_a(sf_dir), num_partitions=8)
+
+
 def q_assortativity(sf_dir: str):
     from igraph_ray.ops.structural import degree_assortativity
 
@@ -1628,6 +1665,12 @@ def queries() -> Dict[str, Callable]:
         "cocitation": q_cocitation,
         "bibcoupling": q_bibcoupling,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "dice": q_dice,
+        "inv_log_weighted": q_inv_log_weighted,
+        "knn_degree": q_knn_degree,
+        "knnk": q_knnk,
+        "diversity": q_diversity,
+        "neighborhood2": q_neighborhood2,
         "assortativity": q_assortativity,
         "has_cycle": q_has_cycle,
         "coreness": q_coreness,
@@ -1794,6 +1837,68 @@ SELECT c.a, c.b, c.common,
   CAST(ROUND(CAST(c.common AS DOUBLE) / (da.d + db.d - c.common) * 1e9) AS BIGINT)
     AS jaccard_e9
 FROM common c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b""",
+        "dice": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+common AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common
+           FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst
+           GROUP BY e1.dst, e2.dst),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src)
+SELECT c.a, c.b, c.common,
+  CAST(ROUND(2.0 * CAST(c.common AS DOUBLE) / (da.d + db.d) * 1e9) AS BIGINT)
+    AS dice_e9
+FROM common c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b""",
+        "inv_log_weighted": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+w AS (SELECT v, CAST(ROUND(CASE WHEN d > 1
+        THEN (1.0 / LN(CAST(d AS DOUBLE))) * 1e9 ELSE d * 1e9 END) AS BIGINT) AS w
+      FROM deg)
+SELECT e1.dst AS a, e2.dst AS b, CAST(SUM(w.w) AS BIGINT) AS sim_e9
+FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst
+JOIN w ON w.v = e1.src
+GROUP BY e1.dst, e2.dst""",
+        "knn_degree": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+deg AS (SELECT v, COUNT(*) AS d FROM
+        (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) GROUP BY v),
+knnsum AS (SELECT x.v, CAST(SUM(x.nd) AS BIGINT) AS s FROM (
+    SELECT e.src AS v, dg.d AS nd FROM edges e JOIN deg dg ON dg.v = e.dst
+    UNION ALL
+    SELECT e.dst, dg.d FROM edges e JOIN deg dg ON dg.v = e.src) x GROUP BY x.v)
+SELECT k.v AS vertex, dg.d AS deg,
+  CAST(ROUND(CAST(k.s AS DOUBLE) / dg.d * 1e9) AS BIGINT) AS knn_e9
+FROM knnsum k JOIN deg dg ON dg.v = k.v ORDER BY vertex""",
+        "knnk": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+deg AS (SELECT v, COUNT(*) AS d FROM
+        (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) GROUP BY v),
+knnsum AS (SELECT x.v, CAST(SUM(x.nd) AS BIGINT) AS s FROM (
+    SELECT e.src AS v, dg.d AS nd FROM edges e JOIN deg dg ON dg.v = e.dst
+    UNION ALL
+    SELECT e.dst, dg.d FROM edges e JOIN deg dg ON dg.v = e.src) x GROUP BY x.v),
+knn AS (SELECT k.v, dg.d AS deg,
+        CAST(ROUND(CAST(k.s AS DOUBLE) / dg.d * 1e9) AS BIGINT) AS knn_e9
+        FROM knnsum k JOIN deg dg ON dg.v = k.v)
+SELECT deg, CAST((2 * SUM(knn_e9) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+  AS knnk_e9 FROM knn GROUP BY deg ORDER BY deg""",
+        "diversity": f"""
+WITH ew AS MATERIALIZED ({SQL_EDGES_A_W}),
+inc AS (SELECT src AS v, CAST(weight AS DOUBLE) AS w FROM ew
+        UNION ALL SELECT dst, CAST(weight AS DOUBLE) FROM ew),
+agg AS (SELECT v, SUM(w) AS s, SUM(w * LN(w)) AS e, COUNT(*) AS k FROM inc GROUP BY v)
+SELECT v AS vertex,
+  CAST(ROUND(CASE WHEN k > 1 THEN (LN(s) - e / s) / LN(CAST(k AS DOUBLE))
+             ELSE 0.0 END * 1e6) AS BIGINT) AS div_e6
+FROM agg ORDER BY vertex""",
+        "neighborhood2": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+alln AS (SELECT a.src AS v, b.dst AS u FROM sym a JOIN sym b ON b.src = a.dst
+         UNION SELECT src, dst FROM sym
+         UNION SELECT src, src FROM sym)
+SELECT v AS vertex, COUNT(*) AS nsize FROM alln GROUP BY v ORDER BY vertex""",
         "assortativity": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
 verts AS ({SQL_VERTS_A}),

@@ -148,3 +148,106 @@ def test_local_scan1():
         )
         assert got[v] == expect, v
     assert len(got) == n
+
+
+def test_similarity_dice():
+    n, src, dst = fx.karate()
+    g = Graph.from_numpy(src, dst, n=n)
+    nbr = _und_adj(n, src, dst)
+    got = {(r["a"], r["b"]): (r["common"], r["dice_e9"]) for r in
+           st.similarity_dice(g, num_partitions=4).take_all()}
+    expect_pairs = {(a, b) for a, b in combinations(range(n), 2)
+                    if len(nbr[a] & nbr[b]) > 0}
+    assert set(got) == expect_pairs
+    for (a, b), (common, de9) in got.items():
+        ref_c = len(nbr[a] & nbr[b])
+        assert common == ref_c
+        ref_d = 2.0 * ref_c / (len(nbr[a]) + len(nbr[b]))
+        assert de9 == round(ref_d * 1e9)
+
+
+def test_similarity_inverse_log_weighted():
+    n, src, dst = fx.er_digraph(n=60, m=300, seed=7)
+    g = Graph.from_numpy(src, dst, n=n)
+    nbr = _und_adj(n, src, dst)
+
+    def w(u):
+        d = len(nbr[u])
+        return round((1.0 / np.log(d) if d > 1 else float(d)) * 1e9)
+
+    got = {(r["a"], r["b"]): r["sim_e9"] for r in
+           st.similarity_inverse_log_weighted(g, num_partitions=4).take_all()}
+    for (a, b), sim in got.items():
+        ref = sum(w(u) for u in nbr[a] & nbr[b])
+        assert sim == ref, (a, b)
+    # every overlapping pair present
+    assert all((a, b) in got for a, b in combinations(range(n), 2)
+               if nbr[a] & nbr[b])
+
+
+def test_avg_neighbor_degree():
+    n, src, dst = fx.er_digraph(n=80, m=400, seed=3)
+    # knn requires a simple graph: dedup directed pairs, drop loops
+    pairs = sorted({(a, b) for a, b in zip(src, dst) if a != b})
+    src = np.array([p[0] for p in pairs]); dst = np.array([p[1] for p in pairs])
+    g = Graph.from_numpy(src, dst, n=n)
+    deg = defaultdict(int)
+    inc = defaultdict(list)  # incident directed edges, opposite endpoint
+    for a, b in pairs:
+        deg[a] += 1; deg[b] += 1
+        inc[a].append(b); inc[b].append(a)
+    got = {r["vertex"]: (r["deg"], r["knn_e9"]) for r in
+           st.avg_neighbor_degree(g, num_partitions=4).take_all()}
+    for v, (d, knn_e9) in got.items():
+        assert d == deg[v]
+        ref = sum(deg[u] for u in inc[v]) / deg[v]
+        assert knn_e9 == round(ref * 1e9)
+    assert set(got) == {v for v in range(n) if deg[v] > 0}
+    # knnk: integer half-up mean of quantized knn per degree class
+    by_deg = defaultdict(list)
+    for v, (d, knn_e9) in got.items():
+        by_deg[d].append(knn_e9)
+    got_k = {r["deg"]: r["knnk_e9"] for r in st.knnk(g, num_partitions=4).take_all()}
+    for d, vals in by_deg.items():
+        s, m = sum(vals), len(vals)
+        assert got_k[d] == (2 * s + m) // (2 * m)
+    assert set(got_k) == set(by_deg)
+
+
+def test_diversity():
+    n, src, dst = fx.er_digraph(n=50, m=200, seed=9)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    rng = np.random.default_rng(4)
+    wts = rng.integers(1, 11, len(src)).astype(np.float64)
+    import pyarrow as pa
+    import ray.data
+    g = Graph(ray.data.from_arrow(pa.table(
+        {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+         "weight": pa.array(wts)})), n=None, weighted=True)
+    inc = defaultdict(list)
+    for a, b, w in zip(src, dst, wts):
+        inc[a].append(w); inc[b].append(w)
+    got = {r["vertex"]: r["div"] for r in st.diversity(g, num_partitions=4).take_all()}
+    for v, dv in got.items():
+        ws = np.array(inc[v]); k = len(ws)
+        if k <= 1:
+            assert dv == 0.0
+        else:
+            s = ws.sum(); ent = (ws * np.log(ws)).sum()
+            ref = (np.log(s) - ent / s) / np.log(k)
+            assert dv == pytest.approx(ref, abs=1e-9)
+    assert set(got) == set(inc)
+
+
+def test_neighborhood_size2():
+    n, src, dst = fx.karate()
+    g = Graph.from_numpy(src, dst, n=n)
+    nbr = _und_adj(n, src, dst)
+    got = {r["vertex"]: r["nsize"] for r in
+           st.neighborhood_size2(g, num_partitions=4).take_all()}
+    for v in nbr:
+        reach = {v} | nbr[v]
+        for u in list(nbr[v]):
+            reach |= nbr[u]
+        assert got[v] == len(reach)
