@@ -71,9 +71,12 @@ def _csc_push(sb_verts, contrib, csr_desc, starts, K):
         if not sel.any():
             continue
         blk = fetch_block(ref)
-        width = blk["vhi"] - blk["vlo"] + 1
-        c = np.zeros((width, K))
-        c[sb_verts[sel] - blk["vlo"], :] = contrib[sel, :]
+        from igraph_ray.csr import block_local, block_width
+
+        c = np.zeros((block_width(blk), K))
+        loc = block_local(blk, sb_verts[sel])
+        pres = loc >= 0
+        c[loc[pres], :] = contrib[sel, :][pres, :]
         if len(blk["in_starts"]) == 0:
             continue
         sums = np.add.reduceat(c[blk["in_src"], :], blk["in_starts"], axis=0)

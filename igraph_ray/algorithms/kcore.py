@@ -98,9 +98,12 @@ def coreness(
             if not sel.any():
                 continue
             blk = fetch_block(ref)
-            width = blk["vhi"] - blk["vlo"] + 1
-            vals_local = np.zeros(width, dtype=np.int64)
-            vals_local[verts[sel] - blk["vlo"]] = core[sel]
+            from igraph_ray.csr import block_local, block_width
+
+            vals_local = np.zeros(block_width(blk), dtype=np.int64)
+            loc = block_local(blk, verts[sel])
+            pres = loc >= 0
+            vals_local[loc[pres]] = core[sel][pres]
             # one (dst, estimate) message per edge — h-index needs the
             # multiset, shipped dst-sorted via the in-index layout
             ip_edges = vals_local[blk["in_src"]]

@@ -235,9 +235,12 @@ def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out") -> r
             if not sel.any():
                 continue
             blk = fetch_block(ref)
-            width = blk["vhi"] - blk["vlo"] + 1
-            contrib = np.full((width, K), np.inf)
-            contrib[verts[sel] - blk["vlo"], :] = dmat[sel, :] + 1.0
+            from igraph_ray.csr import block_local, block_width
+
+            contrib = np.full((block_width(blk), K), np.inf)
+            loc = block_local(blk, verts[sel])
+            pres = loc >= 0
+            contrib[loc[pres], :] = dmat[sel, :][pres, :] + 1.0
             if len(blk["in_starts"]) == 0:
                 continue
             vals = contrib[blk["in_src"], :]

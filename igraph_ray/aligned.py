@@ -147,7 +147,10 @@ def _build_state_block(
         parts = [s for s in dst_segs if len(s)]
         for blk in csr_datas:
             ip = blk["indptr"]
-            local = np.flatnonzero(ip[1:] > ip[:-1]) + blk["vlo"]
+            if "row_vids" in blk:  # compressed rows all have out-edges
+                local = blk["row_vids"]
+            else:
+                local = np.flatnonzero(ip[1:] > ip[:-1]) + blk["vlo"]
             parts.append(local)
         if not parts:
             return (None, None)
@@ -155,7 +158,8 @@ def _build_state_block(
         deg = np.zeros(len(vertex), dtype=np.float64)
         for blk in csr_datas:
             ip = blk["indptr"]
-            local = np.arange(blk["vlo"], blk["vhi"] + 1, dtype=np.int64)
+            local = (blk["row_vids"] if "row_vids" in blk
+                     else np.arange(blk["vlo"], blk["vhi"] + 1, dtype=np.int64))
             nz = ip[:-1] < ip[1:]
             if "weight" in blk:
                 w = blk["weight"]

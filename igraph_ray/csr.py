@@ -40,38 +40,57 @@ class CSRIndex:
         return [(b.vlo, b.vhi, b.ref) for b in self.blocks]
 
 
-@ray.remote(num_returns=2)
-def _build_block(table: pa.Table, weighted: bool, with_in_index: bool):
-    """Build a CSR block from a src-sorted Arrow table. Returns (meta, data).
+def _assemble_block(src, dst, w, weighted: bool, with_in_index: bool):
+    """Assemble one CSR block from src-sorted edge arrays.
 
-    ``with_in_index`` additionally builds the block's dst-sorted edge view
-    (the per-partition analogue of igraph's ii/is in-index,
+    Two row layouts behind the same consumer API (block_width /
+    block_local / slices_for):
+
+    - **dense** (default): ``indptr`` indexed by ``v - vlo`` — O(1) row
+      lookup, used when the id span ≈ the edge count;
+    - **compressed** (``row_vids`` present): when the block's id span is
+      far larger than its edge count (sparse 64-bit ids — e.g. hashed
+      identifiers — on an n=None universe), allocating the span would
+      explode, so rows are the sorted unique srcs and lookups are a
+      searchsorted.  Everything downstream sees only "local slot"
+      indices, so kernels are layout-agnostic.
+
+    ``with_in_index`` additionally builds the dst-sorted edge view (the
+    per-partition analogue of igraph's ii/is in-index,
     igraph_datatype.h:58-70): ``in_dst`` (unique dsts ascending),
-    ``in_starts`` (group offsets), ``in_src`` (local src per edge, int32).
-    Gather kernels over the in-index are sequential reduceat scans with
-    random reads confined to the small per-block vertex arrays — the
-    memory-bandwidth-friendly layout for the superstep hot loop.
+    ``in_starts`` (group offsets), ``in_src`` (local src SLOT per edge,
+    int32).  Gather kernels over the in-index are sequential reduceat
+    scans with random reads confined to the small per-block vertex
+    arrays — the memory-bandwidth-friendly layout for the hot loop.
     """
-    if table.num_rows == 0 or "src" not in table.column_names:
-        return (None, None)
-    src = table["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    dst = table["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    if len(src) == 0:
-        return (None, None)
     vlo = int(src[0])
     vhi = int(src[-1])
-    counts = np.bincount(src - vlo, minlength=vhi - vlo + 1)
-    indptr = np.zeros(vhi - vlo + 2, dtype=np.int64)
-    np.cumsum(counts, out=indptr[1:])
-    data = {"vlo": vlo, "vhi": vhi, "indptr": indptr, "dst": dst}
+    span = vhi - vlo + 1
+    data = {"vlo": vlo, "vhi": vhi, "dst": dst}
+    if span > max(4 * len(src), 1024):
+        newgrp = np.empty(len(src), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(src[1:], src[:-1], out=newgrp[1:])
+        rstarts = np.flatnonzero(newgrp)
+        row_vids = src[rstarts]
+        indptr = np.append(rstarts, len(src)).astype(np.int64)
+        data["row_vids"] = row_vids
+        data["indptr"] = indptr
+        local_of_src = np.cumsum(newgrp) - 1  # slot per edge, src-sorted
+    else:
+        counts = np.bincount(src - vlo, minlength=span)
+        indptr = np.zeros(span + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        data["indptr"] = indptr
+        local_of_src = src - vlo
     if weighted:
-        data["weight"] = (
-            table["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        )
+        data["weight"] = w
     if with_in_index:
         order = np.argsort(dst, kind="stable")
         dst_sorted = dst[order]
-        data["in_src"] = (src[order] - vlo).astype(np.int32)
+        in_src = local_of_src[order]
+        data["in_src"] = in_src.astype(np.int32) \
+            if len(in_src) == 0 or int(in_src.max()) < 2**31 else in_src
         newgrp = np.empty(len(dst_sorted), dtype=bool)
         if len(dst_sorted):
             newgrp[0] = True
@@ -91,6 +110,41 @@ def _build_block(table: pa.Table, weighted: bool, with_in_index: bool):
         if weighted:
             data["in_weight"] = data["weight"][order]
     return ((vlo, vhi, len(src)), data)
+
+
+def block_width(block: dict) -> int:
+    """Number of local row slots in a block (dense: id span; compressed:
+    #distinct srcs)."""
+    if "row_vids" in block:
+        return len(block["row_vids"])
+    return block["vhi"] - block["vlo"] + 1
+
+
+def block_local(block: dict, verts: np.ndarray) -> np.ndarray:
+    """Local row slot per vertex (verts already clipped to the block
+    range); -1 where the vertex has no out-edges in a compressed block."""
+    if "row_vids" in block:
+        rv = block["row_vids"]
+        if len(rv) == 0:
+            return np.full(len(verts), -1, np.int64)
+        lid = np.searchsorted(rv, verts)
+        lid = np.minimum(lid, len(rv) - 1)
+        return np.where(rv[lid] == verts, lid, -1)
+    return verts - block["vlo"]
+
+
+@ray.remote(num_returns=2)
+def _build_block(table: pa.Table, weighted: bool, with_in_index: bool):
+    """Build a CSR block from a src-sorted Arrow table. Returns (meta, data)."""
+    if table.num_rows == 0 or "src" not in table.column_names:
+        return (None, None)
+    src = table["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    dst = table["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if len(src) == 0:
+        return (None, None)
+    w = (table["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+         if weighted else None)
+    return _assemble_block(src, dst, w, weighted, with_in_index)
 
 
 def compute_boundaries(
@@ -243,9 +297,11 @@ def slices_for(block: dict, verts: np.ndarray):
     clipped to the block range), return (edge_index_array, lens) selecting
     each vertex's out-edge slice from the block's dst/weight arrays."""
     indptr = block["indptr"]
-    lid = verts - block["vlo"]
-    starts = indptr[lid]
-    lens = (indptr[lid + 1] - starts).astype(np.int64)
+    lid = block_local(block, verts)
+    present = lid >= 0
+    lid0 = np.where(present, lid, 0)
+    starts = np.where(present, indptr[lid0], 0)
+    lens = np.where(present, indptr[lid0 + 1] - starts, 0).astype(np.int64)
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64), lens
@@ -269,7 +325,8 @@ def _build_sym_block(lo: int, hi: int, all_descs, weighted: bool):
         # forward edges of this block that fall in [lo, hi)
         if vlo < hi and vhi >= lo:
             ip = blk["indptr"]
-            local = np.arange(blk["vlo"], blk["vhi"] + 1, dtype=np.int64)
+            local = (blk["row_vids"] if "row_vids" in blk
+                     else np.arange(blk["vlo"], blk["vhi"] + 1, dtype=np.int64))
             sel = (local >= lo) & (local < hi)
             if sel.any():
                 first, last = np.flatnonzero(sel)[[0, -1]]
@@ -292,7 +349,9 @@ def _build_sym_block(lo: int, hi: int, all_descs, weighted: bool):
         e0, e1 = int(starts_arr[g0]), int(ends_arr[g1 - 1])
         glens = (ends_arr[g0:g1] - starts_arr[g0:g1]).astype(np.int64)
         srcs.append(np.repeat(ind[g0:g1].astype(np.int64), glens))
-        dsts.append((blk["in_src"][e0:e1].astype(np.int64) + blk["vlo"]))
+        isrc = blk["in_src"][e0:e1].astype(np.int64)
+        dsts.append(blk["row_vids"][isrc] if "row_vids" in blk
+                    else isrc + blk["vlo"])
         if weighted:
             ws.append(blk["in_weight"][e0:e1])
     if not srcs:
@@ -302,31 +361,7 @@ def _build_sym_block(lo: int, hi: int, all_descs, weighted: bool):
     order = np.argsort(src, kind="stable")
     src, dst = src[order], dst[order]
     w = np.concatenate(ws)[order] if weighted else None
-    vlo = int(src[0])
-    vhi = int(src[-1])
-    counts = np.bincount(src - vlo, minlength=vhi - vlo + 1)
-    indptr = np.zeros(vhi - vlo + 2, dtype=np.int64)
-    np.cumsum(counts, out=indptr[1:])
-    data = {"vlo": vlo, "vhi": vhi, "indptr": indptr, "dst": dst}
-    if weighted:
-        data["weight"] = w
-    dorder = np.argsort(dst, kind="stable")
-    dst_sorted = dst[dorder]
-    data["in_src"] = (src[dorder] - vlo).astype(np.int32)
-    newgrp = np.empty(len(dst_sorted), dtype=bool)
-    newgrp[0] = True
-    np.not_equal(dst_sorted[1:], dst_sorted[:-1], out=newgrp[1:])
-    gstarts = np.flatnonzero(newgrp)
-    in_dst = dst_sorted[gstarts]
-    if len(in_dst) and 0 <= int(in_dst[0]) and int(in_dst[-1]) < 2**31:
-        in_dst = in_dst.astype(np.int32)
-    if len(dst_sorted) < 2**31:
-        gstarts = gstarts.astype(np.int32)
-    data["in_dst"] = in_dst
-    data["in_starts"] = gstarts
-    if weighted:
-        data["in_weight"] = w[dorder]
-    return ((vlo, vhi, len(src)), data)
+    return _assemble_block(src, dst, w, weighted, True)
 
 
 def derive_sym_index(csr_out: CSRIndex, weighted: bool = False) -> CSRIndex:

@@ -63,11 +63,12 @@ def pagerank_messages_csc(
         if not sel.any():
             continue
         blk = fetch_block(ref)
-        width = blk["vhi"] - blk["vlo"] + 1
-        contrib = np.zeros(width)
-        local = verts[sel] - blk["vlo"]
+        from igraph_ray.csr import block_local, block_width
+
+        contrib = np.zeros(block_width(blk))
+        local = block_local(blk, verts[sel])
         dsel = deg[sel]
-        live = dsel > 0.0
+        live = (dsel > 0.0) & (local >= 0)
         contrib[local[live]] = pr[sel][live] / dsel[live]
         vals = contrib[blk["in_src"]]
         if weighted:
@@ -128,9 +129,12 @@ def minlabel_messages_csc(
             if len(d):
                 out.append((d, m))
             continue
-        width = blk["vhi"] - blk["vlo"] + 1
-        lab_local = np.full(width, sentinel, dtype=np.int64)
-        lab_local[verts[sel] - blk["vlo"]] = labels[sel]
+        from igraph_ray.csr import block_local, block_width
+
+        lab_local = np.full(block_width(blk), sentinel, dtype=np.int64)
+        loc = block_local(blk, verts[sel])
+        pres = loc >= 0
+        lab_local[loc[pres]] = labels[sel][pres]
         vals = lab_local[blk["in_src"]]
         if len(blk["in_starts"]) == 0:
             continue

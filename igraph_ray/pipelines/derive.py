@@ -125,6 +125,38 @@ def graph_sparse(sf_dir: str) -> Graph:
     return Graph(edges_sparse(sf_dir).materialize(), n=None)
 
 
+SQL_EDGES_VSPARSE = (
+    f"SELECT DISTINCT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst "
+    f"FROM orders WHERE (o_orderkey % {V}) != ((o_custkey * 7) % {V}) "
+    f"AND (o_orderkey * 13 + o_custkey) % 50 = 0"
+)
+
+
+def edges_vsparse(sf_dir: str) -> ray.data.Dataset:
+    """~2% of the dense rule — average degree ~1 at sf0.01, so the graph
+    is forest-like with many bridges / small 2-edge-connected blocks
+    (used by the bridges / two_ecc queries, which are vacuous on the
+    2-edge-connected dense graph). Kept in lockstep with
+    SQL_EDGES_VSPARSE."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        keep = (src != dst) & ((ok * 13 + ck) % 50 == 0)
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    return _dedup(orders.map_batches(_derive, batch_format="pyarrow", batch_size=None))
+
+
+def graph_vsparse(sf_dir: str) -> Graph:
+    return Graph(edges_vsparse(sf_dir).materialize(), n=None)
+
+
 # weighted variant of edges_a: per distinct (src,dst) the MIN of the
 # deterministic per-row weight (o_orderkey % 10) + 1 — same multigraph
 # weight rule the strength query uses, collapsed for simple-graph algos

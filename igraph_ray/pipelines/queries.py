@@ -689,6 +689,47 @@ def q_maximal_cliques(sf_dir: str):
     return clique_size_histogram(derive.graph_sparse(sf_dir), num_partitions=8)
 
 
+_SQL_BRIDGES_CORE = f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+m AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+     COUNT(*) AS m FROM edges GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM m UNION ALL SELECT hi, lo FROM m),
+cand AS MATERIALIZED (SELECT lo, hi FROM m WHERE m = 1),
+-- per candidate edge: vertices reachable from lo avoiding that edge
+reach(lo, hi, v) AS (
+  SELECT lo, hi, lo FROM cand
+  UNION
+  SELECT r.lo, r.hi, s.b FROM reach r JOIN sym s ON s.a = r.v
+  WHERE NOT (LEAST(s.a, s.b) = r.lo AND GREATEST(s.a, s.b) = r.hi)
+),
+br AS (SELECT c.lo, c.hi FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM reach r
+                         WHERE r.lo = c.lo AND r.hi = c.hi AND r.v = c.hi))
+"""
+
+
+_SQL_BRIDGES = (
+    _SQL_BRIDGES_CORE
+    + "SELECT lo AS src, hi AS dst FROM br ORDER BY src, dst"
+)
+
+
+_SQL_TWO_ECC = (
+    _SQL_BRIDGES_CORE
+    + """, verts AS (SELECT lo AS v FROM m UNION SELECT hi FROM m),
+nonbr AS MATERIALIZED (
+  SELECT m.lo, m.hi FROM m LEFT JOIN br
+  ON br.lo = m.lo AND br.hi = m.hi WHERE br.lo IS NULL),
+nsym AS (SELECT lo AS a, hi AS b FROM nonbr UNION ALL SELECT hi, lo FROM nonbr),
+reach2(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.b, r.l FROM reach2 r JOIN nsym s ON s.a = r.v
+)
+SELECT v AS vertex, MIN(l) AS label FROM reach2 GROUP BY v ORDER BY vertex"""
+)
+
+
 _SQL_MAXIMAL_CLIQUES = f"""
 WITH RECURSIVE und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
@@ -848,6 +889,23 @@ def q_k_core(sf_dir: str):
 
 def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_bridges(sf_dir: str):
+    """Bridges of the undirected view of the very-sparse derived graph
+    (deterministic seeded-XOR cover test; SQL oracle = per-candidate
+    reachability avoiding the edge; exact pytest oracle too)."""
+    from igraph_ray.algorithms.bridges import bridges
+
+    return bridges(derive.graph_vsparse(sf_dir), num_partitions=8)
+
+
+def q_two_ecc(sf_dir: str):
+    """2-edge-connected component min-vertex labels (SQL oracle =
+    min-label closure over non-bridge edges; pytest oracle too)."""
+    from igraph_ray.algorithms.bridges import two_edge_connected_components
+
+    return two_edge_connected_components(derive.graph_vsparse(sf_dir), num_partitions=8)
 
 
 def q_mst(sf_dir: str):
@@ -1676,6 +1734,8 @@ def queries() -> Dict[str, Callable]:
         "coreness": q_coreness,
         "k_core": q_k_core,
         "st_maxflow": q_st_maxflow,
+        "bridges": q_bridges,
+        "two_ecc": q_two_ecc,
         "mst": q_mst,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
@@ -1726,6 +1786,8 @@ ON d.dst = verts.v ORDER BY vertex""",
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
         "mst": _sql_mst(),
+        "bridges": _SQL_BRIDGES,
+        "two_ecc": _SQL_TWO_ECC,
         "path_length_hist": _sql_path_length_hist(),
         "betweenness": _sql_betweenness(),
         "closeness": _sql_closeness(),

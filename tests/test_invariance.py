@@ -59,3 +59,28 @@ def test_triangles_partition_invariance():
         got = {r["vertex"]: r["triangles"] for r in triangle_counts(g, num_partitions=parts).take_all()}
         outs.append([got[i] for i in range(n)])
     assert outs[0] == outs[1]
+
+
+def test_huge_sparse_id_span():
+    """Compressed-row CSR blocks: algorithms must not allocate over the
+    raw id span (hashed 64-bit ids on an n=None universe)."""
+    import numpy as np
+
+    from igraph_ray import Graph
+    from igraph_ray.algorithms.components import connected_components
+    from igraph_ray.algorithms.pagerank import pagerank
+    from igraph_ray.algorithms.kcore import coreness
+
+    src = np.array([10**12, 5, 7, 8, 9 * 10**11, 5], np.int64)
+    dst = np.array([5, 7, 8, 9 * 10**11, 7, 10**12], np.int64)
+    g = Graph.from_numpy(src, dst, n=None)
+    labs = {r["vertex"]: r["label"] for r in
+            connected_components(g, num_partitions=4, densify=False)
+            .state.take_all()}
+    assert set(labs.values()) == {5}
+    pr = {r["vertex"]: r["pr"] for r in
+          pagerank(g, fixed_iterations=10, num_partitions=4).state.take_all()}
+    assert len(pr) == 5 and abs(sum(pr.values()) - 1.0) < 1e-9
+    core = {r["vertex"]: r["coreness"] for r in
+            coreness(g, num_partitions=4).state.take_all()}
+    assert len(core) == 5
