@@ -730,6 +730,41 @@ SELECT v AS vertex, MIN(l) AS label FROM reach2 GROUP BY v ORDER BY vertex"""
 )
 
 
+def _sql_girth(cap: int = 8) -> str:
+    """Exact girth of the simple undirected vsparse view whenever
+    girth <= 2*cap+1 (0 if acyclic): BFS distance d(r,v) = MIN over
+    <=cap-step walks, branch b(r,v) = MIN first hop over shortest
+    paths, then the same candidate rule the engine applies
+    (algorithms/girth.py): an undirected edge (u,w) proposes
+    d(r,u)+d(r,w)+1 when d(r,u)=d(r,w) or the branches differ."""
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
+                     UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT u AS r FROM und),
+walk(r, v, d, b) AS (
+  SELECT r, r, 0, CAST(-1 AS BIGINT) FROM verts
+  UNION
+  SELECT w.r, und.v, w.d + 1,
+         CASE WHEN w.d = 0 THEN und.v ELSE w.b END
+  FROM walk w JOIN und ON und.u = w.v
+  WHERE w.d < {cap}
+),
+dist AS (SELECT r, v, MIN(d) AS d FROM walk GROUP BY r, v),
+br AS (SELECT w.r, w.v, MIN(w.b) AS b
+       FROM walk w JOIN dist ON dist.r = w.r AND dist.v = w.v AND w.d = dist.d
+       GROUP BY w.r, w.v),
+st AS (SELECT dist.r, dist.v, dist.d, br.b
+       FROM dist JOIN br ON br.r = dist.r AND br.v = dist.v),
+ce AS (SELECT DISTINCT LEAST(u, v) AS lo, GREATEST(u, v) AS hi FROM und),
+cand AS (SELECT MIN(su.d + sw.d + 1) AS g
+         FROM ce
+         JOIN st su ON su.v = ce.lo
+         JOIN st sw ON sw.r = su.r AND sw.v = ce.hi
+         WHERE su.d > 0 AND sw.d > 0 AND (su.d = sw.d OR su.b <> sw.b))
+SELECT COALESCE(CAST(g AS BIGINT), 0) AS girth FROM cand"""
+
+
 _SQL_MAXIMAL_CLIQUES = f"""
 WITH RECURSIVE und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
@@ -906,6 +941,18 @@ def q_two_ecc(sf_dir: str):
     from igraph_ray.algorithms.bridges import two_edge_connected_components
 
     return two_edge_connected_components(derive.graph_vsparse(sf_dir), num_partitions=8)
+
+
+def q_girth(sf_dir: str):
+    """Girth of the simple undirected view of the very-sparse derived
+    graph (igraph_girth, structural_properties.c; 0 if acyclic).  SQL
+    oracle = the same distance + min-first-hop-branch candidate rule,
+    with BFS distances from a bounded walk-enumeration CTE (exact
+    whenever girth <= 2*cap+1; cap=8 covers any cycle <= 17)."""
+    from igraph_ray.algorithms.girth import girth
+
+    g = girth(derive.graph_vsparse(sf_dir), num_partitions=8)
+    return pa.table({"girth": pa.array([g], pa.int64())})
 
 
 def q_mst(sf_dir: str):
@@ -1736,6 +1783,7 @@ def queries() -> Dict[str, Callable]:
         "st_maxflow": q_st_maxflow,
         "bridges": q_bridges,
         "two_ecc": q_two_ecc,
+        "girth": q_girth,
         "mst": q_mst,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
@@ -1788,6 +1836,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "mst": _sql_mst(),
         "bridges": _SQL_BRIDGES,
         "two_ecc": _SQL_TWO_ECC,
+        "girth": _sql_girth(),
         "path_length_hist": _sql_path_length_hist(),
         "betweenness": _sql_betweenness(),
         "closeness": _sql_closeness(),
