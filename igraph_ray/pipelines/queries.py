@@ -730,6 +730,71 @@ SELECT v AS vertex, MIN(l) AS label FROM reach2 GROUP BY v ORDER BY vertex"""
 )
 
 
+_SQL_ARTICULATION = f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo,
+                     GREATEST(src, dst) AS hi FROM edges),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY a),
+cand AS MATERIALIZED (SELECT v FROM deg WHERE d >= 2),
+start AS (SELECT c.v AS c, MIN(s.b) AS s0 FROM cand c
+          JOIN sym s ON s.a = c.v GROUP BY c.v),
+-- vertices reachable from the min neighbor of c with c removed
+reach(c, x) AS (
+  SELECT c, s0 FROM start
+  UNION
+  SELECT r.c, s.b FROM reach r JOIN sym s ON s.a = r.x WHERE s.b <> r.c
+)
+SELECT DISTINCT c.v AS vertex FROM cand c
+WHERE EXISTS (SELECT 1 FROM sym s WHERE s.a = c.v
+              AND NOT EXISTS (SELECT 1 FROM reach r
+                              WHERE r.c = c.v AND r.x = s.b))
+ORDER BY vertex"""
+
+
+def _sql_biconn(V: int = derive.V) -> str:
+    """Biconnected components over the vsparse simple undirected view:
+    edges e=(c,a), f=(c,b) sharing c belong to the same component iff
+    a and b stay connected with c removed (a cycle a–c–b–…–a then
+    contains both); the components are the transitive closure of that
+    relation, labelled by the minimal member edge (eid = lo*V+hi, the
+    same lexicographic (lo, hi) minimum the engine emits)."""
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo,
+                     GREATEST(src, dst) AS hi FROM edges),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+-- reach2: vertices x reachable from neighbor n0 of c with c removed
+nstart AS (SELECT s.a AS c, s.b AS n0 FROM sym s),
+reach2(c, n0, x) AS (
+  SELECT c, n0, n0 FROM nstart
+  UNION
+  SELECT r.c, r.n0, s.b FROM reach2 r JOIN sym s ON s.a = r.x
+  WHERE s.b <> r.c
+),
+-- adjacent-edge relation: (c,a) ~ (c,b) iff b reachable from a sans c
+erel AS MATERIALIZED (
+  SELECT (LEAST(p.c, p.n0) * {V} + GREATEST(p.c, p.n0)) AS e,
+         (LEAST(q.c, q.n0) * {V} + GREATEST(q.c, q.n0)) AS f
+  FROM nstart p JOIN nstart q ON p.c = q.c AND p.n0 < q.n0
+  WHERE EXISTS (SELECT 1 FROM reach2 r
+                WHERE r.c = p.c AND r.n0 = p.n0 AND r.x = q.n0)),
+esym AS MATERIALIZED (SELECT e, f FROM erel UNION ALL SELECT f, e FROM erel),
+eid AS (SELECT lo * {V} + hi AS e, lo, hi FROM und),
+lab(e, l) AS (
+  SELECT e, e FROM eid
+  UNION
+  SELECT s.f, lab.l FROM lab JOIN esym s ON s.e = lab.e
+),
+ml AS (SELECT e, MIN(l) AS l FROM lab GROUP BY e)
+SELECT eid.lo, eid.hi, CAST(ml.l // {V} AS BIGINT) AS comp_lo,
+       CAST(ml.l % {V} AS BIGINT) AS comp_hi
+FROM eid JOIN ml ON ml.e = eid.e
+ORDER BY eid.lo, eid.hi"""
+
+
 def _sql_girth(cap: int = 8) -> str:
     """Exact girth of the simple undirected vsparse view whenever
     girth <= 2*cap+1 (0 if acyclic): BFS distance d(r,v) = MIN over
@@ -941,6 +1006,26 @@ def q_two_ecc(sf_dir: str):
     from igraph_ray.algorithms.bridges import two_edge_connected_components
 
     return two_edge_connected_components(derive.graph_vsparse(sf_dir), num_partitions=8)
+
+
+def q_articulation(sf_dir: str):
+    """Articulation points of the undirected view of the very-sparse
+    derived graph (igraph_articulation_points, components.c; SQL oracle
+    = per-candidate neighbor reachability with the vertex removed)."""
+    from igraph_ray.algorithms.biconnected import articulation_points
+
+    return articulation_points(derive.graph_vsparse(sf_dir), num_partitions=8)
+
+
+def q_biconn(sf_dir: str):
+    """Biconnected components as per-edge labels = the lexicographically
+    minimal member edge (igraph_biconnected_components, components.c;
+    SQL oracle = min-label closure of the shared-vertex /
+    endpoints-connected-without-it relation over edges)."""
+    from igraph_ray.algorithms.biconnected import biconnected_components
+
+    return biconnected_components(derive.graph_vsparse(sf_dir),
+                                  num_partitions=8)
 
 
 def q_girth(sf_dir: str):
@@ -1783,6 +1868,8 @@ def queries() -> Dict[str, Callable]:
         "st_maxflow": q_st_maxflow,
         "bridges": q_bridges,
         "two_ecc": q_two_ecc,
+        "articulation_points": q_articulation,
+        "biconnected_components": q_biconn,
         "girth": q_girth,
         "mst": q_mst,
         "exact_dedup": q_exact_dedup,
@@ -1837,6 +1924,8 @@ ON d.dst = verts.v ORDER BY vertex""",
         "bridges": _SQL_BRIDGES,
         "two_ecc": _SQL_TWO_ECC,
         "girth": _sql_girth(),
+        "articulation_points": _SQL_ARTICULATION,
+        "biconnected_components": _sql_biconn(),
         "path_length_hist": _sql_path_length_hist(),
         "betweenness": _sql_betweenness(),
         "closeness": _sql_closeness(),
