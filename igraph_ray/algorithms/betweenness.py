@@ -146,7 +146,151 @@ def betweenness(
     return agg.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
+def edge_betweenness(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    chunk: int = 64,
+    engine: str = "tasks",
+) -> ray.data.Dataset:
+    """Directed edge betweenness over the distinct-edge view
+    (``igraph_edge_betweenness``, /root/reference/src/centrality.c —
+    Brandes with per-edge accumulation): ebc(u→v) = Σ_s σ_s(u) ·
+    (1 + δ_s(v)) / σ_s(v) over edges on some shortest path
+    (d_s(v) = d_s(u) + 1).  Reuses the vertex chunks' forward σ/BFS +
+    backward δ sweeps unchanged; the per-edge score is then a pure
+    join of the edge list with both endpoints' state vectors — no
+    extra supersteps.  Returns (src, dst, ebc) float64 for every
+    distinct edge."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+
+    from igraph_ray.ops.relational import _dedup
+    from igraph_ray.util import hash_join
+
+    edges = _dedup(graph.edges.filter(expr="src != dst")).materialize()
+    # σ must count each distinct edge once — rebuild the CSR over the
+    # deduped view (parallel copies would double path counts and split
+    # the per-edge credit invisibly)
+    graph = Graph(edges, n=(graph.num_vertices() if graph._explicit_n
+                            else None))
+
+    csr_out = graph.csr_index("out", num_partitions, weighted=False)
+    csr_rev = graph.csr_index("rev", num_partitions, weighted=False)
+    out_blocks = csr_out.block_descriptors()
+    rev_blocks = csr_rev.block_descriptors()
+
+    if sources is None:
+        sources = [int(r["vertex"]) for r in graph.vertices().take_all()]
+    sources = list(sources)
+    if not sources:
+        return edges.map_batches(
+            lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                                "ebc": pa.array(np.zeros(b.num_rows))}),
+            batch_format="pyarrow", batch_size=None)
+
+    partials: List[ray.data.Dataset] = []
+    for lo in range(0, len(sources), chunk):
+        cs = sources[lo : lo + chunk]
+        K = len(cs)
+        final_state, _ = _chunk_brandes_state(
+            graph, csr_out, out_blocks, rev_blocks, cs, engine)
+        dcols = [f"d{k}" for k in range(K)]
+        scols = [f"s{k}" for k in range(K)]
+        ecols = [f"e{k}" for k in range(K)]
+
+        @ray.remote
+        def _tbl(block: dict, cols: List[str]) -> pa.Table:
+            out = {"vertex": pa.array(block["vertex"], pa.int64())}
+            for c in cols:
+                out[c] = pa.array(block.get(
+                    c, np.zeros(len(block["vertex"]))), pa.float64())
+            return pa.table(out)
+
+        ucols = dcols + scols
+        vcols = dcols + scols + ecols
+        stu = ray.data.from_arrow_refs(
+            [_tbl.remote(b, ucols) for b in final_state.blocks])
+        stv = ray.data.from_arrow_refs(
+            [_tbl.remote(b, vcols) for b in final_state.blocks])
+        stu = stu.map_batches(
+            lambda b: b.rename_columns(
+                ["src"] + [f"u_{c}" for c in b.column_names[1:]]),
+            batch_format="pyarrow", batch_size=None)
+        stv = stv.map_batches(
+            lambda b: b.rename_columns(
+                ["dst"] + [f"v_{c}" for c in b.column_names[1:]]),
+            batch_format="pyarrow", batch_size=None)
+        j = hash_join(edges, stu, on="src", num_partitions=num_partitions)
+        j = hash_join(j, stv, on="dst", num_partitions=num_partitions)
+
+        def _score(b: pa.Table, K=K, dcols=tuple(dcols), scols=tuple(scols),
+                   ecols=tuple(ecols)) -> pa.Table:
+            if b.num_rows == 0 or "src" not in b.column_names:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "ebc": pa.array([], pa.float64())})
+            ebc = np.zeros(b.num_rows)
+            for k in range(K):
+                du = b[f"u_{dcols[k]}"].to_numpy(zero_copy_only=False)
+                su = b[f"u_{scols[k]}"].to_numpy(zero_copy_only=False)
+                dv = b[f"v_{dcols[k]}"].to_numpy(zero_copy_only=False)
+                sv = b[f"v_{scols[k]}"].to_numpy(zero_copy_only=False)
+                ev = b[f"v_{ecols[k]}"].to_numpy(zero_copy_only=False)
+                on_path = np.isfinite(du) & (dv == du + 1.0) & (sv > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where(on_path, su * (1.0 + ev) / sv, 0.0)
+                ebc += c
+            return pa.table({"src": b["src"], "dst": b["dst"],
+                             "ebc": pa.array(ebc, pa.float64())})
+
+        partials.append(j.map_batches(_score, batch_format="pyarrow",
+                                      batch_size=None).materialize())
+
+    ds = partials[0]
+    for o in partials[1:]:
+        ds = ds.union(o)
+    agg = ds.groupby(["src", "dst"]).sum("ebc")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "ebc": pa.array([], pa.float64())})
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "ebc": b["sum(ebc)"]})
+
+    return agg.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
 def _chunk_betweenness(graph, csr_out, out_blocks, rev_blocks, sources, engine):
+    final_state, src_arr = _chunk_brandes_state(
+        graph, csr_out, out_blocks, rev_blocks, sources, engine)
+    K = len(sources)
+    ecols = [f"e{k}" for k in range(K)]
+
+    @ray.remote
+    def _partial(block: dict) -> pa.Table:
+        v = block["vertex"]
+        bc = np.zeros(len(v))
+        for k in range(K):
+            delta = block.get(ecols[k])
+            if delta is None:
+                continue
+            contrib = delta.copy()
+            contrib[v == src_arr[k]] = 0.0  # endpoints excluded
+            bc += contrib
+        return pa.table({"vertex": pa.array(v, pa.int64()),
+                         "bc": pa.array(bc, pa.float64())})
+
+    return ray.data.from_arrow_refs(
+        [_partial.remote(b) for b in final_state.blocks]
+    )
+
+
+def _chunk_brandes_state(graph, csr_out, out_blocks, rev_blocks, sources,
+                         engine):
     K = len(sources)
     src_arr = np.asarray(sources, dtype=np.int64)
     dcols = [f"d{k}" for k in range(K)]
@@ -275,20 +419,4 @@ def _chunk_betweenness(graph, csr_out, out_blocks, rev_blocks, sources, engine):
     else:
         final_state = fwd.aligned_state
 
-    @ray.remote
-    def _partial(block: dict) -> pa.Table:
-        v = block["vertex"]
-        bc = np.zeros(len(v))
-        for k in range(K):
-            delta = block.get(ecols[k])
-            if delta is None:
-                continue
-            contrib = delta.copy()
-            contrib[v == src_arr[k]] = 0.0  # endpoints excluded
-            bc += contrib
-        return pa.table({"vertex": pa.array(v, pa.int64()),
-                         "bc": pa.array(bc, pa.float64())})
-
-    return ray.data.from_arrow_refs(
-        [_partial.remote(b) for b in final_state.blocks]
-    )
+    return final_state, src_arr

@@ -199,6 +199,59 @@ def _sql_betweenness(iters: int = _BC_ITERS) -> str:
     )
 
 
+_EBC_ITERS = 12
+
+
+def _sql_edge_betweenness(iters: int = _EBC_ITERS) -> str:
+    """Edge betweenness on the very-sparse derived digraph via the same
+    unrolled-BFS σ table as the vertex oracle, then the edge pair
+    formula: ebc(u→v) = Σ_{s,t} σ(s,u)·σ(v,t)/σ(s,t) over shortest
+    s→t paths using the edge (d(s,u)+1+d(v,t) = d(s,t))."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges)",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, 0 AS d, CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {p} UNION ALL "
+            f"SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, {k} AS d, SUM(p.sig) AS sig "
+            f"FROM {p} p JOIN edges e ON e.src = p.t WHERE p.d = {k-1} "
+            f"GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} o WHERE o.s = n.s AND o.t = n.t))"
+        )
+    q = f"q{iters}"
+    parts.append(
+        f"ebc AS (SELECT e.src, e.dst, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM edges e "
+        f"JOIN {q} p1 ON p1.t = e.src "
+        f"JOIN {q} p2 ON p2.s = e.dst "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t "
+        f"AND p3.d = p1.d + 1 + p2.d "
+        f"GROUP BY e.src, e.dst)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT e.src, e.dst, "
+        f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) AS ebc_e6 "
+        f"FROM edges e LEFT JOIN ebc b ON b.src = e.src AND b.dst = e.dst "
+        f"ORDER BY e.src, e.dst"
+    )
+
+
+def q_edge_betweenness(sf_dir: str):
+    """Exact directed edge betweenness on the very-sparse derived graph
+    (centrality.c edge variant; oracle = σ pair formula over the edge)."""
+    from igraph_ray.algorithms.betweenness import edge_betweenness
+
+    g = derive.graph_vsparse(sf_dir)
+    ebc = edge_betweenness(g, num_partitions=8, chunk=64)
+    return _scale_col(ebc, "ebc", "ebc_e6", 1e6)
+
+
 def q_closeness(sf_dir: str):
     """Directed (out-mode) closeness = reached/Σdist over reachable,
     self excluded; unreachable-from sources omitted (igraph_closeness
@@ -1825,6 +1878,7 @@ def queries() -> Dict[str, Callable]:
         "sssp_weighted": q_sssp_weighted,
         "path_length_hist": q_path_length_hist,
         "betweenness": q_betweenness,
+        "edge_betweenness": q_edge_betweenness,
         "closeness": q_closeness,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
@@ -1928,6 +1982,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "biconnected_components": _sql_biconn(),
         "path_length_hist": _sql_path_length_hist(),
         "betweenness": _sql_betweenness(),
+        "edge_betweenness": _sql_edge_betweenness(),
         "closeness": _sql_closeness(),
         "harmonic": _sql_harmonic(),
         "eccentricity": _sql_eccentricity(),
