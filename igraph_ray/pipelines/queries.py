@@ -1081,6 +1081,47 @@ def q_biconn(sf_dir: str):
                                   num_partitions=8)
 
 
+_WALK_STARTS = 64
+_WALK_LEN = 20
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic random walks (igraph_random_walk analogue with a
+    reproducible arithmetic draw — algorithms/walks.py) from the 64
+    smallest vertices of the very-sparse derived digraph, 20 steps,
+    truncating at sinks.  The SQL oracle replays the identical rule
+    over ROW_NUMBER-ranked out-neighbors."""
+    from igraph_ray.algorithms.walks import random_walks
+
+    g = derive.graph_vsparse(sf_dir)
+    starts = sorted(int(r["vertex"]) for r in g.vertices().take_all())
+    return random_walks(g, starts[:_WALK_STARTS], _WALK_LEN,
+                        num_partitions=8)
+
+
+def _sql_random_walks(nstarts: int = _WALK_STARTS,
+                      length: int = _WALK_LEN) -> str:
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM edges),
+starts AS MATERIALIZED (SELECT DISTINCT v FROM verts ORDER BY v LIMIT {nstarts}),
+walk(w, step, v) AS (
+  SELECT v, 0, v FROM starts
+  UNION ALL
+  SELECT wk.w, wk.step + 1, rk.dst
+  FROM walk wk JOIN ranked rk ON rk.src = wk.v
+  AND rk.r = ((wk.w % 1048576) * 9973 + wk.step * 7919
+              + (wk.v % 1048576) * 104729) % rk.deg
+  WHERE wk.step < {length}
+)
+SELECT w AS walk, step, v AS vertex FROM walk ORDER BY walk, step"""
+
+
 def q_girth(sf_dir: str):
     """Girth of the simple undirected view of the very-sparse derived
     graph (igraph_girth, structural_properties.c; 0 if acyclic).  SQL
@@ -1924,6 +1965,7 @@ def queries() -> Dict[str, Callable]:
         "two_ecc": q_two_ecc,
         "articulation_points": q_articulation,
         "biconnected_components": q_biconn,
+        "random_walks": q_random_walks,
         "girth": q_girth,
         "mst": q_mst,
         "exact_dedup": q_exact_dedup,
@@ -1980,6 +2022,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "girth": _sql_girth(),
         "articulation_points": _SQL_ARTICULATION,
         "biconnected_components": _sql_biconn(),
+        "random_walks": _sql_random_walks(),
         "path_length_hist": _sql_path_length_hist(),
         "betweenness": _sql_betweenness(),
         "edge_betweenness": _sql_edge_betweenness(),
