@@ -274,3 +274,98 @@ def static_power_law(
 
     refs = [_run.remote(a, b) for a, b in _chunk_runs(total_chunks, num_partitions)]
     return _from_refs(refs)
+
+
+def preference_game(
+    n: int,
+    type_dist: List[float],
+    pref_matrix: List[List[float]],
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> Tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Directed preference game (igraph_preference_game, games.c —
+    fixed-sizes variant): vertices get types in contiguous blocks whose
+    sizes are the exact floor proportions of ``type_dist`` (remainders
+    to the lowest type ids — deterministic, like the reference's
+    fixed_sizes path), then each ordered type pair (i, j) is an
+    independent G(block_i × block_j, pref_matrix[i][j]) with loops
+    excluded on the diagonal — the same geometric-jump chunk
+    enumeration erdos_renyi_gnp uses, seeded per (pair, chunk) so the
+    edge set is identical at any parallelism.
+
+    Returns (edges, types): types = (vertex, type)."""
+    t = np.asarray(type_dist, dtype=np.float64)
+    t = t / t.sum()
+    k = len(t)
+    sizes = np.floor(t * n).astype(np.int64)
+    rem = n - int(sizes.sum())
+    sizes[:rem] += 1
+    blo = np.zeros(k + 1, np.int64)
+    np.cumsum(sizes, out=blo[1:])
+
+    def _types(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        ty = np.searchsorted(blo[1:], v, side="right")
+        return pa.table({"vertex": pa.array(v), "type": pa.array(ty)})
+
+    types = ray.data.range(n).map_batches(
+        lambda b: pa.table({"vertex": pa.array(b["id"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(_types, batch_format="pyarrow", batch_size=None)
+
+    jobs = []  # (pair_id, i, j, p, space)
+    pid = 0
+    for i in range(k):
+        for j in range(k):
+            ni, nj = int(sizes[i]), int(sizes[j])
+            p = float(pref_matrix[i][j])
+            space = ni * (ni - 1) if i == j else ni * nj
+            if p > 0.0 and space > 0:
+                jobs.append((pid, i, j, p, space))
+            pid += 1
+
+    @ray.remote
+    def _run(pair_id: int, i: int, j: int, p: float,
+             lo_chunk: int, hi_chunk: int, space: int) -> pa.Table:
+        ni = int(sizes[i])
+        lo_i, lo_j = int(blo[i]), int(blo[j])
+        outs = []
+        for c in range(lo_chunk, hi_chunk):
+            rng = np.random.default_rng(_mix(seed * 1009 + pair_id, c))
+            lo = c * _CHUNK
+            hi = min(space, lo + _CHUNK)
+            if p >= 1.0:
+                kk = np.arange(lo, hi, dtype=np.int64)
+            else:
+                est = int((hi - lo) * p * 1.2) + 16
+                ks: List[np.ndarray] = []
+                pos = lo - 1
+                while pos < hi - 1:
+                    jumps = rng.geometric(p, size=est)
+                    hits = pos + np.cumsum(jumps)
+                    take = hits[hits < hi]
+                    ks.append(take)
+                    if len(take) < len(hits):
+                        break
+                    pos = int(hits[-1])
+                kk = np.concatenate(ks) if ks else np.empty(0, np.int64)
+            if len(kk):
+                if i == j:
+                    s, d = _pairs_from_index(kk, ni)
+                else:
+                    nj = int(sizes[j])
+                    s, d = kk // nj, kk % nj
+                outs.append(pa.table({"src": pa.array(s + lo_i),
+                                      "dst": pa.array(d + lo_j)}))
+        if not outs:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    refs = []
+    for (pair_id, i, j, p, space) in jobs:
+        total_chunks = (space + _CHUNK - 1) // _CHUNK
+        share = max(1, num_partitions // max(1, len(jobs)))
+        for a, b in _chunk_runs(total_chunks, share):
+            refs.append(_run.remote(pair_id, i, j, p, a, b, space))
+    return _from_refs(refs), types

@@ -83,3 +83,29 @@ def test_static_power_law():
     top = int(n * 0.01)
     share = (t["src"] < top).mean()
     assert share > 0.05  # uniform would give 0.01
+
+
+def test_preference_game():
+    from igraph_ray.sources.games import preference_game
+
+    pref = [[0.3, 0.0], [0.02, 0.25]]
+    edges, types = preference_game(200, [0.5, 0.5], pref, seed=7,
+                                   num_partitions=4)
+    ty = {r["vertex"]: r["type"] for r in types.take_all()}
+    assert len(ty) == 200
+    assert sum(1 for t in ty.values() if t == 0) == 100
+    rows = [(r["src"], r["dst"]) for r in edges.take_all()]
+    assert len(rows) == len(set(rows))            # no duplicate pairs
+    assert all(s != d for s, d in rows)           # no loops
+    # zero-probability block really is empty (type0 -> type1)
+    assert not any(ty[s] == 0 and ty[d] == 1 for s, d in rows)
+    # densities land near their block probabilities
+    import collections
+    cnt = collections.Counter((ty[s], ty[d]) for s, d in rows)
+    assert abs(cnt[(0, 0)] / (100 * 99) - 0.3) < 0.05
+    assert abs(cnt[(1, 1)] / (100 * 99) - 0.25) < 0.05
+    assert abs(cnt[(1, 0)] / (100 * 100) - 0.02) < 0.01
+    # identical multiset at different parallelism
+    e2, _ = preference_game(200, [0.5, 0.5], pref, seed=7, num_partitions=2)
+    rows2 = sorted((r["src"], r["dst"]) for r in e2.take_all())
+    assert sorted(rows) == rows2
