@@ -125,6 +125,82 @@ def q_sssp_hops(sf_dir: str):
     return sssp_hops(g, source=source, num_partitions=8).state
 
 
+def q_sssp_tree(sf_dir: str):
+    """Shortest-path tree from the min universe vertex: (vertex, dist,
+    parent) with parent = MIN predecessor one hop closer (deterministic
+    tie-break; source parents itself) — igraph_get_shortest_paths'
+    predecessor output (structural_properties.c BFS fathers)."""
+    from igraph_ray.util import hash_join
+
+    g = derive.graph_a(sf_dir)
+    source = int(g.vertices().min("vertex"))
+    st = sssp_hops(g, source=source, num_partitions=8).state.materialize()
+    dsrc = st.map_batches(
+        lambda b: pa.table({"src": b["vertex"], "d_s": b["dist"]}),
+        batch_format="pyarrow", batch_size=None)
+    ddst = st.map_batches(
+        lambda b: pa.table({"dst": b["vertex"], "d_d": b["dist"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(derive.edges_a(sf_dir), dsrc, on="src", num_partitions=8)
+    j = hash_join(j, ddst, on="dst", num_partitions=8)
+
+    def _par(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "parent": pa.array([], pa.int64())})
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        ds_ = b["d_s"].to_numpy(zero_copy_only=False)
+        dd_ = b["d_d"].to_numpy(zero_copy_only=False)
+        keep = ds_ == dd_ - 1
+        t = pa.table({"vertex": pa.array(d[keep]), "parent": pa.array(s[keep])})
+        if t.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "parent": pa.array([], pa.int64())})
+        return pa.TableGroupBy(t, ["vertex"]).aggregate([("parent", "min")]) \
+            .rename_columns(["vertex", "parent"])
+
+    par = j.map_batches(_par, batch_format="pyarrow", batch_size=None) \
+        .groupby("vertex").min("parent")
+    par = par.map_batches(
+        lambda b: (pa.table({"vertex": b["vertex"],
+                             "parent": b["min(parent)"]})
+                   if b.num_rows and "vertex" in b.column_names
+                   else pa.table({"vertex": pa.array([], pa.int64()),
+                                  "parent": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    out = hash_join(st, par, on="vertex", num_partitions=8,
+                    join_type="left_outer")
+
+    def _fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64()),
+                             "parent": pa.array([], pa.int64())})
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        if "parent" in b.column_names:
+            p = b["parent"].to_numpy(zero_copy_only=False)
+            p = (np.where(np.isnan(p.astype(np.float64)), v, p).astype(np.int64)
+                 if p.dtype != np.int64 else p)
+        else:
+            p = v
+        return pa.table({"vertex": pa.array(v), "dist": b["dist"],
+                         "parent": pa.array(p, pa.int64())})
+
+    return out.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+def q_topo_levels(sf_dir: str):
+    """Kahn peel layers over the acyclic src<dst view of the very-sparse
+    digraph: layer = longest incoming path length — sorted by (layer,
+    vertex) this is igraph_topological_sorting's deterministic order."""
+    from igraph_ray.ops.structural import topological_peel
+
+    dag = derive.edges_vsparse(sf_dir).filter(expr="src < dst").materialize()
+    _, order = topological_peel(Graph(dag, n=None), num_partitions=8)
+    return order
+
+
 def q_sssp_weighted(sf_dir: str):
     """Single-source Dijkstra-semantics distances (weighted Bellman-Ford
     relaxation on the aligned engine) from the min universe vertex over
@@ -1475,6 +1551,37 @@ def _sql_sssp_weighted(iters: int = _SSSP_ITERS) -> str:
     )
 
 
+def _sql_sssp_tree(iters: int = _SSSP_ITERS) -> str:
+    """The sssp_hops distance table extended with parent = MIN
+    predecessor one hop closer (source parents itself)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        f"h0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT MIN(v) FROM verts) "
+        f"THEN 0 ELSE {_BIG} END AS d FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT h.v, LEAST(h.d, COALESCE(m.md, {_BIG})) AS d "
+            f"FROM {p} h LEFT JOIN (SELECT e.dst AS v, MIN(p.d) + 1 AS md FROM edges e "
+            f"JOIN {p} p ON p.v = e.src WHERE p.d < {_BIG} GROUP BY e.dst) m ON m.v = h.v)"
+        )
+    parts.append(
+        f"dd AS (SELECT v, d FROM h{iters} WHERE d < {_BIG})")
+    parts.append(
+        "par AS (SELECT e.dst AS v, MIN(e.src) AS parent FROM edges e "
+        "JOIN dd a ON a.v = e.src JOIN dd b ON b.v = e.dst AND b.d = a.d + 1 "
+        "GROUP BY e.dst)")
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT dd.v AS vertex, CAST(dd.d AS BIGINT) AS dist, "
+        f"CAST(COALESCE(p.parent, dd.v) AS BIGINT) AS parent "
+        f"FROM dd LEFT JOIN par p ON p.v = dd.v ORDER BY vertex"
+    )
+
+
 def _sql_sssp(iters: int = _SSSP_ITERS) -> str:
     parts = [
         f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
@@ -1916,6 +2023,8 @@ def queries() -> Dict[str, Callable]:
         "components": q_components,
         "scc": q_scc,
         "sssp_hops": q_sssp_hops,
+        "sssp_tree": q_sssp_tree,
+        "topo_levels": q_topo_levels,
         "sssp_weighted": q_sssp_weighted,
         "path_length_hist": q_path_length_hist,
         "betweenness": q_betweenness,
@@ -2010,6 +2119,18 @@ ON d.dst = verts.v ORDER BY vertex""",
         "components": _sql_components(),
         "scc": _sql_scc(),
         "sssp_hops": _sql_sssp(),
+        "sssp_tree": _sql_sssp_tree(),
+        "topo_levels": f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT src, dst FROM ({derive.SQL_EDGES_VSPARSE}) WHERE src < dst),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+walk(v, d) AS (
+  SELECT v, 0 FROM verts
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+)
+SELECT v AS vertex, CAST(MAX(d) AS BIGINT) AS layer
+FROM walk GROUP BY v ORDER BY vertex""",
         "sssp_weighted": _sql_sssp_weighted(),
         "coreness": _sql_coreness(),
         "simhash": _sql_simhash(),
