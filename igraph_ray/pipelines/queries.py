@@ -229,6 +229,51 @@ def q_path_length_hist(sf_dir: str):
     return path_length_hist(g, num_partitions=8, chunk=128)
 
 
+def q_avg_path_length(sf_dir: str):
+    """Mean directed shortest-path length over ordered reachable pairs
+    (igraph_average_path_length, unconn pairs ignored): exact integer
+    (total_pairs, dist_sum) plus the e9-scaled mean — one division on
+    identical integers on both sides, so the hash is stable."""
+    g = derive.graph_a(sf_dir)
+    h = path_length_hist(g, num_partitions=8, chunk=128)
+    ht = h if isinstance(h, pa.Table) else pa.concat_tables(
+        ray.get(h.to_arrow_refs()))
+    d = ht["dist"].to_numpy(zero_copy_only=False)
+    c = ht["count"].to_numpy(zero_copy_only=False)
+    tp = int(c.sum())
+    ds_ = int((d * c).sum())
+    avg = int(np.round(ds_ / tp * 1e9)) if tp else 0
+    return pa.table({"total_pairs": pa.array([tp], pa.int64()),
+                     "dist_sum": pa.array([ds_], pa.int64()),
+                     "avg_e9": pa.array([avg], pa.int64())})
+
+
+def q_transitivity_avglocal(sf_dir: str):
+    """Average local clustering over vertices with degree ≥ 2
+    (igraph_transitivity_avglocal_undirected, deg<2 excluded): output =
+    (n_vertices, cc_sum_e9) where cc_sum_e9 = Σ per-vertex
+    round_even(cc·1e9) — per-vertex rounding of a single double
+    division is bit-identical in numpy and DuckDB, and the integer sum
+    is exact, so the comparison is order-free."""
+    from igraph_ray.ops.structural import transitivity_local
+
+    cc = transitivity_local(derive.graph_a(sf_dir), num_partitions=8)
+
+    def _int(b: pa.Table) -> pa.Table:
+        v = b["cc_local"].to_numpy(zero_copy_only=False)
+        fin = np.isfinite(v)
+        e9 = np.round(v[fin] * 1e9).astype(np.int64)
+        return pa.table({"n": pa.array([int(fin.sum())], pa.int64()),
+                         "s": pa.array([int(e9.sum())], pa.int64())})
+
+    parts = cc.map_batches(_int, batch_format="pyarrow", batch_size=None) \
+        .take_all()
+    n = sum(int(r["n"]) for r in parts)
+    s = sum(int(r["s"]) for r in parts)
+    return pa.table({"n_vertices": pa.array([n], pa.int64()),
+                     "cc_sum_e9": pa.array([s], pa.int64())})
+
+
 _BC_ITERS = 14
 
 
@@ -1633,6 +1678,16 @@ def _sql_path_length_hist(iters: int = _SSSP_ITERS) -> str:
     )
 
 
+def _sql_avg_path_length(iters: int = _SSSP_ITERS) -> str:
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs, "
+        f"CAST(SUM(d) AS BIGINT) AS dist_sum, "
+        f"CAST(round_even(CAST(SUM(d) AS DOUBLE)/COUNT(*)*1e9, 0) AS BIGINT) "
+        f"AS avg_e9 FROM p{iters} WHERE s != t"
+    )
+
+
 def _sql_closeness(iters: int = _SSSP_ITERS) -> str:
     return (
         f"{_sql_allpairs_body(iters)}\n"
@@ -2027,6 +2082,8 @@ def queries() -> Dict[str, Callable]:
         "topo_levels": q_topo_levels,
         "sssp_weighted": q_sssp_weighted,
         "path_length_hist": q_path_length_hist,
+        "avg_path_length": q_avg_path_length,
+        "transitivity_avglocal": q_transitivity_avglocal,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "closeness": q_closeness,
@@ -2145,6 +2202,24 @@ FROM walk GROUP BY v ORDER BY vertex""",
         "biconnected_components": _sql_biconn(),
         "random_walks": _sql_random_walks(),
         "path_length_hist": _sql_path_length_hist(),
+        "avg_path_length": _sql_avg_path_length(),
+        "transitivity_avglocal": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo,
+                     GREATEST(src, dst) AS hi FROM edges),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY a),
+tri AS (SELECT s1.a AS v, COUNT(*) AS t
+        FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+        JOIN und u ON u.lo = s1.b AND u.hi = s2.b
+        GROUP BY s1.a),
+cc AS (SELECT deg.v,
+         CAST(round_even(2.0 * COALESCE(tri.t, 0)
+              / (deg.d * (deg.d - 1)) * 1e9, 0) AS BIGINT) AS e9
+       FROM deg LEFT JOIN tri ON tri.v = deg.v WHERE deg.d >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(e9) AS BIGINT) AS cc_sum_e9 FROM cc""",
         "betweenness": _sql_betweenness(),
         "edge_betweenness": _sql_edge_betweenness(),
         "closeness": _sql_closeness(),
