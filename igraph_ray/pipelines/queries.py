@@ -420,6 +420,83 @@ def q_diameter(sf_dir: str):
     return diameter_radius(g, variant="out", num_partitions=8)
 
 
+def q_graph_center(sf_dir: str):
+    """Center vertices = out-mode eccentricity equal to the radius
+    (igraph_graph_center restricted to IGRAPH_OUT, vertices with at
+    least one reachable target)."""
+    from igraph_ray.algorithms.paths import eccentricity
+
+    g = derive.graph_a(sf_dir)
+    ecc = eccentricity(g, variant="out", num_partitions=8).materialize()
+    radius = int(ecc.min("ecc"))
+    return ecc.filter(expr=f"ecc == {radius}").select_columns(["vertex"])
+
+
+def q_assortativity_nominal(sf_dir: str):
+    """Nominal (categorical) assortativity with type = vertex % 7
+    (igraph_assortativity_nominal, directed): r = (m·Σe_ii − Σa_i·b_i)
+    / (m² − Σa_i·b_i) computed from exact integer mixing counts, one
+    final double division on both sides."""
+    K = 7
+    edges = derive.edges_a(sf_dir)
+
+    def _mix(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False) % K
+        d = b["dst"].to_numpy(zero_copy_only=False) % K
+        code = s * K + d
+        cnt = np.bincount(code, minlength=K * K).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(cnt[nz])})
+
+    rows = edges.map_batches(_mix, batch_format="pyarrow", batch_size=None) \
+        .groupby("code").sum("c").take_all()
+    full = np.zeros(K * K, np.int64)
+    for r in rows:
+        full[int(r["code"])] = int(r["sum(c)"])
+    e = full.reshape(K, K)
+    m = int(e.sum())
+    s_ii = int(np.trace(e))
+    s_ab = int((e.sum(axis=1) * e.sum(axis=0)).sum())
+    r_e9 = int(np.round((s_ii * m - s_ab) / (m * m - s_ab) * 1e9))
+    return pa.table({"nominal_e9": pa.array([r_e9], pa.int64())})
+
+
+def q_triangle_list(sf_dir: str):
+    """All triangles of the thinned undirected simple view as canonical
+    (a < b < c) triples (igraph_list_triangles; the wedge-join physical
+    plan shared with the count/clique operators)."""
+    from igraph_ray.util import hash_join
+
+    und = derive.graph_sparse(sf_dir).canonical_undirected().materialize()
+    e1 = und.map_batches(
+        lambda b: pa.table({"a": b["lo"], "b": b["hi"]}),
+        batch_format="pyarrow", batch_size=None)
+    e2 = und.map_batches(
+        lambda b: pa.table({"b": b["lo"], "c": b["hi"]}),
+        batch_format="pyarrow", batch_size=None)
+    w = hash_join(e1, e2, on="b", num_partitions=8)
+    e3 = und.map_batches(
+        lambda b: pa.table({"a": b["lo"], "c": b["hi"]}),
+        batch_format="pyarrow", batch_size=None)
+    tri = hash_join(w, e3, on=["a", "c"], num_partitions=8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"a": b["a"], "b": b["b"], "c": b["c"]})
+
+    out = tri.map_batches(_cols, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    if out.count() == 0:  # keep the (a,b,c) schema visible when empty
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+    return out
+
+
 def q_component_sizes(sf_dir: str):
     g = derive.graph_a(sf_dir)
     st = connected_components(g, num_partitions=8).state
@@ -1719,6 +1796,18 @@ def _sql_eccentricity(iters: int = _SSSP_ITERS) -> str:
     )
 
 
+def _sql_graph_center(iters: int = _SSSP_ITERS) -> str:
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT vertex FROM ("
+        f"SELECT s AS vertex, MAX(d) AS ecc FROM p{iters} WHERE s != t "
+        f"GROUP BY s) q "
+        f"WHERE ecc = (SELECT MIN(ecc) FROM ("
+        f"SELECT MAX(d) AS ecc FROM p{iters} WHERE s != t GROUP BY s)) "
+        f"ORDER BY vertex"
+    )
+
+
 def _sql_diameter(iters: int = _SSSP_ITERS) -> str:
     return (
         f"{_sql_allpairs_body(iters)}\n"
@@ -2090,6 +2179,9 @@ def queries() -> Dict[str, Callable]:
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
         "diameter": q_diameter,
+        "graph_center": q_graph_center,
+        "assortativity_nominal": q_assortativity_nominal,
+        "triangle_list": q_triangle_list,
         "component_sizes": q_component_sizes,
         "lpa": q_lpa,
         "louvain": q_louvain,
@@ -2226,6 +2318,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
         "harmonic": _sql_harmonic(),
         "eccentricity": _sql_eccentricity(),
         "diameter": _sql_diameter(),
+        "graph_center": _sql_graph_center(),
+        "assortativity_nominal": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+cnt AS (SELECT src % 7 AS ti, dst % 7 AS tj, COUNT(*) AS c
+        FROM edges GROUP BY 1, 2),
+m AS (SELECT SUM(c) AS m FROM cnt),
+sii AS (SELECT COALESCE(SUM(c), 0) AS s FROM cnt WHERE ti = tj),
+ab AS (SELECT SUM(o.oc * i.ic) AS s
+       FROM (SELECT ti, SUM(c) AS oc FROM cnt GROUP BY ti) o
+       JOIN (SELECT tj, SUM(c) AS ic FROM cnt GROUP BY tj) i ON i.tj = o.ti)
+SELECT CAST(round_even(
+  CAST(sii.s * m.m - ab.s AS DOUBLE) / (m.m * m.m - ab.s) * 1e9, 0)
+  AS BIGINT) AS nominal_e9
+FROM sii, m, ab""",
+        "triangle_list": f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE}))
+SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c
+FROM und u1 JOIN und u2 ON u2.lo = u1.hi
+JOIN und u3 ON u3.lo = u1.lo AND u3.hi = u2.hi
+ORDER BY a, b, c""",
         "component_sizes": _sql_component_sizes(),
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,
