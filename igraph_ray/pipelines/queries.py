@@ -420,6 +420,25 @@ def q_diameter(sf_dir: str):
     return diameter_radius(g, variant="out", num_partitions=8)
 
 
+def q_transitive_closure(sf_dir: str):
+    """Directed transitive closure of the very-sparse digraph: ordered
+    reachable pairs, self excluded (igraph_transitive_closure; the
+    chunked K-column BFS stream projected to (src, dst))."""
+    from igraph_ray.algorithms.paths import multi_source_hops
+
+    g = derive.graph_vsparse(sf_dir)
+    srcs = sorted(int(r["vertex"]) for r in g.vertices().take_all())
+    ds = multi_source_hops(g, srcs, num_partitions=8)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        s = b["source"].to_numpy(zero_copy_only=False)
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        keep = s != v
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(v[keep])})
+
+    return ds.map_batches(_proj, batch_format="pyarrow", batch_size=None)
+
+
 def q_graph_center(sf_dir: str):
     """Center vertices = out-mode eccentricity equal to the radius
     (igraph_graph_center restricted to IGRAPH_OUT, vertices with at
@@ -2180,6 +2199,7 @@ def queries() -> Dict[str, Callable]:
         "eccentricity": q_eccentricity,
         "diameter": q_diameter,
         "graph_center": q_graph_center,
+        "transitive_closure": q_transitive_closure,
         "assortativity_nominal": q_assortativity_nominal,
         "triangle_list": q_triangle_list,
         "component_sizes": q_component_sizes,
@@ -2319,6 +2339,14 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
         "eccentricity": _sql_eccentricity(),
         "diameter": _sql_diameter(),
         "graph_center": _sql_graph_center(),
+        "transitive_closure": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+reach(s, v) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT s AS src, v AS dst FROM reach WHERE s != v ORDER BY src, dst""",
         "assortativity_nominal": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
 cnt AS (SELECT src % 7 AS ti, dst % 7 AS tj, COUNT(*) AS c
