@@ -408,16 +408,18 @@ def _tarjan_vishkin(graph: Graph, num_partitions: int) -> Dict[str, ray.data.Dat
 
 
 def articulation_points(
-    graph: Graph, num_partitions: Optional[int] = None
+    graph: Graph, num_partitions: Optional[int] = None,
+    _tv: Optional[Dict[str, ray.data.Dataset]] = None,
 ) -> ray.data.Dataset:
     """(vertex): every articulation point of the simple undirected view
     (igraph_articulation_points semantics — loops and multiplicities
-    are irrelevant to vertex cuts)."""
+    are irrelevant to vertex cuts).  ``_tv``: a precomputed
+    ``_tarjan_vishkin`` result to share with biconnected_components."""
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
 
-    tv = _tarjan_vishkin(graph, num_partitions)
+    tv = _tv if _tv is not None else _tarjan_vishkin(graph, num_partitions)
     tree, comp, forest = tv["tree"], tv["comp"], tv["forest"]
 
     cw = hash_join(tree, comp.map_batches(
@@ -467,16 +469,18 @@ def articulation_points(
 
 
 def biconnected_components(
-    graph: Graph, num_partitions: Optional[int] = None
+    graph: Graph, num_partitions: Optional[int] = None,
+    _tv: Optional[Dict[str, ray.data.Dataset]] = None,
 ) -> ray.data.Dataset:
     """(lo, hi, comp_lo, comp_hi): each simple undirected loop-free edge
     with the lexicographically minimal edge of its biconnected component
-    as the component label (deterministic, parallelism-independent)."""
+    as the component label (deterministic, parallelism-independent).
+    ``_tv``: a precomputed ``_tarjan_vishkin`` result to share."""
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
 
-    tv = _tarjan_vishkin(graph, num_partitions)
+    tv = _tv if _tv is not None else _tarjan_vishkin(graph, num_partitions)
     und, comp = tv["und"], tv["comp"]
 
     # every edge inherits the component of its hi endpoint's rep for

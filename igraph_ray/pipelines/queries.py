@@ -1278,13 +1278,29 @@ def q_two_ecc(sf_dir: str):
     return two_edge_connected_components(derive.graph_vsparse(sf_dir), num_partitions=8)
 
 
+_TV_CACHE: Dict[str, object] = {}
+
+
+def _tv_vsparse(sf_dir: str):
+    """One Tarjan–Vishkin pipeline per sf_dir, shared by the
+    articulation_points and biconnected_components queries (the
+    auxiliary-graph construction dominates both)."""
+    if sf_dir not in _TV_CACHE:
+        from igraph_ray.algorithms.biconnected import _tarjan_vishkin
+
+        g = derive.graph_vsparse(sf_dir)
+        _TV_CACHE[sf_dir] = (g, _tarjan_vishkin(g, 8))
+    return _TV_CACHE[sf_dir]
+
+
 def q_articulation(sf_dir: str):
     """Articulation points of the undirected view of the very-sparse
     derived graph (igraph_articulation_points, components.c; SQL oracle
     = per-candidate neighbor reachability with the vertex removed)."""
     from igraph_ray.algorithms.biconnected import articulation_points
 
-    return articulation_points(derive.graph_vsparse(sf_dir), num_partitions=8)
+    g, tv = _tv_vsparse(sf_dir)
+    return articulation_points(g, num_partitions=8, _tv=tv)
 
 
 def q_biconn(sf_dir: str):
@@ -1294,8 +1310,8 @@ def q_biconn(sf_dir: str):
     endpoints-connected-without-it relation over edges)."""
     from igraph_ray.algorithms.biconnected import biconnected_components
 
-    return biconnected_components(derive.graph_vsparse(sf_dir),
-                                  num_partitions=8)
+    g, tv = _tv_vsparse(sf_dir)
+    return biconnected_components(g, num_partitions=8, _tv=tv)
 
 
 _WALK_STARTS = 64
