@@ -420,6 +420,40 @@ def q_diameter(sf_dir: str):
     return diameter_radius(g, variant="out", num_partitions=8)
 
 
+def q_density(sf_dir: str):
+    """Directed density m/(n(n-1)) over the observed vertex universe,
+    loops impossible by construction (igraph_density,
+    structural_properties.c:2823); exact integers + one scaled
+    division."""
+    g = derive.graph_a(sf_dir)
+    m = int(g.edges.count())
+    n = int(g.vertices().count())
+    d_e9 = int(np.round(m / (n * (n - 1)) * 1e9))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "m": pa.array([m], pa.int64()),
+                     "density_e9": pa.array([d_e9], pa.int64())})
+
+
+def q_is_forest(sf_dir: str):
+    """(is_forest, is_tree) of the simple undirected view of the
+    very-sparse graph: forest ⇔ |E| = |V| − #components, tree adds
+    connectedness (igraph_is_forest / igraph_is_tree)."""
+    g = derive.graph_vsparse(sf_dir)
+    und = g.canonical_undirected().materialize()
+    m = int(und.count())
+    n = int(g.vertices().count())
+    ncomp = int(
+        connected_components(g, num_partitions=8, densify=False)
+        .state.map_batches(
+            lambda b: pa.table({"label": b["label"]}),
+            batch_format="pyarrow", batch_size=None)
+        .groupby("label").count().count())
+    forest = 1 if m == n - ncomp else 0
+    tree = 1 if (forest and ncomp == 1) else 0
+    return pa.table({"is_forest": pa.array([forest], pa.int64()),
+                     "is_tree": pa.array([tree], pa.int64())})
+
+
 def q_transitive_closure(sf_dir: str):
     """Directed transitive closure of the very-sparse digraph: ordered
     reachable pairs, self excluded (igraph_transitive_closure; the
@@ -2216,6 +2250,8 @@ def queries() -> Dict[str, Callable]:
         "diameter": q_diameter,
         "graph_center": q_graph_center,
         "transitive_closure": q_transitive_closure,
+        "density": q_density,
+        "is_forest": q_is_forest,
         "assortativity_nominal": q_assortativity_nominal,
         "triangle_list": q_triangle_list,
         "component_sizes": q_component_sizes,
@@ -2363,6 +2399,36 @@ reach(s, v) AS (
   SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v
 )
 SELECT s AS src, v AS dst FROM reach WHERE s != v ORDER BY src, dst""",
+        "density": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
+verts AS ({SQL_VERTS_A}),
+c AS (SELECT (SELECT COUNT(*) FROM verts) AS n,
+             (SELECT COUNT(*) FROM edges) AS m)
+SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+  CAST(round_even(CAST(m AS DOUBLE) / (n * (n - 1)) * 1e9, 0) AS BIGINT)
+  AS density_e9 FROM c""",
+        "is_forest": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo,
+                     GREATEST(src, dst) AS hi FROM edges),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT lo AS v FROM und UNION ALL
+    SELECT hi FROM und UNION ALL SELECT src FROM edges
+    UNION ALL SELECT dst FROM edges)),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+reach(v, l) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.v
+),
+lab AS (SELECT v, MIN(l) AS l FROM reach GROUP BY v),
+c AS (SELECT (SELECT COUNT(*) FROM und) AS m,
+             (SELECT COUNT(DISTINCT v) FROM verts) AS n,
+             (SELECT COUNT(DISTINCT l) FROM lab) AS nc)
+SELECT CAST(CASE WHEN m = n - nc THEN 1 ELSE 0 END AS BIGINT) AS is_forest,
+       CAST(CASE WHEN m = n - nc AND nc = 1 THEN 1 ELSE 0 END AS BIGINT)
+       AS is_tree FROM c""",
         "assortativity_nominal": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
 cnt AS (SELECT src % 7 AS ti, dst % 7 AS tj, COUNT(*) AS c
