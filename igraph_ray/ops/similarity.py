@@ -360,3 +360,118 @@ def lsh_topk(
         )
 
     return partials.repartition(1).map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via an IVF (inverted-file) index — the
+    standard coarse-quantizer scale path beside lsh_topk: k-means
+    centroids trained on a small deterministic sample (the lowest
+    ``train_size`` ids), every vector assigned to its nearest centroid
+    in one streaming pass, and each query scored only against vectors
+    whose list is among its ``nprobe`` closest centroids.  Same output
+    schema as brute_force_topk; recall grows with nprobe/nlist.
+
+    Scale shape: training is O(train_size·dim) on the driver (bounded,
+    independent of N); the scan is one map_batches with a broadcast
+    (nlist, dim) centroid matrix; per batch the mask prunes scoring to
+    the probed fraction ≈ nprobe/nlist of rows."""
+    rng = np.random.default_rng(seed)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+
+    # --- train: deterministic sample, spherical k-means ----------------
+    sample_t = embeddings.sort(id_col).limit(train_size).take_all()
+    sm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_t])
+    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-30)
+    nlist = min(nlist, len(sm))
+    cent = sm[rng.choice(len(sm), nlist, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(nlist):
+            members = sm[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    c_ref = ray.put(cent)
+
+    # --- probe lists per query ----------------------------------------
+    nprobe = min(nprobe, nlist)
+    qc = qn @ cent.T
+    probes = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+    probe_masks = np.zeros((len(qn), nlist), dtype=bool)
+    probe_masks[np.arange(len(qn))[:, None], probes] = True
+    q_ref = ray.put(qn)
+    pm_ref = ray.put(probe_masks)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        c = ray.get(c_ref)
+        pm = ray.get(pm_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(b[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        assign = np.argmax(m @ c.T, axis=1)          # (B,)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q)):
+            sel = pm[qi][assign]
+            if not sel.any():
+                continue
+            row = q[qi] @ m[sel].T
+            kk = min(k, len(row))
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_n.append(ids[sel][idx])
+            out_s.append(row[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+             "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+             "score": pa.array(np.concatenate(out_s), pa.float64())})
+
+    partials = embeddings.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None).materialize()
+    return partials.repartition(1).map_batches(
+        _merge_topk(k), batch_format="pyarrow", batch_size=None)
+
+
+def _merge_topk(k: int):
+    """Final global top-k over the tiny (Q·k per block) partial stream —
+    the same merge brute_force_topk/lsh_topk inline."""
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "query_id" not in b.column_names:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        qid = b["query_id"].to_numpy(zero_copy_only=False)
+        nid = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        sc = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sc, qid))
+        qid, nid, sc = qid[order], nid[order], sc[order]
+        keep = np.zeros(len(qid), dtype=bool)
+        count, prev = 0, None
+        for i in range(len(qid)):
+            if qid[i] != prev:
+                prev, count = qid[i], 0
+            if count < k:
+                keep[i] = True
+                count += 1
+        return pa.table(
+            {"query_id": pa.array(qid[keep], pa.int64()),
+             "neighbor_id": pa.array(nid[keep], pa.int64()),
+             "score": pa.array(sc[keep], pa.float64())})
+    return _final

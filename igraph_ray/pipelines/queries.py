@@ -1510,6 +1510,16 @@ def q_lsh_knn(sf_dir: str):
     )
 
 
+def q_ivf_knn(sf_dir: str):
+    """IVF coarse-quantizer ANN (similarity.ivf_topk): approximate by
+    design → rows-only; the ≥90% recall gate lives in
+    tests/test_training_ops.py::test_similarity_ivf_recall."""
+    return _knn_common(
+        sf_dir, lambda emb, q: sim.ivf_topk(emb, q, k=KNN_K, nlist=16,
+                                            nprobe=6)
+    )
+
+
 def q_embedding_near_dups(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = sim.embedding_near_dups(emb, threshold=0.35)
@@ -2311,6 +2321,7 @@ def queries() -> Dict[str, Callable]:
         "sessionize": q_sessions,
         "knn": q_knn,
         "lsh_knn": q_lsh_knn,
+        "ivf_knn": q_ivf_knn,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "corpus_extract": q_corpus_extract,

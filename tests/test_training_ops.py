@@ -227,3 +227,30 @@ def test_minhash_bucket_integrity_across_blocks():
     for i in range(30):
         for j in range(i + 1, 30):
             assert (i, j) in pairs_full, f"lost dup pair ({i},{j})"
+
+
+def test_similarity_ivf_recall():
+    # planted clusters: queries at cluster centers must recover their
+    # own cluster members with high recall vs the brute-force oracle
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 24))
+    vecs = np.concatenate([
+        c + 0.05 * rng.standard_normal((40, 24)) for c in centers
+    ])
+    emb = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float64()))}))
+    q = centers.astype(np.float64)
+    k = 10
+    exact = similarity.brute_force_topk(emb, q, k=k).take_all()
+    approx = similarity.ivf_topk(emb, q, k=k, nlist=12, nprobe=3,
+                                 train_size=240, seed=5).take_all()
+    by_q_e, by_q_a = {}, {}
+    for r in exact:
+        by_q_e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        by_q_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(by_q_e[i] & by_q_a.get(i, set())) for i in by_q_e)
+    total = sum(len(v) for v in by_q_e.values())
+    assert hits / total >= 0.9, (hits, total)
