@@ -1,0 +1,284 @@
+"""Training-data curation operators: near-dup cluster resolution,
+repetition / top-word statistics (Gopher-style quality signals),
+tf-idf-style salient-term extraction, and deterministic stratified
+sampling.
+
+These compose the engine's own primitives — the near-dup pair ops
+(ops/dedup.py, ops/similarity.py), connected components
+(algorithms/components.py) and broadcast hash joins (util.hash_join) —
+into the canonical corpus-curation pipeline: candidate pairs → duplicate
+clusters → one kept representative per cluster, plus per-document
+quality statistics computed on Arrow kernels.
+
+No reference-repo counterpart (igraph has no string/corpus functions,
+SURVEY.md §2.10); these are the large-scale-pipeline extensions the
+task mandates. Determinism contract: every output is reproducible at
+any parallelism and matched by an ANSI-SQL oracle — all ranking keys
+are integers, and the sampling rule is an md5-prefix comparison both
+engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from igraph_ray.graph import Graph
+from igraph_ray.util import hash_join
+
+# word tokens for repetition/tf-idf stats: lowercase alnum runs — chosen
+# to be expressible identically as regexp_extract_all(lower(text),
+# '[a-z0-9]+') in the SQL oracles
+_WORD_SEP = "[^a-z0-9]+"
+
+
+# --------------------------------------------------------------------------
+# near-dup clusters: pairs -> connected components -> canonical keeper
+# --------------------------------------------------------------------------
+
+def dedup_clusters(
+    pairs: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(member_id, keep_id, cluster_size) for every document that appears
+    in at least one near-duplicate pair: the transitive closure of the
+    pair relation (union-find semantics), with the minimum id in each
+    cluster as the kept representative — the standard resolution step
+    after MinHash / embedding candidate generation.
+
+    Scale shape: the pair table is tiny relative to the corpus (only
+    near-dups), so the component loop runs over a graph of |pairs| edges,
+    not |docs| vertices; cluster sizes come from one small groupby and a
+    broadcast join. Labels are exact min-ids (densify=False), so output
+    is independent of partitioning."""
+    from igraph_ray.algorithms.components import (
+        component_sizes,
+        connected_components,
+    )
+
+    def _as_edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pc.cast(b[a_col], pa.int64()),
+                         "dst": pc.cast(b[b_col], pa.int64())})
+
+    edges = pairs.map_batches(_as_edges, batch_format="pyarrow", batch_size=None)
+    g = Graph(edges)  # sparse universe: exactly the pair endpoints
+    state = connected_components(
+        g, num_partitions=num_partitions, densify=False
+    ).state  # (vertex, label) with label = min vertex id in component
+    sizes = component_sizes(state)
+    joined = hash_join(state, sizes, on="label", num_partitions=num_partitions)
+
+    def _project(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"member_id": pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64()),
+                             "cluster_size": pa.array([], pa.int64())})
+        return pa.table({"member_id": pc.cast(b["vertex"], pa.int64()),
+                         "keep_id": pc.cast(b["label"], pa.int64()),
+                         "cluster_size": pc.cast(b["csize"], pa.int64())})
+
+    return joined.map_batches(_project, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# per-document word statistics (repetition ratio)
+# --------------------------------------------------------------------------
+
+def _token_table(b: pa.Table, text_col: str) -> tuple:
+    """Flatten a document batch into (row_idx, token) arrays with one
+    Arrow kernel chain: lower → collapse non-alnum runs to spaces →
+    split → drop empties. Equivalent to regexp_extract_all('[a-z0-9]+')."""
+    txt = b[text_col].combine_chunks() if isinstance(
+        b[text_col], pa.ChunkedArray) else b[text_col]
+    clean = pc.replace_substring_regex(pc.utf8_lower(txt), _WORD_SEP, " ")
+    lst = pc.split_pattern(clean, " ")
+    flat = pc.list_flatten(lst)
+    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+    mask = pc.not_equal(flat, "")
+    return row_idx[mask.to_numpy(zero_copy_only=False)], flat.filter(mask)
+
+
+def word_stats(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, n_words, top_tf, rep_ratio_e6): total word tokens, count
+    of the most frequent token, and the Gopher-style repetition signal
+    top_tf·10⁶ ÷ n_words (integer division, 0 for empty docs). High
+    values flag boilerplate / keyword-stuffed documents.
+
+    Fully vectorized: Arrow split kernels + one Arrow group_by per batch;
+    each document's text lives entirely inside its row, so per-batch
+    grouping is globally correct."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        n_words = np.zeros(b.num_rows, dtype=np.int64)
+        top_tf = np.zeros(b.num_rows, dtype=np.int64)
+        if b.num_rows:
+            row_idx, toks = _token_table(b, text_col)
+            if len(row_idx):
+                tf = (
+                    pa.table({"r": pa.array(row_idx, pa.int64()), "t": toks})
+                    .group_by(["r", "t"])
+                    .aggregate([("t", "count")])
+                )
+                r = tf["r"].to_numpy(zero_copy_only=False)
+                c = tf["t_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+                np.add.at(n_words, r, c)
+                np.maximum.at(top_tf, r, c)
+        ratio = np.zeros(b.num_rows, dtype=np.int64)
+        nz = n_words > 0
+        ratio[nz] = top_tf[nz] * 1_000_000 // n_words[nz]
+        return pa.table(
+            {"doc_id": b["doc_id"],
+             "n_words": pa.array(n_words, pa.int64()),
+             "top_tf": pa.array(top_tf, pa.int64()),
+             "rep_ratio_e6": pa.array(ratio, pa.int64())})
+
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# tf-idf salient terms
+# --------------------------------------------------------------------------
+
+def term_freqs(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, term, tf): one row per distinct word token per document."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        row_idx, toks = _token_table(b, text_col)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tf = (
+            pa.table({"doc_id": pa.array(ids[row_idx], pa.int64()), "t": toks})
+            .group_by(["doc_id", "t"])
+            .aggregate([("t", "count")])
+        )
+        return pa.table({"doc_id": tf["doc_id"],
+                         "term": tf["t"],
+                         "tf": pc.cast(tf["t_count"], pa.int64())})
+
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def top_terms(
+    docs: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(doc_id, term, tf, df): the k most salient terms per document,
+    ranked tf-idf-style by (tf DESC, df ASC, term ASC) — the
+    integer-exact analogue of tf·log(N/df) ordering (log is monotone in
+    1/df, and the lexical tie-break pins equalities), so results are
+    bit-reproducible at any parallelism and in SQL.
+
+    Scale shape: document frequency is one pre-combined groupby over the
+    (doc, term) table (already unique per doc, so no row explosion
+    beyond the token vocabulary); the df side joins back via the
+    broadcast/partitioned hash join; the final per-document top-k uses a
+    boundary-aligned sort so each document's terms stay in one block."""
+    tf = term_freqs(docs, text_col).materialize()
+
+    dfd = tf.groupby("term").count()
+
+    def _rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "term" not in b.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        return pa.table({"term": b["term"], "df": pc.cast(b["count()"], pa.int64())})
+
+    dfd = dfd.map_batches(_rename, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(tf, dfd, on="term", num_partitions=num_partitions).materialize()
+
+    from igraph_ray.csr import compute_boundaries
+
+    bnds = compute_boundaries(joined, num_partitions=num_partitions, col="doc_id")
+    s = (joined.sort(["doc_id", "term"], boundaries=bnds)
+         if bnds else joined.sort(["doc_id", "term"]))
+
+    def _topk(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = np.asarray(b["term"].to_pylist(), dtype=object)
+        f = b["tf"].to_numpy(zero_copy_only=False)
+        g = b["df"].to_numpy(zero_copy_only=False)
+        # stable sort by (doc, -tf, df, term); input is already
+        # term-sorted within doc, so lexical ties resolve correctly
+        order = np.lexsort((g, -f, d))
+        d, t, f, g = d[order], t[order], f[order], g[order]
+        keep = np.zeros(len(d), dtype=bool)
+        count, prev = 0, None
+        for i in range(len(d)):
+            if d[i] != prev:
+                prev, count = d[i], 0
+            if count < k:
+                keep[i] = True
+                count += 1
+        return pa.table({"doc_id": pa.array(d[keep], pa.int64()),
+                         "term": pa.array(list(t[keep]), pa.string()),
+                         "tf": pa.array(f[keep], pa.int64()),
+                         "df": pa.array(g[keep], pa.int64())})
+
+    return s.map_batches(_topk, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+def stratified_sample(
+    docs: ray.data.Dataset,
+    rates_permille: Dict[str, int],
+    default_permille: int = 0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling: a document is kept iff the
+    first 8 hex chars of md5(str(doc_id)) compare below the stratum's
+    threshold ``format(rate·2³²//1000, '08x')``. The rule is a pure
+    function of the id — reproducible at any parallelism, independent of
+    row order, and expressible verbatim in SQL (md5 + substr + string
+    compare), unlike rand()-based sampling.
+
+    Embarrassingly parallel (one md5 per row, no shuffle). At 100 TB the
+    md5 loop is the only per-row Python here; it is the same digest
+    primitive exact_dedup already pays and stays ~1 µs/row."""
+    thresholds = {
+        s: format((r << 32) // 1000, "08x") for s, r in rates_permille.items()
+    }
+    default_thr = format((default_permille << 32) // 1000, "08x")
+
+    def _f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        strata = b[strata_col].to_pylist()
+        keep = np.fromiter(
+            (
+                hashlib.md5(str(int(i)).encode()).hexdigest()[:8]
+                < thresholds.get(s, default_thr)
+                for i, s in zip(ids, strata)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return b.filter(pa.array(keep))
+
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)

@@ -37,6 +37,7 @@ from igraph_ray.ops import relational as rel
 from igraph_ray.ops import similarity as sim
 from igraph_ray.ops import text as tx
 from igraph_ray.ops import window as win
+from igraph_ray.ops import curation as cu
 from igraph_ray.pipelines import derive
 from igraph_ray.pipelines.derive import (
     SQL_EDGES_A,
@@ -1538,6 +1539,37 @@ def q_embedding_near_dups_lsh(sf_dir: str):
     return _scale_col(out, "score", "score_e6", 1e6)
 
 
+# deterministic stratified-sampling rates used by the query + oracle
+SAMPLE_RATES = {"en": 600, "de": 300}
+SAMPLE_DEFAULT = 250
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup resolution: embedding cosine pairs (≥0.35, the hash-green
+    pair predicate) → connected components → min-id keeper + cluster
+    size. Oracle = recursive-CTE transitive closure of the same pairs."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = sim.embedding_near_dups(emb, threshold=0.35)
+    return cu.dedup_clusters(pairs)
+
+
+def q_word_stats(sf_dir: str):
+    return cu.word_stats(_docs(sf_dir))
+
+
+def q_top_terms(sf_dir: str):
+    return cu.top_terms(_docs(sf_dir), k=3)
+
+
+def q_stratified_sample(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return cu.stratified_sample(
+        docs, SAMPLE_RATES, default_permille=SAMPLE_DEFAULT
+    )
+
+
 def q_corpus_extract(sf_dir: str):
     """Corpus → planted edges, scaled by sf via lineitem row count (no
     SQL oracle — validated exactly in pytest against the planted graph)."""
@@ -2325,6 +2357,10 @@ def queries() -> Dict[str, Callable]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "corpus_extract": q_corpus_extract,
+        "dedup_clusters": q_dedup_clusters,
+        "word_stats": q_word_stats,
+        "top_terms": q_top_terms,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2708,4 +2744,51 @@ r AS (SELECT query_id, neighbor_id, score,
       FROM s)
 SELECT query_id, neighbor_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
 FROM r WHERE rn <= {KNN_K}""",
+        "dedup_clusters": """
+WITH RECURSIVE
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS w FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+sym AS MATERIALIZED (SELECT u, w FROM p UNION SELECT w, u FROM p),
+verts AS (SELECT DISTINCT u AS v FROM sym),
+reach(v, w) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.v, s.w FROM reach r JOIN sym s ON s.u = r.w),
+lab AS (SELECT v AS member_id, MIN(w) AS keep_id FROM reach GROUP BY v)
+SELECT member_id, keep_id,
+       CAST(COUNT(*) OVER (PARTITION BY keep_id) AS BIGINT) AS cluster_size
+FROM lab""",
+        "word_stats": """
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_tf
+        FROM f GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(a.n_words, 0) AS n_words,
+  COALESCE(a.top_tf, 0) AS top_tf,
+  CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
+       ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "top_terms": """
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY tok),
+r AS (SELECT f.doc_id, f.tok AS term, CAST(f.c AS BIGINT) AS tf, d.df,
+        ROW_NUMBER() OVER (PARTITION BY f.doc_id
+                           ORDER BY f.c DESC, d.df ASC, f.tok ASC) AS rn
+      FROM f JOIN d USING (tok))
+SELECT doc_id, term, tf, df FROM r WHERE rn <= 3""",
+        "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE lang
+    WHEN 'en' THEN '{(SAMPLE_RATES["en"] << 32) // 1000:08x}'
+    WHEN 'de' THEN '{(SAMPLE_RATES["de"] << 32) // 1000:08x}'
+    ELSE '{(SAMPLE_DEFAULT << 32) // 1000:08x}'
+  END""",
     }

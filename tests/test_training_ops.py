@@ -254,3 +254,57 @@ def test_similarity_ivf_recall():
     hits = sum(len(by_q_e[i] & by_q_a.get(i, set())) for i in by_q_e)
     total = sum(len(v) for v in by_q_e.values())
     assert hits / total >= 0.9, (hits, total)
+
+
+def test_dedup_clusters_transitive():
+    # pairs (1,2),(2,3) chain plus isolated pair (10,11): clusters must be
+    # the transitive closure with min-id keeper and correct sizes
+    from igraph_ray.ops import curation
+
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 2, 10], pa.int64()),
+                  "b": pa.array([2, 3, 11], pa.int64())}))
+    out = {r["member_id"]: (r["keep_id"], r["cluster_size"])
+           for r in curation.dedup_clusters(pairs).take_all()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_word_stats_repetition():
+    from igraph_ray.ops import curation
+
+    docs = _docs(["spam spam spam eggs", "", "a b c d", "Tick-tock tick; TOCK"])
+    rows = {r["doc_id"]: r for r in curation.word_stats(docs).take_all()}
+    assert (rows[0]["n_words"], rows[0]["top_tf"]) == (4, 3)
+    assert rows[0]["rep_ratio_e6"] == 3 * 1_000_000 // 4
+    assert (rows[1]["n_words"], rows[1]["top_tf"], rows[1]["rep_ratio_e6"]) == (0, 0, 0)
+    assert (rows[2]["n_words"], rows[2]["top_tf"]) == (4, 1)
+    # case-folding + punctuation stripping: tick x2, tock x2
+    assert (rows[3]["n_words"], rows[3]["top_tf"]) == (4, 2)
+
+
+def test_top_terms_ranking():
+    from igraph_ray.ops import curation
+
+    # "rare" appears in 1 doc, "common" in all 3 → at equal tf, rare wins
+    docs = _docs(["rare common common rare", "common x", "common y"])
+    rows = [r for r in curation.top_terms(docs, k=1).take_all() if r["doc_id"] == 0]
+    assert len(rows) == 1
+    assert rows[0]["term"] == "rare" and rows[0]["tf"] == 2 and rows[0]["df"] == 1
+
+
+def test_stratified_sample_deterministic():
+    from igraph_ray.ops import curation
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "lang": pa.array((["en", "de", "fr"] * 334)[:1000], pa.string())})
+    docs = ray.data.from_arrow(t)
+    rates = {"en": 500, "de": 100}
+    s1 = sorted(r["doc_id"] for r in curation.stratified_sample(docs, rates, 0).take_all())
+    s2 = sorted(r["doc_id"] for r in
+                curation.stratified_sample(docs.repartition(7), rates, 0).take_all())
+    assert s1 == s2  # parallelism-independent
+    kept = {r["doc_id"]: r["lang"] for r in curation.stratified_sample(docs, rates, 0).take_all()}
+    langs = [kept[i] for i in s1]
+    assert "fr" not in langs  # default rate 0 drops the unlisted stratum
+    n_en = langs.count("en"); n_de = langs.count("de")
+    assert 120 <= n_en <= 215 and 10 <= n_de <= 60  # ≈ rate/1000 of ~334 each
