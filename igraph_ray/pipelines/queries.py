@@ -1539,6 +1539,48 @@ def q_embedding_near_dups_lsh(sf_dir: str):
     return _scale_col(out, "score", "score_e6", 1e6)
 
 
+def q_edge_clustering(sf_dir: str):
+    """Per-edge clustering coefficient components (igraph_ecc k=3,
+    properties/ecc.c): tri = triangles through the edge, denom =
+    min(deg)−1 — exact integers on the sparse undirected view."""
+    from igraph_ray.ops.structural import edge_clustering
+
+    return edge_clustering(derive.graph_sparse(sf_dir), num_partitions=8)
+
+
+def q_centralization_degree(sf_dir: str):
+    """Degree-centralization ingredients (igraph_centralization_degree,
+    centralization.c: sum of max−deg over vertices): exact integers
+    (n, max_deg, sum_diff) over out-degrees of the derived digraph; the
+    normalized score is sum_diff/((n−1)²) for out-degree."""
+    g = derive.graph_a(sf_dir)
+    deg = g.out_degrees().materialize()
+    n = deg.count()
+    mx = int(deg.max("deg"))
+    total = int(deg.sum("deg"))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "max_deg": pa.array([mx], pa.int64()),
+                     "sum_diff": pa.array([n * mx - total], pa.int64())})
+
+
+def q_global_efficiency(sf_dir: str):
+    """Directed global efficiency (igraph_global_efficiency,
+    structural_properties.c family): mean of 1/d over ordered vertex
+    pairs, unreachable pairs contributing 0. Kept integer-exact on both
+    sides: eff_num = Σ_d count_d · (10¹² // d), ordered_pairs = n(n−1);
+    efficiency = eff_num / (10¹² · ordered_pairs)."""
+    g = derive.graph_a(sf_dir)
+    h = path_length_hist(g, num_partitions=8, chunk=128)
+    ht = h if isinstance(h, pa.Table) else pa.concat_tables(
+        [b for b in h.iter_batches(batch_format="pyarrow")])
+    d = ht["dist"].to_numpy(zero_copy_only=False)
+    c = ht["count"].to_numpy(zero_copy_only=False)
+    n = g.num_vertices()
+    eff_num = int(np.sum(c * (10**12 // d)))
+    return pa.table({"ordered_pairs": pa.array([n * (n - 1)], pa.int64()),
+                     "eff_num": pa.array([eff_num], pa.int64())})
+
+
 # deterministic stratified-sampling rates used by the query + oracle
 SAMPLE_RATES = {"en": 600, "de": 300}
 SAMPLE_DEFAULT = 250
@@ -2357,6 +2399,9 @@ def queries() -> Dict[str, Callable]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "corpus_extract": q_corpus_extract,
+        "edge_clustering": q_edge_clustering,
+        "centralization_degree": q_centralization_degree,
+        "global_efficiency": q_global_efficiency,
         "dedup_clusters": q_dedup_clusters,
         "word_stats": q_word_stats,
         "top_terms": q_top_terms,
@@ -2744,6 +2789,36 @@ r AS (SELECT query_id, neighbor_id, score,
       FROM s)
 SELECT query_id, neighbor_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
 FROM r WHERE rn <= {KNN_K}""",
+        "edge_clustering": f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+cn AS (SELECT u.lo, u.hi, CAST(COUNT(*) AS BIGINT) AS tri
+       FROM und u JOIN sym s1 ON s1.a = u.lo JOIN sym s2 ON s2.a = u.hi
+       WHERE s1.b = s2.b GROUP BY u.lo, u.hi)
+SELECT u.lo, u.hi, COALESCE(cn.tri, 0) AS tri,
+       CAST(LEAST(d1.d, d2.d) - 1 AS BIGINT) AS denom
+FROM und u JOIN deg d1 ON d1.v = u.lo JOIN deg d2 ON d2.v = u.hi
+LEFT JOIN cn ON cn.lo = u.lo AND cn.hi = u.hi""",
+        "centralization_degree": f"""
+WITH edges AS MATERIALIZED ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A}),
+od AS (SELECT v.v, CAST(COUNT(e.src) AS BIGINT) AS deg
+       FROM verts v LEFT JOIN edges e ON e.src = v.v GROUP BY v.v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       CAST(COUNT(*) * MAX(deg) - SUM(deg) AS BIGINT) AS sum_diff
+FROM od""",
+        "global_efficiency": f"""
+{_sql_allpairs_body()}
+, hist AS (SELECT d, COUNT(*) AS c FROM p{_SSSP_ITERS} WHERE s != t GROUP BY d),
+nn AS (SELECT COUNT(*) AS n FROM verts)
+SELECT CAST(nn.n * (nn.n - 1) AS BIGINT) AS ordered_pairs,
+       CAST((SELECT COALESCE(SUM(c * (1000000000000 // d)), 0) FROM hist)
+            AS BIGINT) AS eff_num
+FROM nn""",
         "dedup_clusters": """
 WITH RECURSIVE
 e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

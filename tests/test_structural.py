@@ -251,3 +251,22 @@ def test_neighborhood_size2():
         for u in list(nbr[v]):
             reach |= nbr[u]
         assert got[v] == len(reach)
+
+
+def test_edge_clustering_small():
+    # triangle 0-1-2 plus pendant 2-3: edge (0,1) has 1 triangle,
+    # denom = min(2,2)-1 = 1; edge (2,3) has 0 triangles, denom = 1-1+... 
+    # deg: 0->2, 1->2, 2->3, 3->1
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.structural import edge_clustering
+
+    edges = ray.data.from_arrow(pa.table(
+        {"src": pa.array([0, 1, 0, 2], pa.int64()),
+         "dst": pa.array([1, 2, 2, 3], pa.int64())}))
+    out = {(r["lo"], r["hi"]): (r["tri"], r["denom"])
+           for r in edge_clustering(Graph(edges)).take_all()}
+    assert out == {(0, 1): (1, 1), (1, 2): (1, 1), (0, 2): (1, 1),
+                   (2, 3): (0, 0)}
