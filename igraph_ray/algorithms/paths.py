@@ -569,3 +569,97 @@ def subcomponent(
         return pa.table({"vertex": b["vertex"]})
 
     return prof.map_batches(_proj, batch_format="pyarrow", batch_size=None)
+
+
+def longest_path_layers(
+    graph: Graph,
+    num_partitions: Optional[int] = None,
+    max_iter: Optional[int] = None,
+    engine: str = "tasks",
+) -> SuperstepResult:
+    """Topological layers of a DAG on the aligned superstep engine:
+    layer(v) = length of the longest path from any source to v — the
+    Kahn peel-round index (igraph_topological_sorting /
+    igraph_is_dag, structural_properties.c:3287/3379: sorted by
+    (layer, vertex) this is the deterministic topological order).
+
+    Max-propagation fixpoint (the dual of sssp_hops' min-relaxation),
+    negated through the same min-label gather kernel: changed vertices
+    send −(layer+1) along out-edges, receivers keep the minimum ⇒ the
+    maximum layer. Converges in depth+1 supersteps — each ~tens of ms on
+    the aligned engine, replacing the O(depth) driver-side join+
+    materialize rounds of ops.structural.topological_peel.
+
+    Raises ValueError if the fixpoint has not converged after
+    ``max_iter`` supersteps (default |V|+1: any longer path implies a
+    directed cycle, igraph_is_dag = False)."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    n = graph.num_vertices()
+    if max_iter is None:
+        max_iter = int(n) + 1
+
+    csr = graph.csr_index("out", num_partitions, weighted=False)
+    blocks = csr.block_descriptors()
+    sentinel = int(2**62)
+
+    def _init(sd: dict) -> dict:
+        v = sd["vertex"]
+        return {"vertex": v,
+                "layer": np.zeros(len(v), dtype=np.int64),
+                "changed": np.ones(len(v), dtype=bool)}
+
+    state = _universe_state(graph, csr, _init)
+
+    def gather_fn(sb, csr_desc, starts, scalars):
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        fr = sb["changed"]
+        msg_count = 0
+        if fr.any():
+            verts = sb["vertex"][fr]
+            labs = -(sb["layer"][fr].astype(np.int64) + 1)
+            dsts, negmax = minlabel_messages(csr_desc, verts, labs, sentinel)
+            msg_count = len(dsts)
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], -negmax[lo:hi]))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
+
+    def apply_fn(old, segments, scalars):
+        vertex = old["vertex"]
+        new = old["layer"].copy()
+        for pairs in segments:
+            for (sd, sm) in pairs:
+                if not len(sd):
+                    continue
+                pos = np.searchsorted(vertex, sd)
+                np.maximum.at(new, pos, sm)
+        changed = new > old["layer"]
+        return (
+            {"vertex": vertex, "layer": new, "changed": changed},
+            {"changed": float(changed.sum())},
+        )
+
+    res = al.run_aligned_loop(
+        state=state,
+        csr_descriptors=blocks,
+        gather_fn=gather_fn,
+        apply_fn=apply_fn,
+        scalars={"changed": 1.0},
+        make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
+        converged=lambda s, it: s.get("changed", 1.0) == 0.0,
+        max_iter=max_iter,
+        state_columns=["vertex", "layer", "changed"],
+        engine=engine,
+    )
+    if res.scalars.get("changed", 0.0) != 0.0:
+        raise ValueError(
+            "longest_path_layers did not converge: graph has a directed cycle"
+        )
+    res.state = res.state.select_columns(["vertex", "layer"])
+    return res

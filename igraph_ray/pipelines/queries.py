@@ -194,12 +194,14 @@ def q_sssp_tree(sf_dir: str):
 def q_topo_levels(sf_dir: str):
     """Kahn peel layers over the acyclic src<dst view of the very-sparse
     digraph: layer = longest incoming path length — sorted by (layer,
-    vertex) this is igraph_topological_sorting's deterministic order."""
-    from igraph_ray.ops.structural import topological_peel
+    vertex) this is igraph_topological_sorting's deterministic order.
+    Computed by max-propagation on the aligned superstep engine
+    (paths.longest_path_layers), not driver-side peel rounds."""
+    from igraph_ray.algorithms.paths import longest_path_layers
 
     dag = derive.edges_vsparse(sf_dir).filter(expr="src < dst").materialize()
-    _, order = topological_peel(Graph(dag, n=None), num_partitions=8)
-    return order
+    res = longest_path_layers(Graph(dag, n=None), num_partitions=8)
+    return res.state
 
 
 def q_sssp_weighted(sf_dir: str):
@@ -1233,10 +1235,19 @@ def q_assortativity(sf_dir: str):
 
 
 def q_has_cycle(sf_dir: str):
-    from igraph_ray.ops.structural import topological_peel
-
-    is_dag, _ = topological_peel(derive.graph_a(sf_dir), num_partitions=8)
-    return pa.table({"has_cycle": pa.array([0 if is_dag else 1], pa.int64())})
+    """igraph_is_dag via strong components on the superstep engine: a
+    directed cycle exists iff some SCC has ≥2 vertices or a self-loop
+    exists (components.c:164-316 gives the SCC partition; this replaces
+    the O(depth) driver-side Kahn peel rounds flagged in round 1)."""
+    g = derive.graph_a(sf_dir)
+    n_loops = g.edges.filter(expr="src == dst").count()
+    has = n_loops > 0
+    if not has:
+        st = strongly_connected_components(
+            g, num_partitions=8, densify=False
+        ).state
+        has = int(component_sizes(st).max("csize")) > 1
+    return pa.table({"has_cycle": pa.array([1 if has else 0], pa.int64())})
 
 
 def q_st_maxflow(sf_dir: str):

@@ -106,3 +106,49 @@ def test_decompose_and_is_connected():
     g3 = _g(np.array([0, 1]), np.array([1, 2]), n=3)  # path, not strong
     assert is_connected(g3, "weak")
     assert not is_connected(g3, "strong")
+
+
+def test_longest_path_layers():
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.paths import longest_path_layers
+    from igraph_ray.graph import Graph
+
+    # diamond + tail: layers are longest-path-from-source lengths
+    e = ray.data.from_arrow(pa.table(
+        {"src": pa.array([0, 0, 1, 2, 3], pa.int64()),
+         "dst": pa.array([1, 2, 3, 3, 4], pa.int64())}))
+    res = longest_path_layers(Graph(e, n=5), num_partitions=2)
+    assert sorted((r["vertex"], r["layer"]) for r in res.state.take_all()) == \
+        [(0, 0), (1, 1), (2, 1), (3, 2), (4, 3)]
+
+    # agreement with an exact numpy longest-path sweep on a random DAG
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 60
+    src = rng.integers(0, n - 1, 300)
+    off = rng.integers(1, 6, 300)
+    dst = np.minimum(src + off, n - 1)
+    keep = src != dst
+    s, d = src[keep], dst[keep]
+    e2 = ray.data.from_arrow(pa.table({"src": pa.array(s, pa.int64()),
+                                       "dst": pa.array(d, pa.int64())}))
+    g = Graph(e2, n=n)
+    res2 = longest_path_layers(g, num_partitions=4)
+    mine = {r["vertex"]: r["layer"] for r in res2.state.take_all()}
+    exp = np.zeros(n, dtype=np.int64)
+    for v in range(n):  # vertex order IS topological (dst > src)
+        m = s == v
+        if m.any():
+            np.maximum.at(exp, d[m], exp[v] + 1)
+    assert mine == {v: int(exp[v]) for v in range(n)}
+
+    # cycle raises
+    e3 = ray.data.from_arrow(pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                                       "dst": pa.array([1, 2, 0], pa.int64())}))
+    import pytest
+
+    with pytest.raises(ValueError):
+        longest_path_layers(Graph(e3, n=3), num_partitions=2)
