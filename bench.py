@@ -205,6 +205,18 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     win.tumbling_window(ev).count()
     out["tumbling_events"] = round(time.perf_counter() - t, 3)
 
+    # curation pipeline additions (round 2): near-dup clusters over the
+    # embedding pair stream, and the tf-idf top-terms extraction
+    from igraph_ray.ops import curation as cu
+
+    t = time.perf_counter()
+    cu.dedup_clusters(sim.embedding_near_dups(emb, threshold=0.35)).count()
+    out["dedup_clusters_emb"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    cu.top_terms(docs, k=3).count()
+    out["top_terms_docs"] = round(time.perf_counter() - t, 3)
+
     details["total_wall_s"] = round(time.perf_counter() - t0, 3)
     return {"queries": out, "details": details}
 

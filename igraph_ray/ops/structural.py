@@ -420,24 +420,83 @@ def _neighbor_overlap(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset
     """(a, b, common, deg_a, deg_b) over the simple undirected neighbor
     sets, pairs with ≥1 common neighbor — shared base for Jaccard/Dice
     (igraph_similarity_jaccard / igraph_similarity_dice, cocitation.c:
-    276-375 and 455-530; dice = 2J/(1+J) of the same overlap counts)."""
+    276-375 and 455-530; dice = 2J/(1+J) of the same overlap counts).
+
+    Endpoint degrees ride INLINE through the wedge self-join: one degree
+    join on the |E| edge table before the expansion (the ilw pattern),
+    not two joins on the (larger) pair stream afterwards — the round-1
+    fixed-cost finding on this family."""
     sym = graph.symmetrized(drop_loops=True)
     from igraph_ray.ops.relational import _dedup
 
     sym = _dedup(sym)
-    common = _common_neighbor_pairs(sym, "src", "dst", num_partitions)
     deg = _degrees_over(sym, "src", graph.vertices(), False)
 
-    def _da(b: pa.Table) -> pa.Table:
-        return pa.table({"a": b["vertex"], "deg_a": b["deg"]})
+    import pyarrow.compute as pc
 
-    def _db(b: pa.Table) -> pa.Table:
-        return pa.table({"b": b["vertex"], "deg_b": b["deg"]})
+    def _dv(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["vertex"],
+                         "dv": pc.cast(b["deg"], pa.int64())})
 
-    j = hash_join(common, deg.map_batches(_da, batch_format="pyarrow", batch_size=None),
-                  on="a", num_partitions=num_partitions)
-    return hash_join(j, deg.map_batches(_db, batch_format="pyarrow", batch_size=None),
-                     on="b", num_partitions=num_partitions)
+    dtab = deg.map_batches(_dv, batch_format="pyarrow", batch_size=None)
+    we = hash_join(sym, dtab, on="dst", num_partitions=num_partitions)
+
+    bnds = compute_boundaries(we, num_partitions, col="src")
+    s = we.sort("src", boundaries=bnds) if bnds else we.sort("src")
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "deg_a": pa.array([], pa.int64()),
+                          "deg_b": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return empty
+        u = b["src"].to_numpy(zero_copy_only=False)
+        v = b["dst"].to_numpy(zero_copy_only=False)
+        w = b["dv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, w = u[order], v[order], w[order]
+        grp = np.empty(len(u), dtype=bool)
+        grp[0] = True
+        np.not_equal(u[1:], u[:-1], out=grp[1:])
+        gid = np.cumsum(grp) - 1
+        starts = np.flatnonzero(grp)
+        ends = np.append(starts[1:], len(u))
+        gend = ends[gid]
+        cnt = gend - np.arange(len(u)) - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(u)), cnt)
+        off = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+        b_idx = np.arange(total, dtype=np.int64) - np.repeat(off, cnt) + a_idx + 1
+        raw = pa.table({"a": pa.array(v[a_idx], pa.int64()),
+                        "b": pa.array(v[b_idx], pa.int64()),
+                        "deg_a": pa.array(w[a_idx], pa.int64()),
+                        "deg_b": pa.array(w[b_idx], pa.int64())})
+        # deg_a/deg_b are functions of a/b, so grouping on all four keys
+        # is the same partition as (a, b) — the combiner stays exact
+        return pa.TableGroupBy(raw, ["a", "b", "deg_a", "deg_b"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["a", "b", "deg_a", "deg_b", "cnt"])
+
+    pairs = s.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+    g = pairs.groupby(["a", "b", "deg_a", "deg_b"]).sum("cnt")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "common": pa.array([], pa.int64()),
+                             "deg_a": pa.array([], pa.int64()),
+                             "deg_b": pa.array([], pa.int64())})
+        return pa.table({"a": b["a"], "b": b["b"],
+                         "common": b["sum(cnt)"],
+                         "deg_a": b["deg_a"], "deg_b": b["deg_b"]})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
 def similarity_dice(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
@@ -775,3 +834,54 @@ def edge_clustering(graph: Graph, num_partitions: int = 8) -> ray.data.Dataset:
                                            pa.int64())})
 
     return j.map_batches(_out, batch_format="pyarrow", batch_size=None)
+
+
+def k_truss(graph: Graph, k: int, max_iter: int = 100, num_partitions: int = 8) -> ray.data.Dataset:
+    """Edges of the k-truss: the maximal subgraph in which every edge has
+    support ≥ k−2 (lies in at least k−2 triangles of the subgraph) —
+    iterative support peeling to fixpoint (the trussness family,
+    igraph_truss semantics; Cohen 2008). Returns (lo, hi).
+
+    Each round recomputes edge support with the shared wedge self-join
+    (the cocitation plan with its per-block pre-combiner) and drops
+    under-supported edges via one broadcast semi-join; rounds end when no
+    edge is dropped. Peel depth is small in practice (≤ a handful of
+    rounds on sparse graphs); each round is a streaming pass, nothing
+    driver-side beyond the loop counter."""
+    und = graph.canonical_undirected().materialize()
+    need = k - 2
+    if need <= 0:
+        return und
+    for _ in range(max_iter):
+        n_edges = und.count()
+        if n_edges == 0:
+            break
+
+        def _sym(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            return pa.table(
+                {"src": pa.chunked_array([b["lo"], b["hi"]]).combine_chunks(),
+                 "dst": pa.chunked_array([b["hi"], b["lo"]]).combine_chunks()})
+
+        sym = und.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+        pairs = _common_neighbor_pairs(sym, "src", "dst", num_partitions)
+        sup = pairs.filter(expr=f"common >= {need}")
+
+        def _ab(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "a" not in b.column_names:
+                return pa.table({"lo": pa.array([], pa.int64()),
+                                 "hi": pa.array([], pa.int64())})
+            return pa.table({"lo": b["a"], "hi": b["b"]})
+
+        keep_keys = sup.map_batches(_ab, batch_format="pyarrow", batch_size=None)
+        new_und = hash_join(und, keep_keys, on=["lo", "hi"],
+                            num_partitions=num_partitions).materialize()
+        if new_und.count() == n_edges:
+            break
+        und = new_und
+    if und.count() == 0:
+        return ray.data.from_arrow(pa.table({"lo": pa.array([], pa.int64()),
+                                             "hi": pa.array([], pa.int64())}))
+    return und

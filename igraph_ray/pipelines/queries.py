@@ -1550,6 +1550,33 @@ def q_embedding_near_dups_lsh(sf_dir: str):
     return _scale_col(out, "score", "score_e6", 1e6)
 
 
+def q_k_truss(sf_dir: str):
+    """4-truss of the sparse undirected view: edges in ≥2 triangles of
+    the peeled subgraph, support recomputed per round to fixpoint
+    (trussness family; oracle = unrolled per-round SQL peel)."""
+    from igraph_ray.ops.structural import k_truss
+
+    return k_truss(derive.graph_sparse(sf_dir), k=4, num_partitions=8)
+
+
+def _sql_k_truss(k: int = 4, iters: int = 6) -> str:
+    base = (f"SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi "
+            f"FROM ({derive.SQL_EDGES_SPARSE})")
+    parts = [f"t0 AS MATERIALIZED ({base})"]
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT lo AS a, hi AS b FROM t{i} "
+            f"UNION ALL SELECT hi, lo FROM t{i})")
+        parts.append(
+            f"c{i} AS (SELECT u.lo, u.hi, COUNT(*) AS tri FROM t{i} u "
+            f"JOIN s{i} x ON x.a = u.lo JOIN s{i} y ON y.a = u.hi AND y.b = x.b "
+            f"GROUP BY u.lo, u.hi)")
+        parts.append(
+            f"t{i+1} AS MATERIALIZED (SELECT u.lo, u.hi FROM t{i} u "
+            f"JOIN c{i} c ON c.lo = u.lo AND c.hi = u.hi WHERE c.tri >= {k-2})")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT lo, hi FROM t{iters}"
+
+
 def q_edge_clustering(sf_dir: str):
     """Per-edge clustering coefficient components (igraph_ecc k=3,
     properties/ecc.c): tri = triangles through the edge, denom =
@@ -2410,6 +2437,7 @@ def queries() -> Dict[str, Callable]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "corpus_extract": q_corpus_extract,
+        "k_truss": q_k_truss,
         "edge_clustering": q_edge_clustering,
         "centralization_degree": q_centralization_degree,
         "global_efficiency": q_global_efficiency,
@@ -2800,6 +2828,7 @@ r AS (SELECT query_id, neighbor_id, score,
       FROM s)
 SELECT query_id, neighbor_id, CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
 FROM r WHERE rn <= {KNN_K}""",
+        "k_truss": _sql_k_truss(),
         "edge_clustering": f"""
 WITH und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi

@@ -270,3 +270,27 @@ def test_edge_clustering_small():
            for r in edge_clustering(Graph(edges)).take_all()}
     assert out == {(0, 1): (1, 1), (1, 2): (1, 1), (0, 2): (1, 1),
                    (2, 3): (0, 0)}
+
+
+def test_k_truss():
+    import pyarrow as pa
+    import ray.data
+    from itertools import combinations
+
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.structural import k_truss
+
+    # K4 on {0,1,2,3} + triangle {3,4,5} + pendant edge (5,6) + chord (2,4)
+    k4 = list(combinations(range(4), 2))
+    edges = k4 + [(3, 4), (4, 5), (3, 5), (5, 6), (2, 4)]
+    g = Graph(ray.data.from_arrow(pa.table(
+        {"src": pa.array([e[0] for e in edges], pa.int64()),
+         "dst": pa.array([e[1] for e in edges], pa.int64())})))
+    t4 = {(r["lo"], r["hi"]) for r in k_truss(g, k=4, num_partitions=2).take_all()}
+    assert t4 == set(k4)  # only the K4 survives 4-truss peeling
+    t3 = {(r["lo"], r["hi"]) for r in k_truss(g, k=3, num_partitions=2).take_all()}
+    # all edges in ≥1 triangle: K4, the {3,4,5} triangle, and (2,4)
+    # which closes triangle {2,3,4} via the chord
+    assert t3 == set(k4) | {(3, 4), (4, 5), (3, 5), (2, 4)}
+    t5 = k_truss(g, k=5, num_partitions=2).take_all()
+    assert t5 == []
