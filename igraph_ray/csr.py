@@ -133,20 +133,6 @@ def block_local(block: dict, verts: np.ndarray) -> np.ndarray:
     return verts - block["vlo"]
 
 
-@ray.remote(num_returns=2)
-def _build_block(table: pa.Table, weighted: bool, with_in_index: bool):
-    """Build a CSR block from a src-sorted Arrow table. Returns (meta, data)."""
-    if table.num_rows == 0 or "src" not in table.column_names:
-        return (None, None)
-    src = table["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    dst = table["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    if len(src) == 0:
-        return (None, None)
-    w = (table["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-         if weighted else None)
-    return _assemble_block(src, dst, w, weighted, with_in_index)
-
-
 def compute_boundaries(
     edges: ray.data.Dataset,
     num_partitions: int,
@@ -233,14 +219,20 @@ def build_csr_index(
     boundaries: Optional[List[int]] = None,
     with_in_index: bool = False,
 ) -> CSRIndex:
-    """Sort edges by src into range blocks and build one CSR per block.
+    """Range-exchange edges by src and build one CSR block per range.
 
-    One-time O(|E| log) shuffle (the analogue of igraph's index build at
+    One-time O(|E| log) exchange (the analogue of igraph's index build at
     igraph_add_edges time, type_indexededgelist.c:258-339); every superstep
     afterwards reads the blocks zero-copy. The input scans ONCE: the
     column-pruned edge table is materialized, boundaries are sampled from
-    its blocks in place, and the sort runs over the materialized copy —
-    the separate count + sample passes were most of round-1's setup wall.
+    its blocks in place, then a direct two-hop shuffle — shard tasks
+    searchsorted rows into ranges, one build task per range lexsorts
+    (src, dst) and assembles — replaces the round-1 `ds.sort` +
+    per-block pass (the generic sort's extra materialize + coalesce was
+    ~5 s of the 8 s PageRank setup at 2^23 edges). Shard tasks take a
+    CHUNK of input blocks each, so confetti-block inputs don't pay
+    per-block dispatch; output determinism comes from the lexsort plus
+    block-ordered shard concatenation.
     """
     if drop_loops:
         edges = edges.filter(expr="src != dst")
@@ -248,33 +240,112 @@ def build_csr_index(
     mat = edges.select_columns(cols).materialize()
     if num_edges is None:
         num_edges = mat.count()
-    # Ray's default read parallelism shatters small inputs into hundreds of
-    # tiny blocks; every downstream stage (sample, sort map) then pays
-    # per-block task dispatch. Coalesce (no shuffle) when the block count is
-    # far above the partition target. At 100-TB scale blocks sit at the
-    # target_max_block_size cap and this branch never fires.
-    if mat.num_blocks() > 4 * num_partitions:
-        mat = mat.repartition(2 * num_partitions).materialize()
+    refs = list(mat.to_arrow_refs())
     if boundaries is None:
-        boundaries = _boundaries_from_refs(
-            mat.to_arrow_refs(), num_partitions, num_edges
-        )
-    if boundaries:
-        sorted_ds = mat.sort("src", boundaries=list(boundaries)).materialize()
+        boundaries = _boundaries_from_refs(refs, num_partitions, num_edges)
+    nparts = len(boundaries) + 1
+    bounds_arr = np.asarray(list(boundaries), dtype=np.int64)
+    # ~2 input blocks per shard task, capped so tiny inputs stay 1 task
+    chunk = max(1, (len(refs) + 2 * num_partitions - 1) // (2 * num_partitions))
+    chunks = [refs[i : i + chunk] for i in range(0, len(refs), chunk)]
+    if nparts == 1:
+        pairs = [_build_whole.remote(weighted, with_in_index, *refs)]
     else:
-        sorted_ds = mat.sort("src").materialize()
-    block_refs = sorted_ds.to_arrow_refs()
+        shard_lists = [
+            _shard_chunk.options(num_returns=nparts).remote(
+                bounds_arr, weighted, nparts, *c
+            )
+            for c in chunks
+        ]
+        pairs = [
+            _build_range.options(num_returns=2).remote(
+                weighted, with_in_index, *[s[p] for s in shard_lists]
+            )
+            for p in range(nparts)
+        ]
     metas = []
-    pairs = [_build_block.remote(ref, weighted, with_in_index) for ref in block_refs]
-    meta_refs = [p[0] for p in pairs]
-    data_refs = [p[1] for p in pairs]
-    for meta, data_ref in zip(ray.get(meta_refs), data_refs):
+    for meta, data_ref in zip(ray.get([p[0] for p in pairs]), [p[1] for p in pairs]):
         if meta is None:
             continue
         vlo, vhi, ne = meta
         metas.append(CSRBlockMeta(vlo=vlo, vhi=vhi, n_edges=ne, ref=data_ref))
     metas.sort(key=lambda m: m.vlo)
     return CSRIndex(blocks=metas, boundaries=list(boundaries), num_edges=num_edges)
+
+
+def _tables_to_numpy(tables, weighted: bool):
+    srcs, dsts, ws = [], [], []
+    for t in tables:
+        if t is None or t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        srcs.append(t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        dsts.append(t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        if weighted:
+            ws.append(
+                t["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            )
+    if not srcs:
+        return None, None, None
+    src = np.concatenate(srcs) if len(srcs) > 1 else srcs[0]
+    dst = np.concatenate(dsts) if len(dsts) > 1 else dsts[0]
+    w = (np.concatenate(ws) if len(ws) > 1 else ws[0]) if weighted else None
+    return src, dst, w
+
+
+@ray.remote
+def _shard_chunk(bounds_arr: np.ndarray, weighted: bool, nparts: int, *tables):
+    """Partition a chunk of edge blocks into per-range (src, dst[, w])
+    shards — range p covers [bounds[p-1], bounds[p]) per the engine's
+    boundary convention (same as derive_sym_index / aligned state sort)."""
+    src, dst, w = _tables_to_numpy(tables, weighted)
+    if src is None:
+        return tuple([None] * nparts)
+    pid = np.searchsorted(bounds_arr, src, side="right")
+    order = np.argsort(pid, kind="stable")
+    src, dst, pid = src[order], dst[order], pid[order]
+    if weighted:
+        w = w[order]
+    cuts = np.searchsorted(pid, np.arange(1, nparts))
+    out, lo = [], 0
+    for c in list(cuts) + [len(src)]:
+        c = int(c)
+        if c > lo:
+            out.append((src[lo:c], dst[lo:c], w[lo:c] if weighted else None))
+        else:
+            out.append(None)
+        lo = c
+    return tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _build_range(weighted: bool, with_in_index: bool, *shards):
+    """Concatenate one range's shards (block order), lexsort by (src, dst)
+    — deterministic at any parallelism, and rows arrive dst-sorted within
+    each src — then assemble the CSR block."""
+    parts = [s for s in shards if s is not None]
+    if not parts:
+        return (None, None)
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    w = np.concatenate([p[2] for p in parts]) if weighted else None
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if weighted:
+        w = w[order]
+    return _assemble_block(src, dst, w, weighted, with_in_index)
+
+
+@ray.remote(num_returns=2)
+def _build_whole(weighted: bool, with_in_index: bool, *tables):
+    """Single-partition build: all edge blocks into one CSR block."""
+    src, dst, w = _tables_to_numpy(tables, weighted)
+    if src is None:
+        return (None, None)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if weighted:
+        w = w[order]
+    return _assemble_block(src, dst, w, weighted, with_in_index)
 
 
 # Per-worker-process cache of fetched CSR blocks. ray.get of a plasma object
