@@ -201,3 +201,48 @@ def edges_a_weighted(sf_dir: str) -> ray.data.Dataset:
 
 def graph_a_weighted(sf_dir: str) -> Graph:
     return Graph(edges_a_weighted(sf_dir).materialize(), n=None, weighted=True)
+
+
+# weighted undirected view of the SPARSE rule: per unordered pair the MIN
+# of the deterministic per-row weight (o_orderkey % 10) + 1 — the input
+# of the Barrat weighted-clustering query (triangle 3-way join stays
+# affordable on the thinned graph)
+SQL_UND_SPARSE_W = (
+    f"SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi, "
+    f"MIN(w) AS weight FROM ("
+    f"SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst, "
+    f"(o_orderkey % 10) + 1 AS w FROM orders "
+    f"WHERE ((o_orderkey * 13 + o_custkey) % 5) = 0) "
+    f"WHERE src != dst GROUP BY lo, hi"
+)
+
+
+def und_sparse_weighted(sf_dir: str) -> ray.data.Dataset:
+    """(lo < hi, weight) weighted undirected simple view of edges_sparse —
+    kept in lockstep with SQL_UND_SPARSE_W."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        w = (ok % 10 + 1).astype(np.int64)
+        keep = (src != dst) & ((ok * 13 + ck) % 5 == 0)
+        t = pa.table(
+            {"lo": pa.array(np.minimum(src[keep], dst[keep])),
+             "hi": pa.array(np.maximum(src[keep], dst[keep])),
+             "weight": pa.array(w[keep])}
+        )
+        return pa.TableGroupBy(t, ["lo", "hi"]).aggregate([("weight", "min")]) \
+            .rename_columns(["lo", "hi", "weight"])
+
+    g = orders.map_batches(_derive, batch_format="pyarrow", batch_size=None) \
+        .groupby(["lo", "hi"]).min("weight")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"lo": b["lo"], "hi": b["hi"], "weight": b["min(weight)"]})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)

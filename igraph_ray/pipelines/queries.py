@@ -959,6 +959,17 @@ def q_local_scan1(sf_dir: str):
     return local_scan1(derive.graph_a(sf_dir), num_partitions=8)
 
 
+def q_transitivity_barrat(sf_dir: str):
+    """Barrat weighted local clustering (igraph_transitivity_barrat,
+    triangles.c:713-965) over the weighted undirected sparse view,
+    reported as the exact integer triple (tri_wsum, strength, deg) per
+    deg>=2 vertex — C_w = tri_wsum / (2*strength*(deg-1))."""
+    from igraph_ray.ops.structural import barrat_weighted_clustering
+
+    return barrat_weighted_clustering(derive.und_sparse_weighted(sf_dir),
+                                      num_partitions=8)
+
+
 _SQL_SCAN1 = f"""
 WITH edges AS ({SQL_EDGES_A}),
 verts AS ({SQL_VERTS_A}),
@@ -2381,6 +2392,7 @@ def queries() -> Dict[str, Callable]:
         "louvain": q_louvain,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
+        "transitivity_barrat": q_transitivity_barrat,
         "maximal_cliques": q_maximal_cliques,
         "modularity": q_modularity,
         "dyad_census": q_dyad_census,
@@ -2585,6 +2597,24 @@ ORDER BY a, b, c""",
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,
         "local_scan1": _SQL_SCAN1,
+        "transitivity_barrat": f"""
+WITH und AS MATERIALIZED ({derive.SQL_UND_SPARSE_W}),
+tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c,
+               u1.weight AS wab, u2.weight AS wbc, u3.weight AS wac
+        FROM und u1 JOIN und u2 ON u2.lo = u1.hi
+        JOIN und u3 ON u3.lo = u1.lo AND u3.hi = u2.hi),
+corners AS (SELECT a AS v, wab + wac AS ws FROM tri
+            UNION ALL SELECT b, wab + wbc FROM tri
+            UNION ALL SELECT c, wac + wbc FROM tri),
+ws AS (SELECT v, SUM(ws) AS s FROM corners GROUP BY v),
+deg AS (SELECT v, COUNT(*) AS deg, SUM(w) AS strength FROM (
+          SELECT lo AS v, weight AS w FROM und
+          UNION ALL SELECT hi, weight FROM und) GROUP BY v)
+SELECT deg.v AS vertex, CAST(COALESCE(ws.s, 0) AS BIGINT) AS tri_wsum,
+       CAST(deg.strength AS BIGINT) AS strength,
+       CAST(deg.deg AS BIGINT) AS deg
+FROM deg LEFT JOIN ws ON ws.v = deg.v
+WHERE deg.deg >= 2 ORDER BY vertex""",
         "maximal_cliques": _SQL_MAXIMAL_CLIQUES,
         "modularity": _sql_modularity(),
         "dyad_census": f"""

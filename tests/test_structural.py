@@ -294,3 +294,37 @@ def test_k_truss():
     assert t3 == set(k4) | {(3, 4), (4, 5), (3, 5), (2, 4)}
     t5 = k_truss(g, k=5, num_partitions=2).take_all()
     assert t5 == []
+
+
+def test_barrat_weighted_clustering():
+    """Exact brute-force Barrat check on a small weighted graph
+    (igraph_transitivity_barrat, triangles.c:713-965)."""
+    import pyarrow as pa
+    import ray.data
+
+    # K4 minus one edge plus a pendant, deterministic integer weights
+    und = [(0, 1, 3), (0, 2, 5), (1, 2, 2), (1, 3, 7), (2, 3, 1), (3, 4, 4)]
+    lo = [e[0] for e in und]; hi = [e[1] for e in und]; w = [e[2] for e in und]
+    ds = ray.data.from_arrow(pa.table({
+        "lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64()),
+        "weight": pa.array(w, pa.int64())}))
+    rows = {r["vertex"]: r for r in
+            st.barrat_weighted_clustering(ds, num_partitions=2).take_all()}
+
+    nbr = defaultdict(dict)
+    for a, b, ww in und:
+        nbr[a][b] = ww
+        nbr[b][a] = ww
+    for v, nv in nbr.items():
+        deg = len(nv)
+        if deg < 2:
+            assert v not in rows
+            continue
+        s = sum(nv.values())
+        wsum = 0
+        for j, h in combinations(sorted(nv), 2):
+            if h in nbr[j]:
+                wsum += nv[j] + nv[h]
+        r = rows[v]
+        assert (r["tri_wsum"], r["strength"], r["deg"]) == (wsum, s, deg), v
+    assert set(rows) == {v for v, nv in nbr.items() if len(nv) >= 2}
