@@ -282,3 +282,98 @@ def stratified_sample(
         return b.filter(pa.array(keep))
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap against a broadcast shingle set
+# --------------------------------------------------------------------------
+
+def _shingle_strings(b: pa.Table, text_col: str, n: int):
+    """Per-row n-gram shingles as space-joined strings, fully on Arrow
+    kernels: flatten tokens, window over the flat array, mask windows
+    that cross a document boundary. Returns (row_idx, shingles)."""
+    row_idx, toks = _token_table(b, text_col)
+    if len(row_idx) < n:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    m = len(row_idx) - n + 1
+    valid = row_idx[:m] == row_idx[n - 1 :]
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    parts = [toks.slice(k, m) for k in range(n)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    vmask = pa.array(valid)
+    return row_idx[:m][valid], sh.filter(vmask)
+
+
+def ngram_contamination(
+    docs: ray.data.Dataset,
+    benchmark_mod: int = 41,
+    n: int = 5,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """(doc_id, contaminated, total_ngrams): per document, how many of
+    its word n-gram shingles appear in the benchmark shingle set — the
+    train/eval decontamination check every large-scale training-data
+    pipeline needs (exact n-gram overlap flavor). The "benchmark" here
+    is the deterministic subset ``doc_id % benchmark_mod == 0`` so the
+    operator is oracle-checkable; a real run passes the eval-suite docs
+    instead.
+
+    Scale shape: benchmark/eval suites are small (MBs) next to the
+    corpus, so the distinct benchmark shingles are assembled once and
+    ``ray.put`` into the object store; every corpus batch runs one
+    vectorized ``pc.is_in`` membership probe against the broadcast set —
+    no shuffle of the corpus at all. Counts include multiplicity;
+    documents shorter than n tokens report (0, 0).
+    """
+    import ray as _ray
+
+    def _bench(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table({"s": pa.array([], pa.string())})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % benchmark_mod == 0))
+        if b.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.string())})
+        _, sh = _shingle_strings(b, text_col, n)
+        return pa.table({"s": sh.unique() if len(sh) else sh})
+
+    refs = (
+        docs.map_batches(_bench, batch_format="pyarrow", batch_size=None)
+        .materialize().to_arrow_refs()
+    )
+
+    @_ray.remote
+    def _assemble(*tables):
+        arrs = [t["s"] for t in tables if t.num_rows]
+        if not arrs:
+            return pa.array([], pa.string())
+        return pa.concat_tables(
+            [pa.table({"s": a}) for a in arrs])["s"].combine_chunks().unique()
+
+    bench_ref = _assemble.remote(*refs)
+
+    class _Probe:
+        def __init__(self):
+            self.bench = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "doc_id" not in b.column_names:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "contaminated": pa.array([], pa.int64()),
+                                 "total_ngrams": pa.array([], pa.int64())})
+            if self.bench is None:
+                self.bench = _ray.get(bench_ref)
+            row_idx, sh = _shingle_strings(b, text_col, n)
+            total = np.zeros(b.num_rows, np.int64)
+            cont = np.zeros(b.num_rows, np.int64)
+            if len(row_idx):
+                np.add.at(total, row_idx, 1)
+                hits = pc.is_in(sh, value_set=self.bench).to_numpy(
+                    zero_copy_only=False)
+                np.add.at(cont, row_idx, hits.astype(np.int64))
+            return pa.table({"doc_id": b["doc_id"],
+                             "contaminated": pa.array(cont, pa.int64()),
+                             "total_ngrams": pa.array(total, pa.int64())})
+
+    return docs.map_batches(_Probe, batch_format="pyarrow",
+                            concurrency=(1, 8), batch_size=None)

@@ -1648,6 +1648,14 @@ def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
 
+def q_ngram_contamination(sf_dir: str):
+    """Benchmark decontamination: per-document 5-gram overlap counts
+    against the broadcast shingle set of the doc_id%10==0 "benchmark"
+    subset (exact-integer counts; no corpus shuffle)."""
+    return cu.ngram_contamination(_docs(sf_dir), benchmark_mod=10, n=5) \
+        .sort("doc_id")
+
+
 def q_top_terms(sf_dir: str):
     return cu.top_terms(_docs(sf_dir), k=3)
 
@@ -2455,6 +2463,7 @@ def queries() -> Dict[str, Callable]:
         "global_efficiency": q_global_efficiency,
         "dedup_clusters": q_dedup_clusters,
         "word_stats": q_word_stats,
+        "ngram_contamination": q_ngram_contamination,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
     }
@@ -2918,6 +2927,24 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "ngram_contamination": """
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           FROM documents),
+sh AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS s,
+              lead(tok, 4) OVER w IS NOT NULL AS valid
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+bench AS (SELECT DISTINCT s FROM sh WHERE valid AND doc_id % 10 = 0),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN s IN (SELECT s FROM bench)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cont
+        FROM sh WHERE valid GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(cnt.cont, 0) AS contaminated,
+       COALESCE(cnt.total, 0) AS total_ngrams
+FROM documents d LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""",
         "top_terms": """
 WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            FROM documents),

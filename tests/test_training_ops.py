@@ -308,3 +308,47 @@ def test_stratified_sample_deterministic():
     assert "fr" not in langs  # default rate 0 drops the unlisted stratum
     n_en = langs.count("en"); n_de = langs.count("de")
     assert 120 <= n_en <= 215 and 10 <= n_de <= 60  # ≈ rate/1000 of ~334 each
+
+
+def test_ngram_contamination():
+    """Brute-force decontamination oracle: per-doc 5-gram multiset overlap
+    with the benchmark subset's distinct shingles."""
+    import re
+
+    from igraph_ray.ops.curation import ngram_contamination
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",  # benchmark
+        1: "the quick brown fox jumps over the lazy dog tonight",  # full copy
+        2: "a quick brown fox jumps over the lazy cat instead",    # partial
+        3: "completely different words without any shared windows here",
+        4: "too short",                                            # < n tokens
+        10: "numbers 123 and CAPS Should Normalize fine you know", # benchmark
+        11: "numbers 123 and caps should normalize fine you know yes",
+    }
+    ids = sorted(texts)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string())}))
+    got = {r["doc_id"]: (r["contaminated"], r["total_ngrams"])
+           for r in ngram_contamination(ds, benchmark_mod=10, n=5).take_all()}
+
+    def toks(s):
+        return re.findall(r"[a-z0-9]+", s.lower())
+
+    def shingles(s, n=5):
+        t = toks(s)
+        return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+    bench = set()
+    for i in ids:
+        if i % 10 == 0:
+            bench.update(shingles(texts[i]))
+    for i in ids:
+        sh = shingles(texts[i])
+        want = (sum(1 for s in sh if s in bench), len(sh))
+        assert got[i] == want, (i, got[i], want)
+    assert got[4] == (0, 0)
+    assert got[1][0] == got[1][1] > 0          # full copy fully flagged
+    assert 0 < got[2][0] < got[2][1]           # partial overlap
+    assert got[3][0] == 0
