@@ -988,3 +988,123 @@ def barrat_weighted_clustering(
 
     return joined.map_batches(_final, batch_format="pyarrow",
                               batch_size=None).sort("vertex")
+
+
+def burt_constraint(
+    und: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Burt's network constraint over a weighted undirected simple graph
+    (igraph_constraint, /root/reference/src/structural_properties.c —
+    c_i = Σ_{j∈N(i)} (p_ij + Σ_q p_iq·p_qj)² with p_ij = w_ij / s_i).
+
+    Dataflow: symmetric proportion edges p(i,j) via one strength join,
+    the two-hop Σ p_iq·p_qj via a p⋈p self-join on the mid vertex
+    (grouped per (i,j) with per-batch pre-combine), squared terms over
+    the direct neighbor list, one final per-vertex sum. Values reported
+    e6-rounded (the engine's float-reporting rule, as betweenness);
+    q≠i,j exclusions are automatic on a loop-free simple graph.
+
+    ``und`` columns: lo < hi, weight.
+    """
+    und = und.materialize()
+
+    def _sym(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"i": pa.array(np.concatenate([lo, hi])),
+                         "j": pa.array(np.concatenate([hi, lo])),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+    strength = sym.groupby("i").sum("w")
+
+    def _rs(b: pa.Table) -> pa.Table:
+        return pa.table({"i": b["i"], "s": b["sum(w)"]})
+
+    p = hash_join(
+        sym, strength.map_batches(_rs, batch_format="pyarrow", batch_size=None),
+        on="i", num_partitions=num_partitions,
+    )
+
+    def _p(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.float64())})
+        w = b["w"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        return pa.table({"i": b["i"], "j": b["j"],
+                         "p": pa.array(w / s, pa.float64())})
+
+    p = p.map_batches(_p, batch_format="pyarrow", batch_size=None).materialize()
+
+    def _a(b: pa.Table) -> pa.Table:
+        return pa.table({"i": b["i"], "q": b["j"], "piq": b["p"]})
+
+    def _b(b: pa.Table) -> pa.Table:
+        return pa.table({"q": b["i"], "j": b["j"], "pqj": b["p"]})
+
+    two = hash_join(
+        p.map_batches(_a, batch_format="pyarrow", batch_size=None),
+        p.map_batches(_b, batch_format="pyarrow", batch_size=None),
+        on="q", num_partitions=num_partitions,
+    )
+
+    def _prod(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.float64())})
+        i = b["i"].to_numpy(zero_copy_only=False)
+        j = b["j"].to_numpy(zero_copy_only=False)
+        keep = i != j
+        t = pa.table({
+            "i": pa.array(i[keep]), "j": pa.array(j[keep]),
+            "t": pa.array(
+                (b["piq"].to_numpy(zero_copy_only=False)
+                 * b["pqj"].to_numpy(zero_copy_only=False))[keep], pa.float64())})
+        return (pa.TableGroupBy(t, ["i", "j"]).aggregate([("t", "sum")])
+                .rename_columns(["i", "j", "t"]))
+
+    two = (two.map_batches(_prod, batch_format="pyarrow", batch_size=None)
+           .groupby(["i", "j"]).sum("t"))
+
+    def _rt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.float64())})
+        return pa.table({"i": b["i"], "j": b["j"], "t": b["sum(t)"]})
+
+    terms = hash_join(
+        p, two.map_batches(_rt, batch_format="pyarrow", batch_size=None),
+        on=["i", "j"], num_partitions=num_partitions, join_type="left_outer",
+    )
+
+    def _term(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.float64())})
+        pp = b["p"].to_numpy(zero_copy_only=False)
+        t = np.nan_to_num(
+            b["t"].to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+        v = (pp + t) ** 2
+        tt = pa.table({"i": b["i"], "term": pa.array(v, pa.float64())})
+        return (pa.TableGroupBy(tt, "i").aggregate([("term", "sum")])
+                .rename_columns(["i", "term"]))
+
+    c = (terms.map_batches(_term, batch_format="pyarrow", batch_size=None)
+         .groupby("i").sum("term"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "constraint_e6": pa.array([], pa.int64())})
+        v = b["sum(term)"].to_numpy(zero_copy_only=False)
+        return pa.table({"vertex": b["i"],
+                         "constraint_e6": pa.array(
+                             np.round(v * 1e6).astype(np.int64), pa.int64())})
+
+    return (c.map_batches(_final, batch_format="pyarrow", batch_size=None)
+            .sort("vertex"))

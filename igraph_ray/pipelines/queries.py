@@ -959,6 +959,15 @@ def q_local_scan1(sf_dir: str):
     return local_scan1(derive.graph_a(sf_dir), num_partitions=8)
 
 
+def q_burt_constraint(sf_dir: str):
+    """Burt's network constraint (igraph_constraint) over the weighted
+    undirected sparse view, e6-rounded per the float-reporting rule."""
+    from igraph_ray.ops.structural import burt_constraint
+
+    return burt_constraint(derive.und_sparse_weighted(sf_dir),
+                           num_partitions=8)
+
+
 def q_transitivity_barrat(sf_dir: str):
     """Barrat weighted local clustering (igraph_transitivity_barrat,
     triangles.c:713-965) over the weighted undirected sparse view,
@@ -2401,6 +2410,7 @@ def queries() -> Dict[str, Callable]:
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
         "transitivity_barrat": q_transitivity_barrat,
+        "burt_constraint": q_burt_constraint,
         "maximal_cliques": q_maximal_cliques,
         "modularity": q_modularity,
         "dyad_census": q_dyad_census,
@@ -2606,6 +2616,20 @@ ORDER BY a, b, c""",
         "lpa": _sql_lpa(),
         "triangles": _SQL_TRIANGLES,
         "local_scan1": _SQL_SCAN1,
+        "burt_constraint": f"""
+WITH und AS MATERIALIZED ({derive.SQL_UND_SPARSE_W}),
+sym AS (SELECT lo AS i, hi AS j, weight AS w FROM und
+        UNION ALL SELECT hi, lo, weight FROM und),
+s AS (SELECT i, SUM(w) AS s FROM sym GROUP BY i),
+p AS (SELECT sym.i, sym.j, CAST(sym.w AS DOUBLE) / s.s AS p
+      FROM sym JOIN s USING (i)),
+two AS (SELECT a.i, b.j, SUM(a.p * b.p) AS t
+        FROM p a JOIN p b ON b.i = a.j AND b.j != a.i GROUP BY a.i, b.j),
+terms AS (SELECT p.i, POWER(p.p + COALESCE(two.t, 0), 2) AS term
+          FROM p LEFT JOIN two ON two.i = p.i AND two.j = p.j)
+SELECT i AS vertex,
+       CAST(round_even(SUM(term) * 1e6, 0) AS BIGINT) AS constraint_e6
+FROM terms GROUP BY i ORDER BY vertex""",
         "transitivity_barrat": f"""
 WITH und AS MATERIALIZED ({derive.SQL_UND_SPARSE_W}),
 tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c,

@@ -328,3 +328,34 @@ def test_barrat_weighted_clustering():
         r = rows[v]
         assert (r["tri_wsum"], r["strength"], r["deg"]) == (wsum, s, deg), v
     assert set(rows) == {v for v, nv in nbr.items() if len(nv) >= 2}
+
+
+def test_burt_constraint():
+    """Brute-force Burt constraint on a small weighted graph
+    (igraph_constraint semantics)."""
+    import pyarrow as pa
+    import ray.data
+
+    und = [(0, 1, 3), (0, 2, 5), (1, 2, 2), (1, 3, 7), (2, 3, 1), (3, 4, 4)]
+    ds = ray.data.from_arrow(pa.table({
+        "lo": pa.array([e[0] for e in und], pa.int64()),
+        "hi": pa.array([e[1] for e in und], pa.int64()),
+        "weight": pa.array([e[2] for e in und], pa.int64())}))
+    rows = {r["vertex"]: r["constraint_e6"] for r in
+            st.burt_constraint(ds, num_partitions=2).take_all()}
+
+    w = defaultdict(dict)
+    for a, b, ww in und:
+        w[a][b] = ww
+        w[b][a] = ww
+    for v in w:
+        s = sum(w[v].values())
+        c = 0.0
+        for j in w[v]:
+            t = w[v][j] / s
+            for q in w[v]:
+                if q != j and j in w[q]:
+                    t += (w[v][q] / s) * (w[q][j] / sum(w[q].values()))
+            c += t * t
+        assert rows[v] == int(np.round(c * 1e6)), (v, rows[v], c)
+    assert set(rows) == set(w)
