@@ -126,7 +126,8 @@ def _aligned_impl(graph, csr, blocks, boundaries, weighted, converged, iters, ch
             lab = np.concatenate([s[1] for s in parts])
             w = np.concatenate([s[2] for s in parts])
             dst, lab, w = combine_label_weights(dst, lab, w)
-            new, changed = lpa_argmax(dst, lab, w, vertex, old["label"])
+            new, changed = lpa_argmax(dst, lab, w, vertex, old["label"],
+                                      grouped=True)
         else:
             new, changed = old["label"].copy(), np.zeros(len(vertex), dtype=bool)
         return (

@@ -187,9 +187,27 @@ def label_weight_messages(
 def combine_label_weights(
     dst: np.ndarray, lab: np.ndarray, w: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sum w per (dst, label) via lexsort + reduceat."""
+    """Sum w per (dst, label), output sorted by (dst, label).
+
+    Fast path packs the pair into one uint64 sort key (single-key sort
+    beats the two-pass lexsort ~2x on the LPA hot loop); ids outside
+    [0, 2^31) fall back to lexsort."""
     if len(dst) == 0:
         return dst, lab, w
+    if (dst[0] >= 0 and lab.min() >= 0
+            and dst[-1] < 2**31 and lab.max() < 2**31 and dst.min() >= 0
+            and dst.max() < 2**31):
+        key = (dst.astype(np.uint64) << np.uint64(32)) | lab.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        newgrp = np.empty(len(ks), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        kk = ks[starts]
+        return ((kk >> np.uint64(32)).astype(np.int64),
+                (kk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                np.add.reduceat(w[order], starts))
     order = np.lexsort((lab, dst))
     dst, lab, w = dst[order], lab[order], w[order]
     newgrp = np.empty(len(dst), dtype=bool)
@@ -203,20 +221,40 @@ def combine_label_weights(
 def lpa_argmax(
     dst: np.ndarray, lab: np.ndarray, w: np.ndarray,
     own_dst: np.ndarray, own_lab: np.ndarray,
+    grouped: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synchronous LPA update: per dst pick the max-weight label, ties →
     smallest label; dsts with no weighted rows keep their own label.
     ``own_dst`` must be sorted ascending and contain every dst exactly once.
-    Returns (new_labels aligned to own_dst, changed mask)."""
+    ``grouped=True`` asserts the rows are already sorted by (dst, label)
+    with one row per pair (combine_label_weights output) — the aligned
+    hot loop's path, which replaces the 3-key lexsort with two reduceat
+    segment scans. Returns (new_labels aligned to own_dst, changed mask)."""
     new_lab = own_lab.copy()
     cand = w > 0.0
-    if cand.any():
-        cd, cl, cw = dst[cand], lab[cand], w[cand]
-        order = np.lexsort((cl, -cw, cd))
-        cd, cl = cd[order], cl[order]
+    if not cand.any():
+        return new_lab, new_lab != own_lab
+    cd, cl, cw = dst[cand], lab[cand], w[cand]
+    if grouped:
         first = np.empty(len(cd), dtype=bool)
         first[0] = True
         np.not_equal(cd[1:], cd[:-1], out=first[1:])
-        pos = np.searchsorted(own_dst, cd[first])
-        new_lab[pos] = cl[first]
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        maxw = np.maximum.reduceat(cw, starts)
+        is_max = cw == maxw[gid]
+        # labels ascend within each dst group, so the min over max-weight
+        # rows is the smallest-label tie-break
+        masked = np.where(is_max, cl, np.iinfo(np.int64).max)
+        best = np.minimum.reduceat(masked, starts)
+        pos = np.searchsorted(own_dst, cd[starts])
+        new_lab[pos] = best
+        return new_lab, new_lab != own_lab
+    order = np.lexsort((cl, -cw, cd))
+    cd, cl = cd[order], cl[order]
+    first = np.empty(len(cd), dtype=bool)
+    first[0] = True
+    np.not_equal(cd[1:], cd[:-1], out=first[1:])
+    pos = np.searchsorted(own_dst, cd[first])
+    new_lab[pos] = cl[first]
     return new_lab, new_lab != own_lab
