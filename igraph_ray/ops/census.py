@@ -369,3 +369,222 @@ def motifs3(graph: Graph, num_partitions: Optional[int] = None) -> pa.Table:
     keep = [m for m in range(16) if m not in (0, 1, 3)]
     return pa.table({"isoclass": pa.array(keep, pa.int64()),
                      "count": pa.array(iso[keep], pa.int64())})
+
+
+def motifs4(graph: Graph, num_partitions: Optional[int] = None) -> pa.Table:
+    """Undirected size-4 connected-subgraph census — the isoclass-4
+    counts of ``igraph_motifs_randesu(size=4)`` on the simple undirected
+    view (/root/reference/src/motifs.c:63-643; classes named here rather
+    than isoclass-numbered): path4, star3 (claw), cycle4, paw
+    (triangle+pendant), diamond (K4−e), k4.
+
+    Distributed plan — NOT an enumeration of 4-sets: all six induced
+    counts follow exactly from six subgraph-copy aggregates by Möbius
+    inversion over the containment table (each a one-pass groupby/join
+    over streams the engine already has):
+
+      k4       = (adjacent apex pairs over shared triangle edges) / 6
+      diamond  = Σ_e C(t_e, 2) − 6·k4
+      cycle4   = ½·Σ_{u<v} C(codeg(u,v), 2) − diamond − 3·k4
+      paw      = Σ_v t_v·(deg_v−2) − 4·diamond − 12·k4
+      star3    = Σ_v C(deg_v, 3) − paw − 2·diamond − 4·k4
+      path4    = [Σ_{(u,v)∈E} (deg_u−1)(deg_v−1) − 3T]
+                 − 4·cycle4 − 2·paw − 6·diamond − 12·k4
+
+    where t_e / t_v / T are per-edge / per-vertex / total triangles and
+    codeg is the common-neighbor count (the cocitation wedge stream).
+    Every aggregate is an exact integer; the brute-force pytest checks
+    all six on small graphs.
+    """
+    from igraph_ray.ops.structural import _common_neighbor_pairs
+    from igraph_ray.superstep import _aggregate
+    from igraph_ray.util import hash_join
+
+    if num_partitions is None:
+        num_partitions = 8
+    und = graph.canonical_undirected().materialize()
+
+    # --- triangle list (a<b<c) via the shared wedge-join plan ---
+    def _e1(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["lo"], "b": b["hi"]})
+
+    def _e2(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b["lo"], "c": b["hi"]})
+
+    def _e3(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["lo"], "c": b["hi"]})
+
+    wedge = hash_join(
+        und.map_batches(_e1, batch_format="pyarrow", batch_size=None),
+        und.map_batches(_e2, batch_format="pyarrow", batch_size=None),
+        on="b", num_partitions=num_partitions)
+    tri = hash_join(
+        wedge, und.map_batches(_e3, batch_format="pyarrow", batch_size=None),
+        on=["a", "c"], num_partitions=num_partitions).materialize()
+
+    # --- per-vertex degree and triangle count ---
+    def _deg(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vertex": pa.array(np.concatenate([lo, hi]))})
+
+    degs = (und.map_batches(_deg, batch_format="pyarrow", batch_size=None)
+            .groupby("vertex").count()).materialize()
+
+    def _tv(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64())})
+        v = np.concatenate([
+            b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["c"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        return pa.table({"vertex": pa.array(v)})
+
+    tv = (tri.map_batches(_tv, batch_format="pyarrow", batch_size=None)
+          .groupby("vertex").count())
+
+    def _rn_tv(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"], "t": b["count()"]})
+
+    def _rn_deg(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "deg": b["count()"]})
+
+    vstats = hash_join(
+        degs.map_batches(_rn_deg, batch_format="pyarrow", batch_size=None),
+        tv.map_batches(_rn_tv, batch_format="pyarrow", batch_size=None),
+        on="vertex", num_partitions=num_partitions, join_type="left_outer")
+
+    def _vagg(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"claw": pa.array([], pa.int64()),
+                             "pawraw": pa.array([], pa.int64()),
+                             "tsum": pa.array([], pa.int64())})
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["t"].to_numpy(zero_copy_only=False)
+        t = np.nan_to_num(t.astype(np.float64)).astype(np.int64)
+        return pa.table({
+            "claw": pa.array(d * (d - 1) * (d - 2) // 6),
+            "pawraw": pa.array(t * (d - 2)),
+            "tsum": pa.array(t)})
+
+    va = vstats.map_batches(_vagg, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    agg_v = _aggregate(va, ["claw", "pawraw", "tsum"])
+    claw_raw = int(agg_v["claw"])
+    paw_raw = int(agg_v["pawraw"])
+    T = int(agg_v["tsum"]) // 3
+
+    # --- per-edge triangle stream: t_e + apex pairs for K4 ---
+    def _etri(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"ekey": pa.array([], pa.int64()),
+                             "apex": pa.array([], pa.int64())})
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and max(int(bb.max()), int(c.max())) >= 2**31:
+            raise NotImplementedError(
+                "motifs4 edge-key packing needs vertex ids < 2^31")
+        ek = np.concatenate([(a << 32) | bb, (a << 32) | c, (bb << 32) | c])
+        ap = np.concatenate([c, bb, a])
+        return pa.table({"ekey": pa.array(ek), "apex": pa.array(ap)})
+
+    estream = tri.map_batches(_etri, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def _te(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "ekey" not in b.column_names:
+            return pa.table({"dpairs": pa.array([], pa.int64())})
+        c = b["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"dpairs": pa.array(c * (c - 1) // 2)})
+
+    te = (estream.groupby("ekey").count()
+          .map_batches(_te, batch_format="pyarrow", batch_size=None)
+          .materialize())
+    diamond_raw = int(_aggregate(te, ["dpairs"])["dpairs"])
+
+    apex_pairs = _common_neighbor_pairs(estream, "ekey", "apex",
+                                        num_partitions)
+    hits = hash_join(
+        apex_pairs,
+        und.map_batches(lambda b: pa.table({"a": b["lo"], "b": b["hi"]}),
+                        batch_format="pyarrow", batch_size=None),
+        on=["a", "b"], num_partitions=num_partitions)
+
+    def _h(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "common" not in b.column_names:
+            return pa.table({"h": pa.array([], pa.int64())})
+        return pa.table({"h": b["common"]})
+
+    hits = hits.map_batches(_h, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    k4 = int(_aggregate(hits, ["h"])["h"]) // 6
+
+    # --- codeg pairs over the symmetrized view ---
+    def _sym(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([lo, hi])),
+                         "dst": pa.array(np.concatenate([hi, lo]))})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+    codeg = _common_neighbor_pairs(sym, "src", "dst", num_partitions)
+
+    def _cy(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "common" not in b.column_names:
+            return pa.table({"cy": pa.array([], pa.int64())})
+        c = b["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cy": pa.array(c * (c - 1) // 2)})
+
+    cy = codeg.map_batches(_cy, batch_format="pyarrow",
+                           batch_size=None).materialize()
+    cycle_raw = int(_aggregate(cy, ["cy"])["cy"]) // 2
+
+    # --- path middle-edge aggregate: Σ_e (deg_u−1)(deg_v−1) ---
+    def _rn_d(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "deg": b["count()"]})
+
+    dd = degs.map_batches(_rn_d, batch_format="pyarrow", batch_size=None)
+    e1 = hash_join(
+        und.map_batches(lambda b: pa.table({"vertex": b["lo"], "hi": b["hi"]}),
+                        batch_format="pyarrow", batch_size=None),
+        dd, on="vertex", num_partitions=num_partitions)
+
+    def _r1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "hi" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "dlo": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["hi"], "dlo": b["deg"]})
+
+    e2 = hash_join(
+        e1.map_batches(_r1, batch_format="pyarrow", batch_size=None),
+        dd, on="vertex", num_partitions=num_partitions)
+
+    def _pmid(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dlo" not in b.column_names:
+            return pa.table({"p": pa.array([], pa.int64())})
+        dl = b["dlo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p": pa.array((dl - 1) * (dh - 1))})
+
+    pm = e2.map_batches(_pmid, batch_format="pyarrow",
+                        batch_size=None).materialize()
+    path_mid = int(_aggregate(pm, ["p"])["p"]) - 3 * T
+
+    # --- Möbius inversion to induced counts ---
+    diamond = diamond_raw - 6 * k4
+    cycle4 = cycle_raw - diamond - 3 * k4
+    paw = paw_raw - 4 * diamond - 12 * k4
+    star3 = claw_raw - paw - 2 * diamond - 4 * k4
+    path4 = path_mid - 4 * cycle4 - 2 * paw - 6 * diamond - 12 * k4
+    return pa.table({
+        "path4": pa.array([path4], pa.int64()),
+        "star3": pa.array([star3], pa.int64()),
+        "cycle4": pa.array([cycle4], pa.int64()),
+        "paw": pa.array([paw], pa.int64()),
+        "diamond": pa.array([diamond], pa.int64()),
+        "k4": pa.array([k4], pa.int64()),
+    })

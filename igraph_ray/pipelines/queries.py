@@ -792,6 +792,15 @@ def q_motifs3(sf_dir: str):
     return motifs3(g, num_partitions=8)
 
 
+def q_motifs4(sf_dir: str):
+    """Undirected size-4 connected-subgraph census over the sparse view
+    (igraph_motifs_randesu size 4 analogue; Möbius inversion over exact
+    integer aggregates — see ops.census.motifs4)."""
+    from igraph_ray.ops.census import motifs4
+
+    return motifs4(derive.graph_sparse(sf_dir), num_partitions=8)
+
+
 def _sql_census_body() -> str:
     from igraph_ray.ops.census import TRIAD_LOOKUP, TRIAD_NAMES
 
@@ -2416,6 +2425,7 @@ def queries() -> Dict[str, Callable]:
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
         "motifs3": q_motifs3,
+        "motifs4": q_motifs4,
         "reciprocity": q_reciprocity,
         "mutual_edges": q_mutual_edges,
         "count_multiple": q_count_multiple,
@@ -2499,6 +2509,58 @@ ON d.dst = verts.v ORDER BY vertex""",
         "hits": _sql_hits(),
         "triad_census": _sql_triad_census(),
         "motifs3": _sql_motifs3(),
+        "motifs4": f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+deg AS (SELECT v, COUNT(*) AS deg FROM (
+          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY v),
+tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c
+        FROM und u1 JOIN und u2 ON u2.lo = u1.hi
+        JOIN und u3 ON u3.lo = u1.lo AND u3.hi = u2.hi),
+tcount AS (SELECT COUNT(*) AS t FROM tri),
+tv AS (SELECT v, COUNT(*) AS t FROM (
+         SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY v),
+k4c AS (SELECT COUNT(*) AS k4 FROM und e1
+        JOIN und e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        JOIN und e4 ON e4.lo = e1.lo AND e4.hi > e2.hi
+        JOIN und e5 ON e5.lo = e1.hi AND e5.hi = e4.hi
+        JOIN und e6 ON e6.lo = e2.hi AND e6.hi = e4.hi),
+te AS (SELECT elo, ehi, COUNT(*) AS c FROM (
+         SELECT a AS elo, b AS ehi FROM tri
+         UNION ALL SELECT a, c FROM tri
+         UNION ALL SELECT b, c FROM tri) GROUP BY elo, ehi),
+draw AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS d FROM te),
+sym AS (SELECT lo AS src, hi AS dst FROM und
+        UNION ALL SELECT hi, lo FROM und),
+codeg AS (SELECT s1.dst AS u, s2.dst AS v, COUNT(*) AS c
+          FROM sym s1 JOIN sym s2 ON s2.src = s1.src AND s2.dst > s1.dst
+          GROUP BY 1, 2),
+cyraw AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS cy FROM codeg),
+clawraw AS (SELECT SUM(deg * (deg - 1) * (deg - 2) // 6) AS s FROM deg),
+pawraw AS (SELECT COALESCE(SUM(tv.t * (deg.deg - 2)), 0) AS s
+           FROM tv JOIN deg ON deg.v = tv.v),
+pmid AS (SELECT SUM((dl.deg - 1) * (dh.deg - 1)) AS s FROM und
+         JOIN deg dl ON dl.v = und.lo JOIN deg dh ON dh.v = und.hi),
+inv AS (SELECT
+  (SELECT k4 FROM k4c) AS k4,
+  (SELECT d FROM draw) - 6 * (SELECT k4 FROM k4c) AS diamond,
+  (SELECT t FROM tcount) AS tt)
+SELECT
+  CAST((SELECT s FROM pmid) - 3 * inv.tt
+       - 4 * ((SELECT cy FROM cyraw) - inv.diamond - 3 * inv.k4)
+       - 2 * ((SELECT s FROM pawraw) - 4 * inv.diamond - 12 * inv.k4)
+       - 6 * inv.diamond - 12 * inv.k4 AS BIGINT) AS path4,
+  CAST((SELECT s FROM clawraw)
+       - ((SELECT s FROM pawraw) - 4 * inv.diamond - 12 * inv.k4)
+       - 2 * inv.diamond - 4 * inv.k4 AS BIGINT) AS star3,
+  CAST((SELECT cy FROM cyraw) - inv.diamond - 3 * inv.k4 AS BIGINT) AS cycle4,
+  CAST((SELECT s FROM pawraw) - 4 * inv.diamond - 12 * inv.k4 AS BIGINT) AS paw,
+  CAST(inv.diamond AS BIGINT) AS diamond,
+  CAST(inv.k4 AS BIGINT) AS k4
+FROM inv""",
         "components": _sql_components(),
         "scc": _sql_scc(),
         "sssp_hops": _sql_sssp(),

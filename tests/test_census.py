@@ -147,3 +147,43 @@ def test_motifs3_mapping():
             assert m_idx not in got or c_idx in (0, 1, 2)
         else:
             assert got[m_idx] == cvals[c_idx]
+
+
+def _motifs4_brute(n, src, dst):
+    adj = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cnt = {"path4": 0, "star3": 0, "cycle4": 0, "paw": 0, "diamond": 0, "k4": 0}
+    for q in itertools.combinations(range(n), 4):
+        e = sum(1 for x, y in itertools.combinations(q, 2) if y in adj[x])
+        degs = sorted(sum(1 for y in q if y in adj[x]) for x in q)
+        if e == 3 and degs == [1, 1, 1, 3]:
+            cnt["star3"] += 1
+        elif e == 3 and degs == [1, 1, 2, 2]:
+            cnt["path4"] += 1
+        elif e == 4 and degs == [2, 2, 2, 2]:
+            cnt["cycle4"] += 1
+        elif e == 4 and degs == [1, 2, 2, 3]:
+            cnt["paw"] += 1
+        elif e == 5:
+            cnt["diamond"] += 1
+        elif e == 6:
+            cnt["k4"] += 1
+    return cnt
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 20, 50), (2, 24, 40), (3, 16, 60)])
+def test_motifs4_random(seed, n, m):
+    """All six induced size-4 counts vs brute-force enumeration of every
+    4-subset (validates the Möbius inversion in ops.census.motifs4)."""
+    from igraph_ray.ops.census import motifs4
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    g = Graph.from_numpy(src, dst, n=n)
+    got = {k: v[0] for k, v in motifs4(g, num_partitions=4).to_pydict().items()}
+    want = _motifs4_brute(n, src, dst)
+    assert got == want
