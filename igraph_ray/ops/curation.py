@@ -377,3 +377,76 @@ def ngram_contamination(
 
     return docs.map_batches(_Probe, batch_format="pyarrow",
                             concurrency=(1, 8), batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# composite quality filter (the Gopher-rule keep/drop decision)
+# --------------------------------------------------------------------------
+
+def quality_filter(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    max_rep_e6: int = 200_000,
+    max_punct_e6: int = 300_000,
+) -> ray.data.Dataset:
+    """(doc_id, n_words, rep_ratio_e6, punct_ratio_e6, reasons, keep):
+    the composite keep/drop decision a curation pipeline applies per
+    document (Gopher-style rule set), with the triggering rules encoded
+    as bits so downstream audits can count drop reasons exactly:
+
+      bit 1 = too few words, bit 2 = too many words,
+      bit 4 = top-token repetition ratio above threshold,
+      bit 8 = punctuation-character ratio above threshold.
+
+    All signals are exact integers (ratios e6-scaled by integer
+    division), so the decision is bit-reproducible at any parallelism
+    and against the SQL oracle. One pass, no shuffle: every signal is
+    computable inside the document's own row.
+    """
+
+    def _f(b: pa.Table) -> pa.Table:
+        nrows = b.num_rows
+        n_words = np.zeros(nrows, np.int64)
+        top_tf = np.zeros(nrows, np.int64)
+        if nrows:
+            row_idx, toks = _token_table(b, text_col)
+            if len(row_idx):
+                tf = (
+                    pa.table({"r": pa.array(row_idx, pa.int64()), "t": toks})
+                    .group_by(["r", "t"])
+                    .aggregate([("t", "count")])
+                )
+                r = tf["r"].to_numpy(zero_copy_only=False)
+                c = tf["t_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+                np.add.at(n_words, r, c)
+                np.maximum.at(top_tf, r, c)
+        txt = b[text_col]
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_punct = pc.cast(
+            pc.count_substring_regex(txt, r"[^\sA-Za-z0-9]"), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.zeros(nrows, np.int64)
+        nz = n_words > 0
+        rep[nz] = top_tf[nz] * 1_000_000 // n_words[nz]
+        punct = np.zeros(nrows, np.int64)
+        cz = n_chars > 0
+        punct[cz] = n_punct[cz] * 1_000_000 // n_chars[cz]
+        reasons = (
+            (n_words < min_words) * 1
+            + (n_words > max_words) * 2
+            + (rep > max_rep_e6) * 4
+            + (punct > max_punct_e6) * 8
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "rep_ratio_e6": pa.array(rep, pa.int64()),
+            "punct_ratio_e6": pa.array(punct, pa.int64()),
+            "reasons": pa.array(reasons, pa.int64()),
+            "keep": pa.array((reasons == 0).astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)

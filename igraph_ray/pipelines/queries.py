@@ -1666,6 +1666,12 @@ def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
 
+def q_quality_filter(sf_dir: str):
+    """Composite Gopher-style keep/drop decision per document with the
+    triggering rules as exact-integer reason bits."""
+    return cu.quality_filter(_docs(sf_dir))
+
+
 def q_ngram_contamination(sf_dir: str):
     """Benchmark decontamination: per-document 5-gram overlap counts
     against the broadcast shingle set of the doc_id%10==0 "benchmark"
@@ -2484,6 +2490,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_clusters": q_dedup_clusters,
         "word_stats": q_word_stats,
         "ngram_contamination": q_ngram_contamination,
+        "quality_filter": q_quality_filter,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
     }
@@ -3013,6 +3020,39 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "quality_filter": r"""
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_tf
+        FROM f GROUP BY doc_id),
+ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(text)
+                   - length(regexp_replace(text, '[^\sA-Za-z0-9]', '', 'g'))
+                   AS BIGINT) AS n_punct
+       FROM documents),
+sig AS (SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
+                    ELSE (a.top_tf * 1000000) // a.n_words END AS rep_ratio_e6,
+               CASE WHEN ch.n_chars = 0 THEN 0
+                    ELSE (ch.n_punct * 1000000) // ch.n_chars END
+                    AS punct_ratio_e6
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        JOIN ch USING (doc_id))
+SELECT doc_id, n_words,
+       CAST(rep_ratio_e6 AS BIGINT) AS rep_ratio_e6,
+       CAST(punct_ratio_e6 AS BIGINT) AS punct_ratio_e6,
+       CAST(CASE WHEN n_words < 10 THEN 1 ELSE 0 END
+            + CASE WHEN n_words > 100000 THEN 2 ELSE 0 END
+            + CASE WHEN rep_ratio_e6 > 200000 THEN 4 ELSE 0 END
+            + CASE WHEN punct_ratio_e6 > 300000 THEN 8 ELSE 0 END
+            AS BIGINT) AS reasons,
+       CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
+                  AND rep_ratio_e6 <= 200000 AND punct_ratio_e6 <= 300000
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig""",
         "ngram_contamination": """
 WITH t AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,

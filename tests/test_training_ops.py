@@ -352,3 +352,23 @@ def test_ngram_contamination():
     assert got[1][0] == got[1][1] > 0          # full copy fully flagged
     assert 0 < got[2][0] < got[2][1]           # partial overlap
     assert got[3][0] == 0
+
+
+def test_quality_filter():
+    """Reason bits and keep decision on hand-built documents."""
+    from igraph_ray.ops.curation import quality_filter
+
+    docs = {
+        0: ("one two three four five six seven eight nine ten", 1, 0),
+        1: ("short doc", 0, 5),                # too few words + high rep
+        2: ("spam " * 50, 0, 4),                               # repetition
+        3: ("!!! ??? *** " * 20 + "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", 0, 8),
+    }
+    ids = sorted(docs)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([docs[i][0] for i in ids], pa.string())}))
+    got = {r["doc_id"]: r for r in quality_filter(ds).take_all()}
+    for i in ids:
+        assert got[i]["keep"] == docs[i][1], (i, dict(got[i]))
+        assert got[i]["reasons"] == docs[i][2], (i, dict(got[i]))
