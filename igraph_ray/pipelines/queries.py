@@ -679,6 +679,41 @@ def q_rewire_degrees(sf_dir: str):
     )
 
 
+def q_stochastic_edges(sf_dir: str):
+    """Row-normalized adjacency export (igraph_get_stochastic,
+    conversion.c:722/818) over the weighted edge view, reported as the
+    exact integer pair (weight, out_strength) per edge — p = w/s_out
+    reconstructs the stochastic matrix entry exactly."""
+    from igraph_ray.util import hash_join
+
+    e = derive.edges_a_weighted(sf_dir).materialize()
+
+    def _w(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"],
+                         "w": pc.cast(b["weight"], pa.int64())})
+
+    s = e.map_batches(_w, batch_format="pyarrow", batch_size=None) \
+        .groupby("src").sum("w")
+
+    def _rs(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"], "s_out": b["sum(w)"]})
+
+    j = hash_join(e, s.map_batches(_rs, batch_format="pyarrow", batch_size=None),
+                  on="src", num_partitions=8)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src" not in b.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "s_out": pa.array([], pa.int64())})
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "w": pc.cast(b["weight"], pa.int64()),
+                         "s_out": pc.cast(b["s_out"], pa.int64())})
+
+    return j.map_batches(_proj, batch_format="pyarrow", batch_size=None)
+
+
 def q_strength(sf_dir: str):
     """Weighted out-degree (igraph_strength) over the multigraph with
     integer weight (o_orderkey % 10) + 1 per edge occurrence."""
@@ -2491,6 +2526,7 @@ def queries() -> Dict[str, Callable]:
         "word_stats": q_word_stats,
         "ngram_contamination": q_ngram_contamination,
         "quality_filter": q_quality_filter,
+        "stochastic_edges": q_stochastic_edges,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
     }
@@ -3020,6 +3056,11 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "stochastic_edges": f"""
+WITH e AS MATERIALIZED ({derive.SQL_EDGES_A_W}),
+s AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS s_out FROM e GROUP BY src)
+SELECT e.src, e.dst, CAST(e.weight AS BIGINT) AS w, s.s_out
+FROM e JOIN s USING (src)""",
         "quality_filter": r"""
 WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            FROM documents),
