@@ -679,6 +679,14 @@ def q_rewire_degrees(sf_dir: str):
     )
 
 
+def q_linegraph(sf_dir: str):
+    """Directed line graph of the sparse view: arcs (eid1, eid2) between
+    canonically-numbered edges with head(e1) = tail(e2)."""
+    from igraph_ray.ops.relational import linegraph
+
+    return linegraph(derive.edges_sparse(sf_dir), num_partitions=8)
+
+
 def q_stochastic_edges(sf_dir: str):
     """Row-normalized adjacency export (igraph_get_stochastic,
     conversion.c:722/818) over the weighted edge view, reported as the
@@ -2527,6 +2535,7 @@ def queries() -> Dict[str, Callable]:
         "ngram_contamination": q_ngram_contamination,
         "quality_filter": q_quality_filter,
         "stochastic_edges": q_stochastic_edges,
+        "linegraph": q_linegraph,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
     }
@@ -3056,6 +3065,11 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "linegraph": f"""
+WITH e AS MATERIALIZED (
+  SELECT src, dst, ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS eid
+  FROM ({derive.SQL_EDGES_SPARSE}))
+SELECT a.eid AS src, b.eid AS dst FROM e a JOIN e b ON b.src = a.dst""",
         "stochastic_edges": f"""
 WITH e AS MATERIALIZED ({derive.SQL_EDGES_A_W}),
 s AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS s_out FROM e GROUP BY src)

@@ -107,3 +107,22 @@ def test_ncol_reader(tmp_path):
     assert e["weight"].tolist() == [2.5, 1.0, 3.0]
     assert e["src"].tolist() == [0, 1, 2]
     assert e["dst"].tolist() == [1, 2, 0]
+
+
+def test_linegraph():
+    """Brute-force directed line-graph check (head(e1)=tail(e2) rule,
+    edge ids in canonical (src,dst) order)."""
+    src = [0, 0, 1, 2, 3]
+    dst = [1, 2, 2, 3, 0]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    got = sorted((r["src"], r["dst"]) for r in
+                 rel.linegraph(edges, num_partitions=2).take_all())
+    ordered = sorted(zip(src, dst))
+    want = sorted(
+        (i, j)
+        for i, (a, b) in enumerate(ordered)
+        for j, (c, d) in enumerate(ordered)
+        if b == c
+    )
+    assert got == want
