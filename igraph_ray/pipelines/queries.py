@@ -679,6 +679,26 @@ def q_rewire_degrees(sf_dir: str):
     )
 
 
+def q_gen_structures(sf_dir: str):
+    """Deterministic structure generators (structure_generators.c) in one
+    comparable table: star(501,out) ∪ ring(500,circular) ∪ tree(500,3-ary)
+    ∪ full(40,directed), tagged by family — pure functions of the id
+    range, so the oracle is four SQL range() expressions."""
+    from igraph_ray.sources import structures as sg
+
+    def _tag(ds, tag):
+        return ds.map_batches(
+            lambda b, _t=tag: pa.table(
+                {"fam": pa.array([_t] * b.num_rows, pa.string()),
+                 "src": b["src"], "dst": b["dst"]}),
+            batch_format="pyarrow", batch_size=None)
+
+    return (_tag(sg.star(501, "out"), "star")
+            .union(_tag(sg.ring(500, circular=True), "ring"))
+            .union(_tag(sg.tree(500, children=3), "tree"))
+            .union(_tag(sg.full(40, directed=True), "full")))
+
+
 def q_linegraph(sf_dir: str):
     """Directed line graph of the sparse view: arcs (eid1, eid2) between
     canonically-numbered edges with head(e1) = tail(e2)."""
@@ -2536,6 +2556,7 @@ def queries() -> Dict[str, Callable]:
         "quality_filter": q_quality_filter,
         "stochastic_edges": q_stochastic_edges,
         "linegraph": q_linegraph,
+        "gen_structures": q_gen_structures,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
     }
@@ -3065,6 +3086,18 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "gen_structures": """
+SELECT 'star' AS fam, CAST(0 AS BIGINT) AS src, CAST(range AS BIGINT) AS dst
+FROM range(1, 501)
+UNION ALL
+SELECT 'ring', CAST(range AS BIGINT), CAST((range + 1) % 500 AS BIGINT)
+FROM range(0, 500)
+UNION ALL
+SELECT 'tree', CAST((range - 1) // 3 AS BIGINT), CAST(range AS BIGINT)
+FROM range(1, 500)
+UNION ALL
+SELECT 'full', CAST(a.range AS BIGINT), CAST(b.range AS BIGINT)
+FROM range(0, 40) a, range(0, 40) b WHERE a.range != b.range""",
         "linegraph": f"""
 WITH e AS MATERIALIZED (
   SELECT src, dst, ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS eid

@@ -109,3 +109,26 @@ def test_preference_game():
     e2, _ = preference_game(200, [0.5, 0.5], pref, seed=7, num_partitions=2)
     rows2 = sorted((r["src"], r["dst"]) for r in e2.take_all())
     assert sorted(rows) == rows2
+
+
+def test_deterministic_structures():
+    """star/ring/tree/full generators: exact edge sets (structure_generators.c)."""
+    from igraph_ray.sources import structures as sg
+
+    star = sorted((r["src"], r["dst"]) for r in sg.star(5, "out").take_all())
+    assert star == [(0, i) for i in range(1, 5)]
+    star_in = sorted((r["src"], r["dst"]) for r in sg.star(4, "in").take_all())
+    assert star_in == [(i, 0) for i in range(1, 4)]
+
+    ring = sorted((r["src"], r["dst"]) for r in sg.ring(4).take_all())
+    assert ring == [(0, 1), (1, 2), (2, 3), (3, 0)]
+    path = sorted((r["src"], r["dst"]) for r in sg.ring(4, circular=False).take_all())
+    assert path == [(0, 1), (1, 2), (2, 3)]
+
+    tr = sorted((r["src"], r["dst"]) for r in sg.tree(7, children=2).take_all())
+    assert tr == [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (2, 6)]
+
+    fu = sorted((r["src"], r["dst"]) for r in sg.full(4, directed=False).take_all())
+    assert fu == [(a, b) for a in range(4) for b in range(4) if a < b]
+    fd = sg.full(4, directed=True).count()
+    assert fd == 12
