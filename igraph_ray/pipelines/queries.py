@@ -1088,6 +1088,18 @@ def q_maximal_cliques(sf_dir: str):
     return clique_size_histogram(derive.graph_sparse(sf_dir), num_partitions=8)
 
 
+def q_clique_number(sf_dir: str):
+    """Clique number ω(G) (igraph_clique_number, cliques.c:1054): max
+    maximal-clique size from the same distributed Bron–Kerbosch stream."""
+    from igraph_ray.algorithms.cliques import clique_size_histogram
+
+    h = clique_size_histogram(derive.graph_sparse(sf_dir), num_partitions=8)
+    sizes = [r["size"] for r in h.take_all()] if hasattr(h, "take_all") else \
+        h["size"].to_pylist()
+    return pa.table({"clique_number": pa.array(
+        [max(sizes) if sizes else 0], pa.int64())})
+
+
 _SQL_BRIDGES_CORE = f"""
 WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
 m AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
@@ -2557,6 +2569,7 @@ def queries() -> Dict[str, Callable]:
         "stochastic_edges": q_stochastic_edges,
         "linegraph": q_linegraph,
         "gen_structures": q_gen_structures,
+        "clique_number": q_clique_number,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
     }
@@ -2784,6 +2797,9 @@ SELECT deg.v AS vertex, CAST(COALESCE(ws.s, 0) AS BIGINT) AS tri_wsum,
 FROM deg LEFT JOIN ws ON ws.v = deg.v
 WHERE deg.deg >= 2 ORDER BY vertex""",
         "maximal_cliques": _SQL_MAXIMAL_CLIQUES,
+        "clique_number": _SQL_MAXIMAL_CLIQUES.replace(
+            "SELECT len(members) AS size, COUNT(*) AS n_cliques\nFROM maxcl GROUP BY size ORDER BY size",
+            "SELECT CAST(MAX(len(members)) AS BIGINT) AS clique_number FROM maxcl"),
         "modularity": _sql_modularity(),
         "dyad_census": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
