@@ -1088,6 +1088,44 @@ def q_maximal_cliques(sf_dir: str):
     return clique_size_histogram(derive.graph_sparse(sf_dir), num_partitions=8)
 
 
+def q_connect2(sf_dir: str):
+    """igraph_connect_neighborhood order=2 analogue on the undirected
+    sparse view: the unordered pairs (a < b) at distance ≤ 2 — direct
+    edges ∪ the common-neighbor wedge pairs (one wedge self-join)."""
+    from igraph_ray.ops.structural import _common_neighbor_pairs
+
+    und = derive.graph_sparse(sf_dir).canonical_undirected().materialize()
+
+    def _sym(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(_np.concatenate([lo, hi])),
+                         "dst": pa.array(_np.concatenate([hi, lo]))})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+    wedge = _common_neighbor_pairs(sym, "src", "dst", 8)
+
+    def _w(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": b["a"], "dst": b["b"]})
+
+    def _d(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["lo"], "dst": b["hi"]})
+
+    both = (wedge.map_batches(_w, batch_format="pyarrow", batch_size=None)
+            .union(und.map_batches(_d, batch_format="pyarrow", batch_size=None)))
+    from igraph_ray.ops.relational import _dedup
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["src"], "b": b["dst"]})
+
+    return _dedup(both).map_batches(_rn, batch_format="pyarrow",
+                                    batch_size=None)
+
+
 def q_clique_number(sf_dir: str):
     """Clique number ω(G) (igraph_clique_number, cliques.c:1054): max
     maximal-clique size from the same distributed Bron–Kerbosch stream."""
@@ -2569,6 +2607,7 @@ def queries() -> Dict[str, Callable]:
         "stochastic_edges": q_stochastic_edges,
         "linegraph": q_linegraph,
         "gen_structures": q_gen_structures,
+        "connect2": q_connect2,
         "clique_number": q_clique_number,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
@@ -3102,6 +3141,15 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "connect2": f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+sym AS (SELECT lo AS src, hi AS dst FROM und UNION ALL SELECT hi, lo FROM und),
+wedge AS (SELECT s1.dst AS a, s2.dst AS b
+          FROM sym s1 JOIN sym s2 ON s2.src = s1.src AND s2.dst > s1.dst)
+SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM wedge UNION ALL SELECT lo, hi FROM und)""",
         "gen_structures": """
 SELECT 'star' AS fam, CAST(0 AS BIGINT) AS src, CAST(range AS BIGINT) AS dst
 FROM range(1, 501)
