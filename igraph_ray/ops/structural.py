@@ -1108,3 +1108,84 @@ def burt_constraint(
 
     return (c.map_batches(_final, batch_format="pyarrow", batch_size=None)
             .sort("vertex"))
+
+
+def local_scan1_them(
+    us: ray.data.Dataset, them: ray.data.Dataset, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """(vertex, scan1t): THEM-graph edges inside each vertex's closed
+    OUT-neighborhood taken from the US graph
+    (igraph_local_scan_1_ecount_them, /root/reference/src/scan.c:475-545,
+    mode=IGRAPH_OUT — with the OUT inclist each inside edge is counted
+    exactly once at its tail). Both inputs are directed simple edge
+    tables (src, dst); the result covers every vertex of the US
+    universe, 0 where the neighborhood contains no THEM edge.
+
+    Plan: membership pairs M(v,u) = ego ∪ out-edges of US, one join of M
+    against THEM tails, one semi-join of the landed heads back against M
+    — two hash joins, no neighborhood materialization per vertex.
+    """
+    from igraph_ray.graph import endpoint_universe
+
+    us = us.materialize()
+    universe = endpoint_universe(us).materialize()
+
+    def _m(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["src"], "u": b["dst"]})
+
+    def _ego(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["vertex"], "u": b["vertex"]})
+
+    member = (us.map_batches(_m, batch_format="pyarrow", batch_size=None)
+              .union(universe.map_batches(_ego, batch_format="pyarrow",
+                                          batch_size=None))).materialize()
+
+    def _t(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["src"], "w": b["dst"]})
+
+    landed = hash_join(
+        member, them.map_batches(_t, batch_format="pyarrow", batch_size=None),
+        on="u", num_partitions=num_partitions)
+
+    def _vw(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        return pa.table({"v": b["v"], "u": b["w"]})
+
+    inside = hash_join(
+        landed.map_batches(_vw, batch_format="pyarrow", batch_size=None),
+        member.map_batches(
+            lambda b: pa.table({"v": b["v"], "u": b["u"],
+                                "one": pa.array(
+                                    np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow", batch_size=None),
+        on=["v", "u"], num_partitions=num_partitions)
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"vertex": b["v"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return (pa.TableGroupBy(t, "vertex").aggregate([("c", "sum")])
+                .rename_columns(["vertex", "c"]))
+
+    counts = (inside.map_batches(_cnt, batch_format="pyarrow", batch_size=None)
+              .union(universe.map_batches(
+                  lambda b: pa.table({"vertex": b["vertex"],
+                                      "c": pa.array(
+                                          np.zeros(b.num_rows, np.int64))}),
+                  batch_format="pyarrow", batch_size=None))
+              .groupby("vertex").sum("c"))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "scan1t": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "scan1t": pc.cast(b["sum(c)"], pa.int64())})
+
+    return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)

@@ -1040,6 +1040,15 @@ def q_burt_constraint(sf_dir: str):
                            num_partitions=8)
 
 
+def q_scan1_them(sf_dir: str):
+    """THEM scan-1 (scan.c:475, mode OUT): edges_b edges inside each
+    vertex's closed out-neighborhood from edges_a."""
+    from igraph_ray.ops.structural import local_scan1_them
+
+    return local_scan1_them(derive.edges_a(sf_dir), derive.edges_b(sf_dir),
+                            num_partitions=8)
+
+
 def q_transitivity_barrat(sf_dir: str):
     """Barrat weighted local clustering (igraph_transitivity_barrat,
     triangles.c:713-965) over the weighted undirected sparse view,
@@ -2608,6 +2617,7 @@ def queries() -> Dict[str, Callable]:
         "linegraph": q_linegraph,
         "gen_structures": q_gen_structures,
         "connect2": q_connect2,
+        "scan1_them": q_scan1_them,
         "clique_number": q_clique_number,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
@@ -3141,6 +3151,18 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "scan1_them": f"""
+WITH us AS MATERIALIZED ({SQL_EDGES_A}),
+them AS MATERIALIZED ({derive.SQL_EDGES_B}),
+verts AS ({SQL_VERTS_A}),
+member AS (SELECT src AS v, dst AS u FROM us
+           UNION ALL SELECT v, v FROM verts),
+inside AS (SELECT m.v, COUNT(*) AS c
+           FROM member m JOIN them t ON t.src = m.u
+           JOIN member m2 ON m2.v = m.v AND m2.u = t.dst
+           GROUP BY m.v)
+SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan1t
+FROM verts LEFT JOIN inside ON inside.v = verts.v""",
         "connect2": f"""
 WITH und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi

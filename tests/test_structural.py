@@ -359,3 +359,31 @@ def test_burt_constraint():
             c += t * t
         assert rows[v] == int(np.round(c * 1e6)), (v, rows[v], c)
     assert set(rows) == set(w)
+
+
+def test_local_scan1_them():
+    """Brute-force THEM scan-1 (mode OUT): count them-edges with both
+    endpoints in {v} ∪ out-neighbors_us(v)."""
+    import pyarrow as pa
+    import ray.data
+
+    us = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 0)]
+    them = [(1, 2), (2, 1), (3, 0), (0, 4), (2, 3), (1, 1)]
+    us_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in us], pa.int64()),
+        "dst": pa.array([e[1] for e in us], pa.int64())}))
+    them_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in them], pa.int64()),
+        "dst": pa.array([e[1] for e in them], pa.int64())}))
+    got = {r["vertex"]: r["scan1t"] for r in
+           st.local_scan1_them(us_ds, them_ds, num_partitions=2).take_all()}
+
+    out = defaultdict(set)
+    for a, b in us:
+        out[a].add(b)
+    verts = {v for e in us for v in e}
+    for v in verts:
+        nb = {v} | out[v]
+        want = sum(1 for a, b in them if a in nb and b in nb)
+        assert got[v] == want, (v, got[v], want)
+    assert set(got) == verts
