@@ -1040,6 +1040,39 @@ def q_burt_constraint(sf_dir: str):
                            num_partitions=8)
 
 
+def q_split_join(sf_dir: str):
+    """van Dongen split-join distance (igraph_split_join_distance)
+    between the LPA communities and the weak components of edges_a —
+    two partitions of the same 512-vertex universe."""
+    from igraph_ray.ops.compare import split_join_distance
+
+    g = derive.graph_a(sf_dir)
+    lpa_state = label_propagation(
+        g, fixed_iterations=LPA_ITERS, num_partitions=8).state
+    cc_state = connected_components(g, num_partitions=8).state
+    return split_join_distance(lpa_state, cc_state,
+                               label1="community", label2="label",
+                               num_partitions=8)
+
+
+def q_scan0_them(sf_dir: str):
+    """THEM scan-0 (scan.c:428, mode OUT): out-degree in the us∩them
+    intersection graph, over the US vertex universe."""
+    from igraph_ray.ops.relational import intersection_edges
+    from igraph_ray.graph import _degrees_over, endpoint_universe
+
+    us = derive.edges_a(sf_dir).materialize()
+    inter = intersection_edges(us, derive.edges_b(sf_dir))
+    uni = endpoint_universe(us)
+    d = _degrees_over(inter, "src", uni, weighted=False)
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"],
+                         "scan0t": pc.cast(b["deg"], pa.int64())})
+
+    return d.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
 def q_scan1_them(sf_dir: str):
     """THEM scan-1 (scan.c:475, mode OUT): edges_b edges inside each
     vertex's closed out-neighborhood from edges_a."""
@@ -2618,6 +2651,8 @@ def queries() -> Dict[str, Callable]:
         "gen_structures": q_gen_structures,
         "connect2": q_connect2,
         "scan1_them": q_scan1_them,
+        "scan0_them": q_scan0_them,
+        "split_join": q_split_join,
         "clique_number": q_clique_number,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
@@ -3151,6 +3186,28 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "split_join": f"""
+WITH p1 AS MATERIALIZED (SELECT vertex, community AS l1 FROM ({{_SJ_LPA}}) t1),
+p2 AS MATERIALIZED (SELECT vertex, label AS l2 FROM ({{_SJ_CC}}) t2),
+joint AS (SELECT l1, l2, COUNT(*) AS c FROM p1 JOIN p2 USING (vertex)
+          GROUP BY l1, l2),
+m1 AS (SELECT SUM(mx) AS s FROM (SELECT l1, MAX(c) AS mx FROM joint GROUP BY l1)),
+m2 AS (SELECT SUM(mx) AS s FROM (SELECT l2, MAX(c) AS mx FROM joint GROUP BY l2)),
+nn AS (SELECT SUM(c) AS n FROM joint)
+SELECT CAST(nn.n AS BIGINT) AS n,
+       CAST(nn.n - m1.s AS BIGINT) AS dist12,
+       CAST(nn.n - m2.s AS BIGINT) AS dist21,
+       CAST(2 * nn.n - m1.s - m2.s AS BIGINT) AS split_join
+FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
+            "{_SJ_CC}", _sql_components()),
+        "scan0_them": f"""
+WITH us AS MATERIALIZED ({SQL_EDGES_A}),
+them AS MATERIALIZED ({derive.SQL_EDGES_B}),
+verts AS ({SQL_VERTS_A}),
+inter AS (SELECT us.src, us.dst FROM us JOIN them USING (src, dst)),
+d AS (SELECT src, COUNT(*) AS c FROM inter GROUP BY src)
+SELECT verts.v AS vertex, CAST(COALESCE(d.c, 0) AS BIGINT) AS scan0t
+FROM verts LEFT JOIN d ON d.src = verts.v""",
         "scan1_them": f"""
 WITH us AS MATERIALIZED ({SQL_EDGES_A}),
 them AS MATERIALIZED ({derive.SQL_EDGES_B}),

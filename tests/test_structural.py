@@ -387,3 +387,26 @@ def test_local_scan1_them():
         want = sum(1 for a, b in them if a in nb and b in nb)
         assert got[v] == want, (v, got[v], want)
     assert set(got) == verts
+
+
+def test_split_join_distance():
+    """Brute-force van Dongen split-join on hand partitions."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.ops.compare import split_join_distance
+
+    # P1: {0,1,2},{3,4}; P2: {0,1},{2,3},{4}
+    p1 = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "label": pa.array([0, 0, 0, 1, 1], pa.int64())}))
+    p2 = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "label": pa.array([0, 0, 1, 1, 2], pa.int64())}))
+    t = split_join_distance(p1, p2, num_partitions=2).to_pydict()
+    # dist12 = n - (max over P2 per P1 part): part{0,1,2}→2, part{3,4}→1 → 5-3=2
+    # dist21: {0,1}→2, {2,3}→1, {4}→1 → 5-4=1
+    assert t["n"] == [5]
+    assert t["dist12"] == [2]
+    assert t["dist21"] == [1]
+    assert t["split_join"] == [3]
