@@ -1055,6 +1055,20 @@ def q_split_join(sf_dir: str):
                                num_partitions=8)
 
 
+def q_rand_pairs(sf_dir: str):
+    """Pair-counting Rand-index contingency sums between the LPA and
+    weak-component partitions (igraph_compare_communities rand family)."""
+    from igraph_ray.ops.compare import rand_pair_counts
+
+    g = derive.graph_a(sf_dir)
+    lpa_state = label_propagation(
+        g, fixed_iterations=LPA_ITERS, num_partitions=8).state
+    cc_state = connected_components(g, num_partitions=8).state
+    return rand_pair_counts(lpa_state, cc_state,
+                            label1="community", label2="label",
+                            num_partitions=8)
+
+
 def q_scan0_them(sf_dir: str):
     """THEM scan-0 (scan.c:428, mode OUT): out-degree in the us∩them
     intersection graph, over the US vertex universe."""
@@ -2653,6 +2667,7 @@ def queries() -> Dict[str, Callable]:
         "scan1_them": q_scan1_them,
         "scan0_them": q_scan0_them,
         "split_join": q_split_join,
+        "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
@@ -3186,6 +3201,24 @@ SELECT d.doc_id,
   CAST(CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
        ELSE (a.top_tf * 1000000) // a.n_words END AS BIGINT) AS rep_ratio_e6
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "rand_pairs": f"""
+WITH p1 AS MATERIALIZED (SELECT vertex, community AS l1 FROM ({{_SJ_LPA}}) t1),
+p2 AS MATERIALIZED (SELECT vertex, label AS l2 FROM ({{_SJ_CC}}) t2),
+joint AS (SELECT l1, l2, COUNT(*) AS c FROM p1 JOIN p2 USING (vertex)
+          GROUP BY l1, l2),
+nn AS (SELECT SUM(c) AS n FROM joint),
+nij AS (SELECT SUM(c * (c - 1) // 2) AS s FROM joint),
+ai AS (SELECT SUM(s * (s - 1) // 2) AS s FROM
+       (SELECT l1, SUM(c) AS s FROM joint GROUP BY l1)),
+bj AS (SELECT SUM(s * (s - 1) // 2) AS s FROM
+       (SELECT l2, SUM(c) AS s FROM joint GROUP BY l2))
+SELECT CAST(nn.n AS BIGINT) AS n,
+       CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS pairs,
+       CAST(nij.s AS BIGINT) AS sum_nij2,
+       CAST(ai.s AS BIGINT) AS sum_a2,
+       CAST(bj.s AS BIGINT) AS sum_b2
+FROM nn, nij, ai, bj""".replace("{_SJ_LPA}", _sql_lpa()).replace(
+            "{_SJ_CC}", _sql_components()),
         "split_join": f"""
 WITH p1 AS MATERIALIZED (SELECT vertex, community AS l1 FROM ({{_SJ_LPA}}) t1),
 p2 AS MATERIALIZED (SELECT vertex, label AS l2 FROM ({{_SJ_CC}}) t2),

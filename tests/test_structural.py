@@ -410,3 +410,30 @@ def test_split_join_distance():
     assert t["dist12"] == [2]
     assert t["dist21"] == [1]
     assert t["split_join"] == [3]
+
+
+def test_rand_pair_counts():
+    """Brute-force pair-counting sums on hand partitions."""
+    import pyarrow as pa
+    import ray.data
+    from itertools import combinations as combs
+
+    from igraph_ray.ops.compare import rand_pair_counts
+
+    lab1 = [0, 0, 0, 1, 1]
+    lab2 = [0, 0, 1, 1, 2]
+    p1 = ray.data.from_arrow(pa.table({
+        "vertex": pa.array(range(5), pa.int64()),
+        "label": pa.array(lab1, pa.int64())}))
+    p2 = ray.data.from_arrow(pa.table({
+        "vertex": pa.array(range(5), pa.int64()),
+        "label": pa.array(lab2, pa.int64())}))
+    t = rand_pair_counts(p1, p2, num_partitions=2).to_pydict()
+    same11 = sum(1 for i, j in combs(range(5), 2)
+                 if lab1[i] == lab1[j] and lab2[i] == lab2[j])
+    same1 = sum(1 for i, j in combs(range(5), 2) if lab1[i] == lab1[j])
+    same2 = sum(1 for i, j in combs(range(5), 2) if lab2[i] == lab2[j])
+    assert t["n"] == [5] and t["pairs"] == [10]
+    assert t["sum_nij2"] == [same11]
+    assert t["sum_a2"] == [same1]
+    assert t["sum_b2"] == [same2]
