@@ -450,3 +450,101 @@ def quality_filter(
         })
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# full curation pipeline: quality filter + exact-dup resolution +
+# benchmark decontamination, one decision row per document
+# --------------------------------------------------------------------------
+
+def curate(
+    docs: ray.data.Dataset,
+    benchmark_mod: int = 10,
+    n: int = 5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(doc_id, reasons, kept): the end-to-end keep/drop decision a
+    training-data curation run makes per document, composing the
+    engine's own stages —
+
+      bits 1/2/4/8 : quality_filter rule hits (length / repetition /
+                     punctuation),
+      bit 16       : exact duplicate that is not its group's keeper
+                     (min doc_id per identical text, the exact_dedup
+                     contract),
+      bit 32       : benchmark contamination (more than half of the
+                     document's n-gram shingles appear in the
+                     benchmark subset; division-free integer rule
+                     ``2·contaminated > total``).
+
+    kept = (reasons == 0). Scale shape inherited from the parts: the
+    quality pass is shuffle-free, dedup is one md5 groupby, the
+    contamination probe is a broadcast membership test; the final
+    assembly is two doc_id joins.
+    """
+    qf = quality_filter(docs).materialize()
+    cont = ngram_contamination(docs, benchmark_mod=benchmark_mod,
+                               n=n).materialize()
+
+    from igraph_ray.ops.dedup import exact_dedup
+    keepers = exact_dedup(docs)
+
+    def _h(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "text_md5": pa.array(hs, pa.string())})
+
+    hashed = docs.map_batches(_h, batch_format="pyarrow", batch_size=None)
+
+    def _k(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text_md5" not in b.column_names:
+            return pa.table({"text_md5": pa.array([], pa.string()),
+                             "keep_id": pa.array([], pa.int64())})
+        return pa.table({"text_md5": b["text_md5"], "keep_id": b["keep_id"]})
+
+    dup = hash_join(
+        hashed,
+        keepers.map_batches(_k, batch_format="pyarrow", batch_size=None),
+        on="text_md5", num_partitions=num_partitions)
+
+    def _dbit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dbit": pa.array([], pa.int64())})
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = b["keep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "dbit": pa.array((d != k).astype(np.int64) * 16)})
+
+    dup = dup.map_batches(_dbit, batch_format="pyarrow", batch_size=None)
+
+    def _q(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "qreasons": b["reasons"]})
+
+    def _c(b: pa.Table) -> pa.Table:
+        c = b["contaminated"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["total_ngrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "cbit": pa.array((2 * c > t).astype(np.int64) * 32)})
+
+    j = hash_join(
+        qf.map_batches(_q, batch_format="pyarrow", batch_size=None),
+        dup, on="doc_id", num_partitions=num_partitions)
+    j = hash_join(
+        j, cont.map_batches(_c, batch_format="pyarrow", batch_size=None),
+        on="doc_id", num_partitions=num_partitions)
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "reasons": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.int64())})
+        r = (b["qreasons"].to_numpy(zero_copy_only=False).astype(np.int64)
+             + b["dbit"].to_numpy(zero_copy_only=False).astype(np.int64)
+             + b["cbit"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"doc_id": b["doc_id"],
+                         "reasons": pa.array(r, pa.int64()),
+                         "kept": pa.array((r == 0).astype(np.int64))})
+
+    return j.map_batches(_final, batch_format="pyarrow", batch_size=None)

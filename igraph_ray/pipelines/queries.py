@@ -1835,6 +1835,13 @@ def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
 
+def q_curate(sf_dir: str):
+    """End-to-end curation decision per document: quality rules ∪
+    exact-dup non-keeper ∪ benchmark contamination, as one reason
+    bitmask (see ops.curation.curate)."""
+    return cu.curate(_docs(sf_dir))
+
+
 def q_quality_filter(sf_dir: str):
     """Composite Gopher-style keep/drop decision per document with the
     triggering rules as exact-integer reason bits."""
@@ -2660,6 +2667,7 @@ def queries() -> Dict[str, Callable]:
         "word_stats": q_word_stats,
         "ngram_contamination": q_ngram_contamination,
         "quality_filter": q_quality_filter,
+        "curate": q_curate,
         "stochastic_edges": q_stochastic_edges,
         "linegraph": q_linegraph,
         "gen_structures": q_gen_structures,
@@ -3284,6 +3292,55 @@ WITH e AS MATERIALIZED ({derive.SQL_EDGES_A_W}),
 s AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS s_out FROM e GROUP BY src)
 SELECT e.src, e.dst, CAST(e.weight AS BIGINT) AS w, s.s_out
 FROM e JOIN s USING (src)""",
+        "curate": r"""
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           FROM documents),
+f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_tf
+        FROM f GROUP BY doc_id),
+ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(text)
+                   - length(regexp_replace(text, '[^\sA-Za-z0-9]', '', 'g'))
+                   AS BIGINT) AS n_punct
+       FROM documents),
+sig AS (SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
+                    ELSE (a.top_tf * 1000000) // a.n_words END AS rep,
+               CASE WHEN ch.n_chars = 0 THEN 0
+                    ELSE (ch.n_punct * 1000000) // ch.n_chars END AS punct
+        FROM documents d LEFT JOIN agg a USING (doc_id) JOIN ch USING (doc_id)),
+q AS (SELECT doc_id,
+             CASE WHEN n_words < 10 THEN 1 ELSE 0 END
+             + CASE WHEN n_words > 100000 THEN 2 ELSE 0 END
+             + CASE WHEN rep > 200000 THEN 4 ELSE 0 END
+             + CASE WHEN punct > 300000 THEN 8 ELSE 0 END AS qreasons
+      FROM sig),
+dup AS (SELECT doc_id,
+               CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 16 ELSE 0 END AS dbit
+        FROM documents),
+sh AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS s,
+              lead(tok, 4) OVER w IS NOT NULL AS valid
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+bench AS (SELECT DISTINCT s FROM sh WHERE valid AND doc_id % 10 = 0),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN s IN (SELECT s FROM bench)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cont
+        FROM sh WHERE valid GROUP BY doc_id),
+cb AS (SELECT d.doc_id,
+              CASE WHEN 2 * COALESCE(cnt.cont, 0) > COALESCE(cnt.total, 0)
+                   THEN 32 ELSE 0 END AS cbit
+       FROM documents d LEFT JOIN cnt USING (doc_id))
+SELECT q.doc_id,
+       CAST(q.qreasons + dup.dbit + cb.cbit AS BIGINT) AS reasons,
+       CAST(CASE WHEN q.qreasons + dup.dbit + cb.cbit = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM q JOIN dup USING (doc_id) JOIN cb USING (doc_id)""",
         "quality_filter": r"""
 WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            FROM documents),

@@ -372,3 +372,28 @@ def test_quality_filter():
     for i in ids:
         assert got[i]["keep"] == docs[i][1], (i, dict(got[i]))
         assert got[i]["reasons"] == docs[i][2], (i, dict(got[i]))
+
+
+def test_curate_pipeline_bits():
+    """Composed curation decision: quality + dup-keeper + contamination
+    bits combine per document."""
+    from igraph_ray.ops.curation import curate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = {
+        0: base,            # benchmark (0%10==0): fully self-contaminated
+        1: base,            # exact dup of 0 (keeper is 0) + contaminated
+        2: "totally different clean words here one two three four five",
+        3: "tiny",          # quality fail (too few words + rep)
+    }
+    ids = sorted(docs)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([docs[i] for i in ids], pa.string())}))
+    got = {r["doc_id"]: r for r in
+           curate(ds, benchmark_mod=10, n=5).take_all()}
+    assert got[0]["reasons"] == 32                 # self-contaminated keeper
+    assert got[1]["reasons"] == 16 + 32            # dup non-keeper + contaminated
+    assert got[2]["reasons"] == 0 and got[2]["kept"] == 1
+    assert got[3]["reasons"] & 1                   # too few words
+    assert got[3]["kept"] == 0
