@@ -231,6 +231,10 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     cu.top_terms(docs, k=3).count()
     out["top_terms_docs"] = round(time.perf_counter() - t, 3)
 
+    t = time.perf_counter()
+    cu.curate(docs).count()
+    out["curate_docs"] = round(time.perf_counter() - t, 3)
+
     details["total_wall_s"] = round(time.perf_counter() - t0, 3)
     return {"queries": out, "details": details}
 
