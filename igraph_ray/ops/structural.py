@@ -1189,3 +1189,121 @@ def local_scan1_them(
                          "scan1t": pc.cast(b["sum(c)"], pa.int64())})
 
     return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def local_scan2(und: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
+    """(vertex, scan2): edges of the simple undirected graph inside each
+    vertex's closed 2-neighborhood (igraph_local_scan_k_ecount k=2,
+    /root/reference/src/scan.c — neighborhood BFS + induced ecount; each
+    inside edge counted once).
+
+    Plan: the dist≤2 membership table M2 = self ∪ direct ∪ wedge pairs
+    (three streams, one distinct), then the same two-join counting as
+    the THEM scan — M2 against edge lo-endpoints, heads semi-joined
+    back. |M2| = Σ_v |N2[v]| rows; suited to the thinned views where
+    N2 stays far below n (on a dense graph N2 ≈ V and a per-vertex
+    global ecount would be cheaper).
+
+    ``und`` columns: lo < hi (simple undirected edges).
+    """
+    und = und.materialize()
+
+    def _sym(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(np.concatenate([lo, hi])),
+                         "u": pa.array(np.concatenate([hi, lo]))})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def _self(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        vv = b["v"].combine_chunks().unique() if isinstance(
+            b["v"], pa.ChunkedArray) else b["v"].unique()
+        return pa.table({"v": vv, "u": vv})
+
+    def _mid(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({"u": b["v"], "w": b["u"]})
+
+    hop2 = hash_join(sym, sym.map_batches(_mid, batch_format="pyarrow",
+                                          batch_size=None),
+                     on="u", num_partitions=num_partitions)
+
+    def _vw(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        t = pa.table({"v": b["v"], "u": b["w"]})
+        return t.group_by(["v", "u"]).aggregate([])
+
+    member = (hop2.map_batches(_vw, batch_format="pyarrow", batch_size=None)
+              .union(sym)
+              .union(sym.map_batches(_self, batch_format="pyarrow",
+                                     batch_size=None))
+              .groupby(["v", "u"]).count()).materialize()
+
+    def _m(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        return pa.table({"v": b["v"], "u": b["u"]})
+
+    member = member.map_batches(_m, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    def _elo(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["lo"], "other": b["hi"]})
+
+    landed = hash_join(
+        member, und.map_batches(_elo, batch_format="pyarrow", batch_size=None),
+        on="u", num_partitions=num_partitions)
+
+    def _vo(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        return pa.table({"v": b["v"], "u": b["other"]})
+
+    inside = hash_join(
+        landed.map_batches(_vo, batch_format="pyarrow", batch_size=None),
+        member, on=["v", "u"], num_partitions=num_partitions)
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"vertex": b["v"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return (pa.TableGroupBy(t, "vertex").aggregate([("c", "sum")])
+                .rename_columns(["vertex", "c"]))
+
+    def _zero(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "v" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        vv = b["v"].combine_chunks().unique() if isinstance(
+            b["v"], pa.ChunkedArray) else b["v"].unique()
+        return pa.table({"vertex": vv,
+                         "c": pa.array(np.zeros(len(vv), np.int64))})
+
+    counts = (inside.map_batches(_cnt, batch_format="pyarrow", batch_size=None)
+              .union(sym.map_batches(_zero, batch_format="pyarrow",
+                                     batch_size=None))
+              .groupby("vertex").sum("c"))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "scan2": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "scan2": pc.cast(b["sum(c)"], pa.int64())})
+
+    return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)

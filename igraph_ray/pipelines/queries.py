@@ -1069,6 +1069,15 @@ def q_rand_pairs(sf_dir: str):
                             num_partitions=8)
 
 
+def q_local_scan2(sf_dir: str):
+    """Scan-2 statistic (scan.c local_scan_k_ecount k=2) on the sparse
+    undirected view."""
+    from igraph_ray.ops.structural import local_scan2
+
+    return local_scan2(derive.graph_sparse(sf_dir).canonical_undirected(),
+                       num_partitions=8)
+
+
 def q_scan0_them(sf_dir: str):
     """THEM scan-0 (scan.c:428, mode OUT): out-degree in the us∩them
     intersection graph, over the US vertex universe."""
@@ -2674,6 +2683,7 @@ def queries() -> Dict[str, Callable]:
         "connect2": q_connect2,
         "scan1_them": q_scan1_them,
         "scan0_them": q_scan0_them,
+        "local_scan2": q_local_scan2,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
@@ -3241,6 +3251,22 @@ SELECT CAST(nn.n AS BIGINT) AS n,
        CAST(2 * nn.n - m1.s - m2.s AS BIGINT) AS split_join
 FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
+        "local_scan2": f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+sym AS (SELECT lo AS v, hi AS u FROM und UNION ALL SELECT hi, lo FROM und),
+m2 AS (SELECT DISTINCT v, u FROM (
+  SELECT s1.v, s2.u FROM sym s1 JOIN sym s2 ON s2.v = s1.u
+  UNION ALL SELECT v, u FROM sym
+  UNION ALL SELECT v, v FROM sym)),
+inside AS (SELECT m.v, COUNT(*) AS c
+           FROM m2 m JOIN und e ON e.lo = m.u
+           JOIN m2 m3 ON m3.v = m.v AND m3.u = e.hi
+           GROUP BY m.v),
+verts AS (SELECT DISTINCT v FROM sym)
+SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan2
+FROM verts LEFT JOIN inside ON inside.v = verts.v""",
         "scan0_them": f"""
 WITH us AS MATERIALIZED ({SQL_EDGES_A}),
 them AS MATERIALIZED ({derive.SQL_EDGES_B}),

@@ -437,3 +437,22 @@ def test_rand_pair_counts():
     assert t["sum_nij2"] == [same11]
     assert t["sum_a2"] == [same1]
     assert t["sum_b2"] == [same2]
+
+
+def test_local_scan2():
+    """Brute-force scan-2: edges inside each closed 2-neighborhood."""
+    import pyarrow as pa
+    import ray.data
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 2), (5, 6)]
+    ds = ray.data.from_arrow(pa.table({
+        "lo": pa.array([e[0] for e in und], pa.int64()),
+        "hi": pa.array([e[1] for e in und], pa.int64())}))
+    got = {r["vertex"]: r["scan2"] for r in
+           st.local_scan2(ds, num_partitions=2).take_all()}
+
+    nbr = _und_adj(7, [e[0] for e in und], [e[1] for e in und])
+    for v in range(7):
+        n2 = {v} | nbr[v] | {w for u in nbr[v] for w in nbr[u]}
+        want = sum(1 for a, b in und if a in n2 and b in n2)
+        assert got[v] == want, (v, got[v], want)
