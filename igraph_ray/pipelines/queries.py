@@ -1069,6 +1069,37 @@ def q_rand_pairs(sf_dir: str):
                             num_partitions=8)
 
 
+def q_bipartite_projection(sf_dir: str):
+    """Bipartite projection (igraph_bipartite_projection, bipartite.c:265):
+    project the thinned order↔part incidence of lineitem onto parts —
+    (a < b, common) = #orders the two parts co-occur in. The wedge
+    self-join with per-block pre-combine (the cocitation physical plan)."""
+    from igraph_ray.ops.structural import _common_neighbor_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def _inc(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = (ok * 11 + pk) % 7 == 0
+        t = pa.table({"o": pa.array(ok[keep].astype(np.int64)),
+                      "p": pa.array(pk[keep].astype(np.int64))})
+        return t.group_by(["o", "p"]).aggregate([])
+
+    inc = (li.map_batches(_inc, batch_format="pyarrow", batch_size=None)
+           .groupby(["o", "p"]).count())
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o" not in b.column_names:
+            return pa.table({"o": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        return pa.table({"o": b["o"], "p": b["p"]})
+
+    inc = inc.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+    return _common_neighbor_pairs(inc, "o", "p", 8)
+
+
 def q_local_scan2(sf_dir: str):
     """Scan-2 statistic (scan.c local_scan_k_ecount k=2) on the sparse
     undirected view."""
@@ -2684,6 +2715,7 @@ def queries() -> Dict[str, Callable]:
         "scan1_them": q_scan1_them,
         "scan0_them": q_scan0_them,
         "local_scan2": q_local_scan2,
+        "bipartite_projection": q_bipartite_projection,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
@@ -3251,6 +3283,13 @@ SELECT CAST(nn.n AS BIGINT) AS n,
        CAST(2 * nn.n - m1.s - m2.s AS BIGINT) AS split_join
 FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
+        "bipartite_projection": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey * 11 + l_partkey) % 7 = 0)
+SELECT i1.p AS a, i2.p AS b, CAST(COUNT(*) AS BIGINT) AS common
+FROM inc i1 JOIN inc i2 ON i2.o = i1.o AND i2.p > i1.p
+GROUP BY 1, 2""",
         "local_scan2": f"""
 WITH und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
