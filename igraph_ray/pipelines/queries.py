@@ -1069,6 +1069,37 @@ def q_rand_pairs(sf_dir: str):
                             num_partitions=8)
 
 
+def q_is_bipartite(sf_dir: str):
+    """igraph_is_bipartite analogue via the bipartite double cover: G is
+    bipartite iff its double cover D (u→(2u,2u+1); each undirected edge
+    {u,v} → 2u—(2v+1), (2u+1)—2v) has exactly 2× the components —
+    connected_components reused verbatim on the transformed edge table,
+    no new propagation code. Reports (nc, nc_double, bipartite) over the
+    very-sparse view (per-component check = whether 2v and 2v+1 ever
+    share a label)."""
+    g = derive.graph_vsparse(sf_dir)
+    nc = connected_components(g, num_partitions=8).state \
+        .groupby("label").count().count()
+
+    und = g.canonical_undirected()
+
+    def _dc(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([2 * lo, 2 * lo + 1])),
+            "dst": pa.array(np.concatenate([2 * hi + 1, 2 * hi]))})
+
+    g2 = Graph(und.map_batches(_dc, batch_format="pyarrow",
+                               batch_size=None).materialize())
+    nd = connected_components(g2, num_partitions=8).state \
+        .groupby("label").count().count()
+    return pa.table({
+        "nc": pa.array([int(nc)], pa.int64()),
+        "nc_double": pa.array([int(nd)], pa.int64()),
+        "bipartite": pa.array([int(nd == 2 * nc)], pa.int64())})
+
+
 def q_bipartite_projection(sf_dir: str):
     """Bipartite projection (igraph_bipartite_projection, bipartite.c:265):
     project the thinned order↔part incidence of lineitem onto parts —
@@ -2716,6 +2747,7 @@ def queries() -> Dict[str, Callable]:
         "scan0_them": q_scan0_them,
         "local_scan2": q_local_scan2,
         "bipartite_projection": q_bipartite_projection,
+        "is_bipartite": q_is_bipartite,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
@@ -3283,6 +3315,28 @@ SELECT CAST(nn.n AS BIGINT) AS n,
        CAST(2 * nn.n - m1.s - m2.s AS BIGINT) AS split_join
 FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
+        "is_bipartite": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM edges),
+sym AS (SELECT lo AS u, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+verts AS (SELECT DISTINCT u AS v FROM sym),
+reach(v, w) AS (SELECT v, v FROM verts
+                UNION SELECT r.v, s.w FROM reach r JOIN sym s ON s.u = r.w),
+lab AS (SELECT v, MIN(w) AS l FROM reach GROUP BY v),
+nc AS (SELECT COUNT(DISTINCT l) AS c FROM lab),
+dce AS (SELECT 2 * lo AS a, 2 * hi + 1 AS b FROM und
+        UNION ALL SELECT 2 * lo + 1, 2 * hi FROM und),
+sym2 AS (SELECT a AS u, b AS w FROM dce UNION ALL SELECT b, a FROM dce),
+verts2 AS (SELECT DISTINCT u AS v FROM sym2),
+reach2(v, w) AS (SELECT v, v FROM verts2
+                 UNION SELECT r.v, s.w FROM reach2 r JOIN sym2 s ON s.u = r.w),
+lab2 AS (SELECT v, MIN(w) AS l FROM reach2 GROUP BY v),
+nd AS (SELECT COUNT(DISTINCT l) AS c FROM lab2)
+SELECT CAST(nc.c AS BIGINT) AS nc, CAST(nd.c AS BIGINT) AS nc_double,
+       CAST(CASE WHEN nd.c = 2 * nc.c THEN 1 ELSE 0 END AS BIGINT)
+       AS bipartite
+FROM nc, nd""",
         "bipartite_projection": """
 WITH inc AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -456,3 +456,30 @@ def test_local_scan2():
         n2 = {v} | nbr[v] | {w for u in nbr[v] for w in nbr[u]}
         want = sum(1 for a, b in und if a in n2 and b in n2)
         assert got[v] == want, (v, got[v], want)
+
+
+def test_is_bipartite_double_cover():
+    """Double-cover component rule: even cycle bipartite, odd cycle not."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.components import connected_components
+
+    def check(und_pairs):
+        lo = np.array([e[0] for e in und_pairs], np.int64)
+        hi = np.array([e[1] for e in und_pairs], np.int64)
+        g = Graph.from_numpy(lo, hi, n=None)
+        nc = connected_components(g, num_partitions=2).state \
+            .groupby("label").count().count()
+        dc = ray.data.from_arrow(pa.table({
+            "src": pa.array(np.concatenate([2 * lo, 2 * lo + 1])),
+            "dst": pa.array(np.concatenate([2 * hi + 1, 2 * hi]))}))
+        g2 = Graph(dc.materialize(), n=None)
+        nd = connected_components(g2, num_partitions=2).state \
+            .groupby("label").count().count()
+        return nd == 2 * nc
+
+    assert check([(0, 1), (1, 2), (2, 3), (3, 0)])          # C4 bipartite
+    assert not check([(0, 1), (1, 2), (2, 0)])              # C3 odd
+    assert check([(0, 1), (1, 2), (3, 4)])                  # forest
+    assert not check([(0, 1), (1, 2), (2, 3), (3, 0), (5, 6), (6, 7), (7, 5)])
