@@ -682,7 +682,8 @@ def q_rewire_degrees(sf_dir: str):
 def q_gen_structures(sf_dir: str):
     """Deterministic structure generators (structure_generators.c) in one
     comparable table: star(501,out) ∪ ring(500,circular) ∪ tree(500,3-ary)
-    ∪ full(40,directed), tagged by family — pure functions of the id
+    ∪ full(40,directed) ∪ de_bruijn(3,5) ∪ lattice2d(20×25 torus),
+    tagged by family — pure functions of the id
     range, so the oracle is four SQL range() expressions."""
     from igraph_ray.sources import structures as sg
 
@@ -696,7 +697,9 @@ def q_gen_structures(sf_dir: str):
     return (_tag(sg.star(501, "out"), "star")
             .union(_tag(sg.ring(500, circular=True), "ring"))
             .union(_tag(sg.tree(500, children=3), "tree"))
-            .union(_tag(sg.full(40, directed=True), "full")))
+            .union(_tag(sg.full(40, directed=True), "full"))
+            .union(_tag(sg.de_bruijn(3, 5), "debruijn"))
+            .union(_tag(sg.lattice2d(20, 25, circular=True), "lattice")))
 
 
 def q_linegraph(sf_dir: str):
@@ -3400,7 +3403,21 @@ SELECT 'tree', CAST((range - 1) // 3 AS BIGINT), CAST(range AS BIGINT)
 FROM range(1, 500)
 UNION ALL
 SELECT 'full', CAST(a.range AS BIGINT), CAST(b.range AS BIGINT)
-FROM range(0, 40) a, range(0, 40) b WHERE a.range != b.range""",
+FROM range(0, 40) a, range(0, 40) b WHERE a.range != b.range
+UNION ALL
+SELECT 'debruijn', CAST(v.range AS BIGINT),
+       CAST((v.range * 3 + j.range) % 243 AS BIGINT)
+FROM range(0, 243) v, range(0, 3) j
+UNION ALL
+SELECT 'lattice', CAST(v.range AS BIGINT),
+       CAST(CASE WHEN v.range % 25 < 24 THEN v.range + 1
+                 ELSE v.range - 24 END AS BIGINT)
+FROM range(0, 500) v
+UNION ALL
+SELECT 'lattice', CAST(v.range AS BIGINT),
+       CAST(CASE WHEN v.range // 25 < 19 THEN v.range + 25
+                 ELSE v.range - 475 END AS BIGINT)
+FROM range(0, 500) v""",
         "linegraph": f"""
 WITH e AS MATERIALIZED (
   SELECT src, dst, ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS eid

@@ -91,3 +91,48 @@ def full(n: int, directed: bool = True, loops: bool = False) -> ray.data.Dataset
 
     return ray.data.range(n).map_batches(_f, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def de_bruijn(m: int, n: int) -> ray.data.Dataset:
+    """De Bruijn graph B(m, n) (igraph_de_bruijn, functions.def:144):
+    m^n vertices, arcs v → (v·m + j) mod m^n for j in 0..m−1 (includes
+    the loops the reference keeps)."""
+    nv = m ** n
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = _ids(b)
+        src = np.repeat(v, m)
+        j = np.tile(np.arange(m, dtype=np.int64), len(v))
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array((src * m + j) % nv)})
+
+    return ray.data.range(nv).map_batches(_f, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def lattice2d(rows: int, cols: int, circular: bool = False) -> ray.data.Dataset:
+    """Undirected 2-D lattice (igraph_lattice restricted to 2 dims):
+    vertex r·cols+c linked right and down; ``circular`` wraps both axes
+    (each wrap edge once, canonical lo<hi ordering not applied — edges
+    are emitted (from, to) in the axis direction like the reference's
+    order)."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = _ids(b)
+        r, c = v // cols, v % cols
+        srcs, dsts = [], []
+        right = c < cols - 1
+        srcs.append(v[right]); dsts.append(v[right] + 1)
+        down = r < rows - 1
+        srcs.append(v[down]); dsts.append(v[down] + cols)
+        if circular and cols > 1:
+            wrap = c == cols - 1
+            srcs.append(v[wrap]); dsts.append(v[wrap] - (cols - 1))
+        if circular and rows > 1:
+            wrap = r == rows - 1
+            srcs.append(v[wrap]); dsts.append(v[wrap] - (rows - 1) * cols)
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    return ray.data.range(rows * cols).map_batches(
+        _f, batch_format="pyarrow", batch_size=None)

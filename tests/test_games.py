@@ -132,3 +132,15 @@ def test_deterministic_structures():
     assert fu == [(a, b) for a in range(4) for b in range(4) if a < b]
     fd = sg.full(4, directed=True).count()
     assert fd == 12
+
+
+def test_de_bruijn_and_lattice():
+    from igraph_ray.sources import structures as sg
+
+    db = sorted((r["src"], r["dst"]) for r in sg.de_bruijn(2, 2).take_all())
+    assert db == sorted((v, (2 * v + j) % 4) for v in range(4) for j in (0, 1))
+
+    lat = sorted((r["src"], r["dst"]) for r in sg.lattice2d(2, 3).take_all())
+    assert lat == sorted([(0, 1), (1, 2), (3, 4), (4, 5), (0, 3), (1, 4), (2, 5)])
+    tor = sg.lattice2d(3, 3, circular=True)
+    assert tor.count() == 18  # 2 edges per vertex on a torus
