@@ -592,6 +592,22 @@ def q_modularity(sf_dir: str):
     return pa.table({"q_e9": pa.array([int(round(q * 1e9))], pa.int64())})
 
 
+def q_modularity_weighted(sf_dir: str):
+    """Weighted modularity (community.c:875-941 weights branch) of the
+    weak-component partition over the weighted edge view."""
+    g = derive.graph_a(sf_dir)
+    st = connected_components(g, num_partitions=8).state
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "community": b["label"]})
+
+    q = modularity(
+        derive.edges_a_weighted(sf_dir),
+        st.map_batches(_rn, batch_format="pyarrow", batch_size=None),
+        weighted=True)
+    return pa.table({"qw_e9": pa.array([int(round(q * 1e9))], pa.int64())})
+
+
 def q_dyad_census(sf_dir: str):
     """(mut, asym, null) dyad counts over edges_a with n = |universe|
     (motifs.c:848)."""
@@ -2599,6 +2615,26 @@ SELECT CAST(ROUND(q*1e9) AS BIGINT) AS q_e9 FROM q"""
     )
 
 
+def _sql_modularity_weighted() -> str:
+    return (
+        _SQL_CC_CORE
+        + f""",
+memb AS (SELECT m.v, r.rank AS c FROM minl m JOIN ranks r USING (ml)),
+we AS MATERIALIZED ({derive.SQL_EDGES_A_W}),
+je AS (SELECT ms.c AS cs, md.c AS cd, CAST(e.weight AS DOUBLE) AS w FROM we e
+       JOIN memb ms ON ms.v = e.src JOIN memb md ON md.v = e.dst),
+m AS (SELECT CAST(SUM(w) AS DOUBLE) AS mm FROM je),
+ec AS (SELECT cs AS c, SUM(CASE WHEN cs = cd THEN 2.0 * w ELSE 0 END) AS e
+       FROM je GROUP BY cs),
+ac AS (SELECT c, SUM(w) AS a FROM
+  (SELECT cs AS c, w FROM je UNION ALL SELECT cd, w FROM je) GROUP BY c),
+q AS (SELECT SUM(COALESCE(ec.e,0)/(2*(SELECT mm FROM m)) -
+              POW(ac.a/(2*(SELECT mm FROM m)), 2)) AS q
+      FROM ac LEFT JOIN ec ON ec.c = ac.c)
+SELECT CAST(ROUND(q*1e9) AS BIGINT) AS qw_e9 FROM q"""
+    )
+
+
 _TOKEN_RE_SQL = r"[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
 
 _LANG_SQL_SCORES = {
@@ -2678,6 +2714,7 @@ def queries() -> Dict[str, Callable]:
         "burt_constraint": q_burt_constraint,
         "maximal_cliques": q_maximal_cliques,
         "modularity": q_modularity,
+        "modularity_weighted": q_modularity_weighted,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
         "motifs3": q_motifs3,
@@ -2985,6 +3022,7 @@ WHERE deg.deg >= 2 ORDER BY vertex""",
             "SELECT len(members) AS size, COUNT(*) AS n_cliques\nFROM maxcl GROUP BY size ORDER BY size",
             "SELECT CAST(MAX(len(members)) AS BIGINT) AS clique_number FROM maxcl"),
         "modularity": _sql_modularity(),
+        "modularity_weighted": _sql_modularity_weighted(),
         "dyad_census": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
 verts AS ({SQL_VERTS_A}),
