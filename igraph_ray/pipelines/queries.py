@@ -592,6 +592,15 @@ def q_modularity(sf_dir: str):
     return pa.table({"q_e9": pa.array([int(round(q * 1e9))], pa.int64())})
 
 
+def q_lpa_weighted(sf_dir: str):
+    """Weighted synchronous LPA (community.c:2257-2278 weight tally) over
+    the weighted edge view — integer weights keep the per-(dst,label)
+    sums exact, so the argmax tie-break is deterministic in SQL too."""
+    g = derive.graph_a_weighted(sf_dir)
+    return label_propagation(g, fixed_iterations=LPA_ITERS,
+                             num_partitions=8).state
+
+
 def q_modularity_weighted(sf_dir: str):
     """Weighted modularity (community.c:875-941 weights branch) of the
     weak-component partition over the weighted edge view."""
@@ -2573,6 +2582,43 @@ def _sql_lpa(iters: int = LPA_ITERS) -> str:
     )
 
 
+def _sql_lpa_weighted(iters: int = LPA_ITERS) -> str:
+    parts = [
+        f"WITH we AS MATERIALIZED ({derive.SQL_EDGES_A_W})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM we UNION SELECT dst FROM we)",
+        "sym AS MATERIALIZED (SELECT src, dst, weight FROM we "
+        "UNION ALL SELECT dst, src, weight FROM we)",
+        "l0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT s.dst AS v, p.lab, "
+            f"CAST(SUM(s.weight) AS BIGINT) AS c FROM sym s "
+            f"JOIN {p} p ON p.v = s.src GROUP BY s.dst, p.lab)"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT v, lab FROM (SELECT v, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY v ORDER BY c DESC, lab ASC) AS rn FROM t{k}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT p.v, COALESCE(w.lab, p.lab) AS lab FROM {p} p "
+            f"LEFT JOIN w{k} w ON w.v = p.v)"
+        )
+    last = f"l{iters}"
+    parts.append(f"minv AS (SELECT lab, MIN(v) AS mv FROM {last} GROUP BY lab)")
+    parts.append(
+        "ranks AS (SELECT mv, CAST(DENSE_RANK() OVER (ORDER BY mv) - 1 AS BIGINT) AS rank "
+        "FROM (SELECT DISTINCT mv FROM minv))"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT l.v AS vertex, r.rank AS community FROM {last} l "
+        f"JOIN minv m ON m.lab = l.lab JOIN ranks r ON r.mv = m.mv ORDER BY vertex"
+    )
+
+
 _SQL_TRIANGLES = f"""
 WITH edges AS ({SQL_EDGES_A}),
 verts AS ({SQL_VERTS_A}),
@@ -2714,6 +2760,7 @@ def queries() -> Dict[str, Callable]:
         "burt_constraint": q_burt_constraint,
         "maximal_cliques": q_maximal_cliques,
         "modularity": q_modularity,
+        "lpa_weighted": q_lpa_weighted,
         "modularity_weighted": q_modularity_weighted,
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
@@ -3022,6 +3069,7 @@ WHERE deg.deg >= 2 ORDER BY vertex""",
             "SELECT len(members) AS size, COUNT(*) AS n_cliques\nFROM maxcl GROUP BY size ORDER BY size",
             "SELECT CAST(MAX(len(members)) AS BIGINT) AS clique_number FROM maxcl"),
         "modularity": _sql_modularity(),
+        "lpa_weighted": _sql_lpa_weighted(),
         "modularity_weighted": _sql_modularity_weighted(),
         "dyad_census": f"""
 WITH edges AS MATERIALIZED ({SQL_EDGES_A}),
