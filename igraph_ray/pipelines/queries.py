@@ -1097,6 +1097,25 @@ def q_rand_pairs(sf_dir: str):
                             num_partitions=8)
 
 
+def q_mis(sf_dir: str):
+    """Canonical maximal independent set (deterministic Luby rounds,
+    md5-prefix priorities) over the sparse undirected view — the
+    distributed counterpart of igraph's independent-set family (see
+    algorithms/mis.py for the documented deviation)."""
+    from igraph_ray.algorithms.mis import maximal_independent_set
+
+    st = maximal_independent_set(derive.graph_sparse(sf_dir),
+                                 num_partitions=8).state
+
+    def _m(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        keep = _pc.equal(b["status"], 1)
+        return pa.table({"vertex": b["vertex"].filter(keep)})
+
+    return st.map_batches(_m, batch_format="pyarrow",
+                          batch_size=None).sort("vertex")
+
+
 def q_is_bipartite(sf_dir: str):
     """igraph_is_bipartite analogue via the bipartite double cover: G is
     bipartite iff its double cover D (u→(2u,2u+1); each undirected edge
@@ -2661,6 +2680,39 @@ SELECT CAST(ROUND(q*1e9) AS BIGINT) AS q_e9 FROM q"""
     )
 
 
+def _sql_mis(rounds: int = 24) -> str:
+    parts = [
+        f"WITH und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS lo, "
+        f"GREATEST(src, dst) AS hi FROM ({derive.SQL_EDGES_SPARSE}))",
+        "sym AS MATERIALIZED (SELECT lo AS u, hi AS w FROM und "
+        "UNION ALL SELECT hi, lo FROM und)",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS v FROM sym)",
+        "prio AS MATERIALIZED (SELECT v, "
+        "substr(md5(CAST(v AS VARCHAR)), 1, 15) AS p FROM verts)",
+        "s0 AS MATERIALIZED (SELECT v, 0 AS st FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        q = f"s{k-1}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT s.w AS v, "
+            f"MIN(CASE WHEN p1.st = 0 THEN pr.p END) AS mp, "
+            f"MAX(CASE WHEN p1.st = 1 THEN 1 ELSE 0 END) AS f "
+            f"FROM sym s JOIN {q} p1 ON p1.v = s.u "
+            f"JOIN prio pr ON pr.v = s.u GROUP BY s.w)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT s.v, CASE WHEN s.st != 0 THEN s.st "
+            f"WHEN COALESCE(m.f, 0) = 1 THEN 2 "
+            f"WHEN m.mp IS NULL OR pr.p < m.mp THEN 1 "
+            f"ELSE 0 END AS st "
+            f"FROM {q} s LEFT JOIN m{k} m ON m.v = s.v "
+            f"JOIN prio pr ON pr.v = s.v)"
+        )
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT v AS vertex FROM s{rounds} WHERE st = 1 ORDER BY vertex")
+
+
 def _sql_modularity_weighted() -> str:
     return (
         _SQL_CC_CORE
@@ -2835,6 +2887,7 @@ def queries() -> Dict[str, Callable]:
         "local_scan2": q_local_scan2,
         "bipartite_projection": q_bipartite_projection,
         "is_bipartite": q_is_bipartite,
+        "mis": q_mis,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
@@ -3404,6 +3457,7 @@ SELECT CAST(nn.n AS BIGINT) AS n,
        CAST(2 * nn.n - m1.s - m2.s AS BIGINT) AS split_join
 FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
+        "mis": _sql_mis(),
         "is_bipartite": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
 und AS MATERIALIZED (

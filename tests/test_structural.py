@@ -483,3 +483,29 @@ def test_is_bipartite_double_cover():
     assert not check([(0, 1), (1, 2), (2, 0)])              # C3 odd
     assert check([(0, 1), (1, 2), (3, 4)])                  # forest
     assert not check([(0, 1), (1, 2), (2, 3), (3, 0), (5, 6), (6, 7), (7, 5)])
+
+
+def test_maximal_independent_set():
+    """Independence + maximality on karate and a random graph; output is
+    a pure function of the input (two runs identical)."""
+    from igraph_ray.algorithms.mis import maximal_independent_set
+
+    for seed, n, m in ((None, None, None), (3, 40, 120)):
+        if seed is None:
+            n, src, dst = fx.karate()
+        else:
+            rng = np.random.default_rng(seed)
+            src = rng.integers(0, n, m).astype(np.int64)
+            dst = rng.integers(0, n, m).astype(np.int64)
+        g = Graph.from_numpy(src, dst, n=n)
+        st = maximal_independent_set(g, num_partitions=4).state
+        mis = {r["vertex"] for r in st.take_all() if r["status"] == 1}
+        nbr = _und_adj(n, src, dst)
+        assert all(not (nbr[v] & mis) for v in mis)
+        covered = mis | {v for v in range(n) if nbr[v] & mis}
+        # every vertex is in the set or adjacent to it (isolated → in set)
+        assert covered | {v for v in range(n) if not nbr[v]} >= set(range(n))
+        st2 = maximal_independent_set(
+            Graph.from_numpy(src, dst, n=n), num_partitions=2).state
+        mis2 = {r["vertex"] for r in st2.take_all() if r["status"] == 1}
+        assert mis == mis2
