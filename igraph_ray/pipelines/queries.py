@@ -1097,6 +1097,16 @@ def q_rand_pairs(sf_dir: str):
                             num_partitions=8)
 
 
+def q_matching(sf_dir: str):
+    """Canonical maximal matching (deterministic parallel greedy rounds,
+    md5 edge priorities) of the sparse undirected view — the scalable
+    counterpart of the matchings family (see algorithms/matching.py)."""
+    from igraph_ray.algorithms.matching import maximal_matching
+
+    und = derive.graph_sparse(sf_dir).canonical_undirected()
+    return maximal_matching(und, num_partitions=8).sort(["lo", "hi"])
+
+
 def q_mis(sf_dir: str):
     """Canonical maximal independent set (deterministic Luby rounds,
     md5-prefix priorities) over the sparse undirected view — the
@@ -2713,6 +2723,40 @@ def _sql_mis(rounds: int = 24) -> str:
             f"SELECT v AS vertex FROM s{rounds} WHERE st = 1 ORDER BY vertex")
 
 
+def _sql_matching(rounds: int = 24) -> str:
+    parts = [
+        f"WITH a0 AS MATERIALIZED (SELECT lo, hi, "
+        f"substr(md5(CAST(lo AS VARCHAR) || ',' || CAST(hi AS VARCHAR)), 1, 15)"
+        f" AS p FROM (SELECT DISTINCT LEAST(src, dst) AS lo, "
+        f"GREATEST(src, dst) AS hi FROM ({derive.SQL_EDGES_SPARSE})))",
+    ]
+    for k in range(1, rounds + 1):
+        q = f"a{k-1}"
+        parts.append(
+            f"mn{k} AS MATERIALIZED (SELECT v, MIN(p) AS mp FROM "
+            f"(SELECT lo AS v, p FROM {q} UNION ALL SELECT hi, p FROM {q}) "
+            f"GROUP BY v)"
+        )
+        parts.append(
+            f"sel{k} AS MATERIALIZED (SELECT e.lo, e.hi FROM {q} e "
+            f"JOIN mn{k} m1 ON m1.v = e.lo AND m1.mp = e.p "
+            f"JOIN mn{k} m2 ON m2.v = e.hi AND m2.mp = e.p)"
+        )
+        parts.append(
+            f"mv{k} AS MATERIALIZED (SELECT lo AS v FROM sel{k} "
+            f"UNION SELECT hi FROM sel{k})"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT e.* FROM {q} e "
+            f"WHERE e.lo NOT IN (SELECT v FROM mv{k}) "
+            f"AND e.hi NOT IN (SELECT v FROM mv{k}))"
+        )
+    body = ",\n".join(parts)
+    sels = " UNION ALL ".join(f"SELECT lo, hi FROM sel{k}"
+                              for k in range(1, rounds + 1))
+    return f"{body}\nSELECT lo, hi FROM ({sels}) ORDER BY lo, hi"
+
+
 def _sql_modularity_weighted() -> str:
     return (
         _SQL_CC_CORE
@@ -2888,6 +2932,7 @@ def queries() -> Dict[str, Callable]:
         "bipartite_projection": q_bipartite_projection,
         "is_bipartite": q_is_bipartite,
         "mis": q_mis,
+        "matching": q_matching,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
@@ -3458,6 +3503,7 @@ SELECT CAST(nn.n AS BIGINT) AS n,
 FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
         "mis": _sql_mis(),
+        "matching": _sql_matching(),
         "is_bipartite": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
 und AS MATERIALIZED (

@@ -120,15 +120,21 @@ def hash_join(
     right_c = drop_empty_blocks(right)
     if right_c.count() <= broadcast_threshold:
         small_ref = _concat_tables.remote(right_c.to_arrow_refs())
-        arrow_type = {"inner": "inner", "left_outer": "left outer"}.get(join_type)
+        arrow_type = {"inner": "inner", "left_outer": "left outer",
+                      "left_anti": "left anti",
+                      "left_semi": "left semi"}.get(join_type)
         if arrow_type is not None:
             def _bj(b: pa.Table) -> pa.Table:
                 small = _fetch_small(small_ref)
                 if small.num_rows == 0:
-                    if arrow_type == "inner":
-                        # empty inner join: empty table with combined schema
+                    if arrow_type in ("inner", "left semi"):
+                        # empty inner/semi join: no rows survive
                         return b.slice(0, 0)
                     return b
+                if arrow_type in ("left anti", "left semi"):
+                    # anti/semi keep only left columns
+                    return b.join(small.select(on).group_by(on).aggregate([]),
+                                  keys=on, join_type=arrow_type)
                 return b.join(small, keys=on, join_type=arrow_type)
 
             return left_c.map_batches(_bj, batch_format="pyarrow", batch_size=None)

@@ -509,3 +509,30 @@ def test_maximal_independent_set():
             Graph.from_numpy(src, dst, n=n), num_partitions=2).state
         mis2 = {r["vertex"] for r in st2.take_all() if r["status"] == 1}
         assert mis == mis2
+
+
+def test_maximal_matching():
+    """Matching (disjoint endpoints) + maximality + parallelism
+    invariance on a random graph."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.matching import maximal_matching
+
+    rng = np.random.default_rng(5)
+    n, m = 30, 70
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b})
+    und = ray.data.from_arrow(pa.table({
+        "lo": pa.array([p[0] for p in pairs], pa.int64()),
+        "hi": pa.array([p[1] for p in pairs], pa.int64())}))
+    got = sorted((r["lo"], r["hi"]) for r in
+                 maximal_matching(und, num_partitions=4).take_all())
+    verts = [v for e in got for v in e]
+    assert len(verts) == len(set(verts))            # disjoint endpoints
+    ms = set(verts)
+    assert all(a in ms or b in ms for a, b in pairs)  # maximal
+    got2 = sorted((r["lo"], r["hi"]) for r in
+                  maximal_matching(und, num_partitions=2).take_all())
+    assert got == got2
