@@ -1307,3 +1307,145 @@ def local_scan2(und: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Data
                          "scan2": pc.cast(b["sum(c)"], pa.int64())})
 
     return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def edge_clustering4(und: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:
+    """(lo, hi, cyc4, denom) per edge: the k=4 edge clustering
+    coefficient components (igraph_ecc k=4, properties/ecc.c semantics)
+    — cyc4 = number of 4-cycles through the edge, denom =
+    (deg_lo−1)·(deg_hi−1) − codeg(lo,hi) = the number of length-3 paths
+    between the endpoints that COULD close a 4-cycle. Exact integers
+    (the float ratio is cyc4/denom), so the driver hash gate applies.
+
+    Plan: cyc4 via the ordered 3-path enumeration sym⋈sym⋈sym grouped
+    per directed edge then matched to the canonical orientation (each
+    4-cycle through an edge is exactly one (x, y) pair in that
+    orientation); cost Σ_{(x,y)∈E} d_x·d_y rows — the thinned-view
+    envelope, same as the wedge join family. codeg and degrees reuse
+    the cocitation machinery. ``und`` columns: lo < hi.
+    """
+    und = und.materialize()
+
+    def _sym(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([lo, hi])),
+                         "dst": pa.array(np.concatenate([hi, lo]))})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    # ordered 3-paths u—x—y—v with y≠u, x≠v, grouped per (u, v)
+    def _ux(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["src"], "x": b["dst"]})
+
+    def _xy(b: pa.Table) -> pa.Table:
+        return pa.table({"x": b["src"], "y": b["dst"]})
+
+    def _yv(b: pa.Table) -> pa.Table:
+        return pa.table({"y": b["src"], "v": b["dst"]})
+
+    w = hash_join(sym.map_batches(_ux, batch_format="pyarrow", batch_size=None),
+                  sym.map_batches(_xy, batch_format="pyarrow", batch_size=None),
+                  on="x", num_partitions=num_partitions)
+
+    def _f1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.column_names:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        u = b["u"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        keep = u != y
+        return pa.table({"u": b["u"].filter(pa.array(keep)),
+                         "x": b["x"].filter(pa.array(keep)),
+                         "y": b["y"].filter(pa.array(keep))})
+
+    p3 = hash_join(
+        w.map_batches(_f1, batch_format="pyarrow", batch_size=None),
+        sym.map_batches(_yv, batch_format="pyarrow", batch_size=None),
+        on="y", num_partitions=num_partitions)
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.column_names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.int64())})
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the canonical edge orientation u < v so each 4-cycle
+        # through {u,v} counts exactly once; drop degenerate x = v
+        keep = (u < v) & (x != v)
+        t = pa.table({"lo": pa.array(u[keep]), "hi": pa.array(v[keep])})
+        return (pa.TableGroupBy(t, ["lo", "hi"]).aggregate([([], "count_all")])
+                .rename_columns(["lo", "hi", "z"]))
+
+    z = (p3.map_batches(_cnt, batch_format="pyarrow", batch_size=None)
+         .groupby(["lo", "hi"]).sum("z"))
+
+    def _rz(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.int64())})
+        return pa.table({"lo": b["lo"], "hi": b["hi"], "z": b["sum(z)"]})
+
+    z = z.map_batches(_rz, batch_format="pyarrow", batch_size=None)
+
+    common = _common_neighbor_pairs(sym, "src", "dst", num_partitions)
+
+    def _deg(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["src"]})
+
+    deg = (sym.map_batches(_deg, batch_format="pyarrow", batch_size=None)
+           .groupby("vertex").count())
+
+    def _ab(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["lo"], "b": b["hi"]})
+
+    e = und.map_batches(_ab, batch_format="pyarrow", batch_size=None)
+
+    def _da(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["vertex"], "deg_a": b["count()"]})
+
+    def _db(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b["vertex"], "deg_b": b["count()"]})
+
+    j = hash_join(e, deg.map_batches(_da, batch_format="pyarrow", batch_size=None),
+                  on="a", num_partitions=num_partitions)
+    j = hash_join(j, deg.map_batches(_db, batch_format="pyarrow", batch_size=None),
+                  on="b", num_partitions=num_partitions)
+    j = hash_join(j, common, on=["a", "b"], num_partitions=num_partitions,
+                  join_type="left_outer")
+
+    def _zr(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.int64())})
+        return pa.table({"a": b["lo"], "b": b["hi"], "z": b["z"]})
+
+    j = hash_join(j, z.map_batches(_zr, batch_format="pyarrow", batch_size=None),
+                  on=["a", "b"], num_partitions=num_partitions,
+                  join_type="left_outer")
+
+    def _out(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "cyc4": pa.array([], pa.int64()),
+                             "denom": pa.array([], pa.int64())})
+        da = b["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b["deg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = pc.fill_null(b["common"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "lo": b["a"], "hi": b["b"],
+            "cyc4": pc.cast(pc.fill_null(b["z"], 0), pa.int64()),
+            "denom": pa.array((da - 1) * (db - 1) - c)})
+
+    return j.map_batches(_out, batch_format="pyarrow",
+                         batch_size=None).sort(["lo", "hi"])

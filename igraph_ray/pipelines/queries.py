@@ -1224,6 +1224,15 @@ def q_scan1_them(sf_dir: str):
                             num_partitions=8)
 
 
+def q_edge_clustering4(sf_dir: str):
+    """k=4 edge clustering components (igraph_ecc k=4): 4-cycles per
+    edge + the could-close-a-cycle denominator, exact integers."""
+    from igraph_ray.ops.structural import edge_clustering4
+
+    return edge_clustering4(derive.graph_sparse(sf_dir).canonical_undirected(),
+                            num_partitions=8)
+
+
 def q_transitivity_barrat(sf_dir: str):
     """Barrat weighted local clustering (igraph_transitivity_barrat,
     triangles.c:713-965) over the weighted undirected sparse view,
@@ -2852,6 +2861,7 @@ def queries() -> Dict[str, Callable]:
         "louvain": q_louvain,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
+        "edge_clustering4": q_edge_clustering4,
         "transitivity_barrat": q_transitivity_barrat,
         "burt_constraint": q_burt_constraint,
         "maximal_cliques": q_maximal_cliques,
@@ -3144,6 +3154,28 @@ terms AS (SELECT p.i, POWER(p.p + COALESCE(two.t, 0), 2) AS term
 SELECT i AS vertex,
        CAST(round_even(SUM(term) * 1e6, 0) AS BIGINT) AS constraint_e6
 FROM terms GROUP BY i ORDER BY vertex""",
+        "edge_clustering4": f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+sym AS MATERIALIZED (SELECT lo AS u, hi AS w FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+deg AS (SELECT u AS v, COUNT(*) AS d FROM sym GROUP BY u),
+codeg AS (SELECT s1.w AS a, s2.w AS b, COUNT(*) AS c
+          FROM sym s1 JOIN sym s2 ON s2.u = s1.u AND s2.w > s1.w
+          GROUP BY 1, 2),
+z AS (SELECT p.u AS lo, s3.w AS hi, COUNT(*) AS z FROM
+      (SELECT s1.u, s1.w AS x, s2.w AS y FROM sym s1
+       JOIN sym s2 ON s2.u = s1.w AND s2.w != s1.u) p
+      JOIN sym s3 ON s3.u = p.y AND s3.w != p.x
+      WHERE p.u < s3.w GROUP BY 1, 2)
+SELECT e.lo, e.hi, CAST(COALESCE(z.z, 0) AS BIGINT) AS cyc4,
+       CAST((dl.d - 1) * (dh.d - 1) - COALESCE(cd.c, 0) AS BIGINT) AS denom
+FROM und e
+JOIN deg dl ON dl.v = e.lo JOIN deg dh ON dh.v = e.hi
+LEFT JOIN codeg cd ON cd.a = e.lo AND cd.b = e.hi
+LEFT JOIN z ON z.lo = e.lo AND z.hi = e.hi
+ORDER BY e.lo, e.hi""",
         "transitivity_barrat": f"""
 WITH und AS MATERIALIZED ({derive.SQL_UND_SPARSE_W}),
 tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c,

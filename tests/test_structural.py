@@ -536,3 +536,25 @@ def test_maximal_matching():
     got2 = sorted((r["lo"], r["hi"]) for r in
                   maximal_matching(und, num_partitions=2).take_all())
     assert got == got2
+
+
+def test_edge_clustering4():
+    """Brute-force k=4 edge clustering components on a small graph."""
+    import pyarrow as pa
+    import ray.data
+    from itertools import product
+
+    und = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2), (3, 4), (4, 5), (0, 5)]
+    ds = ray.data.from_arrow(pa.table({
+        "lo": pa.array([e[0] for e in und], pa.int64()),
+        "hi": pa.array([e[1] for e in und], pa.int64())}))
+    got = {(r["lo"], r["hi"]): (r["cyc4"], r["denom"]) for r in
+           st.edge_clustering4(ds, num_partitions=2).take_all()}
+
+    nbr = _und_adj(6, [e[0] for e in und], [e[1] for e in und])
+    for u, v in und:
+        z = sum(1 for x, y in product(nbr[u] - {v}, nbr[v] - {u})
+                if x != y and y in nbr[x])
+        denom = (len(nbr[u]) - 1) * (len(nbr[v]) - 1) - len(nbr[u] & nbr[v])
+        assert got[(u, v)] == (z, denom), ((u, v), got[(u, v)], (z, denom))
+    assert set(got) == set(und)
