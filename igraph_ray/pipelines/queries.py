@@ -1224,6 +1224,73 @@ def q_scan1_them(sf_dir: str):
                             num_partitions=8)
 
 
+def q_knn_weighted(sf_dir: str):
+    """Weighted average nearest-neighbor degree (Barrat et al.;
+    igraph_avg_nearest_neighbor_degree weights branch) over the weighted
+    undirected sparse view, as the exact integer pair
+    (wnum = Σ w_uv·deg(u), strength): knn_w = wnum / strength."""
+    from igraph_ray.util import hash_join
+
+    und = derive.und_sparse_weighted(sf_dir).materialize()
+
+    def _ends(b: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            b["lo"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        return pa.table({"vertex": pa.array(v)})
+
+    deg = (und.map_batches(_ends, batch_format="pyarrow", batch_size=None)
+           .groupby("vertex").count())
+    deg = deg.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "deg": b["count()"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    def _dl(b: pa.Table) -> pa.Table:
+        return pa.table({"lo": b["vertex"], "deg_lo": b["deg"]})
+
+    def _dh(b: pa.Table) -> pa.Table:
+        return pa.table({"hi": b["vertex"], "deg_hi": b["deg"]})
+
+    j = hash_join(und, deg.map_batches(_dl, batch_format="pyarrow",
+                                       batch_size=None), on="lo",
+                  num_partitions=8)
+    j = hash_join(j, deg.map_batches(_dh, batch_format="pyarrow",
+                                     batch_size=None), on="hi",
+                  num_partitions=8)
+
+    def _c(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "wnum": pa.array([], pa.int64()),
+                             "strength": pa.array([], pa.int64())})
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = b["deg_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = b["deg_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"vertex": pa.array(np.concatenate([lo, hi])),
+                      "wnum": pa.array(np.concatenate([w * dh, w * dl])),
+                      "strength": pa.array(np.concatenate([w, w]))})
+        return (pa.TableGroupBy(t, "vertex")
+                .aggregate([("wnum", "sum"), ("strength", "sum")])
+                .rename_columns(["vertex", "wnum", "strength"]))
+
+    out = (j.map_batches(_c, batch_format="pyarrow", batch_size=None)
+           .groupby("vertex").sum(["wnum", "strength"]))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "wnum": pa.array([], pa.int64()),
+                             "strength": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "wnum": pc.cast(b["sum(wnum)"], pa.int64()),
+                         "strength": pc.cast(b["sum(strength)"], pa.int64())})
+
+    return out.map_batches(_rn, batch_format="pyarrow",
+                           batch_size=None).sort("vertex")
+
+
 def q_edge_clustering4(sf_dir: str):
     """k=4 edge clustering components (igraph_ecc k=4): 4-cycles per
     edge + the could-close-a-cycle denominator, exact integers."""
@@ -2861,6 +2928,7 @@ def queries() -> Dict[str, Callable]:
         "louvain": q_louvain,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
+        "knn_weighted": q_knn_weighted,
         "edge_clustering4": q_edge_clustering4,
         "transitivity_barrat": q_transitivity_barrat,
         "burt_constraint": q_burt_constraint,
@@ -3154,6 +3222,19 @@ terms AS (SELECT p.i, POWER(p.p + COALESCE(two.t, 0), 2) AS term
 SELECT i AS vertex,
        CAST(round_even(SUM(term) * 1e6, 0) AS BIGINT) AS constraint_e6
 FROM terms GROUP BY i ORDER BY vertex""",
+        "knn_weighted": f"""
+WITH und AS MATERIALIZED ({derive.SQL_UND_SPARSE_W}),
+deg AS (SELECT v, COUNT(*) AS d FROM (
+          SELECT lo AS v FROM und UNION ALL SELECT hi FROM und) GROUP BY v),
+c AS (SELECT v, SUM(wn) AS wnum, SUM(w) AS s FROM (
+        SELECT u.lo AS v, u.weight * dh.d AS wn, u.weight AS w
+        FROM und u JOIN deg dh ON dh.v = u.hi
+        UNION ALL
+        SELECT u.hi, u.weight * dl.d, u.weight
+        FROM und u JOIN deg dl ON dl.v = u.lo) GROUP BY v)
+SELECT v AS vertex, CAST(wnum AS BIGINT) AS wnum,
+       CAST(s AS BIGINT) AS strength
+FROM c ORDER BY vertex""",
         "edge_clustering4": f"""
 WITH und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
