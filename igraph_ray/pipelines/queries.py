@@ -1004,6 +1004,44 @@ def _sql_eigenvector(iters: int = EV_ITERS) -> str:
     )
 
 
+def q_eigenvector_weighted(sf_dir: str):
+    """Weighted eigenvector centrality (centrality.c:308-520 weights
+    branch) over the weighted edge view, max-normalized e8 ints."""
+    from igraph_ray.algorithms.centrality import eigenvector_centrality
+
+    g = derive.graph_a_weighted(sf_dir)
+    res = eigenvector_centrality(g, fixed_iterations=EV_ITERS,
+                                 num_partitions=8)
+    return _scale_col(res.state, "ev", "ev_e8", 1e8)
+
+
+def _sql_eigenvector_weighted(iters: int = EV_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_A_W})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "x0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM params) AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"raw{k} AS MATERIALIZED (SELECT vt.v, COALESCE(m.s, 0) AS r "
+            f"FROM verts vt LEFT JOIN ("
+            f"SELECT e.dst AS v, SUM(x.r * e.weight) AS s FROM edges e "
+            f"JOIN x{k-1} x ON x.v = e.src GROUP BY e.dst) m ON m.v = vt.v)"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT v, r/(SELECT SUM(r) FROM raw{k}) AS r FROM raw{k})"
+        )
+    last = f"x{iters}"
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT v AS vertex, CAST(ROUND(r/(SELECT MAX(r) FROM {last})*1e8) AS BIGINT) AS ev_e8 "
+        f"FROM {last} ORDER BY vertex"
+    )
+
+
 def q_hits(sf_dir: str):
     """HITS hub/authority scores (centrality.c:560-720 semantics via
     fixed-count power iteration, both max-normalized)."""
@@ -2901,6 +2939,7 @@ def queries() -> Dict[str, Callable]:
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
         "eigenvector": q_eigenvector,
+        "eigenvector_weighted": q_eigenvector_weighted,
         "hits": q_hits,
         "components": q_components,
         "scc": q_scc,
@@ -3036,6 +3075,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "pagerank_weighted": _sql_pagerank_weighted(),
         "pagerank_personalized": _sql_pagerank_personalized(),
         "eigenvector": _sql_eigenvector(),
+        "eigenvector_weighted": _sql_eigenvector_weighted(),
         "hits": _sql_hits(),
         "triad_census": _sql_triad_census(),
         "motifs3": _sql_motifs3(),
