@@ -323,6 +323,70 @@ def _sql_betweenness(iters: int = _BC_ITERS) -> str:
     )
 
 
+def q_betweenness_sampled(sf_dir: str):
+    """Source-sampled Brandes betweenness — the scale path for
+    centrality at sizes where all-sources is impossible (Brandes–Pich
+    style estimation): sources are the deterministic ~25% md5-prefix
+    sample of the vertex set, partial dependencies reported un-scaled
+    (the estimate is |V|/|S| × bcs). Same per-source chunk machinery as
+    the exact query; the oracle restricts its pair formula to the same
+    sample."""
+    import hashlib as _hl
+
+    from igraph_ray.algorithms.betweenness import betweenness
+
+    g = derive.graph_a(sf_dir)
+
+    def _samp(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        keep = np.array([
+            _hl.md5(str(int(x)).encode()).hexdigest()[0] < "4" for x in v])
+        return pa.table({"vertex": pa.array(v[keep])})
+
+    sources = sorted(int(r["vertex"]) for r in
+                     g.vertices().map_batches(
+                         _samp, batch_format="pyarrow",
+                         batch_size=None).take_all())
+    bc = betweenness(g, sources=sources, num_partitions=8, chunk=64)
+    return _scale_col(bc, "bc", "bcs_e6", 1e6)
+
+
+def _sql_betweenness_sampled(iters: int = _BC_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "sample AS MATERIALIZED (SELECT v FROM verts "
+        "WHERE substr(md5(CAST(v AS VARCHAR)), 1, 1) < '4')",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, 0 AS d, "
+        "CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {p} UNION ALL "
+            f"SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, {k} AS d, SUM(p.sig) AS sig "
+            f"FROM {p} p JOIN edges e ON e.src = p.t WHERE p.d = {k-1} "
+            f"GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} o WHERE o.s = n.s AND o.t = n.t))"
+        )
+    q = f"q{iters}"
+    parts.append(
+        f"bc AS (SELECT p1.t AS v, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM {q} p1 JOIN {q} p2 ON p2.s = p1.t "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t AND p3.d = p1.d + p2.d "
+        f"WHERE p1.s != p1.t AND p2.s != p2.t AND p1.s != p2.t "
+        f"AND p1.s IN (SELECT v FROM sample) GROUP BY p1.t)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT verts.v AS vertex, "
+        f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) AS bcs_e6 "
+        f"FROM verts LEFT JOIN bc b ON b.v = verts.v ORDER BY vertex"
+    )
+
+
 _EBC_ITERS = 12
 
 
@@ -2951,6 +3015,7 @@ def queries() -> Dict[str, Callable]:
         "avg_path_length": q_avg_path_length,
         "transitivity_avglocal": q_transitivity_avglocal,
         "betweenness": q_betweenness,
+        "betweenness_sampled": q_betweenness_sampled,
         "edge_betweenness": q_edge_betweenness,
         "closeness": q_closeness,
         "harmonic": q_harmonic,
@@ -3179,6 +3244,7 @@ cc AS (SELECT deg.v,
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
        CAST(SUM(e9) AS BIGINT) AS cc_sum_e9 FROM cc""",
         "betweenness": _sql_betweenness(),
+        "betweenness_sampled": _sql_betweenness_sampled(),
         "edge_betweenness": _sql_edge_betweenness(),
         "closeness": _sql_closeness(),
         "harmonic": _sql_harmonic(),
