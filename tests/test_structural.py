@@ -558,3 +558,23 @@ def test_edge_clustering4():
         denom = (len(nbr[u]) - 1) * (len(nbr[v]) - 1) - len(nbr[u] & nbr[v])
         assert got[(u, v)] == (z, denom), ((u, v), got[(u, v)], (z, denom))
     assert set(got) == set(und)
+
+
+def test_betweenness_source_additivity():
+    """Per-source dependency sums are additive over a source partition:
+    bc(all) = bc(sources=A) + bc(sources=B) — the property the sampled
+    estimation variant relies on."""
+    from igraph_ray.algorithms.betweenness import betweenness
+
+    n, src, dst = fx.karate()
+    g = Graph.from_numpy(src, dst, n=n)
+    full = {r["vertex"]: r["bc"] for r in
+            betweenness(g, num_partitions=2, chunk=16).take_all()}
+    a = [v for v in range(n) if v % 2 == 0]
+    b = [v for v in range(n) if v % 2 == 1]
+    pa_ = {r["vertex"]: r["bc"] for r in
+           betweenness(g, sources=a, num_partitions=2, chunk=16).take_all()}
+    pb = {r["vertex"]: r["bc"] for r in
+          betweenness(g, sources=b, num_partitions=2, chunk=16).take_all()}
+    for v in range(n):
+        assert abs(full[v] - (pa_.get(v, 0.0) + pb.get(v, 0.0))) < 1e-9, v
