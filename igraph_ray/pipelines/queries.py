@@ -2504,6 +2504,70 @@ def _sql_harmonic(iters: int = _SSSP_ITERS) -> str:
     )
 
 
+def q_harmonic_sampled(sf_dir: str):
+    """Target-sampled harmonic centrality — the estimation path when
+    all-pairs distances are impossible (Eppstein–Wang style): targets
+    are the deterministic ~25% md5-prefix sample, the partial sum
+    Σ_{t∈S} 1/d(v,t) reported as the exact lcm(1..20) integer numerator
+    (un-scaled; the estimate is |V|/|S| × hnum_s/lcm)."""
+    import hashlib as _hl
+
+    from igraph_ray.algorithms.paths import _HARMONIC_LCM, multi_source_hops
+    from igraph_ray.util import universe_zeros
+
+    g = derive.graph_a(sf_dir)
+
+    def _samp(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        keep = np.array([
+            _hl.md5(str(int(x)).encode()).hexdigest()[0] < "4" for x in v])
+        return pa.table({"vertex": pa.array(v[keep])})
+
+    targets = sorted(int(r["vertex"]) for r in
+                     g.vertices().map_batches(
+                         _samp, batch_format="pyarrow",
+                         batch_size=None).take_all())
+    d = multi_source_hops(g, targets, variant="rev", num_partitions=8)
+
+    def _num(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dist" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        dd = b["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = dd > 0
+        t = pa.table({"vertex": pa.array(v[keep]),
+                      "h": pa.array(_HARMONIC_LCM // dd[keep])})
+        return (pa.TableGroupBy(t, "vertex").aggregate([("h", "sum")])
+                .rename_columns(["vertex", "h"]))
+
+    out = (d.map_batches(_num, batch_format="pyarrow", batch_size=None)
+           .union(universe_zeros(g.vertices(), "h"))
+           .groupby("vertex").sum("h"))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "hnum_s": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "hnum_s": pc.cast(b["sum(h)"], pa.int64())})
+
+    return out.map_batches(_rn, batch_format="pyarrow",
+                           batch_size=None).sort("vertex")
+
+
+def _sql_harmonic_sampled(iters: int = _SSSP_ITERS) -> str:
+    L = 232792560
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT verts.v AS vertex, CAST(COALESCE(q.n, 0) AS BIGINT) AS hnum_s "
+        f"FROM verts LEFT JOIN ("
+        f"SELECT s, SUM(CAST({L} AS BIGINT) // d) AS n FROM p{iters} "
+        f"WHERE s != t AND substr(md5(CAST(t AS VARCHAR)), 1, 1) < '4' "
+        f"GROUP BY s) q ON q.s = verts.v ORDER BY vertex"
+    )
+
+
 def _sql_eccentricity(iters: int = _SSSP_ITERS) -> str:
     return (
         f"{_sql_allpairs_body(iters)}\n"
@@ -3019,6 +3083,7 @@ def queries() -> Dict[str, Callable]:
         "edge_betweenness": q_edge_betweenness,
         "closeness": q_closeness,
         "harmonic": q_harmonic,
+        "harmonic_sampled": q_harmonic_sampled,
         "eccentricity": q_eccentricity,
         "diameter": q_diameter,
         "graph_center": q_graph_center,
@@ -3248,6 +3313,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
         "edge_betweenness": _sql_edge_betweenness(),
         "closeness": _sql_closeness(),
         "harmonic": _sql_harmonic(),
+        "harmonic_sampled": _sql_harmonic_sampled(),
         "eccentricity": _sql_eccentricity(),
         "diameter": _sql_diameter(),
         "graph_center": _sql_graph_center(),
