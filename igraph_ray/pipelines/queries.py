@@ -2504,6 +2504,47 @@ def _sql_harmonic(iters: int = _SSSP_ITERS) -> str:
     )
 
 
+def q_neighborhood_sketches(sf_dir: str):
+    """HyperANF-style HLL registers of every vertex's out-reachability
+    ball (algorithms/hll.py) over the very-sparse view — the estimator a
+    100-TB engine runs instead of exact all-pairs; converged registers
+    are exact integers, hash-compared against a reach-CTE oracle."""
+    from igraph_ray.algorithms.hll import M, neighborhood_sketches
+
+    st = neighborhood_sketches(derive.graph_vsparse(sf_dir),
+                               num_partitions=8).state
+    cols = ["vertex"] + [f"r{b}" for b in range(M)]
+    return st.select_columns(cols).sort("vertex")
+
+
+def _sql_neighborhood_sketches() -> str:
+    hexd = "0123456789abcdef"
+    # x = 16-bit int of md5 hex chars 2..5; rho = 17 - bit_length(x)
+    xs = " + ".join(
+        f"(strpos('{hexd}', substr(h, {i + 2}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    ladder = " ".join(
+        f"WHEN x >= {1 << (k - 1)} THEN {17 - k}" for k in range(16, 0, -1)
+    )
+    regs = ", ".join(
+        f"CAST(MAX(CASE WHEN ru.b = {b} THEN ru.rho ELSE 0 END) AS BIGINT) AS r{b}"
+        for b in range(8)
+    )
+    return f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+reach(v, u) AS (SELECT v, v FROM verts
+                UNION SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
+hh AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM verts),
+ru AS (SELECT v AS u,
+              (strpos('{hexd}', substr(h, 1, 1)) - 1) % 8 AS b,
+              CASE WHEN x = 0 THEN 17 {ladder} END AS rho
+       FROM (SELECT v, h, {xs} AS x FROM hh))
+SELECT r.v AS vertex, {regs}
+FROM reach r JOIN ru ON ru.u = r.u GROUP BY r.v ORDER BY vertex"""
+
+
 def q_harmonic_sampled(sf_dir: str):
     """Target-sampled harmonic centrality — the estimation path when
     all-pairs distances are impossible (Eppstein–Wang style): targets
@@ -3084,6 +3125,7 @@ def queries() -> Dict[str, Callable]:
         "closeness": q_closeness,
         "harmonic": q_harmonic,
         "harmonic_sampled": q_harmonic_sampled,
+        "neighborhood_sketches": q_neighborhood_sketches,
         "eccentricity": q_eccentricity,
         "diameter": q_diameter,
         "graph_center": q_graph_center,
@@ -3314,6 +3356,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
         "closeness": _sql_closeness(),
         "harmonic": _sql_harmonic(),
         "harmonic_sampled": _sql_harmonic_sampled(),
+        "neighborhood_sketches": _sql_neighborhood_sketches(),
         "eccentricity": _sql_eccentricity(),
         "diameter": _sql_diameter(),
         "graph_center": _sql_graph_center(),

@@ -152,3 +152,56 @@ def test_longest_path_layers():
 
     with pytest.raises(ValueError):
         longest_path_layers(Graph(e3, n=3), num_partitions=2)
+
+
+def test_neighborhood_sketches_exact_registers():
+    """Converged HLL registers equal the brute-force max over each
+    out-reachability ball, and the HLL estimate tracks the true ball
+    size within the usual tolerance on a larger graph."""
+    import hashlib
+
+    import numpy as np
+
+    from igraph_ray.algorithms.hll import M, neighborhood_sketches
+    from igraph_ray.graph import Graph
+
+    rng = np.random.default_rng(11)
+    n, m = 60, 140
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    g = Graph.from_numpy(src, dst, n=n)
+    st = neighborhood_sketches(g, num_partitions=4).state
+    rows = {r["vertex"]: [r[f"r{b}"] for b in range(M)] for r in st.take_all()}
+
+    adj = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+
+    def ball(v):
+        seen, fr = {v}, [v]
+        while fr:
+            nxt = [w for u in fr for w in adj[u] if w not in seen]
+            seen.update(nxt)
+            fr = nxt
+        return seen
+
+    def reg(u):
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        x = int(h[1:5], 16)
+        return int(h[0], 16) % M, (17 if x == 0 else 16 - x.bit_length() + 1)
+
+    rel_errs = []
+    for v in range(n):
+        want = [0] * M
+        bl = ball(v)
+        for u in bl:
+            b, rho = reg(u)
+            want[b] = max(want[b], rho)
+        assert rows[v] == want, (v, rows[v], want)
+        # Flajolet HLL estimate sanity (m=8 → ~37% std error)
+        z = sum(2.0 ** -r for r in want)
+        est = 0.6516 * M * M / z
+        if len(bl) >= 8:
+            rel_errs.append(abs(est - len(bl)) / len(bl))
+    assert np.mean(rel_errs) < 0.6
