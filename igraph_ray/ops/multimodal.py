@@ -129,3 +129,65 @@ def decode_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImage:
+    """Actor-pool stage: resize an image binary column to (width, height).
+
+    The real kernel needs PIL/cv2 (absent in this build) — with
+    ``fake=True`` the stage emits a deterministic stand-in payload
+    (sha256 keystream of the source payload, one byte per target pixel)
+    so the Ray-side plumbing is fully real: actor construction cost paid
+    once, small batches for large binaries, metadata columns updated for
+    real, output schema identical to the real resizer's.
+    """
+
+    def __init__(self, width: int = 32, height: int = 32,
+                 fake: bool = False) -> None:
+        self.width = width
+        self.height = height
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires PIL/cv2, not available in this "
+                "build; construct with fake=True for the deterministic "
+                "stand-in kernel"
+            )
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        n = self.width * self.height
+        out = bytearray()
+        seed = hashlib.sha256(payload).digest()
+        block = seed
+        while len(out) < n:
+            out.extend(block)
+            block = hashlib.sha256(block).digest()
+        return bytes(out[:n])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [self._fake_resize(p) for p in batch["payload"].to_pylist()]
+        k = batch.num_rows
+        return pa.table(
+            {"media_id": batch["media_id"],
+             "payload": pa.array(payloads, pa.binary()),
+             "width": pa.array([self.width] * k, pa.int64()),
+             "height": pa.array([self.height] * k, pa.int64())}
+        )
+
+
+def resize_images(
+    media: ray.data.Dataset,
+    width: int = 32,
+    height: int = 32,
+    fake: bool = True,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Actor-pool resize over the image rows (binary in → binary out,
+    metadata updated; kernel stubbed per the build's no-PIL mandate)."""
+    return media.filter(expr="kind == 'image'").map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -397,3 +397,20 @@ def test_curate_pipeline_bits():
     assert got[2]["reasons"] == 0 and got[2]["kept"] == 1
     assert got[3]["reasons"] & 1                   # too few words
     assert got[3]["kept"] == 0
+
+
+def test_multimodal_resize_plumbing():
+    from igraph_ray.ops.multimodal import ResizeImage, make_fake_media, resize_images
+
+    media = ray.data.from_arrow(make_fake_media(30))
+    out = resize_images(media, width=16, height=8, fake=True).take_all()
+    assert len(out) == 10
+    assert all(len(r["payload"]) == 16 * 8 for r in out)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in out)
+    # deterministic: same input payload -> same resized bytes
+    again = resize_images(ray.data.from_arrow(make_fake_media(30)),
+                          width=16, height=8, fake=True).take_all()
+    assert [r["payload"] for r in out] == [r["payload"] for r in again]
+    import pytest
+    with pytest.raises(NotImplementedError):
+        ResizeImage(fake=False)
