@@ -548,3 +548,67 @@ def curate(
                          "kept": pa.array((r == 0).astype(np.int64))})
 
     return j.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# approximate distinct-token count (HyperLogLog vocabulary sketch)
+# --------------------------------------------------------------------------
+
+_HLL_M = 8
+
+
+def _hll_parts(tokens) -> tuple:
+    """(bucket, rho) per token string — md5-derived, identical to the
+    SQL ladder (bucket = first hex nibble % 8; rho = 1 + leading zero
+    bits of the 16-bit int from hex chars 2..5)."""
+    b = np.empty(len(tokens), np.int64)
+    r = np.empty(len(tokens), np.int64)
+    for i, t in enumerate(tokens):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b[i] = int(h[0], 16) % _HLL_M
+        x = int(h[1:5], 16)
+        r[i] = 17 if x == 0 else 16 - x.bit_length() + 1
+    return b, r
+
+
+def token_hll(docs: ray.data.Dataset, text_col: str = "text",
+              by: str = "lang") -> ray.data.Dataset:
+    """(group, r0..r7): HyperLogLog registers of the DISTINCT word-token
+    set per group — the approximate-vocabulary-size sketch a 100-TB
+    curation run uses instead of an exact distinct count (which is an
+    all-to-all shuffle of every token). Registers are max-merges, so
+    per-batch pre-combines collapse the token stream to ≤ groups×8 rows
+    before the one tiny groupby; the registers are exact integers
+    (functions of the distinct-token set only) and hash-match the SQL
+    oracle. Estimate: alpha_8·64/Σ 2^{-r_b}.
+    """
+
+    def _f(b: pa.Table) -> pa.Table:
+        cols = {"g": pa.array([], pa.string()),
+                "b": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64())}
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table(cols)
+        row_idx, toks = _token_table(b, text_col)
+        if len(row_idx) == 0:
+            return pa.table(cols)
+        grp = b[by].to_numpy(zero_copy_only=False)[row_idx]
+        t = pa.table({"g": pa.array(grp),
+                      "t": toks})
+        t = t.group_by(["g", "t"]).aggregate([])  # local distinct
+        buckets, rhos = _hll_parts(t["t"].to_pylist())
+        tt = pa.table({"g": t["g"], "b": pa.array(buckets),
+                       "rho": pa.array(rhos)})
+        return (pa.TableGroupBy(tt, ["g", "b"]).aggregate([("rho", "max")])
+                .rename_columns(["g", "b", "rho"]))
+
+    regs = (docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+            .groupby(["g", "b"]).max("rho")).take_all()
+    agg: Dict[str, list] = {}
+    for r in regs:
+        agg.setdefault(r["g"], [0] * _HLL_M)[int(r["b"])] = int(r["max(rho)"])
+    groups = sorted(agg)
+    out = {"group": pa.array(groups, pa.string())}
+    for b in range(_HLL_M):
+        out[f"r{b}"] = pa.array([agg[g][b] for g in groups], pa.int64())
+    return pa.table(out)

@@ -2141,6 +2141,17 @@ def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
 
+def q_vocab_sketch(sf_dir: str):
+    """HyperLogLog vocabulary-size sketch per language (exact registers
+    of the distinct-token set; see ops.curation.token_hll)."""
+    return cu.token_hll(_docs_lang(sf_dir))
+
+
+def _docs_lang(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+
 def q_curate(sf_dir: str):
     """End-to-end curation decision per document: quality rules ∪
     exact-dup non-keeper ∪ benchmark contamination, as one reason
@@ -3211,6 +3222,7 @@ def queries() -> Dict[str, Callable]:
         "ngram_contamination": q_ngram_contamination,
         "quality_filter": q_quality_filter,
         "curate": q_curate,
+        "vocab_sketch": q_vocab_sketch,
         "stochastic_edges": q_stochastic_edges,
         "linegraph": q_linegraph,
         "gen_structures": q_gen_structures,
@@ -3942,6 +3954,17 @@ WITH e AS MATERIALIZED ({derive.SQL_EDGES_A_W}),
 s AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS s_out FROM e GROUP BY src)
 SELECT e.src, e.dst, CAST(e.weight AS BIGINT) AS w, s.s_out
 FROM e JOIN s USING (src)""",
+        "vocab_sketch": """
+WITH t AS (SELECT DISTINCT lang AS g,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+hh AS (SELECT g, tok, md5(tok) AS h FROM t),
+ru AS (SELECT g,
+              (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS b,
+              CASE WHEN x = 0 THEN 17 WHEN x >= 32768 THEN 1 WHEN x >= 16384 THEN 2 WHEN x >= 8192 THEN 3 WHEN x >= 4096 THEN 4 WHEN x >= 2048 THEN 5 WHEN x >= 1024 THEN 6 WHEN x >= 512 THEN 7 WHEN x >= 256 THEN 8 WHEN x >= 128 THEN 9 WHEN x >= 64 THEN 10 WHEN x >= 32 THEN 11 WHEN x >= 16 THEN 12 WHEN x >= 8 THEN 13 WHEN x >= 4 THEN 14 WHEN x >= 2 THEN 15 WHEN x >= 1 THEN 16 END AS rho
+       FROM (SELECT g, h, (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 1 AS x FROM hh))
+SELECT g AS "group", CAST(MAX(CASE WHEN b = 0 THEN rho ELSE 0 END) AS BIGINT) AS r0, CAST(MAX(CASE WHEN b = 1 THEN rho ELSE 0 END) AS BIGINT) AS r1, CAST(MAX(CASE WHEN b = 2 THEN rho ELSE 0 END) AS BIGINT) AS r2, CAST(MAX(CASE WHEN b = 3 THEN rho ELSE 0 END) AS BIGINT) AS r3, CAST(MAX(CASE WHEN b = 4 THEN rho ELSE 0 END) AS BIGINT) AS r4, CAST(MAX(CASE WHEN b = 5 THEN rho ELSE 0 END) AS BIGINT) AS r5, CAST(MAX(CASE WHEN b = 6 THEN rho ELSE 0 END) AS BIGINT) AS r6, CAST(MAX(CASE WHEN b = 7 THEN rho ELSE 0 END) AS BIGINT) AS r7
+FROM ru GROUP BY g ORDER BY g""",
         "curate": r"""
 WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
                   generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos

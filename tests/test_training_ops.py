@@ -414,3 +414,41 @@ def test_multimodal_resize_plumbing():
     import pytest
     with pytest.raises(NotImplementedError):
         ResizeImage(fake=False)
+
+
+def test_token_hll_vocab_sketch():
+    """Registers equal brute-force maxima over the distinct token set,
+    and the HLL estimate lands near the true vocabulary size."""
+    from igraph_ray.ops.curation import _HLL_M, token_hll
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, langs = [], []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        words = rng.choice(vocab[:200] if lang == "en" else vocab[100:], 50)
+        texts.append(" ".join(words))
+        langs.append(lang)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())}))
+    t = token_hll(ds)
+    rows = {t["group"][i].as_py(): [t[f"r{b}"][i].as_py() for b in range(_HLL_M)]
+            for i in range(t.num_rows)}
+
+    import re
+
+    for lang in ("en", "de"):
+        toks = {w for txt, lg in zip(texts, langs) if lg == lang
+                for w in re.findall(r"[a-z0-9]+", txt.lower())}
+        want = [0] * _HLL_M
+        for w in toks:
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[0], 16) % _HLL_M
+            x = int(h[1:5], 16)
+            want[b] = max(want[b], 17 if x == 0 else 16 - x.bit_length() + 1)
+        assert rows[lang] == want, (lang, rows[lang], want)
+        z = sum(2.0 ** -r for r in want)
+        est = 0.6516 * _HLL_M * _HLL_M / z
+        assert abs(est - len(toks)) / len(toks) < 0.8
