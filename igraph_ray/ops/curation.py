@@ -612,3 +612,73 @@ def token_hll(docs: ray.data.Dataset, text_col: str = "text",
     for b in range(_HLL_M):
         out[f"r{b}"] = pa.array([agg[g][b] for g in groups], pa.int64())
     return pa.table(out)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch of token frequencies (heavy-hitter estimation)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 64
+
+
+def token_cms(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(d, slot, cnt): a depth-4 × width-64 Count-Min sketch of the
+    corpus token-frequency vector — the heavy-hitter estimator a 100-TB
+    run uses instead of a full token groupby (est(count(t)) =
+    min_d cms[d][h_d(t)], an overestimate with the usual CM guarantee).
+
+    Counters are plain sums, so per-batch partial sketches collapse the
+    token stream to ≤ 256 rows before one tiny groupby, and the final
+    counters are exact integers the SQL oracle reproduces
+    (h_d(token) = int(md5('d:token')[:8], 16) % 64).
+    """
+
+    def _f(b: pa.Table) -> pa.Table:
+        cols = {"d": pa.array([], pa.int64()),
+                "slot": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64())}
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table(cols)
+        row_idx, toks = _token_table(b, text_col)
+        if len(row_idx) == 0:
+            return pa.table(cols)
+        # local tf first: hash each DISTINCT token once, weight by count
+        tf = (pa.table({"t": toks})
+              .group_by("t").aggregate([([], "count_all")]))
+        words = tf["t"].to_pylist()
+        cnts = tf["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sketch = np.zeros((_CMS_D, _CMS_W), np.int64)
+        for w, c in zip(words, cnts):
+            for d in range(_CMS_D):
+                h = hashlib.md5(f"{d}:{w}".encode()).hexdigest()
+                sketch[d, int(h[:8], 16) % _CMS_W] += c
+        dd, ss = np.nonzero(sketch)
+        return pa.table({"d": pa.array(dd.astype(np.int64)),
+                         "slot": pa.array(ss.astype(np.int64)),
+                         "cnt": pa.array(sketch[dd, ss])})
+
+    out = (docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+           .groupby(["d", "slot"]).sum("cnt"))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "d" not in b.column_names:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"d": b["d"], "slot": b["slot"],
+                         "cnt": pc.cast(b["sum(cnt)"], pa.int64())})
+
+    return out.map_batches(_rn, batch_format="pyarrow",
+                           batch_size=None).sort(["d", "slot"])
+
+
+def cms_estimate(cms_rows, token: str) -> int:
+    """Point estimate from a collected sketch: min over depths."""
+    table = {(int(r["d"]), int(r["slot"])): int(r["cnt"]) for r in cms_rows}
+    est = None
+    for d in range(_CMS_D):
+        h = hashlib.md5(f"{d}:{token}".encode()).hexdigest()
+        v = table.get((d, int(h[:8], 16) % _CMS_W), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

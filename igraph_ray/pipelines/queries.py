@@ -2141,6 +2141,12 @@ def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
 
+def q_token_cms(sf_dir: str):
+    """Count-Min sketch (4×64) of the corpus token frequencies — exact
+    integer counters (see ops.curation.token_cms)."""
+    return cu.token_cms(_docs(sf_dir))
+
+
 def q_vocab_sketch(sf_dir: str):
     """HyperLogLog vocabulary-size sketch per language (exact registers
     of the distinct-token set; see ops.curation.token_hll)."""
@@ -3222,6 +3228,7 @@ def queries() -> Dict[str, Callable]:
         "ngram_contamination": q_ngram_contamination,
         "quality_filter": q_quality_filter,
         "curate": q_curate,
+        "token_cms": q_token_cms,
         "vocab_sketch": q_vocab_sketch,
         "stochastic_edges": q_stochastic_edges,
         "linegraph": q_linegraph,
@@ -3954,6 +3961,16 @@ WITH e AS MATERIALIZED ({derive.SQL_EDGES_A_W}),
 s AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS s_out FROM e GROUP BY src)
 SELECT e.src, e.dst, CAST(e.weight AS BIGINT) AS w, s.s_out
 FROM e JOIN s USING (src)""",
+        "token_cms": """
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+dd AS (SELECT range AS d FROM range(0, 4)),
+s AS (SELECT dd.d,
+             ((strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.tok), 7, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || ':' || t.tok), 8, 1)) - 1) % 64 AS slot
+      FROM t CROSS JOIN dd)
+SELECT d, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM s GROUP BY d, slot ORDER BY d, slot""",
         "vocab_sketch": """
 WITH t AS (SELECT DISTINCT lang AS g,
                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -452,3 +452,31 @@ def test_token_hll_vocab_sketch():
         z = sum(2.0 ** -r for r in want)
         est = 0.6516 * _HLL_M * _HLL_M / z
         assert abs(est - len(toks)) / len(toks) < 0.8
+
+
+def test_token_cms_sketch():
+    """Counters equal the brute-force sketch; the point estimate is an
+    overestimate that is exact for the dominant token."""
+    import re
+
+    from igraph_ray.ops.curation import _CMS_D, _CMS_W, cms_estimate, token_cms
+
+    texts = ["spam spam spam eggs ham", "spam eggs toast", "ham ham spam"]
+    ds = _docs(texts)
+    rows = token_cms(ds).take_all()
+
+    counts = {}
+    for txt in texts:
+        for w in re.findall(r"[a-z0-9]+", txt.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    want = {}
+    for w, c in counts.items():
+        for d in range(_CMS_D):
+            h = hashlib.md5(f"{d}:{w}".encode()).hexdigest()
+            key = (d, int(h[:8], 16) % _CMS_W)
+            want[key] = want.get(key, 0) + c
+    got = {(r["d"], r["slot"]): r["cnt"] for r in rows}
+    assert got == want
+    for w, c in counts.items():
+        assert cms_estimate(rows, w) >= c
+    assert cms_estimate(rows, "spam") == counts["spam"]  # no collision here
