@@ -102,3 +102,66 @@ def sessionize(
         )
 
     return s.map_batches(_sessions, batch_format="pyarrow", batch_size=None)
+
+
+def hopping_window(
+    events: ray.data.Dataset,
+    size_minutes: int = 60,
+    hop_minutes: int = 15,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Per (window_start, event_type): count + value sum for OVERLAPPING
+    (hopping/sliding) windows — each event belongs to size/hop windows,
+    expanded task-side (k copies per row, k = size//hop) then
+    pre-aggregated per batch before the one groupby shuffle. value sums
+    are integer-quantized e6 so the distributed reduce is
+    associative-exact (the engine's float-reporting rule)."""
+    size_us = size_minutes * 60 * 1_000_000
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = size_us // hop_us
+
+    def _expand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"window_us": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "value_e6": pa.array([], pa.int64())})
+        t = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.round(pc.cast(b[value_col], pa.float64())
+                     .to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        # window starts containing t: the k hops ending at or before t
+        last = t // hop_us * hop_us
+        starts = last[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_us
+        inside = (starts >= 0) & (t[:, None] < starts + size_us)
+        rows = np.repeat(np.arange(b.num_rows), k)[inside.ravel()]
+        g = pa.table({
+            "window_us": pa.array(starts.ravel()[inside.ravel()]),
+            "event_type": pa.array(et[rows]),
+            "n": pa.array(np.ones(len(rows), np.int64)),
+            "value_e6": pa.array(v[rows]),
+        }).group_by(["window_us", "event_type"]).aggregate(
+            [("n", "sum"), ("value_e6", "sum")])
+        return pa.table({"window_us": g["window_us"],
+                         "event_type": g["event_type"],
+                         "n": g["n_sum"], "value_e6": g["value_e6_sum"]})
+
+    from ray.data.aggregate import Sum
+
+    g = (events.map_batches(_expand, batch_format="pyarrow", batch_size=None)
+         .groupby(["window_us", "event_type"])
+         .aggregate(Sum("n"), Sum("value_e6")))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "window_us" not in b.column_names:
+            return pa.table({"window_us": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "value_e6": pa.array([], pa.int64())})
+        return pa.table({"window_us": b["window_us"],
+                         "event_type": b["event_type"],
+                         "n": pc.cast(b["sum(n)"], pa.int64()),
+                         "value_e6": pc.cast(b["sum(value_e6)"], pa.int64())})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)

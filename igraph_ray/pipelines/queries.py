@@ -1982,6 +1982,16 @@ def q_event_type_count(sf_dir: str):
     return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
+def q_hopping(sf_dir: str):
+    """Overlapping (hopping) 60-minute windows on a 15-minute hop: each
+    event expands into its 4 containing windows task-side, value sums
+    integer-quantized e6 (ops.window.hopping_window)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return win.hopping_window(ev, size_minutes=60, hop_minutes=15)
+
+
 def q_tumbling(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
@@ -3212,6 +3222,7 @@ def queries() -> Dict[str, Callable]:
         "ngram_dups": q_ngram_dups,
         "event_type_count": q_event_type_count,
         "tumbling_window": q_tumbling,
+        "hopping_window": q_hopping,
         "sessionize": q_sessions,
         "knn": q_knn,
         "lsh_knn": q_lsh_knn,
@@ -3728,6 +3739,16 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
         "event_type_count": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        "hopping_window": """
+WITH e AS (SELECT epoch_us(ts) AS t, event_type,
+                  CAST(ROUND(value * 1e6) AS BIGINT) AS v6 FROM events),
+w AS (SELECT (e.t // 900000000) * 900000000 - k.range * 900000000 AS window_us,
+             e.event_type, e.v6, e.t
+      FROM e CROSS JOIN range(0, 4) k)
+SELECT window_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v6) AS BIGINT) AS value_e6
+FROM w WHERE window_us >= 0 AND t < window_us + 3600000000
+GROUP BY window_us, event_type""",
         "tumbling_window": """
 WITH b AS (SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_us,
                   event_type, value FROM events)

@@ -480,3 +480,30 @@ def test_token_cms_sketch():
     for w, c in counts.items():
         assert cms_estimate(rows, w) >= c
     assert cms_estimate(rows, "spam") == counts["spam"]  # no collision here
+
+
+def test_hopping_window():
+    """Each event lands in exactly size/hop windows (boundary-clipped);
+    counts and e6 sums match brute force."""
+    from igraph_ray.ops import window as win
+
+    secs = np.array([0, 900, 1800, 5400], dtype=np.int64)
+    ev = ray.data.from_arrow(pa.table({
+        "ts": pa.Array.from_pandas((secs * 1_000_000).astype("datetime64[us]")),
+        "event_type": pa.array(["a", "a", "b", "a"], pa.string()),
+        "value": pa.array([1.5, 2.0, 3.0, 4.0], pa.float64()),
+    }))
+    got = {(r["window_us"], r["event_type"]): (r["n"], r["value_e6"])
+           for r in win.hopping_window(ev, size_minutes=30,
+                                       hop_minutes=15).take_all()}
+    size, hop = 1800 * 1_000_000, 900 * 1_000_000
+    want = {}
+    for t, et, v in zip(secs * 1_000_000, ["a", "a", "b", "a"],
+                        [1.5, 2.0, 3.0, 4.0]):
+        last = t // hop * hop
+        for kk in range(size // hop):
+            w = last - kk * hop
+            if w >= 0 and t < w + size:
+                n, s = want.get((w, et), (0, 0))
+                want[(w, et)] = (n + 1, s + round(v * 1e6))
+    assert got == want
