@@ -44,7 +44,8 @@ _C = np.int64(104729)
 
 
 @ray.remote
-def _step_block(blk: dict, walks: np.ndarray, verts: np.ndarray, step: int):
+def _step_block(blk: dict, walks: np.ndarray, verts: np.ndarray, step: int,
+                weighted: bool = False):
     """Advance the walks currently inside this CSR block one step;
     returns (walk_ids, next_vertices) for walks that found a neighbor.
     ``blk`` arrives as the plasma-resolved CSR block (zero-copy numpy
@@ -62,6 +63,27 @@ def _step_block(blk: dict, walks: np.ndarray, verts: np.ndarray, step: int):
     offs = np.zeros(len(lens), np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
     w, v, deg = walks[alive], verts[alive], lens[alive]
+    if weighted:
+        # weight-proportional deterministic draw: the mixed index runs
+        # over the integer total strength; the chosen neighbor is the
+        # first (dst-ascending) whose cumulative weight exceeds it —
+        # identical to the SQL oracle's windowed cumulative-sum rule.
+        wts = blk["weight"][idx_arr][order]
+        wts = np.round(wts).astype(np.int64)
+        cum = np.cumsum(wts)
+        alive_idx = np.flatnonzero(alive)
+        nxt = np.empty(len(w), np.int64)
+        for i, ai in enumerate(alive_idx):
+            lo = int(offs[ai])
+            ln = int(lens[ai])
+            base = cum[lo - 1] if lo > 0 else 0
+            seg = cum[lo : lo + ln] - base
+            total = int(seg[-1])
+            choice = int(((w[i] % _M) * _A + np.int64(step) * _B
+                          + (v[i] % _M) * _C) % total)
+            nxt[i] = d_sorted[lo + int(np.searchsorted(seg, choice,
+                                                       side="right"))]
+        return w, nxt
     choice = ((w % _M) * _A + np.int64(step) * _B + (v % _M) * _C) % deg
     nxt = d_sorted[offs[alive] + choice]
     return w, nxt
@@ -72,6 +94,7 @@ def random_walks(
     starts: Sequence[int],
     length: int,
     num_partitions: Optional[int] = None,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
     """(walk, step, vertex): the deterministic walk from each start
     (walk id = start vertex, step 0 = the start itself), truncated at
@@ -84,7 +107,7 @@ def random_walks(
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
 
-    csr = graph.csr_index("out", num_partitions, weighted=False)
+    csr = graph.csr_index("out", num_partitions, weighted=weighted)
     blocks = csr.block_descriptors()
 
     walks = np.asarray(sorted(set(int(s) for s in starts)), dtype=np.int64)
@@ -101,7 +124,7 @@ def random_walks(
             sel = (verts >= vlo) & (verts <= vhi)
             if sel.any():
                 futs.append(_step_block.remote(ref, walks[sel], verts[sel],
-                                               step))
+                                               step, weighted))
         parts = ray.get(futs)
         if not parts:
             break

@@ -246,3 +246,47 @@ def und_sparse_weighted(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"lo": b["lo"], "hi": b["hi"], "weight": b["min(weight)"]})
 
     return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+# weighted variant of the VSPARSE rule (same MIN-weight collapse as
+# SQL_EDGES_A_W) — input of the weighted random-walk query
+SQL_EDGES_VSPARSE_W = (
+    f"SELECT src, dst, MIN(w) AS weight FROM ("
+    f"SELECT (o_orderkey % {V}) AS src, ((o_custkey * 7) % {V}) AS dst, "
+    f"(o_orderkey % 10) + 1 AS w FROM orders "
+    f"WHERE (o_orderkey * 13 + o_custkey) % 50 = 0) "
+    f"WHERE src != dst GROUP BY src, dst"
+)
+
+
+def edges_vsparse_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Very-sparse weighted digraph, lockstep with SQL_EDGES_VSPARSE_W."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _derive(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        src = (ok % V).astype(np.int64)
+        dst = (ck * 7 % V).astype(np.int64)
+        w = (ok % 10 + 1).astype(np.int64)
+        keep = (src != dst) & ((ok * 13 + ck) % 50 == 0)
+        t = pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep]),
+                      "weight": pa.array(w[keep])})
+        return pa.TableGroupBy(t, ["src", "dst"]).aggregate([("weight", "min")]) \
+            .rename_columns(["src", "dst", "weight"])
+
+    g = orders.map_batches(_derive, batch_format="pyarrow", batch_size=None) \
+        .groupby(["src", "dst"]).min("weight")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "weight": b["min(weight)"]})
+
+    return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def graph_vsparse_weighted(sf_dir: str) -> Graph:
+    return Graph(edges_vsparse_weighted(sf_dir).materialize(), n=None,
+                 weighted=True)

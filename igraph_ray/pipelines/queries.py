@@ -1882,6 +1882,43 @@ def q_random_walks(sf_dir: str):
                         num_partitions=8)
 
 
+def q_random_walks_weighted(sf_dir: str):
+    """Weight-proportional deterministic walks (igraph_random_walk's
+    weighted analogue): the mixed draw runs mod the integer total
+    strength and picks by cumulative weight in dst order."""
+    from igraph_ray.algorithms.walks import random_walks
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    starts = sorted(int(r["vertex"]) for r in g.vertices().take_all())
+    return random_walks(g, starts[:_WALK_STARTS], _WALK_LEN,
+                        num_partitions=8, weighted=True)
+
+
+def _sql_random_walks_weighted(nstarts: int = _WALK_STARTS,
+                               length: int = _WALK_LEN) -> str:
+    return f"""
+WITH RECURSIVE we AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W}),
+verts AS (SELECT src AS v FROM we UNION SELECT dst FROM we),
+ranked AS MATERIALIZED (
+  SELECT src, dst, weight,
+         SUM(weight) OVER (PARTITION BY src ORDER BY dst) AS cw,
+         SUM(weight) OVER (PARTITION BY src) AS s
+  FROM we),
+starts AS MATERIALIZED (SELECT DISTINCT v FROM verts ORDER BY v LIMIT {nstarts}),
+walk(w, step, v) AS (
+  SELECT v, 0, v FROM starts
+  UNION ALL
+  SELECT wk.w, wk.step + 1, rk.dst
+  FROM walk wk JOIN ranked rk ON rk.src = wk.v
+  AND ((wk.w % 1048576) * 9973 + wk.step * 7919
+       + (wk.v % 1048576) * 104729) % rk.s >= rk.cw - rk.weight
+  AND ((wk.w % 1048576) * 9973 + wk.step * 7919
+       + (wk.v % 1048576) * 104729) % rk.s < rk.cw
+  WHERE wk.step < {length}
+)
+SELECT w AS walk, step, v AS vertex FROM walk ORDER BY walk, step"""
+
+
 def _sql_random_walks(nstarts: int = _WALK_STARTS,
                       length: int = _WALK_LEN) -> str:
     return f"""
@@ -3210,6 +3247,7 @@ def queries() -> Dict[str, Callable]:
         "articulation_points": q_articulation,
         "biconnected_components": q_biconn,
         "random_walks": q_random_walks,
+        "random_walks_weighted": q_random_walks_weighted,
         "girth": q_girth,
         "mst": q_mst,
         "exact_dedup": q_exact_dedup,
@@ -3361,6 +3399,7 @@ FROM walk GROUP BY v ORDER BY vertex""",
         "articulation_points": _SQL_ARTICULATION,
         "biconnected_components": _sql_biconn(),
         "random_walks": _sql_random_walks(),
+        "random_walks_weighted": _sql_random_walks_weighted(),
         "path_length_hist": _sql_path_length_hist(),
         "avg_path_length": _sql_avg_path_length(),
         "transitivity_avglocal": f"""

@@ -68,3 +68,48 @@ def test_walks_multigraph_multiplicity():
     got = _engine(src, dst, [0], 4, n=3)
     want = _brute(src, dst, [0], 4)
     assert got == want
+
+
+def test_weighted_walks_draw_rule():
+    """The weighted draw picks by cumulative weight in dst order and is
+    parallelism-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.walks import random_walks
+    from igraph_ray.graph import Graph
+
+    # 0 -> {1 (w=3), 2 (w=1)}; 1 -> {3 (w=2)}; 2 -> {3 (w=5)}
+    edges = pa.table({
+        "src": pa.array([0, 0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3, 3], pa.int64()),
+        "weight": pa.array([3, 1, 2, 5], pa.int64())})
+    g = Graph(ray.data.from_arrow(edges).materialize(), n=None, weighted=True)
+    out = {(r["walk"], r["step"]): r["vertex"] for r in
+           random_walks(g, [0], 3, num_partitions=2, weighted=True).take_all()}
+    # replicate the rule by hand
+    M, A, B, C = 1 << 20, 9973, 7919, 104729
+    adj = {0: [(1, 3), (2, 1)], 1: [(3, 2)], 2: [(3, 5)]}
+    v, w = 0, 0
+    assert out[(0, 0)] == 0
+    for step in range(3):
+        if v not in adj:
+            assert (w, step + 1) not in out
+            break
+        nbrs = adj[v]
+        total = sum(x[1] for x in nbrs)
+        choice = ((w % M) * A + step * B + (v % M) * C) % total
+        cum = 0
+        for d, wt in nbrs:
+            cum += wt
+            if choice < cum:
+                v = d
+                break
+        assert out[(0, step + 1)] == v, step
+
+    g2 = Graph(ray.data.from_arrow(edges).materialize(), n=None, weighted=True)
+    out2 = {(r["walk"], r["step"]): r["vertex"] for r in
+            random_walks(g2, [0], 3, num_partitions=4,
+                         weighted=True).take_all()}
+    assert out == out2
