@@ -2661,6 +2661,80 @@ def q_harmonic_sampled(sf_dir: str):
                            batch_size=None).sort("vertex")
 
 
+def q_closeness_sampled(sf_dir: str):
+    """Target-sampled closeness components: per vertex the exact integer
+    pair (reached_s, dist_sum_s) over the md5 ~25% target sample — the
+    Eppstein–Wang estimation inputs (closeness_est = reached_s² scaled
+    by sample fraction / dist_sum_s)."""
+    import hashlib as _hl
+
+    from igraph_ray.algorithms.paths import multi_source_hops
+    from igraph_ray.util import universe_zeros
+
+    g = derive.graph_a(sf_dir)
+
+    def _samp(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        keep = np.array([
+            _hl.md5(str(int(x)).encode()).hexdigest()[0] < "4" for x in v])
+        return pa.table({"vertex": pa.array(v[keep])})
+
+    targets = sorted(int(r["vertex"]) for r in
+                     g.vertices().map_batches(
+                         _samp, batch_format="pyarrow",
+                         batch_size=None).take_all())
+    d = multi_source_hops(g, targets, variant="rev", num_partitions=8)
+
+    def _agg(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dist" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "reached_s": pa.array([], pa.int64()),
+                             "dist_sum_s": pa.array([], pa.int64())})
+        dd = b["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = dd > 0
+        t = pa.table({"vertex": pa.array(v[keep]),
+                      "reached_s": pa.array(np.ones(int(keep.sum()), np.int64)),
+                      "dist_sum_s": pa.array(dd[keep])})
+        return (pa.TableGroupBy(t, "vertex")
+                .aggregate([("reached_s", "sum"), ("dist_sum_s", "sum")])
+                .rename_columns(["vertex", "reached_s", "dist_sum_s"]))
+
+    z = universe_zeros(g.vertices(), "reached_s").map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "reached_s": b["reached_s"],
+                            "dist_sum_s": pa.array(
+                                np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None)
+    out = (d.map_batches(_agg, batch_format="pyarrow", batch_size=None)
+           .union(z).groupby("vertex").sum(["reached_s", "dist_sum_s"]))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "reached_s": pa.array([], pa.int64()),
+                             "dist_sum_s": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "reached_s": pc.cast(b["sum(reached_s)"], pa.int64()),
+                         "dist_sum_s": pc.cast(b["sum(dist_sum_s)"], pa.int64())})
+
+    return out.map_batches(_rn, batch_format="pyarrow",
+                           batch_size=None).sort("vertex")
+
+
+def _sql_closeness_sampled(iters: int = _SSSP_ITERS) -> str:
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT verts.v AS vertex, "
+        f"CAST(COALESCE(q.r, 0) AS BIGINT) AS reached_s, "
+        f"CAST(COALESCE(q.ds, 0) AS BIGINT) AS dist_sum_s "
+        f"FROM verts LEFT JOIN ("
+        f"SELECT s, COUNT(*) AS r, SUM(d) AS ds FROM p{iters} "
+        f"WHERE s != t AND substr(md5(CAST(t AS VARCHAR)), 1, 1) < '4' "
+        f"GROUP BY s) q ON q.s = verts.v ORDER BY vertex"
+    )
+
+
 def _sql_harmonic_sampled(iters: int = _SSSP_ITERS) -> str:
     L = 232792560
     return (
@@ -3189,6 +3263,7 @@ def queries() -> Dict[str, Callable]:
         "closeness": q_closeness,
         "harmonic": q_harmonic,
         "harmonic_sampled": q_harmonic_sampled,
+        "closeness_sampled": q_closeness_sampled,
         "neighborhood_sketches": q_neighborhood_sketches,
         "eccentricity": q_eccentricity,
         "diameter": q_diameter,
@@ -3425,6 +3500,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
         "closeness": _sql_closeness(),
         "harmonic": _sql_harmonic(),
         "harmonic_sampled": _sql_harmonic_sampled(),
+        "closeness_sampled": _sql_closeness_sampled(),
         "neighborhood_sketches": _sql_neighborhood_sketches(),
         "eccentricity": _sql_eccentricity(),
         "diameter": _sql_diameter(),
