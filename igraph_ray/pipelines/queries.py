@@ -1259,6 +1259,90 @@ def q_is_bipartite(sf_dir: str):
         "bipartite": pa.array([int(nd == 2 * nc)], pa.int64())})
 
 
+def q_bipartite_components(sf_dir: str):
+    """(component, csize, bipartite) per weak component of the
+    very-sparse view: component label = min vertex id (the engine's
+    label contract), bipartite from the double cover — component
+    bipartite iff no vertex's two cover copies share a cover label."""
+    from igraph_ray.util import hash_join
+
+    g = derive.graph_vsparse(sf_dir)
+    base = connected_components(g, num_partitions=8, densify=False).state
+
+    und = g.canonical_undirected()
+
+    def _dc(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([2 * lo, 2 * lo + 1])),
+            "dst": pa.array(np.concatenate([2 * hi + 1, 2 * hi]))})
+
+    g2 = Graph(und.map_batches(_dc, batch_format="pyarrow",
+                               batch_size=None).materialize())
+    cover = connected_components(g2, num_partitions=8, densify=False).state
+
+    def _half(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vertex": pa.array(v // 2),
+                         "parity": pa.array(v % 2),
+                         "clab": pa.array(lab)})
+
+    halves = cover.map_batches(_half, batch_format="pyarrow", batch_size=None)
+
+    def _l0(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        keep = _pc.equal(b["parity"], 0)
+        return pa.table({"vertex": b["vertex"].filter(keep),
+                         "l0": b["clab"].filter(keep)})
+
+    def _l1(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        keep = _pc.equal(b["parity"], 1)
+        return pa.table({"vertex": b["vertex"].filter(keep),
+                         "l1": b["clab"].filter(keep)})
+
+    j = hash_join(halves.map_batches(_l0, batch_format="pyarrow",
+                                     batch_size=None),
+                  halves.map_batches(_l1, batch_format="pyarrow",
+                                     batch_size=None),
+                  on="vertex", num_partitions=8)
+    j = hash_join(j, base, on="vertex", num_partitions=8)
+
+    def _same(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "odd": pa.array([], pa.int64())})
+        same = (b["l0"].to_numpy(zero_copy_only=False)
+                == b["l1"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"component": b["label"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "odd": pa.array(same)})
+        return (pa.TableGroupBy(t, "component")
+                .aggregate([("n", "sum"), ("odd", "max")])
+                .rename_columns(["component", "n", "odd"]))
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (j.map_batches(_same, batch_format="pyarrow", batch_size=None)
+           .groupby("component").aggregate(Sum("n"), Max("odd")))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "component" not in b.column_names:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "csize": pa.array([], pa.int64()),
+                             "bipartite": pa.array([], pa.int64())})
+        odd = b["max(odd)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"component": b["component"],
+                         "csize": pc.cast(b["sum(n)"], pa.int64()),
+                         "bipartite": pa.array((1 - odd).astype(np.int64))})
+
+    return out.map_batches(_rn, batch_format="pyarrow",
+                           batch_size=None).sort("component")
+
+
 def q_bipartite_projection(sf_dir: str):
     """Bipartite projection (igraph_bipartite_projection, bipartite.c:265):
     project the thinned order↔part incidence of lineitem onto parts —
@@ -3361,6 +3445,7 @@ def queries() -> Dict[str, Callable]:
         "scan1_them": q_scan1_them,
         "scan0_them": q_scan0_them,
         "local_scan2": q_local_scan2,
+        "bipartite_components": q_bipartite_components,
         "bipartite_projection": q_bipartite_projection,
         "is_bipartite": q_is_bipartite,
         "mis": q_mis,
@@ -4009,6 +4094,29 @@ SELECT CAST(nc.c AS BIGINT) AS nc, CAST(nd.c AS BIGINT) AS nc_double,
        CAST(CASE WHEN nd.c = 2 * nc.c THEN 1 ELSE 0 END AS BIGINT)
        AS bipartite
 FROM nc, nd""",
+        "bipartite_components": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM edges),
+sym AS (SELECT lo AS u, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+verts AS (SELECT DISTINCT u AS v FROM sym),
+reach(v, w) AS (SELECT v, v FROM verts
+                UNION SELECT r.v, s.w FROM reach r JOIN sym s ON s.u = r.w),
+lab AS (SELECT v, MIN(w) AS l FROM reach GROUP BY v),
+dce AS (SELECT 2 * lo AS a, 2 * hi + 1 AS b FROM und
+        UNION ALL SELECT 2 * lo + 1, 2 * hi FROM und),
+sym2 AS (SELECT a AS u, b AS w FROM dce UNION ALL SELECT b, a FROM dce),
+verts2 AS (SELECT DISTINCT u AS v FROM sym2),
+reach2(v, w) AS (SELECT v, v FROM verts2
+                 UNION SELECT r.v, s.w FROM reach2 r JOIN sym2 s ON s.u = r.w),
+lab2 AS (SELECT v, MIN(w) AS l FROM reach2 GROUP BY v),
+per_v AS (SELECT lab.v, lab.l AS component,
+                 CASE WHEN l0.l = l1.l THEN 1 ELSE 0 END AS odd
+          FROM lab JOIN lab2 l0 ON l0.v = 2 * lab.v
+          JOIN lab2 l1 ON l1.v = 2 * lab.v + 1)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS csize,
+       CAST(1 - MAX(odd) AS BIGINT) AS bipartite
+FROM per_v GROUP BY component ORDER BY component""",
         "bipartite_projection": """
 WITH inc AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
