@@ -6,24 +6,29 @@ Reference semantics: ``igraph_minimum_spanning_tree`` /
 component, a spanning tree of minimum total weight; on a disconnected
 graph the result is a spanning forest. The reference runs sequential
 Prim with a d-heap; a Ray-native engine uses **Borůvka** instead (public
-textbook algorithm), whose rounds are embarrassingly parallel:
+textbook algorithm), whose rounds are embarrassingly parallel and —
+unlike Prim — never pull per-vertex state through the driver:
 
 each round
   1. join edges to the current component label of both endpoints
-     (broadcast hash joins — the label table is one row per vertex but
-     shrinks as only *labels* matter; edges drop out once intra-component),
-  2. per component pick the minimum cross-component edge
-     (groupby(comp).min over a packed (weight, tiebreak) key — one small
-     shuffle whose output is ≤ #components rows),
-  3. contract: union the chosen edges (driver-side union-find over the
-     chosen set — proportionate, because the chosen edges across ALL
-     rounds total |V|-1, the size of the result itself) and remap labels
-     with a broadcast join.
+     (hash joins; edges drop out once intra-component),
+  2. per component pick the minimum cross-component edge under the total
+     order (weight, lo, hi): candidates are pre-combined per batch, then
+     one ``groupby(comp).min`` over a 32-byte order-preserving packed key
+     (monotone IEEE-754 weight bits ‖ lo ‖ hi ‖ other-component) — the
+     shuffle output is ≤ #components rows and stays in the object store,
+  3. contract distributively: hook every component onto its best
+     neighbor (``ptr[c] = other``), break the mutual 2-cycles that a
+     total edge order guarantees are the only cycles (keep the smaller
+     id as root), then pointer-jump ``ptr ← ptr∘ptr`` to convergence —
+     O(log depth) self-joins on the component table — and remap vertex
+     labels through the root table with one more join.
 
-O(log V) rounds; edges already inside one component are filtered out and
-never rejoin the working set, so the working edge set shrinks
-monotonically. Ties are broken by (weight, src, dst) so the forest is
-deterministic even with duplicate weights.
+Because ties are broken by the total order (weight, lo, hi), the per-
+component minimum edges can never close a cycle (the classic distinct-
+weights Borůvka argument), so each round's distinct chosen edges are
+forest edges verbatim — no union-find needed anywhere. O(log V) rounds;
+intra-component edges are filtered out and never rejoin the working set.
 """
 
 from __future__ import annotations
@@ -32,19 +37,58 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from igraph_ray.util import hash_join
 
+_SIGN = np.uint64(0x8000000000000000)
+_ALL1 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-def _find(parent: dict, x: int) -> int:
-    root = x
-    while parent[root] != root:
-        root = parent[root]
-    while parent[x] != root:
-        parent[x], x = root, parent[x]
-    return root
+
+def _monotone_u64(w: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 → uint64 (flip sign bit for positives,
+    all bits for negatives) — the standard IEEE-754 radix-sort key."""
+    b = np.ascontiguousarray(w, np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    return b ^ np.where(neg, _ALL1, _SIGN)
+
+
+def _monotone_inv(u: np.ndarray) -> np.ndarray:
+    was_pos = (u >> np.uint64(63)).astype(bool)
+    b = u ^ np.where(was_pos, _SIGN, _ALL1)
+    return b.view(np.float64)
+
+
+def _pack32(wkey: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+            other: np.ndarray) -> pa.Array:
+    """Big-endian (wkey‖lo‖hi‖other) hex-encoded (64 ascii chars) so the
+    lexicographic min IS the tuple min — hex digits ascend in ascii order
+    and contain no NUL bytes (pyarrow truncates numpy S values at the
+    first NUL, so a raw-byte pack is unsafe)."""
+    import binascii
+
+    rows = np.stack([wkey,
+                     lo.astype(np.uint64),
+                     hi.astype(np.uint64),
+                     other.astype(np.uint64)], axis=1)
+    be = rows.byteswap().view(np.uint8).reshape(len(wkey), 32)
+    hx = binascii.hexlify(be.tobytes())
+    return pa.array(np.frombuffer(hx, dtype="S64"))
+
+
+def _unpack32(col: pa.ChunkedArray):
+    import binascii
+
+    obj = col.to_numpy(zero_copy_only=False)
+    raw = binascii.unhexlify(b"".join(obj))
+    flat = np.frombuffer(raw, dtype=np.uint64).reshape(len(obj), 4)
+    flat = flat.byteswap()
+    return (_monotone_inv(flat[:, 0].copy()),
+            flat[:, 1].astype(np.int64),
+            flat[:, 2].astype(np.int64),
+            flat[:, 3].astype(np.int64))
 
 
 def minimum_spanning_forest(
@@ -68,18 +112,16 @@ def minimum_spanning_forest(
         src, dst, w = src[keep], dst[keep], w[keep]
         lo = np.minimum(src, dst)
         hi = np.maximum(src, dst)
-        # collapse parallel edges to their lightest representative later
         return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
                          "weight": pa.array(w)})
 
     work = edges.map_batches(_prep, batch_format="pyarrow",
                              batch_size=None).materialize()
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "weight": pa.array([], pa.float64())})
     if work.count() == 0:
-        return ray.data.from_arrow(pa.table({
-            "src": pa.array([], pa.int64()),
-            "dst": pa.array([], pa.int64()),
-            "weight": pa.array([], pa.float64()),
-        }))
+        return ray.data.from_arrow(empty)
 
     # labels start as identity over the vertices present in edges
     def _verts(b: pa.Table) -> pa.Table:
@@ -94,8 +136,7 @@ def minimum_spanning_forest(
         lambda b: pa.table({"v": b["v"], "comp": b["min(comp)"]}),
         batch_format="pyarrow", batch_size=None).materialize()
 
-    chosen: list[pa.Table] = []
-    parent: dict = {}
+    chosen: list[ray.data.Dataset] = []
 
     for _ in range(max_rounds):
         lab_lo = labels.map_batches(
@@ -114,8 +155,7 @@ def minimum_spanning_forest(
                                  "weight": pa.array([], pa.float64()),
                                  "clo": pa.array([], pa.int64()),
                                  "chi": pa.array([], pa.int64())})
-            keep = pa.compute.not_equal(b["clo"], b["chi"])
-            return b.filter(keep)
+            return b.filter(pc.not_equal(b["clo"], b["chi"]))
 
         cross = j.map_batches(_cross, batch_format="pyarrow",
                               batch_size=None).materialize()
@@ -123,81 +163,132 @@ def minimum_spanning_forest(
             break
         work = cross.select_columns(["lo", "hi", "weight"]).materialize()
 
-        # candidate per component from both sides; pre-combine per batch
+        # candidates per component from both sides, pre-combined per
+        # batch: one packed-key row per comp per batch leaves the task
         def _cands(b: pa.Table) -> pa.Table:
-            lo = b["lo"].to_numpy(zero_copy_only=False)
-            hi = b["hi"].to_numpy(zero_copy_only=False)
+            lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
             w = b["weight"].to_numpy(zero_copy_only=False)
-            clo = b["clo"].to_numpy(zero_copy_only=False)
-            chi = b["chi"].to_numpy(zero_copy_only=False)
+            clo = b["clo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            chi = b["chi"].to_numpy(zero_copy_only=False).astype(np.int64)
             comp = np.concatenate([clo, chi])
+            other = np.concatenate([chi, clo])
             ww = np.concatenate([w, w])
             ll = np.concatenate([lo, lo])
             hh = np.concatenate([hi, hi])
-            # per-batch pre-combine: keep the min (w, lo, hi) per comp
             order = np.lexsort((hh, ll, ww, comp))
-            comp, ww, ll, hh = comp[order], ww[order], ll[order], hh[order]
+            comp, ww, ll, hh, other = (comp[order], ww[order], ll[order],
+                                       hh[order], other[order])
             first = np.r_[True, comp[1:] != comp[:-1]]
-            return pa.table({"comp": pa.array(comp[first]),
-                             "w": pa.array(ww[first]),
-                             "lo": pa.array(ll[first]),
-                             "hi": pa.array(hh[first])})
+            return pa.table({
+                "comp": pa.array(comp[first]),
+                "p": _pack32(_monotone_u64(ww[first]), ll[first],
+                             hh[first], other[first]),
+            })
 
-        cands = cross.map_batches(_cands, batch_format="pyarrow",
+        best = (cross.map_batches(_cands, batch_format="pyarrow",
                                   batch_size=None)
-        best = cands.groupby("comp").map_groups(
-            lambda df: df.sort_values(["w", "lo", "hi"]).head(1),
-            batch_format="pandas")
-        best_t = pa.Table.from_pandas(best.to_pandas(), preserve_index=False)
-        # driver-side union-find over the (small) chosen set
-        new_edges = []
-        lo_a = best_t["lo"].to_numpy()
-        hi_a = best_t["hi"].to_numpy()
-        w_a = best_t["w"].to_numpy()
-        order = np.lexsort((hi_a, lo_a, w_a))
-        for i in order:
-            a, b_, w = int(lo_a[i]), int(hi_a[i]), float(w_a[i])
-            parent.setdefault(a, a)
-            parent.setdefault(b_, b_)
-            ra, rb = _find(parent, a), _find(parent, b_)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-                new_edges.append((a, b_, w))
-        if new_edges:
-            arr = np.array([(a, b_, w) for a, b_, w in new_edges])
-            chosen.append(pa.table({
-                "src": pa.array(arr[:, 0].astype(np.int64)),
-                "dst": pa.array(arr[:, 1].astype(np.int64)),
-                "weight": pa.array(arr[:, 2]),
-            }))
+                .groupby("comp").min("p"))
 
-        # remap: comp -> root(comp); broadcast-join the remap table
-        # (one row per component ever touched by a chosen edge)
-        comps = np.array(sorted(parent), np.int64)
-        remap_ds = ray.data.from_arrow(pa.table({
-            "comp": pa.array(comps),
-            "newc": pa.array(np.array([_find(parent, int(c)) for c in comps],
-                                      np.int64)),
-        }))
-        merged = hash_join(labels, remap_ds, on="comp",
-                           num_partitions=num_partitions, join_type="left_outer")
+        def _unbest(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"comp": pa.array([], pa.int64()),
+                                 "other": pa.array([], pa.int64()),
+                                 "lo": pa.array([], pa.int64()),
+                                 "hi": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.float64())})
+            w, lo, hi, other = _unpack32(b["min(p)"])
+            return pa.table({"comp": b["comp"].cast(pa.int64()),
+                             "other": pa.array(other),
+                             "lo": pa.array(lo), "hi": pa.array(hi),
+                             "w": pa.array(w)})
+
+        best = best.map_batches(_unbest, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+        # chosen edges this round: distinct over the per-comp minima —
+        # under the total order (w, lo, hi) they can never close a cycle
+        picked = (best.groupby(["lo", "hi"]).min("w")
+                  .map_batches(
+                      lambda b: pa.table({"src": b["lo"], "dst": b["hi"],
+                                          "weight": b["min(w)"]}),
+                      batch_format="pyarrow", batch_size=None)
+                  .materialize())
+        chosen.append(picked)
+
+        # hook: ptr[comp] = other; the only cycles are mutual pairs —
+        # keep the smaller id as root (ptr = self)
+        ptr = best.select_columns(["comp", "other"])
+        back = best.map_batches(
+            lambda b: pa.table({"other": b["comp"], "oo": b["other"]}),
+            batch_format="pyarrow", batch_size=None)
+        hooked = hash_join(ptr, back, on="other",
+                           num_partitions=num_partitions)
+
+        def _break_cycles(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "comp" not in b.column_names:
+                return pa.table({"c": pa.array([], pa.int64()),
+                                 "p": pa.array([], pa.int64())})
+            c = b["comp"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = b["other"].to_numpy(zero_copy_only=False).astype(np.int64)
+            oo = b["oo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            root = (oo == c) & (c < o)
+            return pa.table({"c": pa.array(c),
+                             "p": pa.array(np.where(root, c, o))})
+
+        ptr = hooked.map_batches(_break_cycles, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+        # pointer jumping: p ← p[p] until fixpoint (O(log depth) joins,
+        # all on the ≤#components-row pointer table)
+        for _jump in range(max_rounds):
+            hop = ptr.map_batches(
+                lambda b: pa.table({"p": b["c"], "pp": b["p"]}),
+                batch_format="pyarrow", batch_size=None)
+            jj = hash_join(ptr, hop, on="p",
+                           num_partitions=num_partitions)
+
+            def _jumped(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0 or "c" not in b.column_names:
+                    return pa.table({"c": pa.array([], pa.int64()),
+                                     "p": pa.array([], pa.int64()),
+                                     "moved": pa.array([], pa.int64())})
+                p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+                pp = b["pp"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table({"c": b["c"].cast(pa.int64()),
+                                 "p": pa.array(pp),
+                                 "moved": pa.array((p != pp).astype(np.int64))})
+
+            nxt = jj.map_batches(_jumped, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+            moved = nxt.sum("moved")
+            ptr = nxt.select_columns(["c", "p"]).materialize()
+            if not moved:
+                break
+
+        # remap: comp -> root(comp); components without a best edge
+        # (already maximal) keep their label via the left-outer coalesce
+        remap = ptr.map_batches(
+            lambda b: pa.table({"comp": b["c"], "newc": b["p"]}),
+            batch_format="pyarrow", batch_size=None)
+        merged = hash_join(labels, remap, on="comp",
+                           num_partitions=num_partitions,
+                           join_type="left_outer")
 
         def _apply(b: pa.Table) -> pa.Table:
             if b.num_rows == 0 or "v" not in b.column_names:
                 return pa.table({"v": pa.array([], pa.int64()),
                                  "comp": pa.array([], pa.int64())})
-            comp = (pa.compute.coalesce(b["newc"], b["comp"])
+            comp = (pc.coalesce(b["newc"], b["comp"])
                     if "newc" in b.column_names else b["comp"])
-            return pa.table({"v": b["v"],
-                             "comp": comp.cast(pa.int64())})
+            return pa.table({"v": b["v"], "comp": comp.cast(pa.int64())})
 
         labels = merged.map_batches(_apply, batch_format="pyarrow",
                                     batch_size=None).materialize()
 
     if not chosen:
-        return ray.data.from_arrow(pa.table({
-            "src": pa.array([], pa.int64()),
-            "dst": pa.array([], pa.int64()),
-            "weight": pa.array([], pa.float64()),
-        }))
-    return ray.data.from_arrow(pa.concat_tables(chosen))
+        return ray.data.from_arrow(empty)
+    out = chosen[0]
+    for ds in chosen[1:]:
+        out = out.union(ds)
+    return out

@@ -67,7 +67,8 @@ def pagerank(
     ``reset``: optional personalization vector (igraph's personalized
     pagerank, centrality.c:1284-1316): a numpy array of length n (indexed
     by vertex id), normalized internally to sum 1. None = uniform 1/n.
-    Only the aligned mode implements personalization.
+    Both modes implement personalization (teleport and dangling mass land
+    on the reset distribution).
     """
     n = graph.num_vertices()
     if n == 0:
@@ -106,8 +107,6 @@ def pagerank(
         iters = max_iter
         check_every = 1
 
-    if reset is not None and mode != "aligned":
-        raise NotImplementedError("personalized pagerank requires mode='aligned'")
     if mode == "aligned":
         result = _aligned_impl(
             graph, csr, make_deg, blocks, boundaries, n, d, weighted,
@@ -116,7 +115,7 @@ def pagerank(
     else:
         result = _dataset_impl(
             make_deg(), blocks, boundaries, n, d, weighted, converged, iters,
-            checkpoint, metrics_dir, gather_batch_size,
+            checkpoint, metrics_dir, gather_batch_size, reset,
         )
 
     total = result.scalars.get("pr", 1.0)
@@ -260,9 +259,16 @@ def _aligned_impl(
 
 def _dataset_impl(
     deg, blocks, boundaries, n, d, weighted, converged, iters, checkpoint,
-    metrics_dir, gather_batch_size,
+    metrics_dir, gather_batch_size, reset=None,
 ):
     inv_n = 1.0 / n
+    if reset is not None:
+        reset = np.asarray(reset, dtype=np.float64)
+        total = reset.sum()
+        if total <= 0:
+            raise ValueError("reset vector must have positive mass")
+        reset = reset / total
+    reset_ref = ray.put(reset) if reset is not None else None
 
     def _init(b: pa.Table) -> pa.Table:
         dv = b["deg"].to_numpy(zero_copy_only=False)
@@ -316,7 +322,13 @@ def _dataset_impl(
             partial = b["sum(partial)"].to_numpy(zero_copy_only=False)
             old = b["sum(old)"].to_numpy(zero_copy_only=False)
             degv = b["sum(deg)"].to_numpy(zero_copy_only=False)
-            new = base + d * partial
+            if reset_ref is not None:
+                # personalized (centrality.c:1284-1316): teleport AND the
+                # dangling mass land on the reset distribution
+                rv = ray.get(reset_ref)[b["dst"].to_numpy(zero_copy_only=False)]
+                new = ((1.0 - d) + d * dangling_mass) * rv + d * partial
+            else:
+                new = base + d * partial
             return pa.table(
                 {
                     "vertex": b["dst"],

@@ -587,8 +587,7 @@ def longest_path_layers(
     negated through the same min-label gather kernel: changed vertices
     send −(layer+1) along out-edges, receivers keep the minimum ⇒ the
     maximum layer. Converges in depth+1 supersteps — each ~tens of ms on
-    the aligned engine, replacing the O(depth) driver-side join+
-    materialize rounds of ops.structural.topological_peel.
+    the aligned engine, with no driver-side join+materialize rounds.
 
     Raises ValueError if the fixpoint has not converged after
     ``max_iter`` supersteps (default |V|+1: any longer path implies a

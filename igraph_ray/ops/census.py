@@ -371,6 +371,129 @@ def motifs3(graph: Graph, num_partitions: Optional[int] = None) -> pa.Table:
                      "count": pa.array(iso[keep], pa.int64())})
 
 
+def motifs3_estimate(
+    graph: Graph,
+    sample_prob: float = 0.25,
+    seed: int = 0,
+    num_partitions: Optional[int] = None,
+) -> pa.Table:
+    """Sampled estimate of the connected size-3 motif counts —
+    ``igraph_motifs_randesu_estimate`` (motifs.c:427), the reference's
+    only approximate aggregate. ESU enumerates each connected subgraph
+    exactly once rooted at its minimum-id vertex and the estimate scales
+    the counts rooted in a vertex sample by n/|sample|; here the sample
+    is the deterministic md5-prefix rule (md5(f"{seed}:{v}")[:8] below
+    the probability threshold — the engine-wide parallelism-invariant
+    sampling rule), applied to min(i,j,k) of each wedge triple. Closed
+    triples keep their exact ÷3 multiplicity correction (all three wedge
+    copies share the same min vertex). Returns
+    (isoclass, sampled_count, sampled_roots, n, estimate_e6) with
+    estimate_e6 = sampled_count·n·10⁶ / sampled_roots as an exact
+    integer division; sample_prob=1.0 reproduces motifs3 exactly."""
+    import hashlib
+
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    n = graph.num_vertices()
+    thresh = format(int(min(max(sample_prob, 0.0), 1.0) * 0xFFFFFFFF), "08x")
+
+    def _sampled_mask(v: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(v, return_inverse=True)
+        um = np.array([
+            hashlib.md5(f"{seed}:{int(x)}".encode()).hexdigest()[:8] <= thresh
+            for x in uniq], dtype=bool)
+        return um[inv]
+
+    def _roots(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array(
+            _sampled_mask(v).astype(np.int64), pa.int64())})
+
+    sampled_roots = int(graph.vertices().map_batches(
+        _roots, batch_format="pyarrow", batch_size=None).sum("s") or 0)
+
+    pairs = _pairs_table(graph.edges).materialize()
+    wedges = _wedge_stream(pairs, num_partitions).materialize()
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "cik": pa.array([], pa.int64())})
+        return pa.table({"i": b["lo"], "k": b["hi"], "cik": b["code"]})
+
+    pairs_ik = pairs.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(wedges, pairs_ik, on=("i", "k"), join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def _classify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"clazz": pa.array([], pa.int64()),
+                             "open": pa.array([], pa.int64()),
+                             "closed": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        i = b["i"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        j = b["j"].to_numpy(zero_copy_only=False)
+        cij = b["cij"].to_numpy(zero_copy_only=False)
+        cjk = b["cjk"].to_numpy(zero_copy_only=False)
+        cik = (pc.fill_null(b["cik"], 0).to_numpy(zero_copy_only=False)
+               .astype(np.int64)
+               if "cik" in b.column_names else np.zeros(b.num_rows, np.int64))
+        # ESU-root sampling: keep triples whose min vertex is sampled
+        # (i < k always, so min(i, j) suffices)
+        root = np.minimum(i, j)
+        keep = _sampled_mask(root)
+        if not keep.any():
+            return pa.table({"clazz": pa.array(np.arange(16), pa.int64()),
+                             "open": pa.array(np.zeros(16, np.int64)),
+                             "closed": pa.array(np.zeros(16, np.int64))})
+        i, k, j = i[keep], k[keep], j[keep]
+        cij, cjk, cik = cij[keep], cjk[keep], cik[keep]
+        j_lt_i = j < i
+        j_gt_k = j > k
+        ab = np.where(j_lt_i, cij, np.where(j_gt_k, cik, cij))
+        ac = np.where(j_lt_i, cjk, np.where(j_gt_k, cij, cik))
+        bc = np.where(j_lt_i, cik, np.where(j_gt_k, cjk, cjk))
+        key = ab * 16 + ac * 4 + bc
+        clazz = TRIAD_LOOKUP[key]
+        closed_mask = cik > 0
+        co = np.bincount(clazz[~closed_mask], minlength=16)
+        cc = np.bincount(clazz[closed_mask], minlength=16)
+        return pa.table({"clazz": pa.array(np.arange(16), pa.int64()),
+                         "open": pa.array(co, pa.int64()),
+                         "closed": pa.array(cc, pa.int64())})
+
+    cls_counts = (
+        joined.map_batches(_classify, batch_format="pyarrow", batch_size=None)
+        .groupby("clazz").sum(["open", "closed"])
+    )
+    counts = np.zeros(16, dtype=np.int64)
+    for r in cls_counts.take_all():
+        cz = int(r["clazz"])
+        closed = int(r["sum(closed)"])
+        assert closed % 3 == 0, "closed triples must be triple-counted"
+        counts[cz] += int(r["sum(open)"]) + closed // 3
+
+    iso = np.full(16, 0, dtype=np.int64)
+    for c_idx, m_idx in enumerate(_CENSUS_TO_ISOCLASS):
+        iso[m_idx] = counts[c_idx]
+    keep_iso = [m for m in range(16) if m not in (0, 1, 3)]
+    sc = iso[keep_iso]
+    denom = max(sampled_roots, 1)
+    est = (sc * np.int64(n) * np.int64(1_000_000)) // np.int64(denom)
+    return pa.table({
+        "isoclass": pa.array(keep_iso, pa.int64()),
+        "sampled_count": pa.array(sc, pa.int64()),
+        "sampled_roots": pa.array(np.full(len(keep_iso), sampled_roots,
+                                          np.int64)),
+        "n": pa.array(np.full(len(keep_iso), n, np.int64)),
+        "estimate_e6": pa.array(est, pa.int64()),
+    })
+
+
 def motifs4(graph: Graph, num_partitions: Optional[int] = None) -> pa.Table:
     """Undirected size-4 connected-subgraph census — the isoclass-4
     counts of ``igraph_motifs_randesu(size=4)`` on the simple undirected

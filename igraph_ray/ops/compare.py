@@ -58,25 +58,20 @@ def split_join_distance(
                                 batch_size=None)
              .groupby(["l1", "l2"]).sum("c").materialize())
 
-    rows = joint.take_all()
-    if not rows:
+    # distributed finalize: only four scalars ever reach the driver —
+    # the contingency table itself is O(#label pairs) and stays in the
+    # object store (all-singleton partitions make it O(|V|))
+    n = joint.sum("sum(c)", ignore_nulls=True)
+    if n is None or joint.count() == 0:
         return pa.table({"n": pa.array([0], pa.int64()),
                          "dist12": pa.array([0], pa.int64()),
                          "dist21": pa.array([0], pa.int64()),
                          "split_join": pa.array([0], pa.int64())})
-    l1 = np.array([r["l1"] for r in rows], np.int64)
-    l2 = np.array([r["l2"] for r in rows], np.int64)
-    c = np.array([r["sum(c)"] for r in rows], np.int64)
-    n = int(c.sum())
-    max1: dict = {}
-    max2: dict = {}
-    for a, b, k in zip(l1, l2, c):
-        if k > max1.get(a, 0):
-            max1[int(a)] = int(k)
-        if k > max2.get(b, 0):
-            max2[int(b)] = int(k)
-    d12 = n - sum(max1.values())
-    d21 = n - sum(max2.values())
+    n = int(n)
+    best1 = int(joint.groupby("l1").max("sum(c)").sum("max(sum(c))"))
+    best2 = int(joint.groupby("l2").max("sum(c)").sum("max(sum(c))"))
+    d12 = n - best1
+    d21 = n - best2
     return pa.table({"n": pa.array([n], pa.int64()),
                      "dist12": pa.array([d12], pa.int64()),
                      "dist21": pa.array([d21], pa.int64()),
@@ -123,24 +118,37 @@ def rand_pair_counts(
     joint = (joined.map_batches(_joint, batch_format="pyarrow",
                                 batch_size=None)
              .groupby(["l1", "l2"]).sum("c").materialize())
-    rows = joint.take_all()
-    l1 = np.array([r["l1"] for r in rows], np.int64)
-    l2 = np.array([r["l2"] for r in rows], np.int64)
-    c = np.array([r["sum(c)"] for r in rows], np.int64)
-    n = int(c.sum())
 
-    def _c2(x: np.ndarray) -> int:
-        return int((x * (x - 1) // 2).sum())
+    # distributed finalize: C(x,2) columns are added block-wise and only
+    # the five scalar sums reach the driver — the contingency and its two
+    # marginals stay in the object store
+    def _choose2(col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            x = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"c2": pa.array(x * (x - 1) // 2, pa.int64())})
+        return _f
 
-    a = {}
-    b = {}
-    for x, y, k in zip(l1, l2, c):
-        a[int(x)] = a.get(int(x), 0) + int(k)
-        b[int(y)] = b.get(int(y), 0) + int(k)
+    n_raw = joint.sum("sum(c)", ignore_nulls=True)
+    n = int(n_raw) if n_raw is not None and joint.count() > 0 else 0
+    if n == 0:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n": z, "pairs": z, "sum_nij2": z,
+                         "sum_a2": z, "sum_b2": z})
+    sum_nij2 = int(joint.map_batches(_choose2("sum(c)"),
+                                     batch_format="pyarrow",
+                                     batch_size=None).sum("c2"))
+    marg_a = joint.groupby("l1").sum("sum(c)")
+    marg_b = joint.groupby("l2").sum("sum(c)")
+    sum_a2 = int(marg_a.map_batches(_choose2("sum(sum(c))"),
+                                    batch_format="pyarrow",
+                                    batch_size=None).sum("c2"))
+    sum_b2 = int(marg_b.map_batches(_choose2("sum(sum(c))"),
+                                    batch_format="pyarrow",
+                                    batch_size=None).sum("c2"))
     return pa.table({
         "n": pa.array([n], pa.int64()),
         "pairs": pa.array([n * (n - 1) // 2], pa.int64()),
-        "sum_nij2": pa.array([_c2(c)], pa.int64()),
-        "sum_a2": pa.array([_c2(np.array(list(a.values()), np.int64))], pa.int64()),
-        "sum_b2": pa.array([_c2(np.array(list(b.values()), np.int64))], pa.int64()),
+        "sum_nij2": pa.array([sum_nij2], pa.int64()),
+        "sum_a2": pa.array([sum_a2], pa.int64()),
+        "sum_b2": pa.array([sum_b2], pa.int64()),
     })

@@ -349,20 +349,61 @@ def ngram_jaccard_pairs(
     j = hash_join(j, docs.map_batches(_tb, batch_format="pyarrow", batch_size=None),
                   on="b", num_partitions=num_partitions)
 
+    def _doc_shingle_sets(texts: List[str]) -> List[np.ndarray]:
+        """Unique shingle-hash array per text, via the flat word-hash +
+        windowed-sum machinery (one md5 per unique word in the batch, one
+        vectorized splitmix per doc) — hash equality mirrors the string
+        shingle equality of ``_word_shingles`` (short docs collapse to a
+        single whole-text shingle, empty text hashes the empty window)."""
+        wh, starts = _word_hash_arrays(texts)
+        out: List[np.ndarray] = []
+        for i in range(len(texts)):
+            lo, hi = starts[i], starts[i + 1]
+            nw = hi - lo
+            if nw >= shingle_k:
+                sh = _shingle_hashes(wh[lo:hi], shingle_k)
+            else:
+                acc = np.zeros(1, dtype=np.uint64)
+                for jj in range(nw):
+                    acc += np.uint64(jj + 1) * wh[lo + jj]
+                sh = _splitmix(acc)
+            out.append(np.unique(sh))
+        return out
+
     def _jac(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())})
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        # shingle each distinct doc in the batch once (a doc appears in
+        # many candidate pairs)
+        texts_a = b["text_a"].to_pylist()
+        texts_b = b["text_b"].to_pylist()
+        sets: Dict[int, np.ndarray] = {}
+        pending_ids: List[int] = []
+        pending_tx: List[str] = []
+        for ids, txs in ((a_ids, texts_a), (b_ids, texts_b)):
+            for i, t in zip(ids, txs):
+                if int(i) not in sets:
+                    sets[int(i)] = None  # reserve
+                    pending_ids.append(int(i))
+                    pending_tx.append(t)
+        for i, sh in zip(pending_ids, _doc_shingle_sets(pending_tx)):
+            sets[i] = sh
         outa, outb, outj = [], [], []
-        for a, bb, ta, tb in zip(
-            b["a"].to_pylist(), b["b"].to_pylist(),
-            b["text_a"].to_pylist(), b["text_b"].to_pylist(),
-        ):
-            sa = set(_word_shingles(ta, shingle_k))
-            sb = set(_word_shingles(tb, shingle_k))
-            if not sa or not sb:
+        for i in range(len(a_ids)):
+            sa = sets[int(a_ids[i])]
+            sb = sets[int(b_ids[i])]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union == 0:
                 continue
-            jac = len(sa & sb) / len(sa | sb)
+            jac = inter / union
             if jac >= threshold:
-                outa.append(a)
-                outb.append(bb)
+                outa.append(int(a_ids[i]))
+                outb.append(int(b_ids[i]))
                 outj.append(jac)
         return pa.table(
             {"a": pa.array(outa, pa.int64()), "b": pa.array(outb, pa.int64()),

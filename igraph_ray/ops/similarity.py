@@ -390,7 +390,26 @@ def ivf_topk(
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
 
     # --- train: deterministic sample, spherical k-means ----------------
-    sample_t = embeddings.sort(id_col).limit(train_size).take_all()
+    # hash-sample instead of sort().limit(): an md5-prefix rule needs no
+    # global sort (one digest per row, no shuffle) and is parallelism-
+    # invariant; the acceptance band is sized from the dataset count so
+    # ~2x train_size rows pass, then limit() trims deterministically
+    total = max(int(embeddings.count()), 1)
+    frac = min(1.0, (2.0 * train_size) / total)
+    thresh = format(int(frac * 0xFFFFFFFF), "08x")
+
+    def _hash_sample(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.array([
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:8] <= thresh
+            for i in ids], dtype=bool)
+        return b.filter(pa.array(keep))
+
+    sample_t = (embeddings.map_batches(_hash_sample, batch_format="pyarrow",
+                                       batch_size=None)
+                .sort(id_col).limit(train_size).take_all())
     sm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_t])
     sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-30)
     nlist = min(nlist, len(sm))

@@ -272,145 +272,37 @@ def degree_assortativity(graph: Graph, num_partitions: int = 8) -> float:
     return cov / np.sqrt(vx * vy)
 
 
-def topological_peel(
-    graph: Graph, max_iter: int = 10_000, num_partitions: int = 8
-) -> Tuple[bool, ray.data.Dataset]:
-    """Iteratively remove zero-in-degree vertices (Kahn peeling).
-
-    Returns (is_dag, order) where order = (vertex, layer) for peeled
-    vertices; is_dag is True iff every vertex was peeled
-    (igraph_is_dag / igraph_topological_sorting,
-    structural_properties.c:3379, 3287). Layered order: layer = peel round
-    (a valid topological order when sorted by (layer, vertex)).
-    """
-    from igraph_ray.ops.relational import simplify
-
-    edges = simplify(graph.edges).materialize()
-    remaining_vertices = graph.vertices()
-    layers = []
-    total_peeled = 0
-    n = graph.num_vertices()
-    for layer in range(max_iter):
-        if edges.count() == 0:
-            # everything left has no edges: peel the rest at once
-            def _final(b: pa.Table, layer=layer) -> pa.Table:
-                return pa.table(
-                    {"vertex": b["vertex"],
-                     "layer": pa.array(np.full(b.num_rows, layer, dtype=np.int64))}
-                )
-            layers.append(remaining_vertices.map_batches(_final, batch_format="pyarrow", batch_size=None).materialize())
-            total_peeled += remaining_vertices.count()
-            break
-        ideg = _degrees_over(edges, "dst", remaining_vertices, False)
-        zero = ideg.filter(expr="deg == 0.0").select_columns(["vertex"]).materialize()
-        nzero = zero.count()
-        if nzero == 0:
-            break  # cycle: not a DAG
-        def _tag(b: pa.Table, layer=layer) -> pa.Table:
-            return pa.table(
-                {"vertex": b["vertex"],
-                 "layer": pa.array(np.full(b.num_rows, layer, dtype=np.int64))}
-            )
-        layers.append(zero.map_batches(_tag, batch_format="pyarrow", batch_size=None).materialize())
-        total_peeled += nzero
-
-        def _vs(b: pa.Table) -> pa.Table:
-            return pa.table({"src": b["vertex"], "_z": pa.array(np.ones(b.num_rows, dtype=np.int8))})
-
-        marked = hash_join(
-            edges, zero.map_batches(_vs, batch_format="pyarrow", batch_size=None),
-            on="src", num_partitions=num_partitions, join_type="left_outer",
-        )
-
-        def _keep(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return b.filter(pc.is_null(b["_z"])).select(["src", "dst"])
-
-        edges = marked.map_batches(_keep, batch_format="pyarrow", batch_size=None).materialize()
-        # remaining universe shrinks
-        mkeep = hash_join(
-            remaining_vertices,
-            zero.map_batches(lambda b: pa.table({"vertex": b["vertex"],
-                                                 "_z": pa.array(np.ones(b.num_rows, dtype=np.int8))}),
-                             batch_format="pyarrow", batch_size=None),
-            on="vertex", num_partitions=num_partitions, join_type="left_outer",
-        )
-
-        def _rv(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return b.filter(pc.is_null(b["_z"])).select(["vertex"])
-
-        remaining_vertices = mkeep.map_batches(_rv, batch_format="pyarrow", batch_size=None).materialize()
-
-    if not layers:
-        order = ray.data.from_arrow(
-            pa.table({"vertex": pa.array([], pa.int64()), "layer": pa.array([], pa.int64())})
-        )
-    else:
-        order = layers[0]
-        for l in layers[1:]:
-            order = order.union(l)
-    return total_peeled == n, order
-
-
 def k_core(graph: Graph, k: int, max_iter: int = 10_000, num_partitions: int = 8) -> ray.data.Dataset:
-    """Vertices of the k-core: iteratively drop vertices with undirected
-    degree < k (cores.c:31). Returns (vertex,)."""
+    """Vertices of the k-core: undirected simple-graph view, vertices
+    whose coreness is >= k (cores.c:31 — the k-core IS the coreness>=k
+    filter). Computed by the h-operator superstep fixpoint
+    (algorithms/kcore.py) over the canonical lo<hi deduped edge set —
+    no per-round driver peeling loop anywhere. Returns (vertex,)."""
+    from igraph_ray.algorithms.kcore import coreness
     from igraph_ray.ops.relational import _dedup
 
-    und = _dedup(graph.symmetrized(drop_loops=True)).materialize()
-    for _ in range(max_iter):
-        if und.count() == 0:
-            break
-        degc = und.groupby("src").count()
+    # canonical one-direction simple view: coreness's sym CSR emits each
+    # undirected edge once per direction, i.e. the simple-graph degrees
+    def _canon(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({"src": pa.array(np.minimum(src, dst)),
+                         "dst": pa.array(np.maximum(src, dst))})
 
-        def _rn(b: pa.Table) -> pa.Table:
-            return pa.table({"src": b["src"], "d": b["count()"]})
-
-        deg = degc.map_batches(_rn, batch_format="pyarrow", batch_size=None)
-        low = deg.filter(expr=f"d < {k}").select_columns(["src"]).materialize()
-        if low.count() == 0:
-            break
-
-        def _m(b: pa.Table) -> pa.Table:
-            return pa.table({"src": b["src"], "_z": pa.array(np.ones(b.num_rows, dtype=np.int8))})
-
-        marked = hash_join(und, low.map_batches(_m, batch_format="pyarrow", batch_size=None),
-                           on="src", num_partitions=num_partitions, join_type="left_outer")
-
-        def _k1(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return b.filter(pc.is_null(b["_z"])).select(["src", "dst"])
-
-        half = marked.map_batches(_k1, batch_format="pyarrow", batch_size=None)
-
-        def _m2(b: pa.Table) -> pa.Table:
-            return pa.table({"dst": b["src"], "_z": pa.array(np.ones(b.num_rows, dtype=np.int8))})
-
-        marked2 = hash_join(half, low.map_batches(_m2, batch_format="pyarrow", batch_size=None),
-                            on="dst", num_partitions=num_partitions, join_type="left_outer")
-
-        def _k2(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return b.filter(pc.is_null(b["_z"])).select(["src", "dst"])
-
-        und = marked2.map_batches(_k2, batch_format="pyarrow", batch_size=None).materialize()
-
-    def _v(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "src" not in b.column_names:
-            return pa.table({"vertex": pa.array([], pa.int64())})
-        return pa.table({"vertex": b["src"].combine_chunks().unique()})
-
-    grouped = (
-        und.map_batches(_v, batch_format="pyarrow", batch_size=None)
-        .groupby("vertex").count().select_columns(["vertex"]).materialize()
-    )
-    # an all-empty groupby result carries a NULL schema (known Ray Data
-    # sort-groupby artifact; empty blocks bypass map_batches UDFs) — an
-    # empty k-core is returned as a typed empty dataset instead
-    if grouped.count() == 0:
+    canon = _dedup(graph.edges.map_batches(_canon, batch_format="pyarrow",
+                                           batch_size=None)).materialize()
+    if canon.count() == 0:
         return ray.data.from_arrow(pa.table({"vertex": pa.array([], pa.int64())}))
-    return grouped
+    simple = Graph(canon)
+    state = coreness(simple, num_partitions=num_partitions,
+                     max_iter=max_iter).state
+    out = (state.filter(expr=f"coreness >= {k}")
+           .select_columns(["vertex"]).materialize())
+    if out.count() == 0:
+        return ray.data.from_arrow(pa.table({"vertex": pa.array([], pa.int64())}))
+    return out
 
 
 # ----------------------------------------------------- similarity family

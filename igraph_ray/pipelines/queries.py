@@ -70,6 +70,62 @@ def q_edge_table(sf_dir: str):
     return derive.edges_a(sf_dir)
 
 
+def _remap_edges(edges, mapping: np.ndarray):
+    """dense-id edges -> original ids via a broadcast int64 lookup array."""
+    ref = ray.put(mapping)
+
+    def _m(b: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        src = arr[b["src"].to_numpy(zero_copy_only=False)]
+        dst = arr[b["dst"].to_numpy(zero_copy_only=False)]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return edges.map_batches(_m, batch_format="pyarrow", batch_size=None)
+
+
+def q_graphml_edges(sf_dir: str):
+    """edge_table routed through a GraphML write -> read round trip
+    (foreign-graphml.c semantics: first-appearance dense ids; node names
+    carry the original id as n<id> like the reference's vertex-index
+    naming) — proves the interchange path end-to-end against the same
+    SQL oracle as edge_table."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.graphml import read_graphml, write_graphml
+
+    g = derive.graph_a(sf_dir)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.graphml")
+        write_graphml(g, p, vertices=g.vertices())
+        g2, verts = read_graphml(p)
+        vt = verts.select_columns(["vertex", "name"]).to_pandas()
+        mapping = np.empty(len(vt), np.int64)
+        mapping[vt["vertex"].to_numpy()] = (
+            vt["name"].str[1:].astype(np.int64).to_numpy())
+        return _remap_edges(g2.edges, mapping).materialize()
+
+
+def q_gml_edges(sf_dir: str):
+    """edge_table routed through a GML write -> read round trip
+    (foreign.c:1054/2489 semantics: node id keys preserved through the
+    gml_id column) — same SQL oracle as edge_table."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.gml import read_gml, write_gml
+
+    g = derive.graph_a(sf_dir)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.gml")
+        write_gml(g, p, vertices=g.vertices())
+        g2, verts = read_gml(p)
+        vt = verts.select_columns(["vertex", "gml_id"]).to_pandas()
+        mapping = np.empty(len(vt), np.int64)
+        mapping[vt["vertex"].to_numpy()] = vt["gml_id"].to_numpy()
+        return _remap_edges(g2.edges, mapping).materialize()
+
+
 def q_out_degree(sf_dir: str):
     g = derive.graph_a(sf_dir)
     deg = g.out_degrees()
@@ -947,6 +1003,18 @@ def q_motifs3(sf_dir: str):
     return motifs3(g, num_partitions=8)
 
 
+def q_motifs3_estimate(sf_dir: str):
+    """Sampled motif estimate (igraph_motifs_randesu_estimate,
+    motifs.c:427) — md5-deterministic quarter vertex sample of the ESU
+    roots, exact-integer scaled counts. Rows-only at the gate (the
+    estimator is the point, not a SQL-replayable aggregate); the
+    exact-at-sample-1.0 and concentration pytests carry exactness."""
+    from igraph_ray.ops.census import motifs3_estimate
+
+    g = derive.graph_a(sf_dir)
+    return motifs3_estimate(g, sample_prob=0.25, num_partitions=8)
+
+
 def q_motifs4(sf_dir: str):
     """Undirected size-4 connected-subgraph census over the sparse view
     (igraph_motifs_randesu size 4 analogue; Möbius inversion over exact
@@ -1207,6 +1275,70 @@ def q_matching(sf_dir: str):
 
     und = derive.graph_sparse(sf_dir).canonical_undirected()
     return maximal_matching(und, num_partitions=8).sort(["lo", "hi"])
+
+
+def q_max_matching(sf_dir: str):
+    """MAXIMUM bipartite matching (matching.c semantics) via distributed
+    Hopcroft–Karp (algorithms/bipartite_matching.py) on a thinned
+    orders-derived bipartite graph (customer-side vs order-side
+    namespaces). Exactness is pytest-guarded (Kuhn oracle + König
+    duality); the driver records rows-only (a maximum matching is not
+    SQL-expressible — see max_matching_size for the hash-green size
+    oracle on the block-structured instance)."""
+    from igraph_ray.algorithms.bipartite_matching import (
+        maximum_bipartite_matching,
+    )
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def _bip(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ok * 7 + ck) % 11 == 0
+        return pa.table({"l": pa.array(ck[keep] % 200),
+                         "r": pa.array(ok[keep] % 150)})
+
+    edges = orders.map_batches(_bip, batch_format="pyarrow", batch_size=None)
+    return (maximum_bipartite_matching(edges, num_partitions=8)
+            .sort(["l", "r"]))
+
+
+def q_max_matching_size(sf_dir: str):
+    """Hash-green size oracle for Hopcroft–Karp: the bipartite graph is a
+    disjoint union of COMPLETE bipartite blocks (distinct (g, l) × (g, r)
+    cross join per group g), where the maximum matching size has the
+    closed form Σ_g min(|L_g|, |R_g|) — a maximal matching of K_{a,b} is
+    always maximum, so any augmentation bug shows up as a size mismatch.
+    Returns a 1-row (match_size) table."""
+    from igraph_ray.algorithms.bipartite_matching import (
+        maximum_bipartite_matching,
+    )
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def _lg(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ok % 40
+        t = pa.table({"g": pa.array(g), "l": pa.array(g * 12 + ck % 12)})
+        return t.group_by(["g", "l"]).aggregate([])
+
+    def _rg(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ok % 40
+        t = pa.table({"g": pa.array(g), "r": pa.array(g * 9 + ok % 9)})
+        return t.group_by(["g", "r"]).aggregate([])
+
+    lg = (orders.map_batches(_lg, batch_format="pyarrow", batch_size=None)
+          .groupby(["g", "l"]).count().select_columns(["g", "l"]))
+    rg = (orders.map_batches(_rg, batch_format="pyarrow", batch_size=None)
+          .groupby(["g", "r"]).count().select_columns(["g", "r"]))
+    from igraph_ray.util import hash_join
+    edges = hash_join(lg, rg, on="g", num_partitions=8)
+    mm = maximum_bipartite_matching(edges, num_partitions=8)
+    return pa.table({"match_size": pa.array([mm.count()], pa.int64())})
 
 
 def q_mis(sf_dir: str):
@@ -3324,6 +3456,8 @@ FROM sc ORDER BY doc_id
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
+        "graphml_edges": q_graphml_edges,
+        "gml_edges": q_gml_edges,
         "out_degree": q_out_degree,
         "in_degree": q_in_degree,
         "pagerank": q_pagerank,
@@ -3373,6 +3507,7 @@ def queries() -> Dict[str, Callable]:
         "dyad_census": q_dyad_census,
         "triad_census": q_triad_census,
         "motifs3": q_motifs3,
+        "motifs3_estimate": q_motifs3_estimate,
         "motifs4": q_motifs4,
         "reciprocity": q_reciprocity,
         "mutual_edges": q_mutual_edges,
@@ -3450,6 +3585,8 @@ def queries() -> Dict[str, Callable]:
         "is_bipartite": q_is_bipartite,
         "mis": q_mis,
         "matching": q_matching,
+        "max_matching": q_max_matching,
+        "max_matching_size": q_max_matching_size,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
         "clique_number": q_clique_number,
@@ -3461,6 +3598,8 @@ def queries() -> Dict[str, Callable]:
 def oracle_sql() -> Dict[str, str]:
     return {
         "edge_table": SQL_EDGES_A,
+        "graphml_edges": SQL_EDGES_A,
+        "gml_edges": SQL_EDGES_A,
         "out_degree": f"""
 WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A})
 SELECT verts.v AS vertex, COALESCE(d.n, 0) AS deg
@@ -4072,6 +4211,13 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
         "mis": _sql_mis(),
         "matching": _sql_matching(),
+        "max_matching_size": (
+            "WITH lc AS (SELECT o_orderkey % 40 AS g, "
+            "COUNT(DISTINCT o_custkey % 12) AS nl FROM orders GROUP BY 1), "
+            "rc AS (SELECT o_orderkey % 40 AS g, "
+            "COUNT(DISTINCT o_orderkey % 9) AS nr FROM orders GROUP BY 1) "
+            "SELECT CAST(SUM(LEAST(nl, nr)) AS BIGINT) AS match_size "
+            "FROM lc JOIN rc USING (g)"),
         "is_bipartite": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
 und AS MATERIALIZED (

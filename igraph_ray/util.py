@@ -39,15 +39,18 @@ def dense_rank_map(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     offsets = np.zeros(len(sizes), dtype=np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:])
     out_refs = [
-        _rank_block.remote(r, col, int(off)) for r, off in zip(refs, offsets) if True
+        _rank_block.remote(r, col, int(off))
+        for r, off, n in zip(refs, offsets, sizes)
+        if n > 0
     ]
-    tables = ray.get(out_refs)
-    tables = [t for t in tables if t.num_rows > 0]
-    if not tables:
+    if not out_refs:
         return ray.data.from_arrow(
             pa.table({col: pa.array([], pa.int64()), "rank": pa.array([], pa.int64())})
         )
-    return ray.data.from_arrow(tables)
+    # blocks stay in the object store — never funnel the rank table
+    # (O(#distinct labels) rows: components/LPA/SCC/Louvain densify and
+    # the vocabulary ride on this) through the driver heap
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:

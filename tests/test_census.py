@@ -187,3 +187,48 @@ def test_motifs4_random(seed, n, m):
     got = {k: v[0] for k, v in motifs4(g, num_partitions=4).to_pydict().items()}
     want = _motifs4_brute(n, src, dst)
     assert got == want
+
+
+def test_motifs3_estimate_full_sample_exact():
+    """sample_prob=1.0 reproduces the exact census (motifs.c:427 with
+    sample = all vertices)."""
+    from igraph_ray.ops.census import motifs3_estimate
+
+    rng = np.random.default_rng(21)
+    n = 60
+    src = rng.integers(0, n, 500)
+    dst = rng.integers(0, n, 500)
+    keep = src != dst
+    g = Graph.from_numpy(src[keep], dst[keep], n=n)
+    exact = motifs3(g, num_partitions=3)
+    est = motifs3_estimate(g, sample_prob=1.0, num_partitions=3)
+    ec = {r["isoclass"]: r["count"] for r in exact.to_pylist()}
+    for r in est.to_pylist():
+        assert r["sampled_count"] == ec[r["isoclass"]]
+        assert r["sampled_roots"] == n
+        assert r["estimate_e6"] == ec[r["isoclass"]] * 1_000_000
+
+
+def test_motifs3_estimate_quarter_sample_close():
+    """md5-deterministic quarter sample: high-count classes within 10%
+    of the exact census on a dense ER digraph."""
+    from igraph_ray.ops.census import motifs3_estimate
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    src = rng.integers(0, n, 40000)
+    dst = rng.integers(0, n, 40000)
+    keep = src != dst
+    g = Graph.from_numpy(src[keep], dst[keep], n=n)
+    exact = motifs3(g, num_partitions=3)
+    est = motifs3_estimate(g, sample_prob=0.25, num_partitions=3)
+    ec = {r["isoclass"]: r["count"] for r in exact.to_pylist()}
+    checked = 0
+    for r in est.to_pylist():
+        true = ec[r["isoclass"]]
+        if true < 20000:
+            continue  # rare classes have sampling variance by design
+        got = r["estimate_e6"] / 1e6
+        assert abs(got - true) / true < 0.10, (r["isoclass"], got, true)
+        checked += 1
+    assert checked >= 2

@@ -1,0 +1,178 @@
+"""GraphML + GML round-trip tests (foreign-graphml.c / foreign.c:1054
+semantics: typed attributes, defaults, first-appearance id order)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from igraph_ray.graph import Graph
+from igraph_ray.sources import gml, graphml
+
+GRAPHML_FIXTURE = """<?xml version="1.0" encoding="UTF-8"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="d0" for="node" attr.name="color" attr.type="string">
+    <default>yellow</default>
+  </key>
+  <key id="d1" for="edge" attr.name="weight" attr.type="double"/>
+  <key id="d2" for="node" attr.name="level" attr.type="int"/>
+  <key id="d3" for="node" attr.name="ok" attr.type="boolean"/>
+  <graph id="G" edgedefault="undirected">
+    <node id="a"><data key="d0">green</data><data key="d2">7</data>
+      <data key="d3">true</data></node>
+    <node id="b"><data key="d3">false</data></node>
+    <node id="c"/>
+    <edge source="a" target="b"><data key="d1">1.5</data></edge>
+    <edge source="b" target="c"/>
+    <edge source="c" target="a"><data key="d1">-2.25</data></edge>
+  </graph>
+</graphml>
+"""
+
+
+def test_graphml_read(ray_session, tmp_path):
+    p = tmp_path / "g.graphml"
+    p.write_text(GRAPHML_FIXTURE)
+    g, verts = graphml.read_graphml(str(p))
+    assert g.attrs["directed"] is False
+    vt = verts.sort("vertex").to_pandas()
+    # first-appearance dense ids
+    assert list(vt["name"]) == ["a", "b", "c"]
+    # declared default fills missing node attrs
+    assert list(vt["color"]) == ["green", "yellow", "yellow"]
+    assert vt["level"][0] == 7
+    assert list(vt["ok"]) == [True, False, None]
+    et = g.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2), (2, 0)]
+    w = g.edges.to_pandas()["weight"]
+    assert w[0] == 1.5 and w[2] == -2.25 and np.isnan(w[1]) or w[1] is None
+
+
+def test_graphml_roundtrip(ray_session, tmp_path):
+    edges = pa.table({
+        "src": pa.array([0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 0], pa.int64()),
+        "weight": pa.array([0.5, 1.5, 2.5, 3.5], pa.float64()),
+        "kind": pa.array(["x", "y", "x", "z"], pa.string()),
+    })
+    verts = pa.table({
+        "vertex": pa.array([0, 1, 2, 3], pa.int64()),
+        "name": pa.array(["n0", "n1", "n2", "n3"], pa.string()),
+        "score": pa.array([10, 20, 30, 40], pa.int64()),
+        "flag": pa.array([True, False, True, False], pa.bool_()),
+    })
+    g = Graph(ray.data.from_arrow(edges), n=4, weighted=True,
+              attrs={"directed": True})
+    p = str(tmp_path / "rt.graphml")
+    graphml.write_graphml(g, p, vertices=ray.data.from_arrow(verts))
+    g2, v2 = graphml.read_graphml(p)
+    assert g2.attrs["directed"] is True
+    e2 = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    e1 = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(e2["src"]) == list(e1["src"])
+    assert list(e2["dst"]) == list(e1["dst"])
+    assert list(e2["weight"]) == list(e1["weight"])
+    assert list(e2["kind"]) == list(e1["kind"])
+    v2t = v2.sort("vertex").to_pandas()
+    assert list(v2t["score"]) == [10, 20, 30, 40]
+    assert list(v2t["flag"]) == [True, False, True, False]
+
+
+def test_graphml_dir_parallel(ray_session, tmp_path):
+    for i in range(3):
+        g = Graph.from_numpy(np.array([0, 1]), np.array([1, 2]), n=3)
+        graphml.write_graphml(g, str(tmp_path / f"f{i}.graphml"))
+    paths = sorted(str(tmp_path / f"f{i}.graphml") for i in range(3))
+    ds = graphml.read_graphml_dir(paths)
+    df = ds.to_pandas()
+    assert len(df) == 6
+    assert set(df["file"]) == set(paths)
+
+
+GML_FIXTURE = """Creator "test"
+Version 1
+graph
+[
+  directed 1
+  node
+  [
+    id 5
+    label "five"
+    score 1.25
+  ]
+  node
+  [
+    id 9
+    label "nine"
+  ]
+  node
+  [
+    id 2
+  ]
+  edge
+  [
+    source 5
+    target 9
+    weight 3.5
+  ]
+  edge
+  [
+    source 9
+    target 2
+  ]
+]
+"""
+
+
+def test_gml_read(ray_session, tmp_path):
+    p = tmp_path / "g.gml"
+    p.write_text(GML_FIXTURE)
+    g, verts = gml.read_gml(str(p))
+    assert g.attrs["directed"] is True
+    assert g.attrs["Creator"] == "test"
+    vt = verts.sort("vertex").to_pandas()
+    assert list(vt["gml_id"]) == [5, 9, 2]  # first-appearance order
+    assert list(vt["label"]) == ["five", "nine", None]
+    assert vt["score"][0] == 1.25
+    et = g.edges.to_pandas()
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2)]
+    assert et["weight"][0] == 3.5
+
+
+def test_gml_roundtrip(ray_session, tmp_path):
+    edges = pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+        "weight": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    verts = pa.table({
+        "vertex": pa.array([0, 1, 2], pa.int64()),
+        "label": pa.array(['say "hi"', "b\\c", "plain"], pa.string()),
+        "rank": pa.array([3, 1, 2], pa.int64()),
+    })
+    g = Graph(ray.data.from_arrow(edges), n=3, weighted=True,
+              attrs={"directed": False})
+    p = str(tmp_path / "rt.gml")
+    gml.write_gml(g, p, vertices=ray.data.from_arrow(verts))
+    g2, v2 = gml.read_gml(p)
+    assert g2.attrs["directed"] is False
+    e2 = g2.edges.to_pandas()
+    assert list(e2["src"]) == [0, 1, 2]
+    assert list(e2["dst"]) == [1, 2, 0]
+    assert list(e2["weight"]) == [1.0, 2.0, 3.0]
+    v2t = v2.sort("vertex").to_pandas()
+    assert list(v2t["label"]) == ['say "hi"', "b\\c", "plain"]
+    assert list(v2t["rank"]) == [3, 1, 2]
+
+
+def test_gml_int_float_promotion(ray_session, tmp_path):
+    p = tmp_path / "m.gml"
+    p.write_text("""graph [ directed 0
+      node [ id 0 val 1 ]
+      node [ id 1 val 2.5 ]
+      edge [ source 0 target 1 ] ]""")
+    _g, verts = gml.read_gml(str(p))
+    vt = verts.sort("vertex").to_pandas()
+    assert list(vt["val"]) == [1.0, 2.5]

@@ -124,3 +124,21 @@ def test_uniform_reset_equals_default():
     got = {r["vertex"]: r["pr"] for r in res.state.take_all()}
     b = np.array([got[i] for i in range(n)])
     assert np.allclose(a, b, atol=1e-15)
+
+
+def test_personalized_dataset_mode_matches_aligned():
+    """Personalization in the didactic dataset mode must agree with the
+    aligned kernel (mode symmetry — the round-2 pagerank.py:110 guard)."""
+    n, src, dst = fx.er_digraph(n=80, m=400, seed=9)
+    rng = np.random.default_rng(3)
+    reset = rng.random(n)
+    g = Graph.from_numpy(src, dst, n=n)
+    ra = pagerank(g, num_partitions=4, fixed_iterations=5, reset=reset,
+                  mode="aligned")
+    rd = pagerank(g, num_partitions=4, fixed_iterations=5, reset=reset,
+                  mode="dataset")
+    ga = {r["vertex"]: r["pr"] for r in ra.state.take_all()}
+    gd = {r["vertex"]: r["pr"] for r in rd.state.take_all()}
+    a = np.array([ga[i] for i in range(n)])
+    b = np.array([gd[i] for i in range(n)])
+    assert np.allclose(a, b, atol=1e-14)

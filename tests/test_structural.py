@@ -93,31 +93,6 @@ def test_assortativity():
     assert got == pytest.approx(ref, abs=1e-9)
 
 
-def test_topological_peel_dag():
-    # a DAG: edges always increasing
-    rng = np.random.default_rng(3)
-    n = 50
-    src = rng.integers(0, n - 1, 200)
-    dst = src + rng.integers(1, 5, 200)
-    dst = np.minimum(dst, n - 1)
-    keep = src != dst
-    g = Graph.from_numpy(src[keep], dst[keep], n=n)
-    is_dag, order = st.topological_peel(g, num_partitions=4)
-    assert is_dag
-    layer = {r["vertex"]: r["layer"] for r in order.take_all()}
-    assert len(layer) == n
-    for a, b in zip(src[keep], dst[keep]):
-        assert layer[a] < layer[b]
-
-
-def test_topological_peel_cycle():
-    g = Graph.from_numpy(np.array([0, 1, 2]), np.array([1, 2, 0]), n=4)
-    is_dag, order = st.topological_peel(g, num_partitions=2)
-    assert not is_dag
-    peeled = {r["vertex"] for r in order.take_all()}
-    assert peeled == {3}  # only the isolated vertex peels
-
-
 def test_k_core():
     # K5 + a tail path: 4-core = the K5
     src = []
