@@ -207,6 +207,12 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     tx.quality_score(docs).count()
     out["quality_docs"] = round(time.perf_counter() - t, 3)
 
+    # round 3: exact n-gram Jaccard verification over the LSH candidates
+    # (the vectorized per-pair intersect path)
+    t = time.perf_counter()
+    dd.ngram_jaccard_pairs(docs, threshold=0.5).count()
+    out["ngram_jaccard_docs"] = round(time.perf_counter() - t, 3)
+
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 16)
     queries = np.array(qt["embedding"].to_pylist(), dtype=np.float64)

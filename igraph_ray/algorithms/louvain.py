@@ -102,11 +102,17 @@ def _one_sweep(
     m2: float,
     num_partitions: int,
     bounds: Optional[List[int]] = None,
+    integer_gains: bool = False,
 ) -> Tuple[ray.data.Dataset, int]:
     """One synchronous local-moving sweep. Returns (new assign, moved).
     ``bounds``: per-level vertex-range boundaries, computed once by the
     caller (the vertex universe is fixed within a level, so re-sampling
-    them every sweep is pure overhead)."""
+    them every sweep is pure overhead).
+
+    ``integer_gains``: compare gains as the exact int64 quantity
+    gain·2m² = m2·k_vc − deg·vol_eff instead of float64 (valid when all
+    weights are integers) — the mode behind the SQL-replayable
+    louvain_sweeps query, immune to float summation-order ties."""
     vols = _volumes(assign, num_partitions).materialize()
 
     def _lab_dst(b: pa.Table) -> pa.Table:
@@ -168,14 +174,22 @@ def _one_sweep(
         #   kvc_c/m − deg·vol_c/(2m²)          for c ≠ current
         #   kvc_cur/m − deg·(vol_cur−deg)/(2m²) for staying
         vol_eff = np.where(is_cur, volc - deg, volc)
-        gain = kv / m - deg * vol_eff / (2.0 * m * m)
+        if integer_gains:
+            # exact int64 comparator: gain·2m² = m2·kvc − deg·vol_eff
+            gain = (np.int64(round(m2)) * kv.astype(np.int64)
+                    - deg.astype(np.int64) * vol_eff.astype(np.int64))
+        else:
+            gain = kv / m - deg * vol_eff / (2.0 * m * m)
         # singleton-swap guard: a singleton vertex may only merge into a
         # smaller-id singleton (prevents mutual-swap oscillation); moves
         # into non-singleton communities are always allowed
         own_single = csize_own == 1
         cand_single = csize_c == 1
         blocked = own_single & cand_single & (cand > cur) & ~is_cur
-        gain = np.where(blocked, -np.inf, gain)
+        if integer_gains:
+            gain = np.where(blocked, np.iinfo(np.int64).min // 2, gain)
+        else:
+            gain = np.where(blocked, -np.inf, gain)
         # per-vertex argmax, ties to smaller community id, stay on equal
         order = np.lexsort((cand, -gain, v))
         v_s, cand_s, gain_s = v[order], cand[order], gain[order]
@@ -204,9 +218,15 @@ def _one_sweep(
             kv_cur[pos[ok]] = sk[ok]
         bdeg = deg_s[best_idx]
         bvol_own = vol_own_s[best_idx]
-        stay_gain = kv_cur / m - bdeg * (bvol_own - bdeg) / (2.0 * m * m)
-        # move only on a strict improvement over staying
-        move = (bc != cur_s[best_idx]) & (bg > stay_gain + 1e-12)
+        if integer_gains:
+            stay_gain = (np.int64(round(m2)) * kv_cur.astype(np.int64)
+                         - bdeg.astype(np.int64)
+                         * (bvol_own - bdeg).astype(np.int64))
+            move = (bc != cur_s[best_idx]) & (bg > stay_gain)
+        else:
+            stay_gain = kv_cur / m - bdeg * (bvol_own - bdeg) / (2.0 * m * m)
+            # move only on a strict improvement over staying
+            move = (bc != cur_s[best_idx]) & (bg > stay_gain + 1e-12)
         new_comm = np.where(move, bc, cur_s[best_idx])
         return pa.table({"vertex": pa.array(bv, pa.int64()),
                          "new_comm": pa.array(new_comm, pa.int64())})
@@ -299,6 +319,40 @@ def _modularity_from(
 
     v2 = float(vols.map_batches(_sq, batch_format="pyarrow", batch_size=None).sum("v2") or 0.0)
     return w_in / m2 - v2 / (m2 * m2)
+
+
+def louvain_sweeps(
+    graph: Graph,
+    sweeps: int = 2,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exactly ``sweeps`` synchronous level-1 local-moving sweeps from
+    the all-singleton assignment, with the int64 gain comparator
+    (``integer_gains`` — requires integer edge weights). This is the
+    SQL-replayable core of Louvain: the full algorithm's sweep/level
+    counts are data-dependent (a fixed SQL text cannot adapt), so the
+    driver-checked oracle pins the sweep count instead and replays the
+    identical k_vc → argmax-gain → apply recurrence in unrolled CTEs.
+    Returns (vertex, community) raw labels (no renumbering)."""
+    sym = _sym_weighted(graph).materialize()
+    m2 = float(sym.sum("weight") or 0.0)
+    if m2 == 0.0:
+        return graph.vertices().map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "community": b["vertex"]}),
+            batch_format="pyarrow", batch_size=None)
+    deg = _degrees(sym)
+    assign = deg.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "deg": b["deg"],
+                            "community": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    from igraph_ray.csr import compute_boundaries
+
+    bounds = compute_boundaries(assign, num_partitions, col="vertex")
+    for _ in range(sweeps):
+        assign, _moved = _one_sweep(sym, assign, m2, num_partitions,
+                                    bounds=bounds, integer_gains=True)
+    return assign.select_columns(["vertex", "community"])
 
 
 def louvain(

@@ -70,6 +70,57 @@ def q_edge_table(sf_dir: str):
     return derive.edges_a(sf_dir)
 
 
+def q_pajek_edges(sf_dir: str):
+    """edge_table routed through a Pajek write -> read round trip
+    (foreign.c:462-661/2456 semantics: 1-based ids, *Arcs section for
+    directed graphs) — same SQL oracle as edge_table. The graph is
+    declared with the dense universe n=V so the 1-based line ids map
+    back to the original vertex ids verbatim."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.pajek_dimacs import read_pajek, write_pajek
+
+    g = Graph(derive.edges_a(sf_dir).materialize(), n=derive.V,
+              attrs={"directed": True})
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.net")
+        write_pajek(g, p)
+        g2, _verts = read_pajek(p)
+        return g2.edges.materialize()
+
+
+def q_dimacs_arcs(sf_dir: str):
+    """Weighted edge table routed through a DIMACS max-flow write ->
+    read round trip (foreign.c:663-807/2395: 'p max', two 'n' lines,
+    'a src dst cap', 1-based) — capacities are the integer weights of
+    the weighted derivation, so the oracle is SQL_EDGES_A_W with the
+    weight cast to BIGINT."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.pajek_dimacs import read_dimacs, write_dimacs
+
+    def _cap(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "capacity": b["weight"]})
+
+    arcs = derive.edges_a_weighted(sf_dir).map_batches(
+        _cap, batch_format="pyarrow", batch_size=None).materialize()
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.dimacs")
+        write_dimacs(arcs, source=0, target=1, path=p, n=derive.V)
+        rd, _s, _t, _n, _m = read_dimacs(p)
+
+        def _out(b: pa.Table) -> pa.Table:
+            cap = b["capacity"].to_numpy(zero_copy_only=False)
+            return pa.table({"src": b["src"], "dst": b["dst"],
+                             "weight": pa.array(np.round(cap).astype(np.int64))})
+
+        return rd.map_batches(_out, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+
 def _remap_edges(edges, mapping: np.ndarray):
     """dense-id edges -> original ids via a broadcast int64 lookup array."""
     ref = ray.put(mapping)
@@ -687,8 +738,14 @@ def q_lpa(sf_dir: str):
 def q_louvain(sf_dir: str):
     """Multilevel modularity communities (community.c:2854 analogue) over
     the undirected view of edges_a. Deterministic (no RNG, min-id tie
-    breaks) but not SQL-expressible — rows-only driver check; quality
-    gates (planted-partition recovery, karate modularity floor) live in
+    breaks) but not SQL-expressible AS A WHOLE: the sweep count per level
+    and the level count are data-dependent stopping rules, and a fixed
+    SQL text cannot adapt its unroll depth to them (the float gain
+    comparator is additionally summation-order sensitive). The core
+    recurrence IS driver-checked: the ``louvain_sweeps`` query replays
+    two pinned local-moving sweeps with the exact int64 gain comparator
+    against an unrolled CTE oracle, hash-green; quality gates
+    (planted-partition recovery, karate modularity floor) live in
     tests/test_louvain.py."""
     from igraph_ray.algorithms.louvain import louvain
 
@@ -1339,6 +1396,147 @@ def q_max_matching_size(sf_dir: str):
     edges = hash_join(lg, rg, on="g", num_partitions=8)
     mm = maximum_bipartite_matching(edges, num_partitions=8)
     return pa.table({"match_size": pa.array([mm.count()], pa.int64())})
+
+
+def _dense24_edges(sf_dir: str):
+    """Near-complete 24-vertex digraph: (o_orderkey%24, o_custkey*7%24).
+    Dense by construction, so min degree ≥ n/2 and Chartrand's theorem
+    pins edge connectivity = min degree — the SQL-expressible exact
+    oracle for the global-mincut path."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def _d(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = ok % 24
+        b_ = (ck * 7) % 24
+        keep = a != b_
+        a, b_ = a[keep], b_[keep]
+        t = pa.table({"src": pa.array(np.minimum(a, b_)),
+                      "dst": pa.array(np.maximum(a, b_))})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    # distinct unordered pairs: edge connectivity is over the simple
+    # undirected view (the parallel-row/direction multiplicity of the
+    # derivation is an artifact)
+    return (orders.map_batches(_d, batch_format="pyarrow", batch_size=None)
+            .groupby(["src", "dst"]).count()
+            .select_columns(["src", "dst"]))
+
+
+SQL_DENSE24_UND = (
+    "SELECT DISTINCT LEAST(o_orderkey % 24, (o_custkey * 7) % 24) AS lo, "
+    "GREATEST(o_orderkey % 24, (o_custkey * 7) % 24) AS hi "
+    "FROM orders WHERE (o_orderkey % 24) != ((o_custkey * 7) % 24)"
+)
+
+
+def q_global_mincut(sf_dir: str):
+    """Global edge connectivity (igraph_edge_connectivity, flow.c:2122)
+    of the dense 24-vertex derived graph via the exact n−1 s-t max-flow
+    path (algorithms/mincut.py). The instance has min degree ≥ n/2, so
+    the SQL oracle is the closed-form min undirected degree
+    (Chartrand 1966: δ ≥ n/2 ⟹ edge connectivity = δ)."""
+    from igraph_ray.algorithms.mincut import global_edge_connectivity
+
+    val = global_edge_connectivity(_dense24_edges(sf_dir),
+                                   num_partitions=4)
+    return pa.table({"mincut": pa.array([val], pa.int64())})
+
+
+def q_mincut_karger(sf_dir: str):
+    """Karger-sampled global min cut (the scale path: MST under md5
+    trial weights, cut at the heaviest tree edge) on the sparse derived
+    graph — rows-only (an upper bound by construction; the planted-cut
+    concentration pytest carries the statistical contract)."""
+    from igraph_ray.algorithms.mincut import global_mincut_karger
+
+    return global_mincut_karger(derive.edges_sparse(sf_dir), trials=4,
+                                num_partitions=8)
+
+
+def q_subiso_path4(sf_dir: str):
+    """Count of injective P4 maps (igraph_count_subisomorphisms_vf2,
+    topology.c semantics, non-induced) in the undirected sparse view —
+    distributed binding-join plan (algorithms/subiso.py); SQL oracle =
+    the explicit 3-way adjacency self-join with distinctness."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_sparse(sf_dir)
+    n = count_sub_isomorphisms(g, [0, 1, 2], [1, 2, 3],
+                               directed=False, num_partitions=8)
+    return pa.table({"n_maps": pa.array([n], pa.int64())})
+
+
+def q_subiso_cycle4(sf_dir: str):
+    """Count of injective C4 maps (VF2 count semantics) in the
+    undirected sparse view; same binding-join plan plus the closing-edge
+    semi join."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_sparse(sf_dir)
+    n = count_sub_isomorphisms(g, [0, 1, 2, 3], [1, 2, 3, 0],
+                               directed=False, num_partitions=8)
+    return pa.table({"n_maps": pa.array([n], pa.int64())})
+
+
+_SQL_SYM_SPARSE = (
+    "sym AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+    "FROM se GROUP BY 1, 2 UNION ALL "
+    "SELECT GREATEST(src, dst), LEAST(src, dst) FROM se GROUP BY 1, 2)"
+)
+
+
+def _sql_subiso_path4() -> str:
+    from igraph_ray.pipelines.derive import SQL_EDGES_SPARSE
+
+    return (
+        f"WITH se AS MATERIALIZED ({SQL_EDGES_SPARSE}),\n{_SQL_SYM_SPARSE}\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_maps FROM sym e1 "
+        "JOIN sym e2 ON e2.a = e1.b AND e2.b <> e1.a "
+        "JOIN sym e3 ON e3.a = e2.b AND e3.b <> e2.a AND e3.b <> e1.a "
+        "AND e3.b <> e1.b"
+    )
+
+
+def _sql_subiso_cycle4() -> str:
+    from igraph_ray.pipelines.derive import SQL_EDGES_SPARSE
+
+    return (
+        f"WITH se AS MATERIALIZED ({SQL_EDGES_SPARSE}),\n{_SQL_SYM_SPARSE}\n"
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_maps FROM sym e1 "
+        "JOIN sym e2 ON e2.a = e1.b AND e2.b <> e1.a "
+        "JOIN sym e3 ON e3.a = e2.b AND e3.b <> e2.a AND e3.b <> e1.a "
+        "AND e3.b <> e1.b "
+        "JOIN sym e4 ON e4.a = e3.b AND e4.b = e1.a"
+    )
+
+
+def q_community_eb(sf_dir: str):
+    """Girvan–Newman edge-betweenness dendrogram
+    (igraph_community_edge_betweenness, community.c:312) — first 6
+    removals on the very-sparse derived graph; each step reuses the
+    distributed Brandes edge betweenness. Rows-only at the gate (the
+    full per-step Brandes recompute is not SQL-replayable); the
+    step-for-step exact-recompute pytest carries exactness."""
+    from igraph_ray.algorithms.community_eb import community_edge_betweenness
+
+    g = derive.graph_vsparse(sf_dir)
+    return community_edge_betweenness(g, max_removals=6, num_partitions=8)
+
+
+def q_louvain_sweeps(sf_dir: str):
+    """Two fixed synchronous Louvain local-moving sweeps with the exact
+    int64 gain comparator (algorithms/louvain.py louvain_sweeps) on the
+    weighted very-sparse graph — the SQL-replayable core of Louvain
+    (full Louvain's sweep/level counts are data-dependent; a fixed SQL
+    text cannot adapt, so the driver-checked oracle pins the recurrence
+    at 2 sweeps instead — see the louvain query docstring)."""
+    from igraph_ray.algorithms.louvain import louvain_sweeps
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    return louvain_sweeps(g, sweeps=2, num_partitions=8).sort("vertex")
 
 
 def q_mis(sf_dir: str):
@@ -2539,6 +2737,64 @@ def _sql_pagerank_personalized(iters: int = PR_ITERS, d: float = DAMPING) -> str
     )
 
 
+def _sql_louvain_sweeps(sweeps: int = 2) -> str:
+    """Unrolled replay of louvain_sweeps (algorithms/louvain.py): per
+    sweep, k_vc = weight from each vertex into each neighboring
+    community; gains compared as the exact BIGINT m2·k_vc − deg·vol_eff
+    (the integer_gains comparator — weights are integers, so both sides
+    replay bit-for-bit); singleton-swap guard rows excluded from the
+    argmax; move iff the best candidate strictly beats staying."""
+    parts = [
+        f"WITH dirw AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W})",
+        "sym AS MATERIALIZED ("
+        "SELECT src, dst, CAST(weight AS BIGINT) AS w FROM dirw "
+        "UNION ALL SELECT dst, src, CAST(weight AS BIGINT) AS w FROM dirw)",
+        "m2t AS MATERIALIZED (SELECT SUM(w) AS m2 FROM sym)",
+        "a0 AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg, "
+        "src AS community FROM sym GROUP BY src)",
+    ]
+    for i in range(sweeps):
+        a = f"a{i}"
+        parts.append(
+            f"vols{i} AS MATERIALIZED (SELECT community AS c, SUM(deg) AS vol, "
+            f"COUNT(*) AS csize FROM {a} GROUP BY 1)")
+        parts.append(
+            f"kvc{i} AS MATERIALIZED (SELECT s.src AS v, a.community AS comm, "
+            f"SUM(s.w) AS kvc FROM sym s JOIN {a} a ON a.vertex = s.dst "
+            f"GROUP BY 1, 2)")
+        parts.append(
+            f"sc{i} AS MATERIALIZED (SELECT k.v, k.comm, "
+            f"((SELECT m2 FROM m2t) * k.kvc - a.deg * "
+            f"(CASE WHEN k.comm = a.community THEN vc.vol - a.deg "
+            f"ELSE vc.vol END)) AS g, "
+            f"(vo.csize = 1 AND vc.csize = 1 AND k.comm > a.community "
+            f"AND k.comm <> a.community) AS blocked, "
+            f"a.community AS cur FROM kvc{i} k "
+            f"JOIN vols{i} vc ON vc.c = k.comm "
+            f"JOIN {a} a ON a.vertex = k.v "
+            f"JOIN vols{i} vo ON vo.c = a.community)")
+        parts.append(
+            f"best{i} AS MATERIALIZED (SELECT v, comm, g, cur FROM ("
+            f"SELECT v, comm, g, cur, ROW_NUMBER() OVER ("
+            f"PARTITION BY v ORDER BY g DESC, comm ASC) AS rn "
+            f"FROM sc{i} WHERE NOT blocked) WHERE rn = 1)")
+        parts.append(
+            f"stay{i} AS MATERIALIZED (SELECT a.vertex AS v, "
+            f"((SELECT m2 FROM m2t) * COALESCE(s.kvc, 0) "
+            f"- a.deg * (vo.vol - a.deg)) AS sg "
+            f"FROM {a} a JOIN vols{i} vo ON vo.c = a.community "
+            f"LEFT JOIN kvc{i} s ON s.v = a.vertex "
+            f"AND s.comm = a.community)")
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT a.vertex, a.deg, "
+            f"CASE WHEN b.comm IS NOT NULL AND b.comm <> a.community "
+            f"AND b.g > st.sg THEN b.comm ELSE a.community END AS community "
+            f"FROM {a} a LEFT JOIN best{i} b ON b.v = a.vertex "
+            f"JOIN stay{i} st ON st.v = a.vertex)")
+    return (",\n".join(parts)
+            + f"\nSELECT vertex, community FROM a{sweeps} ORDER BY vertex")
+
+
 def _sql_mst(rounds: int = 10) -> str:
     """Unrolled Borůvka over the undirected weighted view of edges_a.
 
@@ -3457,6 +3713,8 @@ def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
         "graphml_edges": q_graphml_edges,
+        "pajek_edges": q_pajek_edges,
+        "dimacs_arcs": q_dimacs_arcs,
         "gml_edges": q_gml_edges,
         "out_degree": q_out_degree,
         "in_degree": q_in_degree,
@@ -3586,6 +3844,12 @@ def queries() -> Dict[str, Callable]:
         "mis": q_mis,
         "matching": q_matching,
         "max_matching": q_max_matching,
+        "community_eb": q_community_eb,
+        "subiso_path4": q_subiso_path4,
+        "subiso_cycle4": q_subiso_cycle4,
+        "global_mincut": q_global_mincut,
+        "mincut_karger": q_mincut_karger,
+        "louvain_sweeps": q_louvain_sweeps,
         "max_matching_size": q_max_matching_size,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
@@ -3599,6 +3863,10 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "edge_table": SQL_EDGES_A,
         "graphml_edges": SQL_EDGES_A,
+        "pajek_edges": SQL_EDGES_A,
+        "dimacs_arcs": (
+            f"SELECT src, dst, CAST(weight AS BIGINT) AS weight "
+            f"FROM ({SQL_EDGES_A_W})"),
         "gml_edges": SQL_EDGES_A,
         "out_degree": f"""
 WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A})
@@ -4211,6 +4479,15 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "{_SJ_CC}", _sql_components()),
         "mis": _sql_mis(),
         "matching": _sql_matching(),
+        "louvain_sweeps": _sql_louvain_sweeps(),
+        "subiso_path4": _sql_subiso_path4(),
+        "subiso_cycle4": _sql_subiso_cycle4(),
+        "global_mincut": (
+            f"WITH und AS ({SQL_DENSE24_UND}), "
+            "degs AS (SELECT v, COUNT(*) AS d FROM ("
+            "SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und) "
+            "GROUP BY v) "
+            "SELECT CAST(MIN(d) AS BIGINT) AS mincut FROM degs"),
         "max_matching_size": (
             "WITH lc AS (SELECT o_orderkey % 40 AS g, "
             "COUNT(DISTINCT o_custkey % 12) AS nl FROM orders GROUP BY 1), "

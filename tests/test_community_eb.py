@@ -45,9 +45,10 @@ def _eb_undirected(n, edges):
                     e = (min(v, w), max(v, w))
                     score[e] += c
                     delta[v] += c
-    # per source each edge credit counts once; symmetrized engine counts
-    # both directions => engine score = 2x this. Scale to match.
-    return {e: 2.0 * v for e, v in score.items()}
+    # summing over every source already counts each unordered pair twice
+    # (s and t both act as sources) — exactly the engine's symmetrized
+    # two-direction accounting; no extra scaling
+    return score
 
 
 def _modularity(n, orig_edges, labels):

@@ -176,3 +176,70 @@ def test_gml_int_float_promotion(ray_session, tmp_path):
     _g, verts = gml.read_gml(str(p))
     vt = verts.sort("vertex").to_pandas()
     assert list(vt["val"]) == [1.0, 2.5]
+
+
+PAJEK_FIXTURE = """*Vertices 4
+1 "alpha"
+2 "beta"
+3 "gamma"
+4 "delta"
+*Arcs
+1 2 2.5
+2 3
+4 1 7
+"""
+
+
+def test_pajek_read(ray_session, tmp_path):
+    from igraph_ray.sources import pajek_dimacs as pd_
+
+    p = tmp_path / "g.net"
+    p.write_text(PAJEK_FIXTURE)
+    g, verts = pd_.read_pajek(str(p))
+    assert g.attrs["directed"] is True
+    vt = verts.sort("vertex").to_pandas()
+    assert list(vt["name"]) == ["alpha", "beta", "gamma", "delta"]
+    et = g.edges.to_pandas()
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2), (3, 0)]
+    assert list(et["weight"]) == [2.5, 1.0, 7.0]
+
+
+def test_pajek_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from igraph_ray.sources import pajek_dimacs as pd_
+
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0], pa.int64()),
+                      "weight": pa.array([1.5, 2.0, 3.25], pa.float64())})
+    verts = pa.table({"vertex": pa.array([0, 1, 2], pa.int64()),
+                      "name": pa.array(['a "q"', "b", "c"], pa.string())})
+    g = Graph(ray.data.from_arrow(edges), n=3, weighted=True,
+              attrs={"directed": False})
+    p = str(tmp_path / "rt.net")
+    pd_.write_pajek(g, p, vertices=ray.data.from_arrow(verts))
+    g2, v2 = pd_.read_pajek(p)
+    assert g2.attrs["directed"] is False
+    e2 = g2.edges.to_pandas()
+    assert list(zip(e2["src"], e2["dst"])) == [(0, 1), (1, 2), (2, 0)]
+    assert list(e2["weight"]) == [1.5, 2.0, 3.25]
+    assert list(v2.sort("vertex").to_pandas()["name"]) == ['a "q"', "b", "c"]
+
+
+def test_dimacs_roundtrip_and_flow(ray_session, tmp_path):
+    import ray.data
+
+    from igraph_ray.algorithms.flow import maxflow
+    from igraph_ray.sources import pajek_dimacs as pd_
+
+    arcs = pa.table({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                     "dst": pa.array([1, 2, 3, 3], pa.int64()),
+                     "capacity": pa.array([3.0, 2.0, 3.0, 2.0], pa.float64())})
+    p = str(tmp_path / "g.dimacs")
+    pd_.write_dimacs(ray.data.from_arrow(arcs), source=0, target=3, path=p)
+    rd, s, t, n, m = pd_.read_dimacs(p)
+    assert (s, t, n, m) == (0, 3, 4, 4)
+    df = rd.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(df["capacity"]) == [3.0, 2.0, 3.0, 2.0]
+    res = maxflow(rd, s, t, n=n, num_partitions=2)
+    assert res.value == 5.0

@@ -84,3 +84,62 @@ def test_huge_sparse_id_span():
     core = {r["vertex"]: r["coreness"] for r in
             coreness(g, num_partitions=4).state.take_all()}
     assert len(core) == 5
+
+
+def test_dense_rank_map_many_labels_driver_flat():
+    """dense_rank_map must keep rank blocks in the object store: ranking
+    8M distinct labels may not grow driver RSS by anything near the
+    table size (~128 MB if it were pulled through the driver)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.util import dense_rank_map
+
+    def _rss_mb():
+        with open(f"/proc/{os.getpid()}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    n = 8_000_000
+    base = ray.data.range(n).map_batches(
+        lambda b: pa.table({"label": pa.array(
+            b["id"].to_numpy(zero_copy_only=False) * 7 + 3, pa.int64())}),
+        batch_format="pyarrow")
+    before = _rss_mb()
+    ranked = dense_rank_map(base, "label")
+    # consume distributively: the driver sees only scalars
+    assert ranked.count() == n
+    mn = ranked.min("rank")
+    mx = ranked.max("rank")
+    assert (mn, mx) == (0, n - 1)
+    after = _rss_mb()
+    assert after - before < 100.0, f"driver RSS grew {after - before:.0f} MB"
+    # spot-check correctness of the dense-rank contract on a slice
+    head = ranked.sort("rank").limit(3).take_all()
+    assert [(r["label"], r["rank"]) for r in head] == [(3, 0), (10, 1), (17, 2)]
+
+
+def test_mst_massive_forest_no_driver_blowup():
+    """Borůvka round 1 on a perfect-matching forest has |V|/2 components
+    — the exact shape that used to land on the driver. The MSF of a
+    forest is the forest itself."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.mst import minimum_spanning_forest
+
+    k = 1 << 18  # 262144 components of size 2
+    src = np.arange(0, 2 * k, 2, dtype=np.int64)
+    dst = src + 1
+    w = ((src * 31 + 7) % 1000).astype(np.float64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst), "weight": pa.array(w)}))
+    out = minimum_spanning_forest(edges, num_partitions=4)
+    assert out.count() == k
+    s = int(out.sum("weight"))
+    assert s == int(w.sum())

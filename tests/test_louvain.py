@@ -4,6 +4,7 @@ recovery, modularity floor on karate, determinism, degenerate inputs."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from igraph_ray import Graph
@@ -77,3 +78,36 @@ def test_empty_graph():
     res = louvain(g, num_partitions=2)
     lab = _labels(res)
     assert len(lab) == 4  # every isolated vertex its own community
+
+
+def test_louvain_sweeps_integer_gains_match_float():
+    """The int64 gain comparator (the SQL-replayable mode) must pick the
+    same moves as the float path on integer-weighted graphs."""
+    from igraph_ray.algorithms.louvain import (
+        _degrees, _one_sweep, _sym_weighted, louvain_sweeps,
+    )
+    import ray.data
+
+    rng = np.random.default_rng(12)
+    n = 40
+    src = rng.integers(0, n, 160)
+    dst = rng.integers(0, n, 160)
+    w = rng.integers(1, 8, 160).astype(np.float64)
+    keep = src != dst
+    g = Graph.from_numpy(src[keep], dst[keep], w[keep], n=n)
+
+    out_int = {r["vertex"]: r["community"]
+               for r in louvain_sweeps(g, sweeps=2,
+                                       num_partitions=4).take_all()}
+
+    sym = _sym_weighted(g).materialize()
+    m2 = float(sym.sum("weight"))
+    deg = _degrees(sym)
+    assign = deg.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "deg": b["deg"],
+                            "community": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    for _ in range(2):
+        assign, _ = _one_sweep(sym, assign, m2, 4, integer_gains=False)
+    out_float = {r["vertex"]: r["community"] for r in assign.take_all()}
+    assert out_int == out_float
