@@ -1456,6 +1456,52 @@ def q_mincut_karger(sf_dir: str):
                                 num_partitions=8)
 
 
+def q_barabasi(sf_dir: str):
+    """Deterministic Barabási–Albert generator (games.c:419 analogue;
+    communication-free position-pointer scheme, sources/games.py
+    barabasi_game) — fixed (n=400, m=3, seed=7), input-independent like
+    gen_structures. The SQL oracle chases the identical md5 slot
+    pointers with a recursive CTE."""
+    from igraph_ray.sources.games import barabasi_game
+
+    return barabasi_game(400, m=3, seed=7).sort(["src", "dst"])
+
+
+def _sql_barabasi(n: int = 400, m: int = 3, seed: int = 7) -> str:
+    digit = "strpos('0123456789abcdef', substr(h, {k}, 1)) - 1"
+    fold = "CAST(0 AS BIGINT)"
+    for k in range(1, 16):
+        fold = f"(({fold}) * 16 + ({digit.format(k=k)}))"
+    starts = (f"(CASE WHEN v <= {m} THEN v*(v-1)/2 "
+              f"ELSE {m}*({m}+1)/2 + (v-1-{m})*{m} END)")
+    return f"""
+WITH RECURSIVE
+verts AS (SELECT UNNEST(range(1, {n})) AS v),
+enum AS (
+  SELECT v, UNNEST(range(LEAST(v, {m}))) AS j FROM verts),
+draws AS MATERIALIZED (
+  SELECT v, j, CAST({starts} + j AS BIGINT) AS e,
+         CAST(2 * {starts} AS BIGINT) AS space,
+         ({fold.replace('h,', "md5(CAST({seed} AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':' || CAST(j AS VARCHAR)),".format(seed=seed))}) AS r
+  FROM enum),
+slots AS MATERIALIZED (
+  SELECT e, v, CASE WHEN space = 0 THEN 0 ELSE r % space END AS slot,
+         space FROM draws),
+chase(e, pos) AS (
+  SELECT e, slot FROM slots WHERE space > 0
+  UNION ALL
+  SELECT c.e, s.slot FROM chase c
+  JOIN slots s ON s.e = c.pos // 2 WHERE c.pos % 2 = 1
+),
+resolved AS (
+  SELECT c.e, s2.v AS dst FROM chase c
+  JOIN slots s2 ON s2.e = c.pos // 2 WHERE c.pos % 2 = 0)
+SELECT s.v AS src,
+       CAST(CASE WHEN s.space = 0 THEN 0 ELSE r.dst END AS BIGINT) AS dst
+FROM slots s LEFT JOIN resolved r ON r.e = s.e
+ORDER BY src, dst"""
+
+
 def q_subiso_path4(sf_dir: str):
     """Count of injective P4 maps (igraph_count_subisomorphisms_vf2,
     topology.c semantics, non-induced) in the undirected sparse view —
@@ -3845,6 +3891,7 @@ def queries() -> Dict[str, Callable]:
         "matching": q_matching,
         "max_matching": q_max_matching,
         "community_eb": q_community_eb,
+        "barabasi": q_barabasi,
         "subiso_path4": q_subiso_path4,
         "subiso_cycle4": q_subiso_cycle4,
         "global_mincut": q_global_mincut,
@@ -4480,6 +4527,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "mis": _sql_mis(),
         "matching": _sql_matching(),
         "louvain_sweeps": _sql_louvain_sweeps(),
+        "barabasi": _sql_barabasi(),
         "subiso_path4": _sql_subiso_path4(),
         "subiso_cycle4": _sql_subiso_cycle4(),
         "global_mincut": (

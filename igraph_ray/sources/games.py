@@ -369,3 +369,68 @@ def preference_game(
         for a, b in _chunk_runs(total_chunks, share):
             refs.append(_run.remote(pair_id, i, j, p, a, b, space))
     return _from_refs(refs), types
+
+
+def barabasi_game(
+    n: int, m: int = 1, seed: int = 42, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Preferential-attachment (Barabási–Albert) generator — the
+    igraph_barabasi_game analogue (games.c:419). The reference grows the
+    graph one vertex at a time from a sequential RNG stream; that chain
+    is broken here with the *position-pointer* formulation used by
+    communication-free distributed generators (Sanders & Schulz,
+    "Communication-free Massively Distributed Graph Generation",
+    IPDPS 2018 — public): choosing a target "with probability
+    proportional to degree" IS choosing a uniformly random slot of the
+    flattened endpoint array built so far. Slot values resolve by
+    pointer chasing — slot 2e is edge e's (known) source, slot 2e+1
+    points at an earlier random slot — so every draw is an independent
+    md5 of (seed, v, j) and the whole edge list is a deterministic pure
+    function of (n, m, seed), identical at any parallelism AND
+    SQL-replayable (a recursive CTE chases the same pointers).
+
+    Vertex v (1..n-1) attaches min(v, m) edges to targets among
+    0..v-1; draw r for edge e uniform over the 2e existing slots
+    (e=0 bootstraps to vertex 0). Resolution is a vectorized
+    expected-O(log E) chase; E = Σ min(v, m) arrays live on the driver
+    (16·E bytes — the generator's documented ceiling, same class as
+    static_power_law's O(n) CDF table)."""
+    import hashlib
+
+    if n < 1:
+        return _from_refs([])
+    counts = np.minimum(np.arange(n, dtype=np.int64), m)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    E = int(starts[-1])
+    if E == 0:
+        return _from_refs([])
+    src = np.repeat(np.arange(n, dtype=np.int64), counts)
+    j_idx = np.arange(E, dtype=np.int64) - starts[src]
+    # independent md5 draw per edge: r_e < 2e (slot space before edge e)
+    draws = np.array(
+        [int(hashlib.md5(f"{seed}:{int(v)}:{int(j)}".encode())
+             .hexdigest()[:15], 16)
+         for v, j in zip(src, j_idx)], dtype=np.uint64)
+    # slot space = slots of edges owned by vertices BEFORE v (igraph's
+    # psumtree excludes the vertex being added: no loops, no same-round
+    # feedback)
+    space = 2 * starts[src]
+    slots = np.where(space == 0, 0,
+                     (draws % np.maximum(space, 1).astype(np.uint64))
+                     .astype(np.int64))
+    # chase: even slot -> that edge's source; odd slot -> that edge's
+    # (not yet known) target -> jump to its slot
+    cur = slots.copy()
+    dst = np.full(E, -1, dtype=np.int64)
+    unresolved = np.ones(E, dtype=bool)
+    while unresolved.any():
+        even = unresolved & (cur % 2 == 0)
+        dst[even] = src[cur[even] // 2]
+        unresolved &= ~even
+        if not unresolved.any():
+            break
+        cur[unresolved] = slots[cur[unresolved] // 2]
+    dst[starts[src] == 0] = 0  # bootstrap round attaches to vertex 0
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    return ray.data.from_arrow(t)

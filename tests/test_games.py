@@ -144,3 +144,21 @@ def test_de_bruijn_and_lattice():
     assert lat == sorted([(0, 1), (1, 2), (3, 4), (4, 5), (0, 3), (1, 4), (2, 5)])
     tor = sg.lattice2d(3, 3, circular=True)
     assert tor.count() == 18  # 2 edges per vertex on a torus
+
+
+def test_barabasi_structure_and_determinism():
+    """Position-pointer BA: targets strictly earlier, min(v,m) edges per
+    vertex, hub skew, and bit-identical reruns (any parallelism)."""
+    from igraph_ray.sources.games import barabasi_game
+
+    df = barabasi_game(2000, m=2, seed=11).to_pandas()
+    assert (df["dst"] < df["src"]).all()
+    counts = df.groupby("src").size()
+    assert counts.max() <= 2
+    assert len(df) == sum(min(v, 2) for v in range(2000))
+    deg = np.bincount(np.concatenate([df["src"], df["dst"]]),
+                      minlength=2000)
+    # preferential attachment concentrates degree on early vertices
+    assert deg[:20].mean() > 8 * deg[1000:].mean()
+    df2 = barabasi_game(2000, m=2, seed=11).to_pandas()
+    assert df2.equals(df)
