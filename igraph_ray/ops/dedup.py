@@ -392,6 +392,9 @@ def ngram_jaccard_pairs(
                     pending_tx.append(t)
         for i, sh in zip(pending_ids, _doc_shingle_sets(pending_tx)):
             sets[i] = sh
+        # each doc's set is sorted-unique, so per-pair intersection is
+        # one C-speed merge (the shingling above is the former per-pair
+        # cost: the old path re-split and re-hashed the TEXT per pair)
         outa, outb, outj = [], [], []
         for i in range(len(a_ids)):
             sa = sets[int(a_ids[i])]

@@ -1572,6 +1572,21 @@ def q_community_eb(sf_dir: str):
     return community_edge_betweenness(g, max_removals=6, num_partitions=8)
 
 
+def q_community_le(sf_dir: str):
+    """Leading-eigenvector communities (community.c:1414, Newman 2006)
+    on the very-sparse graph — two recursive spectral bisections via
+    shifted distributed power iteration (one join+groupby matvec per
+    step). Rows-only (ARPACK-grade eigensolves are not SQL-replayable);
+    the numpy-eigensign and modularity pytests carry exactness."""
+    from igraph_ray.algorithms.leading_eigenvector import (
+        leading_eigenvector_communities,
+    )
+
+    g = derive.graph_vsparse(sf_dir)
+    return leading_eigenvector_communities(
+        g, max_splits=2, power_iters=25, num_partitions=8).sort("vertex")
+
+
 def q_louvain_sweeps(sf_dir: str):
     """Two fixed synchronous Louvain local-moving sweeps with the exact
     int64 gain comparator (algorithms/louvain.py louvain_sweeps) on the
@@ -3897,6 +3912,7 @@ def queries() -> Dict[str, Callable]:
         "global_mincut": q_global_mincut,
         "mincut_karger": q_mincut_karger,
         "louvain_sweeps": q_louvain_sweeps,
+        "community_le": q_community_le,
         "max_matching_size": q_max_matching_size,
         "split_join": q_split_join,
         "rand_pairs": q_rand_pairs,
