@@ -177,6 +177,65 @@ def q_gml_edges(sf_dir: str):
         return _remap_edges(g2.edges, mapping).materialize()
 
 
+def q_dl_edges(sf_dir: str):
+    """edge_table routed through a UCINET DL write -> read round trip
+    (foreign-dl-parser.y EDGELIST1 semantics: 1-based ids, directed) —
+    same SQL oracle as edge_table. The DL header declares n=V so the
+    1-based line ids map back to the original dense vertex ids."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.dl_lgl import read_dl, write_dl
+
+    g = Graph(derive.edges_a(sf_dir).materialize(), n=derive.V,
+              attrs={"directed": True})
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.dl")
+        write_dl(g, p)
+        g2, _verts = read_dl(p)
+        return g2.edges.select_columns(["src", "dst"]).materialize()
+
+
+def q_lgl_edges(sf_dir: str):
+    """edge_table routed through an LGL write -> read round trip
+    (foreign-lgl-parser.y: '# source' adjacency groups, names mapped to
+    first-appearance dense ids) — the read permutes ids, so edges are
+    mapped back through the name column; same SQL oracle as edge_table."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.dl_lgl import read_lgl, write_lgl
+
+    g = Graph(derive.edges_a(sf_dir).materialize(), n=derive.V,
+              attrs={"directed": False})
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.lgl")
+        write_lgl(g, p)
+        g2, verts = read_lgl(p)
+        vt = verts.to_pandas()
+        mapping = np.empty(len(vt), np.int64)
+        mapping[vt["vertex"].to_numpy()] = vt["name"].astype(np.int64).to_numpy()
+        return _remap_edges(g2.edges, mapping).materialize()
+
+
+def q_leda_edges(sf_dir: str):
+    """edge_table routed through a LEDA write -> read round trip
+    (foreign.c:2580 writer layout: LEDA.GRAPH header, |{attr}| vertex
+    lines, 1-based 's t rev |{w}|' edge lines) — same SQL oracle."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.dl_lgl import read_leda, write_leda
+
+    g = Graph(derive.edges_a(sf_dir).materialize(), n=derive.V,
+              attrs={"directed": True})
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.leda")
+        write_leda(g, p)
+        g2 = read_leda(p)
+        return g2.edges.select_columns(["src", "dst"]).materialize()
+
+
 def q_out_degree(sf_dir: str):
     g = derive.graph_a(sf_dir)
     deg = g.out_degrees()
@@ -3777,6 +3836,9 @@ def queries() -> Dict[str, Callable]:
         "pajek_edges": q_pajek_edges,
         "dimacs_arcs": q_dimacs_arcs,
         "gml_edges": q_gml_edges,
+        "dl_edges": q_dl_edges,
+        "lgl_edges": q_lgl_edges,
+        "leda_edges": q_leda_edges,
         "out_degree": q_out_degree,
         "in_degree": q_in_degree,
         "pagerank": q_pagerank,
@@ -3931,6 +3993,9 @@ def oracle_sql() -> Dict[str, str]:
             f"SELECT src, dst, CAST(weight AS BIGINT) AS weight "
             f"FROM ({SQL_EDGES_A_W})"),
         "gml_edges": SQL_EDGES_A,
+        "dl_edges": SQL_EDGES_A,
+        "lgl_edges": SQL_EDGES_A,
+        "leda_edges": SQL_EDGES_A,
         "out_degree": f"""
 WITH edges AS ({SQL_EDGES_A}), verts AS ({SQL_VERTS_A})
 SELECT verts.v AS vertex, COALESCE(d.n, 0) AS deg

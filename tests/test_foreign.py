@@ -243,3 +243,156 @@ def test_dimacs_roundtrip_and_flow(ray_session, tmp_path):
     assert list(df["capacity"]) == [3.0, 2.0, 3.0, 2.0]
     res = maxflow(rd, s, t, n=n, num_partitions=2)
     assert res.value == 5.0
+
+
+# ------------------------------------------------------- DL / LGL etc --
+
+DL_EDGELIST = """DL N=5
+FORMAT = EDGELIST1
+DATA:
+1 2 3.0
+2 3
+3 1 0.5
+"""
+
+DL_FULLMATRIX = """dl n=3
+data:
+0 1 1
+1 0 0
+0 0 1
+"""
+
+DL_NODELIST = """DL N=4
+FORMAT = NODELIST1
+DATA:
+1 2 3
+2 4
+"""
+
+
+def test_dl_edgelist(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_dl
+
+    p = tmp_path / "a.dl"
+    p.write_text(DL_EDGELIST)
+    g, verts = read_dl(str(p))
+    assert g.num_vertices() == 5 and g.attrs["directed"] is True
+    et = g.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2), (2, 0)]
+    assert et["weight"].tolist() == [3.0, 1.0, 0.5]
+
+
+def test_dl_fullmatrix_and_nodelist(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_dl
+
+    p = tmp_path / "m.dl"
+    p.write_text(DL_FULLMATRIX)
+    g, _ = read_dl(str(p))
+    et = g.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (0, 2), (1, 0), (2, 2)]
+
+    p2 = tmp_path / "n.dl"
+    p2.write_text(DL_NODELIST)
+    g2, _ = read_dl(str(p2))
+    et2 = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et2["src"], et2["dst"])) == [(0, 1), (0, 2), (1, 3)]
+
+
+def test_dl_roundtrip(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_dl, write_dl
+
+    edges = pa.table({
+        "src": pa.array([0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 0], pa.int64()),
+        "weight": pa.array([0.5, 1.5, 2.5, 3.5], pa.float64()),
+    })
+    g = Graph(ray.data.from_arrow(edges), n=4, weighted=True,
+              attrs={"directed": True})
+    p = tmp_path / "rt.dl"
+    write_dl(g, str(p))
+    g2, _ = read_dl(str(p))
+    et = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert et["weight"].tolist() == [0.5, 1.5, 2.5, 3.5]
+
+
+def test_lgl_roundtrip(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_lgl, write_lgl
+
+    src = """# n0
+n1 1.5
+n2
+# n2
+n3 2.5
+"""
+    p = tmp_path / "a.lgl"
+    p.write_text(src)
+    g, verts = read_lgl(str(p))
+    assert g.attrs["directed"] is False
+    vt = verts.sort("vertex").to_pandas()
+    assert list(vt["name"]) == ["n0", "n1", "n2", "n3"]
+    et = g.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (0, 2), (2, 3)]
+
+    p2 = tmp_path / "b.lgl"
+    write_lgl(g, str(p2), names={i: n for i, n in enumerate(vt["name"])})
+    g2, verts2 = read_lgl(str(p2))
+    et2 = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    # name-order may permute ids; compare by name pairs
+    nm = dict(zip(verts2.to_pandas()["vertex"], verts2.to_pandas()["name"]))
+    pairs = sorted((nm[s], nm[d]) for s, d in zip(et2["src"], et2["dst"]))
+    assert pairs == [("n0", "n1"), ("n0", "n2"), ("n2", "n3")]
+
+
+def test_lgl_isolates(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_lgl, write_lgl
+
+    edges = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+    g = Graph(ray.data.from_arrow(edges), n=3, attrs={"directed": False})
+    p = tmp_path / "iso.lgl"
+    write_lgl(g, str(p))
+    g2, verts2 = read_lgl(str(p))
+    assert g2.num_vertices() == 3  # isolate '2' written as bare '# 2'
+
+
+def test_leda_roundtrip(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_leda, write_leda
+
+    edges = pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+        "weight": pa.array([1.25, -2.0, 3.0], pa.float64()),
+    })
+    g = Graph(ray.data.from_arrow(edges), n=4, weighted=True,
+              attrs={"directed": True})
+    p = tmp_path / "g.leda"
+    write_leda(g, str(p))
+    txt = p.read_text()
+    assert txt.startswith("LEDA.GRAPH\nvoid\nfloat\n-1\n")
+    g2 = read_leda(str(p))
+    assert g2.num_vertices() == 4 and g2.attrs["directed"] is True
+    et = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2), (2, 0)]
+    assert et["weight"].tolist() == [1.25, -2.0, 3.0]
+
+
+def test_dot_roundtrip(ray_session, tmp_path):
+    from igraph_ray.sources.dl_lgl import read_dot, write_dot
+
+    edges = pa.table({"src": pa.array([0, 1, 4], pa.int64()),
+                      "dst": pa.array([1, 2, 0], pa.int64())})
+    g = Graph(ray.data.from_arrow(edges), n=5, attrs={"directed": True})
+    p = tmp_path / "g.dot"
+    write_dot(g, str(p))
+    assert "digraph {" in p.read_text()
+    g2 = read_dot(str(p))
+    assert g2.num_vertices() == 5 and g2.attrs["directed"] is True
+    et = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(et["src"], et["dst"])) == [(0, 1), (1, 2), (4, 0)]
+
+    g.attrs["directed"] = False
+    p2 = tmp_path / "u.dot"
+    write_dot(g, str(p2))
+    g3 = read_dot(str(p2))
+    assert g3.attrs["directed"] is False and g3.num_edges() == 3
