@@ -233,3 +233,177 @@ def isomorphic_small(
         if mapped == e2:
             return True
     return False
+
+
+# ------------------------------------------------------------- VF2 -----
+
+def _wl_colors(n: int, src: np.ndarray, dst: np.ndarray,
+               directed: bool, rounds: int = 10) -> np.ndarray:
+    """1-WL color refinement (iterated neighborhood-multiset hashing),
+    vectorized: each round sorts (vertex, neighbor_color) pairs and
+    densifies the (own_color, sorted neighbor colors) signature. Colors
+    are comparable BETWEEN two graphs because the signature densify uses
+    lexicographic rank over the union (callers pass both graphs stacked
+    with a graph-id offset and split after)."""
+    col = np.zeros(n, dtype=np.int64)
+    if not directed:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    for _ in range(rounds):
+        # signature: own color + sorted multiset of in-neighbor colors,
+        # hashed via sorted (dst, col[src]) runs
+        order = np.lexsort((col[src], dst))
+        d_s, c_s = dst[order], col[src][order]
+        # per-vertex rolling hash of the sorted color run (splitmix-ish)
+        h = np.zeros(n, dtype=np.uint64)
+        x = (c_s.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        # position-sensitive within the sorted run keeps multiset order
+        # canonical: h = sum of mix(color)*(pos+1) over the sorted run
+        if len(d_s):
+            starts = np.r_[0, 1 + np.flatnonzero(d_s[1:] != d_s[:-1])]
+            pos = np.arange(len(d_s), dtype=np.uint64)
+            pos -= np.repeat(pos[starts], np.diff(np.r_[starts, len(d_s)]))
+            contrib = x * (pos + np.uint64(1))
+            sums = np.add.reduceat(contrib, starts)
+            h[d_s[starts]] = sums
+        sig = np.stack([col.astype(np.uint64), h], axis=1)
+        _, new = np.unique(sig, axis=0, return_inverse=True)
+        if new.max(initial=0) == col.max(initial=0) and len(np.unique(new)) == len(np.unique(col)):
+            col = new.astype(np.int64)
+            break
+        col = new.astype(np.int64)
+    return col
+
+
+def isomorphic_vf2(
+    g1_src, g1_dst, n1: int, g2_src, g2_dst, n2: int,
+    directed: bool = False, max_edges: int = 1 << 22,
+) -> Tuple[bool, Optional[np.ndarray]]:
+    """igraph_isomorphic_vf2 (topology.c; Cordella et al. 2004): exact
+    graph isomorphism with WL color-refinement invariants as the
+    candidate filter. Returns (iso, mapping g1→g2 or None).
+
+    Plan: both graphs are broadcast into one worker (guarded to
+    ``max_edges`` — the same honest ceiling style as maximal_cliques);
+    WL refinement runs over the two graphs stacked so the color ids are
+    directly comparable, then a VF2 backtracking search binds vertices
+    in rarest-color-first order with candidates restricted to the same
+    WL color and adjacency-consistency checked incrementally. On
+    irregular graphs refinement is discrete and the search is linear."""
+    src1 = np.asarray(g1_src, dtype=np.int64)
+    dst1 = np.asarray(g1_dst, dtype=np.int64)
+    src2 = np.asarray(g2_src, dtype=np.int64)
+    dst2 = np.asarray(g2_dst, dtype=np.int64)
+    if n1 != n2 or len(src1) != len(src2):
+        return False, None
+    if len(src1) > max_edges:
+        raise NotImplementedError(
+            f"isomorphic_vf2 broadcast plan is guarded to {max_edges} edges")
+    n = n1
+    # stacked WL so colors are cross-graph comparable
+    col = _wl_colors(2 * n,
+                     np.concatenate([src1, src2 + n]),
+                     np.concatenate([dst1, dst2 + n]), directed)
+    c1, c2 = col[:n], col[n:]
+    h1 = np.sort(c1)
+    h2 = np.sort(c2)
+    if not np.array_equal(h1, h2):
+        return False, None
+
+    def _adj_sets(src, dst):
+        out = [set() for _ in range(n)]
+        inn = [set() for _ in range(n)]
+        for a, b in zip(src.tolist(), dst.tolist()):
+            out[a].add(b)
+            inn[b].add(a)
+            if not directed:
+                out[b].add(a)
+                inn[a].add(b)
+        return out, inn
+
+    out1, in1 = _adj_sets(src1, dst1)
+    out2, in2 = _adj_sets(src2, dst2)
+
+    # candidates per g1 vertex: g2 vertices of the same WL color
+    from collections import defaultdict
+    by_color: dict = defaultdict(list)
+    for v in range(n):
+        by_color[int(c2[v])].append(v)
+    # bind order: rarest color first, then degree desc (fail fast)
+    order = sorted(range(n),
+                   key=lambda v: (len(by_color[int(c1[v])]),
+                                  -(len(out1[v]) + len(in1[v]))))
+    mapping = np.full(n, -1, dtype=np.int64)
+    used = np.zeros(n, dtype=bool)
+
+    def _ok(v1: int, v2: int) -> bool:
+        for u1 in out1[v1]:
+            m = mapping[u1]
+            if m >= 0 and m not in out2[v2]:
+                return False
+        for u1 in in1[v1]:
+            m = mapping[u1]
+            if m >= 0 and m not in in2[v2]:
+                return False
+        # reverse direction needs no explicit check for SIMPLE graphs:
+        # |E1| == |E2| (checked on entry) and every g1 edge maps onto a
+        # distinct g2 edge once both endpoints are bound, so the image
+        # covers all of E2 — extra g2 edges between mapped pairs cannot
+        # exist at a full binding (the reference's VF2 likewise requires
+        # simple graphs, topology.c).
+        return (len(out1[v1]) == len(out2[v2])
+                and len(in1[v1]) == len(in2[v2]))
+
+    def _search(i: int) -> bool:
+        if i == n:
+            return True
+        v1 = order[i]
+        for v2 in by_color[int(c1[v1])]:
+            if used[v2] or not _ok(v1, v2):
+                continue
+            mapping[v1] = v2
+            used[v2] = True
+            if _search(i + 1):
+                return True
+            mapping[v1] = -1
+            used[v2] = False
+        return False
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, n + 100))
+    try:
+        found = _search(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return (True, mapping.copy()) if found else (False, None)
+
+
+def isomorphic(g1: Graph, g2: Graph,
+               directed: Optional[bool] = None) -> Tuple[bool, Optional[np.ndarray]]:
+    """igraph_isomorphic surface over two Graphs: edge tables are pulled
+    through one Ray task (broadcast small-graph plan), VF2 + WL runs
+    there; the driver sees only (bool, mapping)."""
+    if directed is None:
+        directed = bool(g1.attrs.get("directed", True))
+    n1, n2 = g1.num_vertices(), g2.num_vertices()
+
+    def _cols(g: Graph):
+        t = pa.concat_tables(
+            [b.select(["src", "dst"])
+             for b in g.edges.iter_batches(batch_format="pyarrow")]
+            or [pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})])
+        return (t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False))
+
+    s1, d1 = _cols(g1)
+    s2, d2 = _cols(g2)
+
+    @ray.remote
+    def _run(s1, d1, s2, d2):
+        return isomorphic_vf2(s1, d1, n1, s2, d2, n2, directed=directed)
+
+    import ray as _ray
+    return _ray.get(_run.remote(s1, d1, s2, d2))

@@ -1561,6 +1561,40 @@ FROM slots s LEFT JOIN resolved r ON r.e = s.e
 ORDER BY src, dst"""
 
 
+def q_isomorphic_check(sf_dir: str):
+    """igraph_isomorphic (topology.c VF2 + WL-refinement invariants):
+    the sparse derived graph vs an md5-permuted relabeling of itself.
+    The engine must find a full vertex bijection mapping every edge onto
+    an edge (verified inside isomorphic_vf2 — a full binding exists only
+    if all |E| edges map); returns (iso, n_edges) where n_edges ties the
+    result to the data (oracle counts the same distinct simple edges)."""
+    import hashlib
+
+    from igraph_ray.algorithms.subiso import isomorphic
+
+    g = derive.graph_sparse(sf_dir)
+    m = g.num_edges()
+    keys = np.array([hashlib.md5(str(v).encode()).hexdigest()
+                     for v in range(derive.V)])
+    perm_arr = np.argsort(keys).astype(np.int64)  # md5-rank permutation
+    ref = ray.put(perm_arr)
+
+    def _permute(b: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        return pa.table({
+            "src": pa.array(p[b["src"].to_numpy(zero_copy_only=False)]),
+            "dst": pa.array(p[b["dst"].to_numpy(zero_copy_only=False)]),
+        })
+
+    g2 = Graph(g.edges.map_batches(_permute, batch_format="pyarrow",
+                                   batch_size=None).materialize(),
+               n=derive.V, attrs={"directed": True})
+    g1 = Graph(g.edges, n=derive.V, attrs={"directed": True})
+    iso, mapping = isomorphic(g1, g2)
+    return pa.table({"iso": pa.array([1 if iso else 0], pa.int64()),
+                     "n_edges": pa.array([m], pa.int64())})
+
+
 def q_subiso_path4(sf_dir: str):
     """Count of injective P4 maps (igraph_count_subisomorphisms_vf2,
     topology.c semantics, non-induced) in the undirected sparse view —
@@ -3970,6 +4004,7 @@ def queries() -> Dict[str, Callable]:
         "community_eb": q_community_eb,
         "barabasi": q_barabasi,
         "subiso_path4": q_subiso_path4,
+        "isomorphic_check": q_isomorphic_check,
         "subiso_cycle4": q_subiso_cycle4,
         "global_mincut": q_global_mincut,
         "mincut_karger": q_mincut_karger,
@@ -4610,6 +4645,10 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "louvain_sweeps": _sql_louvain_sweeps(),
         "barabasi": _sql_barabasi(),
         "subiso_path4": _sql_subiso_path4(),
+        "isomorphic_check": (
+            f"SELECT 1 AS iso, COUNT(*) AS n_edges FROM "
+            f"({derive.SQL_EDGES_SPARSE}) t"
+        ),
         "subiso_cycle4": _sql_subiso_cycle4(),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "

@@ -106,3 +106,99 @@ def test_isomorphic_small():
     with pytest.raises(NotImplementedError):
         isomorphic_small(list(range(9)), list(range(1, 10)), 10,
                          list(range(9)), list(range(1, 10)), 10)
+
+
+# ------------------------------------------------------------- VF2 -----
+
+def _perm_graph(src, dst, n, seed):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n).astype(np.int64)
+    return perm[src], perm[dst], perm
+
+
+def test_vf2_isomorphic_positive(ray_session):
+    from igraph_ray.algorithms.subiso import isomorphic_vf2
+
+    rng = np.random.default_rng(11)
+    n, m = 200, 600
+    # simple random graph (dedup pairs, no loops)
+    s = rng.integers(0, n, 2 * m)
+    d = rng.integers(0, n, 2 * m)
+    keep = s != d
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in
+                    zip(s[keep].tolist(), d[keep].tolist())})[:m]
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    ps, pd, perm = _perm_graph(src, dst, n, 5)
+    iso, mapping = isomorphic_vf2(src, dst, n, ps, pd, n, directed=False)
+    assert iso
+    # verify mapping maps every edge onto an edge
+    e2 = {(min(a, b), max(a, b)) for a, b in zip(ps.tolist(), pd.tolist())}
+    for a, b in pairs:
+        ma, mb = int(mapping[a]), int(mapping[b])
+        assert (min(ma, mb), max(ma, mb)) in e2
+
+
+def test_vf2_isomorphic_negative(ray_session):
+    from igraph_ray.algorithms.subiso import isomorphic_vf2
+
+    # same degree sequence, different structure: C6 vs 2x C3
+    c6s = np.array([0, 1, 2, 3, 4, 5], np.int64)
+    c6d = np.array([1, 2, 3, 4, 5, 0], np.int64)
+    c33s = np.array([0, 1, 2, 3, 4, 5], np.int64)
+    c33d = np.array([1, 2, 0, 4, 5, 3], np.int64)
+    iso, _ = isomorphic_vf2(c6s, c6d, 6, c33s, c33d, 6, directed=False)
+    assert not iso
+
+
+def test_vf2_directed(ray_session):
+    from igraph_ray.algorithms.subiso import isomorphic_vf2
+
+    # directed path 0->1->2 vs reversed labels; and vs out-star
+    ps = np.array([0, 1], np.int64)
+    pd_ = np.array([1, 2], np.int64)
+    qs = np.array([2, 1], np.int64)
+    qd = np.array([1, 0], np.int64)
+    iso, mp = isomorphic_vf2(ps, pd_, 3, qs, qd, 3, directed=True)
+    assert iso and mp[0] == 2 and mp[2] == 0
+    star_s = np.array([0, 0], np.int64)
+    star_d = np.array([1, 2], np.int64)
+    iso2, _ = isomorphic_vf2(ps, pd_, 3, star_s, star_d, 3, directed=True)
+    assert not iso2
+
+
+def test_vf2_regular_graphs(ray_session):
+    from igraph_ray.algorithms.subiso import isomorphic_vf2
+
+    # WL-hard case: circulant (3-regular) graph vs its permutation —
+    # refinement gives one color class, VF2 search must still succeed
+    n = 24
+    src = np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64)
+    dst = np.concatenate([(np.arange(n) + 1) % n,
+                          (np.arange(n) + 5) % n]).astype(np.int64)
+    ps, pd_, _ = _perm_graph(src, dst, n, 9)
+    iso, _ = isomorphic_vf2(src, dst, n, ps, pd_, n, directed=False)
+    assert iso
+    # Petersen (3-regular, girth 5) vs K3,3 plus... simpler: vs circulant C24(1,2)
+    dst2 = np.concatenate([(np.arange(n) + 1) % n,
+                           (np.arange(n) + 2) % n]).astype(np.int64)
+    iso2, _ = isomorphic_vf2(src, dst, n, src, dst2, n, directed=False)
+    assert not iso2
+
+
+def test_isomorphic_graph_surface(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.subiso import isomorphic
+    from igraph_ray.graph import Graph
+
+    src = np.array([0, 1, 2, 3, 3], np.int64)
+    dst = np.array([1, 2, 3, 0, 1], np.int64)
+    g1 = Graph(ray.data.from_arrow(pa.table({"src": src, "dst": dst})),
+               n=4, attrs={"directed": True})
+    ps, pd_, _ = _perm_graph(src, dst, 4, 3)
+    g2 = Graph(ray.data.from_arrow(pa.table({"src": ps, "dst": pd_})),
+               n=4, attrs={"directed": True})
+    iso, mapping = isomorphic(g1, g2)
+    assert iso and mapping is not None
