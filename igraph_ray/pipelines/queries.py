@@ -1665,6 +1665,31 @@ def q_community_eb(sf_dir: str):
     return community_edge_betweenness(g, max_removals=6, num_partitions=8)
 
 
+def q_fastgreedy(sf_dir: str):
+    """CNM greedy modularity communities (igraph_community_fastgreedy,
+    fast_community.c) at the max-modularity cut on the sparse derived
+    graph. Rows-only at the gate (the merge order is a sequential
+    greedy, not SQL-replayable); the modularity-sequence cross-check
+    and planted-partition pytest carry exactness."""
+    from igraph_ray.algorithms.fastgreedy import community_fastgreedy
+
+    g = derive.graph_sparse(sf_dir)
+    _, mem = community_fastgreedy(g, n=derive.V)
+    return mem
+
+
+def q_walktrap(sf_dir: str):
+    """Walktrap communities (igraph_community_walktrap, walktrap.cpp;
+    Pons–Latapy t=4 walk distances) at the max-modularity cut on the
+    sparse derived graph. Rows-only at the gate; planted-partition and
+    best-cut-modularity pytests carry exactness."""
+    from igraph_ray.algorithms.walktrap import community_walktrap
+
+    g = derive.graph_sparse(sf_dir)
+    _, mem = community_walktrap(g, n=derive.V)
+    return mem
+
+
 def q_community_le(sf_dir: str):
     """Leading-eigenvector communities (community.c:1414, Newman 2006)
     on the very-sparse graph — two recursive spectral bisections via
@@ -4002,6 +4027,8 @@ def queries() -> Dict[str, Callable]:
         "matching": q_matching,
         "max_matching": q_max_matching,
         "community_eb": q_community_eb,
+        "fastgreedy": q_fastgreedy,
+        "walktrap": q_walktrap,
         "barabasi": q_barabasi,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
