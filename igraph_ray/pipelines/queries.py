@@ -1504,6 +1504,65 @@ def q_global_mincut(sf_dir: str):
     return pa.table({"mincut": pa.array([val], pa.int64())})
 
 
+def _dense36_edges(sf_dir: str):
+    """Near-dense 36-vertex simple undirected graph: distinct pairs
+    (o_orderkey%36, o_custkey*7%36) kept iff (lo²+3·hi²)%5 < 4. The
+    filter makes degrees vary (21..35) while every pair still satisfies
+    d(u)+d(v) ≥ n−1 — the premise of the local Chartrand bound
+    (λ(u,v) = min(d(u), d(v)) when d(u)+d(v) ≥ n−1), which makes the
+    Gomory–Hu weight multiset SQL-expressible."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def _d(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = ok % 36
+        c = (ck * 7) % 36
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        keep = (lo != hi) & (((lo * lo + 3 * hi * hi) % 5) < 4)
+        t = pa.table({"src": pa.array(lo[keep]), "dst": pa.array(hi[keep])})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    return (orders.map_batches(_d, batch_format="pyarrow", batch_size=None)
+            .groupby(["src", "dst"]).count()
+            .select_columns(["src", "dst"]))
+
+
+def q_gomory_hu(sf_dir: str):
+    """Gomory–Hu cut tree (igraph_gomory_hu_tree, flow.c:2389, Gusfield
+    1990) on the near-dense 36-vertex derived graph; returns the SORTED
+    tree weights as (rank, flow). Oracle: with d(u)+d(v) ≥ n−1 for every
+    pair, λ(u,v) = min(d(u), d(v)) (local Chartrand), and any cut tree
+    of a min-of-endpoint-values metric carries exactly the n−1 smallest
+    vertex degrees as weights (for every x, edges of weight ≥ x span the
+    vertices of degree ≥ x) — so the SQL oracle is the sorted degree
+    list minus its maximum."""
+    from igraph_ray.algorithms.connectivity import gomory_hu_tree
+
+    g = Graph(_dense36_edges(sf_dir).materialize(), n=36)
+    tree = gomory_hu_tree(g, n=36)
+    fl = np.sort(np.array(tree["flow_e6"].to_pylist()) // 10**6)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(fl) + 1, dtype=np.int64)),
+        "flow": pa.array(fl.astype(np.int64)),
+    })
+
+
+def q_vertex_connectivity(sf_dir: str):
+    """Global vertex connectivity (igraph_vertex_connectivity,
+    flow.c:2040) of the near-dense 36-vertex derived graph via the
+    single-pivot Even reduction over vertex-split unit max flows.
+    Rows-only at the gate (κ is not SQL-expressible); known-κ fixture
+    pytests (C5, K5, Petersen, cut-vertex) carry exactness."""
+    from igraph_ray.algorithms.connectivity import vertex_connectivity
+
+    g = Graph(_dense36_edges(sf_dir).materialize(), n=36)
+    k = vertex_connectivity(g, n=36)
+    return pa.table({"kappa": pa.array([k], pa.int64())})
+
+
 def q_mincut_karger(sf_dir: str):
     """Karger-sampled global min cut (the scale path: MST under md5
     trial weights, cut at the heaviest tree edge) on the sparse derived
@@ -4035,6 +4094,8 @@ def queries() -> Dict[str, Callable]:
         "subiso_cycle4": q_subiso_cycle4,
         "global_mincut": q_global_mincut,
         "mincut_karger": q_mincut_karger,
+        "gomory_hu": q_gomory_hu,
+        "vertex_connectivity": q_vertex_connectivity,
         "louvain_sweeps": q_louvain_sweeps,
         "community_le": q_community_le,
         "max_matching_size": q_max_matching_size,
@@ -4683,6 +4744,22 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und) "
             "GROUP BY v) "
             "SELECT CAST(MIN(d) AS BIGINT) AS mincut FROM degs"),
+        "gomory_hu": (
+            "WITH und AS (SELECT DISTINCT "
+            "LEAST(o_orderkey % 36, (o_custkey * 7) % 36) AS lo, "
+            "GREATEST(o_orderkey % 36, (o_custkey * 7) % 36) AS hi "
+            "FROM orders "
+            "WHERE (o_orderkey % 36) != ((o_custkey * 7) % 36) "
+            "AND ((LEAST(o_orderkey % 36, (o_custkey * 7) % 36) * "
+            "LEAST(o_orderkey % 36, (o_custkey * 7) % 36) + "
+            "3 * GREATEST(o_orderkey % 36, (o_custkey * 7) % 36) * "
+            "GREATEST(o_orderkey % 36, (o_custkey * 7) % 36)) % 5) < 4), "
+            "degs AS (SELECT v, COUNT(*) AS d FROM ("
+            "SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und) "
+            "GROUP BY v) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, v) AS BIGINT) "
+            "AS rank, CAST(d AS BIGINT) AS flow FROM degs "
+            "ORDER BY d, v LIMIT 35"),
         "max_matching_size": (
             "WITH lc AS (SELECT o_orderkey % 40 AS g, "
             "COUNT(DISTINCT o_custkey % 12) AS nl FROM orders GROUP BY 1), "
