@@ -1724,6 +1724,34 @@ def q_community_eb(sf_dir: str):
     return community_edge_betweenness(g, max_removals=6, num_partitions=8)
 
 
+def q_spectral_embedding(sf_dir: str):
+    """Adjacency spectral embedding (igraph_adjacency_spectral_embedding,
+    embedding.c; ASE = U_k·|Λ_k|^{1/2}) of the undirected dense derived
+    graph, k=2, via stride-2 block subspace iteration on the aligned
+    engine. Values ×10⁶ rounded for hash stability. Rows-only at the
+    gate (iterative eigensolve is not SQL-expressible); the dense-eigh
+    agreement pytest carries exactness."""
+    from igraph_ray.algorithms.embedding import adjacency_spectral_embedding
+
+    g = derive.graph_a(sf_dir)
+    res = adjacency_spectral_embedding(g, k=2, fixed_iterations=60,
+                                       num_partitions=8)
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "d0_e6": pa.array(np.round(
+                b["d0"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)),
+            "d1_e6": pa.array(np.round(
+                b["d1"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)),
+        })
+
+    return res.state.map_batches(_scale, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+
 def q_fastgreedy(sf_dir: str):
     """CNM greedy modularity communities (igraph_community_fastgreedy,
     fast_community.c) at the max-modularity cut on the sparse derived
@@ -4088,6 +4116,7 @@ def queries() -> Dict[str, Callable]:
         "community_eb": q_community_eb,
         "fastgreedy": q_fastgreedy,
         "walktrap": q_walktrap,
+        "spectral_embedding": q_spectral_embedding,
         "barabasi": q_barabasi,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,

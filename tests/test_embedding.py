@@ -1,0 +1,106 @@
+"""Adjacency spectral embedding (embedding.c ASE semantics): eigenpair
+agreement with dense numpy eigh, planted-block separation, path-graph
+closed-form spectrum, determinism."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.algorithms.embedding import adjacency_spectral_embedding
+from igraph_ray.graph import Graph
+
+
+def _g(src, dst, n):
+    return Graph(ray.data.from_arrow(pa.table({
+        "src": np.asarray(src, np.int64),
+        "dst": np.asarray(dst, np.int64)})), n=n)
+
+
+def _dense_ref(src, dst, n, k):
+    A = np.zeros((n, n))
+    A[src, dst] = 1
+    A[dst, src] = 1
+    ev, U = np.linalg.eigh(A)
+    order = np.argsort(-np.abs(ev))[:k]
+    return ev[order], U[:, order] * np.sqrt(np.abs(ev[order]))[None, :]
+
+
+def test_ase_matches_dense_eigh(ray_session):
+    rng = np.random.default_rng(2)
+    n = 60
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in rng.integers(0, n, (400, 2)) if a != b})
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    k = 3
+    res = adjacency_spectral_embedding(_g(src, dst, n), k=k, oversample=3,
+                                       fixed_iterations=160,
+                                       num_partitions=4)
+    ev_ref, ref = _dense_ref(src, dst, n, k)
+    assert np.allclose(res.scalars["eigenvalues"], ev_ref, atol=1e-5)
+    t = res.state.to_pandas().sort_values("vertex").reset_index(drop=True)
+    E = t[[f"d{j}" for j in range(k)]].to_numpy()
+    for j in range(k):
+        err = min(np.abs(E[:, j] - ref[:, j]).max(),
+                  np.abs(E[:, j] + ref[:, j]).max())
+        assert err < 1e-3, (j, err)
+
+
+def test_ase_planted_blocks(ray_session):
+    # two dense blocks + sparse cross edges: d1 separates the blocks
+    rng = np.random.default_rng(4)
+    bs = 20
+    n = 2 * bs
+    es = set()
+    for b in range(2):
+        vs = np.arange(b * bs, (b + 1) * bs)
+        for i in vs:
+            for j in rng.choice(vs, 8, replace=False):
+                if i != j:
+                    es.add((min(i, j), max(i, j)))
+    es.add((0, bs))
+    src = np.array([e[0] for e in es], np.int64)
+    dst = np.array([e[1] for e in es], np.int64)
+    res = adjacency_spectral_embedding(_g(src, dst, n), k=2,
+                                       fixed_iterations=120,
+                                       num_partitions=4)
+    t = res.state.to_pandas().sort_values("vertex").reset_index(drop=True)
+    d1 = t["d1"].to_numpy()
+    # majority separation (numpy's exact u1 also has a couple of
+    # boundary vertices crossing zero on this fixture)
+    s1 = np.sign(np.median(d1[:bs]))
+    assert (np.sign(d1[:bs]) == s1).mean() > 0.8
+    assert (np.sign(d1[bs:]) == -s1).mean() > 0.8
+    # and the engine's top-2 eigenvalues match the dense reference
+    ev_ref, _ = _dense_ref(src, dst, n, 2)
+    assert np.allclose(res.scalars["eigenvalues"], ev_ref, atol=1e-4)
+
+
+def test_ase_path_closed_form(ray_session):
+    # P_n eigenvalues are 2cos(pi*j/(n+1))
+    n = 12
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    res = adjacency_spectral_embedding(_g(src, dst, n), k=2, oversample=3,
+                                       fixed_iterations=200,
+                                       num_partitions=2)
+    ev = res.scalars["eigenvalues"]
+    expect = [2 * np.cos(np.pi / (n + 1)), -2 * np.cos(np.pi / (n + 1))]
+    assert np.allclose(sorted(ev), sorted(expect), atol=1e-6)
+
+
+def test_ase_deterministic(ray_session):
+    rng = np.random.default_rng(9)
+    n = 40
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in rng.integers(0, n, (150, 2)) if a != b})
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    r1 = adjacency_spectral_embedding(_g(src, dst, n), k=2,
+                                      fixed_iterations=60, num_partitions=3)
+    r2 = adjacency_spectral_embedding(_g(src, dst, n), k=2,
+                                      fixed_iterations=60, num_partitions=3)
+    t1 = r1.state.to_pandas().sort_values("vertex").reset_index(drop=True)
+    t2 = r2.state.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert np.array_equal(t1["d0"].to_numpy(), t2["d0"].to_numpy())
+    assert np.array_equal(t1["d1"].to_numpy(), t2["d1"].to_numpy())
