@@ -1724,6 +1724,58 @@ def q_community_eb(sf_dir: str):
     return community_edge_betweenness(g, max_removals=6, num_partitions=8)
 
 
+SIR_BETA, SIR_GAMMA, SIR_STEPS, SIR_SEED_MOD = 0.4, 0.25, 4, 101
+
+
+def q_sir(sf_dir: str):
+    """Deterministic synchronous SIR (sir.c compartment semantics, md5
+    per-edge infection / per-vertex recovery draws — the engine's
+    reproducible adaptation of the reference's Gillespie simulation) on
+    the dense derived graph; returns the (step, s, i, r) trajectory.
+    The SQL oracle replays every step verbatim (unrolled CTEs with the
+    same md5 15-hex-prefix draws)."""
+    from igraph_ray.algorithms.sir import sir
+
+    g = derive.graph_a(sf_dir)
+    return sir(g, beta=SIR_BETA, gamma=SIR_GAMMA, steps=SIR_STEPS,
+               seed_mod=SIR_SEED_MOD, n=derive.V, num_partitions=8)
+
+
+def _sql_sir() -> str:
+    from igraph_ray.algorithms.sir import HEX15
+
+    beta_hex = format(int(SIR_BETA * HEX15), "015x")
+    gamma_hex = format(int(SIR_GAMMA * HEX15), "015x")
+    parts = [
+        f"WITH und AS (SELECT DISTINCT LEAST(src, dst) AS lo, "
+        f"GREATEST(src, dst) AS hi FROM ({derive.SQL_EDGES_A}) e), "
+        f"s0 AS (SELECT range AS v, CASE WHEN range % {SIR_SEED_MOD} = 0 "
+        f"THEN 1 ELSE 0 END AS st FROM range({derive.V}))"
+    ]
+    for t in range(SIR_STEPS):
+        parts.append(
+            f", s{t + 1} AS (SELECT s.v, CASE "
+            f"WHEN s.st = 2 THEN 2 "
+            f"WHEN s.st = 1 THEN CASE WHEN substr(md5('r:' || "
+            f"CAST(s.v AS VARCHAR) || ':{t}'), 1, 15) < '{gamma_hex}' "
+            f"THEN 2 ELSE 1 END "
+            f"ELSE CASE WHEN EXISTS (SELECT 1 FROM und e "
+            f"JOIN s{t} o ON o.v = CASE WHEN e.lo = s.v THEN e.hi "
+            f"ELSE e.lo END "
+            f"WHERE (e.lo = s.v OR e.hi = s.v) AND o.st = 1 "
+            f"AND substr(md5(CAST(e.lo AS VARCHAR) || ':' || "
+            f"CAST(e.hi AS VARCHAR) || ':{t}'), 1, 15) < '{beta_hex}') "
+            f"THEN 1 ELSE 0 END END AS st FROM s{t} s)")
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS step, "
+        f"CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s, "
+        f"CAST(SUM(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS i, "
+        f"CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r "
+        f"FROM s{t}" for t in range(SIR_STEPS + 1))
+    parts.append(f" SELECT * FROM ({rows}) ORDER BY step")
+    return "".join(parts)
+
+
 def q_spectral_embedding(sf_dir: str):
     """Adjacency spectral embedding (igraph_adjacency_spectral_embedding,
     embedding.c; ASE = U_k·|Λ_k|^{1/2}) of the undirected dense derived
@@ -4117,6 +4169,7 @@ def queries() -> Dict[str, Callable]:
         "fastgreedy": q_fastgreedy,
         "walktrap": q_walktrap,
         "spectral_embedding": q_spectral_embedding,
+        "sir": q_sir,
         "barabasi": q_barabasi,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
@@ -4773,6 +4826,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und) "
             "GROUP BY v) "
             "SELECT CAST(MIN(d) AS BIGINT) AS mincut FROM degs"),
+        "sir": _sql_sir(),
         "gomory_hu": (
             "WITH und AS (SELECT DISTINCT "
             "LEAST(o_orderkey % 36, (o_custkey * 7) % 36) AS lo, "
