@@ -1,0 +1,205 @@
+"""Graph layouts.
+
+Reference semantics (/root/reference/src/layout.c):
+
+* igraph_layout_circle (layout.c:148): vertex i at
+  (cos 2πi/n, sin 2πi/n).
+* igraph_layout_star (layout.c:191): center at the origin, the other
+  n−1 vertices on the unit circle in id order (phi advances only on
+  non-center vertices).
+* igraph_layout_grid (layout.c:299): row-major integer lattice of the
+  given width (default ceil(sqrt(n))).
+* igraph_layout_fruchterman_reingold (layout.c / the FR'91 grid
+  variant): iterative force layout — attraction |Δ|²/k along edges,
+  repulsion k²/|Δ| between vertex pairs, displacement capped by a
+  linearly cooling temperature. The engine's repulsion uses the grid
+  approximation (vertices repel CELL CENTROIDS of a 2k-sized grid
+  rather than all pairs — the same locality idea as the reference's
+  own grid variant), attraction is two hash joins along the edge
+  table, and positions never land on the driver (the cell table is
+  assembled in a task and broadcast by ref). Deterministic md5 initial
+  positions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from igraph_ray.graph import Graph
+from igraph_ray.util import _concat_tables, hash_join
+
+HEX12 = 16 ** 12
+
+
+def _range_layout(n: int, fn) -> ray.data.Dataset:
+    def _m(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = fn(v)
+        return pa.table({"vertex": pa.array(v),
+                         "x": pa.array(x.astype(np.float64)),
+                         "y": pa.array(y.astype(np.float64))})
+
+    return ray.data.range(n).map_batches(_m, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def layout_circle(n: int) -> ray.data.Dataset:
+    return _range_layout(
+        n, lambda v: (np.cos(2 * np.pi * v / n), np.sin(2 * np.pi * v / n)))
+
+
+def layout_star(n: int, center: int = 0) -> ray.data.Dataset:
+    def _f(v):
+        if n == 1:
+            return np.zeros(1), np.zeros(1)
+        idx = v - (v > center)  # phi index skips the center
+        phi = 2 * np.pi * idx / (n - 1)
+        x = np.where(v == center, 0.0, np.cos(phi))
+        y = np.where(v == center, 0.0, np.sin(phi))
+        return x, y
+
+    return _range_layout(n, _f)
+
+
+def layout_grid(n: int, width: int = 0) -> ray.data.Dataset:
+    w = width if width > 0 else int(np.ceil(np.sqrt(n)))
+    return _range_layout(
+        n, lambda v: ((v % w).astype(np.float64),
+                      (v // w).astype(np.float64)))
+
+
+def _md5_unit(keys) -> np.ndarray:
+    out = np.empty(len(keys))
+    for i, kstr in enumerate(keys):
+        out[i] = int(hashlib.md5(kstr.encode()).hexdigest()[:12],
+                     16) / HEX12
+    return out
+
+
+def layout_fruchterman_reingold(
+    graph: Graph,
+    iterations: int = 10,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """FR force layout in the unit square; returns (vertex, x, y)."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    k = float(np.sqrt(1.0 / n))
+    # cell = 2k is the classic FR grid resolution; cap the cell size so
+    # small graphs still get a usable grid (>= 4x4)
+    cell = min(2.0 * k, 0.25)
+    ncell = max(1, int(np.ceil(1.0 / cell)))
+    und = graph.canonical_undirected().materialize()
+
+    def _init(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _md5_unit([f"x:{i}" for i in v.tolist()])
+        y = _md5_unit([f"y:{i}" for i in v.tolist()])
+        return pa.table({"vertex": pa.array(v), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    pos = ray.data.range(n).map_batches(
+        _init, batch_format="pyarrow", batch_size=None).materialize()
+
+    for it in range(iterations):
+        temp = 0.15 * (1.0 - it / iterations)
+
+        # cell centroid table: assembled in a task, broadcast by ref —
+        # O(#cells) rows, never on the driver
+        def _cells(b: pa.Table) -> pa.Table:
+            x = b["x"].to_numpy(zero_copy_only=False)
+            y = b["y"].to_numpy(zero_copy_only=False)
+            cx = np.clip((x / cell).astype(np.int64), 0, ncell - 1)
+            cy = np.clip((y / cell).astype(np.int64), 0, ncell - 1)
+            cid = cx * ncell + cy
+            t = pa.table({"cid": pa.array(cid), "x": b["x"], "y": b["y"],
+                          "cnt": pa.array(np.ones(len(x)))})
+            return t.group_by("cid").aggregate(
+                [("x", "sum"), ("y", "sum"), ("cnt", "sum")])
+
+        cells = (pos.map_batches(_cells, batch_format="pyarrow",
+                                 batch_size=None)
+                 .groupby("cid").sum(["x_sum", "y_sum", "cnt_sum"]))
+        cells_ref = _concat_tables.remote(cells.to_arrow_refs())
+
+        # attraction: tag each undirected edge with both positions
+        ps = pos.map_batches(lambda b: pa.table(
+            {"lo": b["vertex"], "xs": b["x"], "ys": b["y"]}),
+            batch_format="pyarrow", batch_size=None)
+        pd_ = pos.map_batches(lambda b: pa.table(
+            {"hi": b["vertex"], "xd": b["x"], "yd": b["y"]}),
+            batch_format="pyarrow", batch_size=None)
+        j = hash_join(und, ps, on="lo", num_partitions=num_partitions)
+        j = hash_join(j, pd_, on="hi", num_partitions=num_partitions)
+
+        def _att(b: pa.Table) -> pa.Table:
+            dx = b["xd"].to_numpy(zero_copy_only=False) - \
+                b["xs"].to_numpy(zero_copy_only=False)
+            dy = b["yd"].to_numpy(zero_copy_only=False) - \
+                b["ys"].to_numpy(zero_copy_only=False)
+            d = np.sqrt(dx * dx + dy * dy) + 1e-9
+            f = d / k  # FR attraction |Δ|²/k, normalized by |Δ|
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "vertex": pa.array(np.concatenate([lo, hi])),
+                "fx": pa.array(np.concatenate([dx * f, -dx * f])),
+                "fy": pa.array(np.concatenate([dy * f, -dy * f])),
+            })
+            return t.group_by("vertex").aggregate(
+                [("fx", "sum"), ("fy", "sum")])
+
+        att = (j.map_batches(_att, batch_format="pyarrow",
+                             batch_size=None)
+               .groupby("vertex").sum(["fx_sum", "fy_sum"])
+               .materialize())
+
+        def _move(b: pa.Table, temp=temp) -> pa.Table:
+            ct = ray.get(cells_ref)
+            ccnt = ct["sum(cnt_sum)"].to_numpy(zero_copy_only=False)
+            ccx = (ct["sum(x_sum)"].to_numpy(zero_copy_only=False)
+                   / np.maximum(ccnt, 1.0))
+            ccy = (ct["sum(y_sum)"].to_numpy(zero_copy_only=False)
+                   / np.maximum(ccnt, 1.0))
+            x = b["x"].to_numpy(zero_copy_only=False).copy()
+            y = b["y"].to_numpy(zero_copy_only=False).copy()
+            # repulsion from cell centroids (count-weighted); own
+            # contribution cancels via the d>eps mask on the centroid
+            dx = x[:, None] - ccx[None, :]
+            dy = y[:, None] - ccy[None, :]
+            d2 = dx * dx + dy * dy + 1e-12
+            f = k * k / d2 * ccnt[None, :]
+            fx = (dx * f).sum(axis=1)
+            fy = (dy * f).sum(axis=1)
+            if "sum(fx_sum)" in b.column_names:
+                ax = np.nan_to_num(b["sum(fx_sum)"].to_numpy(
+                    zero_copy_only=False).astype(np.float64))
+                ay = np.nan_to_num(b["sum(fy_sum)"].to_numpy(
+                    zero_copy_only=False).astype(np.float64))
+                fx += ax
+                fy += ay
+            norm = np.sqrt(fx * fx + fy * fy) + 1e-12
+            step = np.minimum(norm, temp)
+            x = np.clip(x + fx / norm * step, 0.0, 1.0)
+            y = np.clip(y + fy / norm * step, 0.0, 1.0)
+            return pa.table({"vertex": b["vertex"], "x": pa.array(x),
+                             "y": pa.array(y)})
+
+        pos = (hash_join(pos, att, on="vertex",
+                         num_partitions=num_partitions,
+                         join_type="left_outer")
+               .map_batches(_move, batch_format="pyarrow",
+                            batch_size=None)
+               .repartition(num_partitions).materialize())
+    return pos

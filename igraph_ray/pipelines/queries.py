@@ -1724,6 +1724,71 @@ def q_community_eb(sf_dir: str):
     return community_edge_betweenness(g, max_removals=6, num_partitions=8)
 
 
+def q_layout_circle(sf_dir: str):
+    """igraph_layout_circle (layout.c:148): vertex i at
+    (cos 2πi/n, sin 2πi/n) over the dense universe; ×10⁶ rounded. The
+    SQL oracle evaluates the identical closed form (same left-assoc
+    argument arithmetic, so both sides feed cos/sin bit-identical
+    inputs; a 1-ulp libm difference is 10 orders below the rounding
+    grid)."""
+    from igraph_ray.ops.layout import layout_circle
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "x_e6": pa.array(np.round(b["x"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+            "y_e6": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+        })
+
+    return layout_circle(derive.V).map_batches(
+        _scale, batch_format="pyarrow", batch_size=None).materialize()
+
+
+def q_layout_grid(sf_dir: str):
+    """igraph_layout_grid (layout.c:299): row-major integer lattice of
+    width ceil(sqrt(n)) — exact integers, direct SQL oracle."""
+    from igraph_ray.ops.layout import layout_grid
+
+    def _ints(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "gx": pa.array(b["x"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "gy": pa.array(b["y"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+        })
+
+    return layout_grid(derive.V).map_batches(
+        _ints, batch_format="pyarrow", batch_size=None).materialize()
+
+
+def q_layout_fr(sf_dir: str):
+    """Fruchterman–Reingold force layout (layout.c FR'91 grid variant)
+    of the very-sparse derived graph — 12 iterations, grid-approximated
+    repulsion, md5-deterministic init. Rows-only at the gate (iterative
+    float dynamics); the separation/determinism pytests carry the
+    contract."""
+    from igraph_ray.ops.layout import layout_fruchterman_reingold
+
+    g = derive.graph_vsparse(sf_dir)
+    pos = layout_fruchterman_reingold(g, iterations=12, n=derive.V,
+                                      num_partitions=8)
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "x_e6": pa.array(np.round(b["x"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+            "y_e6": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+        })
+
+    return pos.map_batches(_scale, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+
 SIR_BETA, SIR_GAMMA, SIR_STEPS, SIR_SEED_MOD = 0.4, 0.25, 4, 101
 
 
@@ -4170,6 +4235,9 @@ def queries() -> Dict[str, Callable]:
         "walktrap": q_walktrap,
         "spectral_embedding": q_spectral_embedding,
         "sir": q_sir,
+        "layout_circle": q_layout_circle,
+        "layout_grid": q_layout_grid,
+        "layout_fr": q_layout_fr,
         "barabasi": q_barabasi,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
@@ -4827,6 +4895,18 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             "GROUP BY v) "
             "SELECT CAST(MIN(d) AS BIGINT) AS mincut FROM degs"),
         "sir": _sql_sir(),
+        "layout_circle": (
+            f"SELECT range AS vertex, "
+            f"CAST(ROUND(cos(2 * pi() * range / {derive.V}) * 1000000) "
+            f"AS BIGINT) AS x_e6, "
+            f"CAST(ROUND(sin(2 * pi() * range / {derive.V}) * 1000000) "
+            f"AS BIGINT) AS y_e6 FROM range({derive.V})"),
+        "layout_grid": (
+            f"SELECT range AS vertex, "
+            f"CAST(range % CAST(CEIL(SQRT({derive.V})) AS BIGINT) "
+            f"AS BIGINT) AS gx, "
+            f"CAST(range // CAST(CEIL(SQRT({derive.V})) AS BIGINT) "
+            f"AS BIGINT) AS gy FROM range({derive.V})"),
         "gomory_hu": (
             "WITH und AS (SELECT DISTINCT "
             "LEAST(o_orderkey % 36, (o_custkey * 7) % 36) AS lo, "
