@@ -1894,6 +1894,19 @@ def q_walktrap(sf_dir: str):
     return mem
 
 
+def q_infomap(sf_dir: str):
+    """Greedy two-level Infomap (igraph_community_infomap, infomap.cc
+    map-equation semantics; deterministic agglomerative variant of the
+    reference's stochastic solver) on the sparse derived graph.
+    Rows-only at the gate; closed-form codelength and planted-partition
+    pytests carry exactness."""
+    from igraph_ray.algorithms.infomap import community_infomap
+
+    g = derive.graph_sparse(sf_dir)
+    _, mem = community_infomap(g, n=derive.V)
+    return mem
+
+
 def q_community_le(sf_dir: str):
     """Leading-eigenvector communities (community.c:1414, Newman 2006)
     on the very-sparse graph — two recursive spectral bisections via
@@ -4233,6 +4246,7 @@ def queries() -> Dict[str, Callable]:
         "community_eb": q_community_eb,
         "fastgreedy": q_fastgreedy,
         "walktrap": q_walktrap,
+        "infomap": q_infomap,
         "spectral_embedding": q_spectral_embedding,
         "sir": q_sir,
         "layout_circle": q_layout_circle,
