@@ -42,7 +42,7 @@ import ray
 import ray.data
 
 from igraph_ray.graph import Graph
-from igraph_ray.algorithms.fastgreedy import _aggregate_und
+from igraph_ray.algorithms.fastgreedy import _aggregate_und, und_arrays_ref
 
 
 def _dinic(n: int, arc_src, arc_dst, arc_cap, s: int, t: int):
@@ -109,18 +109,21 @@ def _dinic(n: int, arc_src, arc_dst, arc_cap, s: int, t: int):
             sys.setrecursionlimit(old)
 
 
-def _pull_und(graph: Graph, weight_col: Optional[str]):
+def _und_ref(graph: Graph, weighted: bool):
+    """ObjectRef to (lo, hi, w) of the aggregated undirected edges —
+    task-side assembly, nothing on the driver; w forced to ones for the
+    unweighted view."""
     agg = _aggregate_und(graph).materialize()
-    parts = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
-    t = (pa.concat_tables(parts) if parts
-         else pa.table({"lo": pa.array([], pa.int64()),
-                        "hi": pa.array([], pa.int64()),
-                        "sum(w)": pa.array([], pa.float64())}))
-    lo = t["lo"].to_numpy(zero_copy_only=False)
-    hi = t["hi"].to_numpy(zero_copy_only=False)
-    w = (t["sum(w)"].to_numpy(zero_copy_only=False).astype(np.float64)
-         if weight_col else np.ones(len(lo), np.float64))
-    return lo, hi, w
+    ref = und_arrays_ref(agg)
+    if weighted:
+        return ref
+
+    @ray.remote
+    def _ones(arrs):
+        lo, hi, _ = arrs
+        return lo, hi, np.ones(len(lo), np.float64)
+
+    return _ones.remote(ref)
 
 
 def vertex_connectivity(
@@ -137,10 +140,11 @@ def vertex_connectivity(
             f"exact vertex connectivity is guarded to {max_vertices} "
             f"vertices ({n} present) — use st_vertex_connectivity for "
             f"single pairs at scale")
-    lo, hi, _ = _pull_und(graph, None)
+    arrays = _und_ref(graph, weighted=False)
 
     @ray.remote
-    def _kappa(lo, hi):
+    def _kappa(arrs):
+        lo, hi, _w = arrs
         if n <= 1:
             return 0
         nbr = [set() for _ in range(n)]
@@ -199,7 +203,7 @@ def vertex_connectivity(
                     best = min(best, _st_kappa(u, w_))
         return int(best)
 
-    return ray.get(_kappa.remote(lo, hi))
+    return ray.get(_kappa.remote(arrays))
 
 
 def gomory_hu_tree(
@@ -217,10 +221,11 @@ def gomory_hu_tree(
         raise NotImplementedError(
             f"Gomory–Hu runs n-1 sequential flows; guarded to "
             f"{max_vertices} vertices ({n} present)")
-    lo, hi, w = _pull_und(graph, weight_col)
+    arrays = _und_ref(graph, weighted=weight_col is not None)
 
     @ray.remote
-    def _gusfield(lo, hi, w):
+    def _gusfield(arrs):
+        lo, hi, w = arrs
         asrc = np.concatenate([lo, hi])
         adst = np.concatenate([hi, lo])
         acap = np.concatenate([w, w])
@@ -235,7 +240,7 @@ def gomory_hu_tree(
                     parent[mid] = source
         return parent, flow
 
-    parent, flow = ray.get(_gusfield.remote(lo, hi, w))
+    parent, flow = ray.get(_gusfield.remote(arrays))
     vs = np.arange(1, n, dtype=np.int64)
     return pa.table({
         "vertex": pa.array(vs),

@@ -55,6 +55,31 @@ def _aggregate_und(graph: Graph) -> ray.data.Dataset:
             .groupby(["lo", "hi"]).sum("w"))
 
 
+@ray.remote
+def _cols_task(t: pa.Table):
+    if t is None or t.num_rows == 0 or "lo" not in t.column_names:
+        return (np.array([], np.int64), np.array([], np.int64),
+                np.array([], np.float64))
+    return (t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False),
+            t["sum(w)"].to_numpy(zero_copy_only=False).astype(np.float64))
+
+
+def und_arrays_ref(agg: ray.data.Dataset):
+    """ObjectRef to the (lo, hi, w) numpy arrays of the aggregated
+    undirected edge table — assembled task-side from the block refs, so
+    the edge data never lands on the driver (the sequential-merge
+    community algorithms and the connectivity flows consume it inside
+    one worker task)."""
+    from igraph_ray.util import _concat_tables, drop_empty_blocks
+
+    refs = drop_empty_blocks(agg).to_arrow_refs()
+    if not refs:
+        return ray.put((np.array([], np.int64), np.array([], np.int64),
+                        np.array([], np.float64)))
+    return _cols_task.remote(_concat_tables.remote(refs))
+
+
 def community_fastgreedy(
     graph: Graph,
     n: Optional[int] = None,
@@ -76,17 +101,11 @@ def community_fastgreedy(
         raise NotImplementedError(
             f"CNM's merge heap is sequential; guarded to {max_edges} "
             f"aggregated edges ({ne} present) — use louvain() at scale")
-    parts = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
-    t = (pa.concat_tables(parts) if parts
-         else pa.table({"lo": pa.array([], pa.int64()),
-                        "hi": pa.array([], pa.int64()),
-                        "sum(w)": pa.array([], pa.float64())}))
-    lo = t["lo"].to_numpy(zero_copy_only=False)
-    hi = t["hi"].to_numpy(zero_copy_only=False)
-    w = t["sum(w)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    arrays = und_arrays_ref(agg)
 
     @ray.remote
-    def _cnm(lo, hi, w):
+    def _cnm(arrs):
+        lo, hi, w = arrs
         W = w.sum()
         if W <= 0:
             member = np.arange(n, dtype=np.int64)
@@ -136,13 +155,9 @@ def community_fastgreedy(
                 dq = 2.0 * (exz - a[x] * a[z])
                 p, r = (x, z) if x < z else (z, x)
                 heapq.heappush(heap, (-dq, p, r))
-        return merges
 
-    merges = ray.get(_cnm.remote(lo, hi, w))
-
-    def _replay(k: int) -> np.ndarray:
-        """Membership after the first k merges, via union-find (the
-        merged community keeps the smaller name, so root = min vertex)."""
+        # best-cut replay in-task via union-find (the merged community
+        # keeps the smaller name, so roots stay the community names)
         parent = np.arange(n, dtype=np.int64)
 
         def find(v: int) -> int:
@@ -151,9 +166,15 @@ def community_fastgreedy(
                 v = parent[v]
             return v
 
-        for x, y, _ in merges[:k]:
-            parent[find(y)] = find(x)
-        return np.array([find(v) for v in range(n)], dtype=np.int64)
+        if merges:
+            qs = np.array([m[2] for m in merges])
+            best = int(np.argmax(qs))
+            for x, y, _ in merges[: best + 1]:
+                parent[find(y)] = find(x)
+        member = np.array([find(v) for v in range(n)], dtype=np.int64)
+        return merges, member
+
+    merges, member_best = ray.get(_cnm.remote(arrays))
 
     # best cut: max Q over the sequence (ties -> earliest, matching the
     # reference's argmax over the modularity vector)
@@ -164,12 +185,6 @@ def community_fastgreedy(
         "q_e9": pa.array([int(round(m[2] * 1e9)) for m in merges],
                          pa.int64()),
     })
-    if merges:
-        qs = np.array([m[2] for m in merges])
-        best = int(np.argmax(qs))
-        member_best = _replay(best + 1)
-    else:
-        member_best = np.arange(n, dtype=np.int64)
     # dense-rank by min member vertex (community name IS the min vertex,
     # so rank over sorted unique names)
     uniq, inv = np.unique(member_best, return_inverse=True)

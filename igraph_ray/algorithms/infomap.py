@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from igraph_ray.graph import Graph
-from igraph_ray.algorithms.fastgreedy import _aggregate_und
+from igraph_ray.algorithms.fastgreedy import _aggregate_und, und_arrays_ref
 
 
 def _plogp(x: float) -> float:
@@ -87,20 +87,14 @@ def community_infomap(
             f"greedy infomap is guarded to {max_vertices} vertices "
             f"({n} present) — use louvain()/lpa() at scale")
     agg = _aggregate_und(graph).materialize()
-    parts = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
-    t = (pa.concat_tables(parts) if parts
-         else pa.table({"lo": pa.array([], pa.int64()),
-                        "hi": pa.array([], pa.int64()),
-                        "sum(w)": pa.array([], pa.float64())}))
-    lo = t["lo"].to_numpy(zero_copy_only=False)
-    hi = t["hi"].to_numpy(zero_copy_only=False)
-    w = t["sum(w)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    arrays = und_arrays_ref(agg)
 
     @ray.remote
-    def _greedy(lo, hi, w):
+    def _greedy(arrs):
+        lo, hi, w = arrs
         W = float(np.sum(w))
         if W <= 0:
-            return [], np.arange(n, dtype=np.int64)
+            return [], [], np.arange(n, dtype=np.int64)
         inv2w = 1.0 / (2.0 * W)
         s = np.zeros(n)
         np.add.at(s, lo, w)
@@ -157,23 +151,26 @@ def community_infomap(
                 e[z][c1] = e[c1][z]
             e[c2].clear()
             merges.append((c1, c2))
-        return merges, None
 
-    merges, _ = ray.get(_greedy.remote(lo, hi, w))
+        # codelength sequence + final membership, in-task (edge arrays
+        # stay worker-side)
+        parent = np.arange(n, dtype=np.int64)
 
-    parent = np.arange(n, dtype=np.int64)
+        def find(v: int) -> int:
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
 
-    def find(v: int) -> int:
-        while parent[v] != v:
-            parent[v] = parent[parent[v]]
-            v = parent[v]
-        return v
-
-    codelens = []
-    for c1, c2 in merges:
-        parent[find(c2)] = find(c1)
+        codelens = []
+        for c1, c2 in merges:
+            parent[find(c2)] = find(c1)
+            mem = np.array([find(v) for v in range(n)], dtype=np.int64)
+            codelens.append(codelength(lo, hi, w, mem))
         member = np.array([find(v) for v in range(n)], dtype=np.int64)
-        codelens.append(codelength(lo, hi, w, member))
+        return merges, codelens, member
+
+    merges, codelens, member = ray.get(_greedy.remote(arrays))
 
     merges_t = pa.table({
         "step": pa.array(np.arange(len(merges), dtype=np.int64)),
@@ -182,7 +179,6 @@ def community_infomap(
         "codelen_e9": pa.array([int(round(x * 1e9)) for x in codelens],
                                pa.int64()),
     })
-    member = np.array([find(v) for v in range(n)], dtype=np.int64)
     uniq, inv = np.unique(member, return_inverse=True)
     membership = pa.table({
         "vertex": pa.array(np.arange(n, dtype=np.int64)),

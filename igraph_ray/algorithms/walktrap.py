@@ -28,7 +28,7 @@ import ray
 import ray.data
 
 from igraph_ray.graph import Graph
-from igraph_ray.algorithms.fastgreedy import _aggregate_und
+from igraph_ray.algorithms.fastgreedy import _aggregate_und, und_arrays_ref
 
 
 def community_walktrap(
@@ -51,18 +51,12 @@ def community_walktrap(
             f"walktrap's walk matrix is O(V^2); guarded to {max_vertices} "
             f"vertices ({n} present) — use louvain()/lpa() at scale")
     agg = _aggregate_und(graph).materialize()
-    parts = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
-    t = (pa.concat_tables(parts) if parts
-         else pa.table({"lo": pa.array([], pa.int64()),
-                        "hi": pa.array([], pa.int64()),
-                        "sum(w)": pa.array([], pa.float64())}))
-    lo = t["lo"].to_numpy(zero_copy_only=False)
-    hi = t["hi"].to_numpy(zero_copy_only=False)
-    w = t["sum(w)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    arrays = und_arrays_ref(agg)
     t_steps = steps
 
     @ray.remote
-    def _walktrap(lo, hi, w):
+    def _walktrap(arrs):
+        lo, hi, w = arrs
         A = np.zeros((n, n), dtype=np.float64)
         A[lo, hi] = w
         A[hi, lo] = w
@@ -127,35 +121,43 @@ def community_walktrap(
             n_alive -= 1
             merges.append((c1, c2, ds))
 
-        return merges
+        # modularity after each merge via union-find replay (in-task:
+        # the edge arrays stay worker-side)
+        parent = np.arange(n, dtype=np.int64)
 
-    raw = ray.get(_walktrap.remote(lo, hi, w))
+        def find(v: int) -> int:
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
 
-    # modularity after each merge via union-find replay against the
-    # aggregated edges (exact, no distributed pass needed at this size)
-    parent = np.arange(n, dtype=np.int64)
+        W = w.sum()
+        strength = np.zeros(n)
+        np.add.at(strength, lo, w)
+        np.add.at(strength, hi, w)
+        qs = []
+        for c1, c2, ds in merges:
+            parent[find(c2)] = find(c1)
+            roots = np.array([find(v) for v in range(n)])
+            e_in = np.zeros(n)
+            same = roots[lo] == roots[hi]
+            np.add.at(e_in, roots[lo[same]], w[same])
+            a_c = np.zeros(n)
+            np.add.at(a_c, roots, strength)
+            qs.append(float((e_in / W).sum()
+                            - ((a_c / (2 * W)) ** 2).sum())
+                      if W > 0 else 0.0)
 
-    def find(v: int) -> int:
-        while parent[v] != v:
-            parent[v] = parent[parent[v]]
-            v = parent[v]
-        return v
+        # best-cut membership, also in-task
+        parent = np.arange(n, dtype=np.int64)
+        if merges:
+            best = int(np.argmax(np.array(qs)))
+            for c1, c2, _ in merges[: best + 1]:
+                parent[find(c2)] = find(c1)
+        member = np.array([find(v) for v in range(n)], dtype=np.int64)
+        return merges, qs, member
 
-    W = w.sum()
-    strength = np.zeros(n)
-    np.add.at(strength, lo, w)
-    np.add.at(strength, hi, w)
-    qs = []
-    for c1, c2, ds in raw:
-        parent[find(c2)] = find(c1)
-        roots = np.array([find(v) for v in range(n)])
-        e_in = np.zeros(n)
-        same = roots[lo] == roots[hi]
-        np.add.at(e_in, roots[lo[same]], w[same])
-        a_c = np.zeros(n)
-        np.add.at(a_c, roots, strength)
-        q = float((e_in / W).sum() - ((a_c / (2 * W)) ** 2).sum()) if W > 0 else 0.0
-        qs.append(q)
+    raw, qs, member = ray.get(_walktrap.remote(arrays))
 
     merges_t = pa.table({
         "step": pa.array(np.arange(len(raw), dtype=np.int64)),
@@ -165,14 +167,6 @@ def community_walktrap(
                               pa.int64()),
         "q_e9": pa.array([int(round(x * 1e9)) for x in qs], pa.int64()),
     })
-    if raw:
-        best = int(np.argmax(np.array(qs)))
-        parent = np.arange(n, dtype=np.int64)
-        for c1, c2, _ in raw[: best + 1]:
-            parent[find(c2)] = find(c1)
-        member = np.array([find(v) for v in range(n)], dtype=np.int64)
-    else:
-        member = np.arange(n, dtype=np.int64)
     uniq, inv = np.unique(member, return_inverse=True)
     membership = pa.table({
         "vertex": pa.array(np.arange(n, dtype=np.int64)),
