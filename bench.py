@@ -35,9 +35,9 @@ PR_BENCH_ITERS = 20
 BENCH_PARTITIONS = 28
 # the scaling criterion needs per-task compute to dominate the fixed
 # per-superstep cost, so it runs on an 8× larger graph
-SCALE_V = 1 << 22
-SCALE_E = 1 << 26
-SCALE_PARTITIONS = 28
+SCALE_V = 1 << int(os.environ.get("GRAFT_SCALE_LOGV", "22"))
+SCALE_E = 1 << int(os.environ.get("GRAFT_SCALE_LOGE", "26"))
+SCALE_PARTITIONS = int(os.environ.get("GRAFT_SCALE_PARTITIONS", "28"))
 # headline suite engine: the fused-step task loop — pays no DAG-compile
 # cost, so per-query wall reflects what a fresh batch job sees. The
 # compiled-graph engine (10 ms/superstep steady-state, ~30-100 s one-time
