@@ -103,6 +103,9 @@ def _one_sweep(
     num_partitions: int,
     bounds: Optional[List[int]] = None,
     integer_gains: bool = False,
+    singleton_movers: bool = False,
+    cancel_vacated: bool = False,
+    activation_salt: Optional[int] = None,
 ) -> Tuple[ray.data.Dataset, int]:
     """One synchronous local-moving sweep. Returns (new assign, moved).
     ``bounds``: per-level vertex-range boundaries, computed once by the
@@ -112,7 +115,26 @@ def _one_sweep(
     ``integer_gains``: compare gains as the exact int64 quantity
     gain·2m² = m2·k_vc − deg·vol_eff instead of float64 (valid when all
     weights are integers) — the mode behind the SQL-replayable
-    louvain_sweeps query, immune to float summation-order ties."""
+    louvain_sweeps query, immune to float summation-order ties.
+
+    ``singleton_movers``: only vertices whose current community is a
+    singleton may move (the Leiden refinement rule — a vertex merged
+    into a larger community never moves again, which keeps every
+    refined community connected).
+
+    ``cancel_vacated``: drop any move whose target community label was
+    vacated by its sole occupant in the same synchronous sweep (two
+    strangers simultaneously attaching to a departing singleton would
+    otherwise form a disconnected pair). Cancelled movers simply retry
+    next sweep.
+
+    ``activation_salt``: when set, only the deterministic random half of
+    the vertices (splitmix64(vertex + salt) & 1 == 0) may move this
+    sweep — the standard synchronous-local-moving damper: a mutual-swap
+    pair oscillating under full activation is separated with
+    probability 1/2 per salted sweep, so oscillations die geometrically
+    while every run stays exactly reproducible. Callers vary the salt
+    per sweep."""
     vols = _volumes(assign, num_partitions).materialize()
 
     def _lab_dst(b: pa.Table) -> pa.Table:
@@ -123,7 +145,15 @@ def _one_sweep(
     j = hash_join(sym, lab, on="dst", num_partitions=num_partitions)
 
     def _pre(b: pa.Table) -> pa.Table:
-        t = pa.table({"vertex": b["src"], "comm": b["comm_dst"], "w": b["weight"]})
+        # self-loops (present on coarsened graphs — contracted
+        # intra-community weight) travel WITH the vertex wherever it
+        # moves, so they must not count as weight "into the current
+        # community" — leaving them in inflates the stay gain by w_self/m
+        # and freezes coarse levels. They still count in deg/vol.
+        keep = pc.invert(pc.equal(b["src"], b["dst"]))
+        t = pa.table({"vertex": b["src"].filter(keep),
+                      "comm": b["comm_dst"].filter(keep),
+                      "w": b["weight"].filter(keep)})
         return pa.TableGroupBy(t, ["vertex", "comm"]).aggregate([("w", "sum")]) \
             .rename_columns(["vertex", "comm", "w"])
 
@@ -218,6 +248,7 @@ def _one_sweep(
             kv_cur[pos[ok]] = sk[ok]
         bdeg = deg_s[best_idx]
         bvol_own = vol_own_s[best_idx]
+        bcsize_own = (csize_own[order])[best_idx]
         if integer_gains:
             stay_gain = (np.int64(round(m2)) * kv_cur.astype(np.int64)
                          - bdeg.astype(np.int64)
@@ -227,6 +258,14 @@ def _one_sweep(
             stay_gain = kv_cur / m - bdeg * (bvol_own - bdeg) / (2.0 * m * m)
             # move only on a strict improvement over staying
             move = (bc != cur_s[best_idx]) & (bg > stay_gain + 1e-12)
+        if singleton_movers:
+            move &= bcsize_own == 1
+        if activation_salt is not None:
+            from igraph_ray.ops.dedup import _splitmix
+
+            h = _splitmix(bv.astype(np.uint64)
+                          + np.uint64(activation_salt & 0xFFFFFFFFFFFFFFFF))
+            move &= (h & np.uint64(1)) == 0
         new_comm = np.where(move, bc, cur_s[best_idx])
         return pa.table({"vertex": pa.array(bv, pa.int64()),
                          "new_comm": pa.array(new_comm, pa.int64())})
@@ -235,11 +274,53 @@ def _one_sweep(
     kvs = kvc.sort("vertex", boundaries=list(bounds)) if bounds else kvc.sort("vertex")
     choice = kvs.map_batches(_choose, batch_format="pyarrow", batch_size=None)
 
+    if cancel_vacated:
+        # moves only: new_comm != current community
+        lab = assign.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"], "cur": b["community"]}),
+            batch_format="pyarrow", batch_size=None)
+        mv = hash_join(choice, lab, on="vertex", num_partitions=num_partitions)
+
+        def _only_moves(b: pa.Table) -> pa.Table:
+            keep = pc.not_equal(b["new_comm"], b["cur"])
+            return pa.table({"vertex": b["vertex"].filter(keep),
+                             "new_comm": b["new_comm"].filter(keep)})
+
+        mv = mv.map_batches(_only_moves, batch_format="pyarrow",
+                            batch_size=None).materialize()
+        # a singleton label vacated this sweep = a mover's own vertex id;
+        # left_outer + null filter is the scale-safe anti join (the
+        # partitioned join path has no native anti type)
+        vac = mv.map_batches(
+            lambda b: pa.table({"new_comm": b["vertex"],
+                                "vacated": pa.array(
+                                    np.ones(b.num_rows, dtype=np.int8),
+                                    pa.int8())}),
+            batch_format="pyarrow", batch_size=None)
+        surv = hash_join(mv, vac, on="new_comm", num_partitions=num_partitions,
+                         join_type="left_outer")
+
+        def _keep_live(b: pa.Table) -> pa.Table:
+            if "vacated" not in b.column_names:  # empty vacated side
+                return b.select(["vertex", "new_comm"])
+            keep = pc.is_null(b["vacated"])
+            return pa.table({"vertex": b["vertex"].filter(keep),
+                             "new_comm": b["new_comm"].filter(keep)})
+
+        choice = surv.map_batches(_keep_live, batch_format="pyarrow",
+                                  batch_size=None)
+
     # 3. apply
     merged = hash_join(assign, choice, on="vertex", num_partitions=num_partitions,
                        join_type="left_outer")
 
     def _apply(b: pa.Table) -> pa.Table:
+        if "new_comm" not in b.column_names:  # empty choice side (all cancelled)
+            return pa.table({"vertex": b["vertex"], "deg": b["deg"],
+                             "community": b["community"],
+                             "moved": pa.array(
+                                 np.zeros(b.num_rows, dtype=np.int64),
+                                 pa.int64())})
         nc = pc.if_else(pc.is_null(b["new_comm"]), b["community"],
                         pc.cast(b["new_comm"], pa.int64()))
         moved = pc.cast(pc.not_equal(nc, b["community"]), pa.int64())

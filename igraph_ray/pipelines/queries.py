@@ -812,6 +812,23 @@ def q_louvain(sf_dir: str):
     return louvain(g, num_partitions=8).state
 
 
+def q_leiden(sf_dir: str):
+    """Leiden communities (Traag, Waltman & van Eck, Sci Rep 2019 — the
+    refinement-guaranteed successor of community.c:2854's multilevel
+    Louvain) over the undirected view of edges_a. Deterministic
+    (min-id tie breaks, splitmix64 half-activation damping, θ→0 greedy
+    refinement) but not SQL-expressible as a whole for the same reason
+    as ``louvain``: sweep/level counts are data-dependent stopping
+    rules. The louvain_sweeps query drives the shared local-moving
+    recurrence hash-green; Leiden-specific guarantees (refined-community
+    connectivity, planted recovery, Q >= Louvain) are pytest-gated in
+    tests/test_leiden.py."""
+    from igraph_ray.algorithms.leiden import leiden
+
+    g = derive.graph_a(sf_dir)
+    return leiden(g, num_partitions=8).state
+
+
 def q_triangles(sf_dir: str):
     g = derive.graph_a(sf_dir)
     return triangle_counts(g, num_partitions=8)
@@ -4151,6 +4168,7 @@ def queries() -> Dict[str, Callable]:
         "component_sizes": q_component_sizes,
         "lpa": q_lpa,
         "louvain": q_louvain,
+        "leiden": q_leiden,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
         "knn_weighted": q_knn_weighted,
