@@ -78,6 +78,21 @@ def _shingle_hashes(wh: np.ndarray, k: int) -> np.ndarray:
     return _splitmix(acc)
 
 
+def _shingle_hashes_chain(wh: np.ndarray, k: int) -> np.ndarray:
+    """Order-sensitive k-window hashes: a splitmix64 Merkle-Damgård
+    chain acc = splitmix(acc + w[i+j]). The weighted-sum variant above
+    (kept for the MinHash family, whose SQL oracle replicates it) has
+    STRUCTURAL collisions on repeated words — e.g. 'a b a c d' and
+    'c b c a d' sum identically — which is harmless noise for sketch
+    similarity but wrong for exact-substring detection."""
+    if len(wh) < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(len(wh) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = _splitmix(acc + wh[j : len(wh) - k + 1 + j])
+    return acc
+
+
 def exact_dedup(
     docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -414,3 +429,105 @@ def ngram_jaccard_pairs(
         )
 
     return j.map_batches(_jac, batch_format="pyarrow", batch_size=None)
+
+
+def duplicated_spans(
+    docs: ray.data.Dataset,
+    l: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact-substring duplication spans (the shingle-window variant of
+    suffix-array substring dedup, Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): every maximal
+    token-position span covered by ``l``-token windows that occur at
+    least twice in the corpus (multiplicity counted globally, including
+    repeats inside one document). Returns (doc_id, span_start,
+    span_end) with 0-based token positions, end exclusive — the removal
+    mask a curation pipeline applies to the token stream.
+
+    Shape: one pass emits (window-hash, doc, pos) occurrences
+    vectorized over the flat word-hash array (md5 per unique word per
+    batch + splitmix64 combine — the exact machinery of the MinHash
+    path above); a per-batch pre-combined count groupby finds hashes
+    with count >= 2; occurrences semi-join the duplicated set; a
+    boundary-aligned sort on doc_id groups each document into one block
+    where overlapping/adjacent windows merge into maximal spans with
+    one vectorized islands pass. No driver-side state; the only
+    all-to-all steps are the count groupby and the final sort.
+    """
+    def _wins(b: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        wh, starts = _word_hash_arrays(texts)
+        if len(wh) < l:
+            return empty
+        sh = _shingle_hashes_chain(wh, l)
+        doc_of = np.repeat(np.arange(len(texts)), np.diff(starts))
+        p = np.arange(len(sh))
+        d = doc_of[p]
+        pos = p - starts[d]
+        ok = pos + l <= (starts[d + 1] - starts[d])
+        return pa.table({
+            "h": pa.array(sh[ok].view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[d[ok]], pa.int64()),
+            "pos": pa.array(pos[ok], pa.int64()),
+        })
+
+    occ = docs.map_batches(_wins, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+    def _precount(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"h": b["h"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64), pa.int64())})
+        return pa.TableGroupBy(t, "h").aggregate([("c", "sum")]) \
+            .rename_columns(["h", "c"])
+
+    counts = occ.map_batches(_precount, batch_format="pyarrow",
+                             batch_size=None).groupby("h").sum("c")
+
+    def _dups(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "h" not in b.column_names:
+            return pa.table({"h": pa.array([], pa.int64())})
+        keep = pc.greater_equal(b["sum(c)"], 2)
+        return pa.table({"h": b["h"].filter(keep)})
+
+    dup_h = counts.map_batches(_dups, batch_format="pyarrow", batch_size=None)
+    hits = hash_join(occ, dup_h, on="h",
+                     num_partitions=num_partitions).select_columns(
+                         ["doc_id", "pos"])
+
+    from igraph_ray.csr import compute_boundaries
+
+    hits = hits.materialize()
+    bounds = compute_boundaries(hits, num_partitions, col="doc_id")
+    s = hits.sort("doc_id", boundaries=bounds) if bounds else hits.sort("doc_id")
+
+    def _spans(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "span_start": pa.array([], pa.int64()),
+                          "span_end": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return empty
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        p = b["pos"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((p, d))
+        d, p = d[o], p[o]
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + l)
+        st = np.flatnonzero(brk)
+        en = np.r_[st[1:], len(d)] - 1
+        return pa.table({"doc_id": pa.array(d[st], pa.int64()),
+                         "span_start": pa.array(p[st], pa.int64()),
+                         "span_end": pa.array(p[en] + l, pa.int64())})
+
+    return s.map_batches(_spans, batch_format="pyarrow", batch_size=None)

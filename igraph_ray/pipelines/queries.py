@@ -2819,6 +2819,15 @@ def q_minhash_pairs(sf_dir: str):
     return dd.minhash_lsh_pairs(_docs(sf_dir))
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact-substring duplication spans (Lee et al. ACL 2022 variant):
+    maximal token spans covered by 5-token windows occurring >= 2 times
+    corpus-wide, as (doc_id, span_start, span_end) 0-based end-exclusive
+    token positions — the removal mask for substring-level dedup."""
+    return dd.duplicated_spans(_docs(sf_dir), l=5).sort(
+        ["doc_id", "span_start"])
+
+
 def q_simhash(sf_dir: str):
     ds = dd.simhash(_docs(sf_dir))
 
@@ -4225,6 +4234,7 @@ def queries() -> Dict[str, Callable]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
+        "dup_spans": q_dup_spans,
         "simhash": q_simhash,
         "ngram_dups": q_ngram_dups,
         "event_type_count": q_event_type_count,
@@ -4390,6 +4400,33 @@ FROM walk GROUP BY v ORDER BY vertex""",
         "coreness": _sql_coreness(),
         "simhash": _sql_simhash(),
         "minhash_pairs": _sql_minhash_pairs(),
+        "dup_spans": r"""
+WITH toks AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos, word
+  FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS word,
+           UNNEST(range(1, len(string_split_regex(text, '\s+')) + 1)) AS i
+    FROM documents
+  ) WHERE word <> ''
+),
+wins AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram,
+         lead(word, 4) OVER w IS NOT NULL AS valid
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+v AS (SELECT doc_id, pos - 1 AS pos, gram FROM wins WHERE valid),
+dup AS (SELECT gram FROM v GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM v WHERE gram IN (SELECT gram FROM dup)),
+brk AS (SELECT doc_id, pos,
+        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+             THEN 0 ELSE 1 END AS b
+        FROM hits),
+grp AS (SELECT doc_id, pos,
+        SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM brk)
+SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 5 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""",
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
         "mst": _sql_mst(),

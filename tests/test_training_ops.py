@@ -507,3 +507,54 @@ def test_hopping_window():
                 n, s = want.get((w, et), (0, 0))
                 want[(w, et)] = (n + 1, s + round(v * 1e6))
     assert got == want
+
+
+def test_duplicated_spans_planted():
+    """Cross-doc planted substring, a within-doc self-repeat, window
+    merging into one maximal span, and clean docs absent."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens > l=5
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"u0 u1 {shared} u2 u3",                 # dup at pos 2..8
+            f"w0 {shared} w1 w2 w3",                 # dup at pos 1..7
+            "r0 r1 r2 r3 r4 r5 r0 r1 r2 r3 r4 r5",   # self-repeat
+            "c0 c1 c2 c3 c4 c5 c6",                  # clean
+        ], pa.string()),
+    }))
+    out = dedup.duplicated_spans(docs, l=5).to_pandas() \
+        .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out.itertuples()}
+    # shared occupies tokens [2, 8) in doc 0 and [1, 7) in doc 1:
+    # two overlapping 5-windows merge into one maximal span each
+    assert (0, 2, 8) in got
+    assert (1, 1, 7) in got
+    # doc 2: "r0..r5 r0..r5" — every 5-window whose content repeats;
+    # windows at 0..1 equal windows at 6..7, and the middle wrap windows
+    # (2..5) are unique, so spans are [0,7) and [6,12) merged? they
+    # overlap via positions {6}: 1+5=6 >= 6 so [0,x) merges with [6,12)
+    d2 = sorted((s, e) for (d, s, e) in got if d == 2)
+    # exact expectation: dup window starts {0,1,6,7} -> spans [0,6),[6,12)
+    # merged because 6 <= 1+5 -> single [0,12)
+    assert d2 == [(0, 12)], d2
+    assert not any(d == 3 for (d, s, e) in got)
+
+
+def test_duplicated_spans_parallelism_invariant():
+    """Same spans at 1 block and 8 blocks."""
+    texts = []
+    base = "tok%d " * 30
+    for i in range(40):
+        t = " ".join(f"w{i}_{j}" for j in range(20))
+        if i % 7 == 0:
+            t += " shared a b c d e tail" + str(i)
+        texts.append(t)
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    a = dedup.duplicated_spans(
+        ray.data.from_arrow(tbl), l=5).to_pandas()
+    b = dedup.duplicated_spans(
+        ray.data.from_arrow(tbl).repartition(8), l=5).to_pandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    assert key(a) == key(b)
+    assert len(a) == 6  # 40/7 rounded up -> docs 0,7,14,21,28,35
