@@ -1858,6 +1858,21 @@ def _sql_sir() -> str:
     return "".join(parts)
 
 
+def q_scg_groups(sf_dir: str):
+    """Spectral coarse graining groups (igraph_scg_grouping, scg.c,
+    IGRAPH_SCG_INTERV semantics: joint equal-width-interval bins of the
+    top-2 eigenvector components, densified by first appearance) of the
+    undirected dense derived graph. Rows-only at the gate (the
+    eigenbasis is an iterative solve, same impossibility note as
+    spectral_embedding); semiprojector algebra P·A·Pᵀ and
+    block-recovery exactness are pytest-gated in tests/test_scg.py."""
+    from igraph_ray.algorithms.scg import scg_grouping
+
+    g = derive.graph_a(sf_dir)
+    return scg_grouping(g, ell=2, intervals=4,
+                        num_partitions=8).sort("vertex")
+
+
 def q_spectral_embedding(sf_dir: str):
     """Adjacency spectral embedding (igraph_adjacency_spectral_embedding,
     embedding.c; ASE = U_k·|Λ_k|^{1/2}) of the undirected dense derived
@@ -4178,6 +4193,7 @@ def queries() -> Dict[str, Callable]:
         "lpa": q_lpa,
         "louvain": q_louvain,
         "leiden": q_leiden,
+        "scg_groups": q_scg_groups,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
         "knn_weighted": q_knn_weighted,
