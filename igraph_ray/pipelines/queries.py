@@ -1858,6 +1858,33 @@ def _sql_sir() -> str:
     return "".join(parts)
 
 
+def q_graphlets(sf_dir: str):
+    """Graphlet decomposition (igraph_graphlets, glet.c; Azari & Airoldi
+    2012) of the weighted very-sparse derived graph: one row per
+    (graphlet_id, vertex) with the EM projection weight (x10^6 rounded)
+    and the clique's threshold. Rows-only at the gate (threshold-level
+    maximal-clique enumeration + iterative EM are not SQL-expressible);
+    the EM recurrence is pytest-exact against a sequential replica of
+    glet.c:716-744 (tests/test_graphlets.py)."""
+    from igraph_ray.algorithms.graphlets import graphlets
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    res = graphlets(g, niter=30, num_partitions=8)
+    gid, vs, mus, thrs = [], [], [], []
+    for i, cq in enumerate(res.cliques):
+        for v in cq:
+            gid.append(i)
+            vs.append(v)
+            mus.append(int(round(res.mu[i] * 1_000_000)))
+            thrs.append(int(round(res.thresholds[i] * 1_000_000)))
+    return pa.table({
+        "graphlet": pa.array(gid, pa.int64()),
+        "vertex": pa.array(vs, pa.int64()),
+        "mu_e6": pa.array(mus, pa.int64()),
+        "threshold_e6": pa.array(thrs, pa.int64()),
+    })
+
+
 def q_scg_groups(sf_dir: str):
     """Spectral coarse graining groups (igraph_scg_grouping, scg.c,
     IGRAPH_SCG_INTERV semantics: joint equal-width-interval bins of the
@@ -4194,6 +4221,7 @@ def queries() -> Dict[str, Callable]:
         "louvain": q_louvain,
         "leiden": q_leiden,
         "scg_groups": q_scg_groups,
+        "graphlets": q_graphlets,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
         "knn_weighted": q_knn_weighted,
