@@ -1602,6 +1602,128 @@ def q_barabasi(sf_dir: str):
     return barabasi_game(400, m=3, seed=7).sort(["src", "dst"])
 
 
+CALLAWAY_PARAMS = dict(n=300, types=2, edges_per_step=2, type_dist=(3, 1),
+                       pref_e6=((700000, 200000), (200000, 500000)), seed=11)
+
+
+def q_callaway(sf_dir: str):
+    """Callaway-traits growing network (igraph_callaway_traits_game,
+    games.c:1369) — fixed parameters, input-independent like barabasi;
+    every uniform draw is an independent md5 15-hex prefix so the
+    DuckDB oracle replays the generator exactly (integer-threshold
+    comparisons throughout; see sources/games.py docstring)."""
+    from igraph_ray.sources.games import callaway_traits_game
+
+    return callaway_traits_game(**CALLAWAY_PARAMS).sort(["src", "dst"])
+
+
+def _sql_callaway() -> str:
+    p = CALLAWAY_PARAMS
+    n, types, eps, seed = (p["n"], p["types"], p["edges_per_step"], p["seed"])
+    HEX15 = 16 ** 15
+    cum = [0]
+    for w in p["type_dist"]:
+        cum.append(cum[-1] + int(w))
+    maxcum = cum[-1]
+    cthr = [-((-c * HEX15) // maxcum) for c in cum]
+    pthr = [[(int(x) * HEX15) // 1_000_000 for x in row]
+            for row in p["pref_e6"]]
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for k in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1))")
+        return f
+
+    tcase = " + ".join(
+        f"(CASE WHEN rt >= {cthr[k]} THEN 1 ELSE 0 END)"
+        for k in range(1, types)) or "0"
+    pcase = "CASE " + " ".join(
+        f"WHEN x.t = {a} AND y.t = {b} THEN CAST({pthr[a][b]} AS BIGINT)"
+        for a in range(types) for b in range(types)) + " END"
+    return f"""
+WITH steps AS (SELECT UNNEST(range(1, {n})) AS i),
+trials AS (SELECT i, UNNEST(range({eps})) AS j FROM steps),
+hs AS (SELECT i, j,
+  md5('{seed}:a:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS ha,
+  md5('{seed}:b:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hb,
+  md5('{seed}:p:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hp
+  FROM trials),
+rs AS MATERIALIZED (SELECT i, j, {fold('ha')} AS ra, {fold('hb')} AS rb,
+  {fold('hp')} AS rp FROM hs),
+vh AS (SELECT UNNEST(range({n})) AS v),
+vth AS (SELECT v, md5('{seed}:t:' || CAST(v AS VARCHAR)) AS ht FROM vh),
+vtr AS (SELECT v, {fold('ht')} AS rt FROM vth),
+vtype AS MATERIALIZED (SELECT v, ({tcase}) AS t FROM vtr),
+picks AS (SELECT i, j, ra % (i+1) AS n1, rb % (i+1) AS n2, rp FROM rs)
+SELECT CAST(pk.n1 AS BIGINT) AS src, CAST(pk.n2 AS BIGINT) AS dst
+FROM picks pk JOIN vtype x ON x.v = pk.n1 JOIN vtype y ON y.v = pk.n2
+WHERE pk.rp < ({pcase})
+ORDER BY src, dst"""
+
+
+ESTABLISHMENT_PARAMS = dict(n=300, types=2, k=3, type_dist=(1, 2),
+                            pref_e6=((800000, 100000), (100000, 600000)),
+                            seed=13)
+
+
+def q_establishment(sf_dir: str):
+    """Establishment growing model (igraph_establishment_game, games.c):
+    each new vertex tries k connections to existing vertices, accepted
+    by type preference — md5-draw replayable like callaway (the
+    with-replacement target deviation is documented in
+    sources/games.py)."""
+    from igraph_ray.sources.games import establishment_game
+
+    return establishment_game(**ESTABLISHMENT_PARAMS).sort(["src", "dst"])
+
+
+def _sql_establishment() -> str:
+    p = ESTABLISHMENT_PARAMS
+    n, types, k, seed = p["n"], p["types"], p["k"], p["seed"]
+    HEX15 = 16 ** 15
+    cum = [0]
+    for w in p["type_dist"]:
+        cum.append(cum[-1] + int(w))
+    maxcum = cum[-1]
+    cthr = [-((-c * HEX15) // maxcum) for c in cum]
+    pthr = [[(int(x) * HEX15) // 1_000_000 for x in row]
+            for row in p["pref_e6"]]
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for kk in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {kk}, 1)) - 1))")
+        return f
+
+    tcase = " + ".join(
+        f"(CASE WHEN rt >= {cthr[kk]} THEN 1 ELSE 0 END)"
+        for kk in range(1, types)) or "0"
+    pcase = "CASE " + " ".join(
+        f"WHEN x.t = {a} AND y.t = {b} THEN CAST({pthr[a][b]} AS BIGINT)"
+        for a in range(types) for b in range(types)) + " END"
+    return f"""
+WITH steps AS (SELECT UNNEST(range({k}, {n})) AS i),
+trials AS (SELECT i, UNNEST(range({k})) AS j FROM steps),
+hs AS (SELECT i, j,
+  md5('{seed}:e:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS he,
+  md5('{seed}:p:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hp
+  FROM trials),
+rs AS MATERIALIZED (SELECT i, j, {fold('he')} AS re, {fold('hp')} AS rp
+  FROM hs),
+vh AS (SELECT UNNEST(range({n})) AS v),
+vth AS (SELECT v, md5('{seed}:t:' || CAST(v AS VARCHAR)) AS ht FROM vh),
+vtr AS (SELECT v, {fold('ht')} AS rt FROM vth),
+vtype AS MATERIALIZED (SELECT v, ({tcase}) AS t FROM vtr),
+picks AS (SELECT i, j, re % i AS tgt, rp FROM rs)
+SELECT CAST(pk.i AS BIGINT) AS src, CAST(pk.tgt AS BIGINT) AS dst
+FROM picks pk JOIN vtype x ON x.v = pk.i JOIN vtype y ON y.v = pk.tgt
+WHERE pk.rp < ({pcase})
+ORDER BY src, dst"""
+
+
 def _sql_barabasi(n: int = 400, m: int = 3, seed: int = 7) -> str:
     digit = "strpos('0123456789abcdef', substr(h, {k}, 1)) - 1"
     fold = "CAST(0 AS BIGINT)"
@@ -4325,6 +4447,8 @@ def queries() -> Dict[str, Callable]:
         "layout_grid": q_layout_grid,
         "layout_fr": q_layout_fr,
         "barabasi": q_barabasi,
+        "callaway": q_callaway,
+        "establishment": q_establishment,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
         "subiso_cycle4": q_subiso_cycle4,
@@ -4995,6 +5119,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "matching": _sql_matching(),
         "louvain_sweeps": _sql_louvain_sweeps(),
         "barabasi": _sql_barabasi(),
+        "callaway": _sql_callaway(),
+        "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (
             f"SELECT 1 AS iso, COUNT(*) AS n_edges FROM "

@@ -434,3 +434,140 @@ def barabasi_game(
     dst[starts[src] == 0] = 0  # bootstrap round attaches to vertex 0
     t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
     return ray.data.from_arrow(t)
+
+
+def callaway_traits_game(
+    n: int,
+    types: int = 2,
+    edges_per_step: int = 1,
+    type_dist=(1, 1),
+    pref_e6=((500000, 500000), (500000, 500000)),
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Growing network with vertex types — the
+    igraph_callaway_traits_game analogue (games.c:1369). Per discrete
+    step i = 1..n-1 and trial j = 0..edges_per_step-1 the reference
+    draws two uniform existing vertices and links them with probability
+    pref[type1][type2]; vertex types are drawn from type_dist. The
+    sequential RNG stream is replaced by independent md5 draws
+    (15-hex-prefix uniform over [0, 16^15), the engine's standard
+    SQL-replayable draw):
+
+        node1 = md5(seed:a:i:j) % (i+1)
+        node2 = md5(seed:b:i:j) % (i+1)
+        accept iff md5(seed:p:i:j) < floor(pref_e6[t1][t2]*16^15 / 1e6)
+        type(v) = #{k >= 1 : md5(seed:t:v) >= ceil(cum[k]*16^15/maxcum)}
+
+    with integer ``type_dist`` weights and ``pref_e6`` probabilities in
+    parts-per-million — every comparison is integer-exact so the DuckDB
+    oracle replays the generator bit-for-bit. Deterministic pure
+    function of the parameters; per-step draws are embarrassingly
+    parallel over a range dataset (no growth-order chain: unlike
+    barabasi_game no pointer chasing is needed because targets are
+    uniform, not degree-proportional)."""
+    import hashlib as _hl
+
+    HEX15 = 16 ** 15
+    cum = [0]
+    for w in type_dist:
+        cum.append(cum[-1] + int(w))
+    maxcum = cum[-1]
+    if len(type_dist) != types or maxcum <= 0:
+        raise ValueError("type_dist must have `types` positive int weights")
+    cthr = [-((-c * HEX15) // maxcum) for c in cum]  # ceil, exact
+    pthr = [[(int(p) * HEX15) // 1_000_000 for p in row] for row in pref_e6]
+
+    def _d(key: str) -> int:
+        return int(_hl.md5(key.encode()).hexdigest()[:15], 16)
+
+    def _vtype(v: int) -> int:
+        r = _d(f"{seed}:t:{v}")
+        t = 0
+        for k in range(1, types):
+            if r >= cthr[k]:
+                t = k
+        return t
+
+    def _gen(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["id"].to_pylist():
+            i = int(i)
+            for j in range(edges_per_step):
+                n1 = _d(f"{seed}:a:{i}:{j}") % (i + 1)
+                n2 = _d(f"{seed}:b:{i}:{j}") % (i + 1)
+                if _d(f"{seed}:p:{i}:{j}") < pthr[_vtype(n1)][_vtype(n2)]:
+                    src.append(n1)
+                    dst.append(n2)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    steps = ray.data.range(n - 1, override_num_blocks=num_partitions) \
+        .map_batches(
+            lambda b: pa.table({"id": pa.array(
+                b["id"].to_numpy(zero_copy_only=False) + 1, pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+    return steps.map_batches(_gen, batch_format="pyarrow", batch_size=None)
+
+
+def establishment_game(
+    n: int,
+    types: int = 2,
+    k: int = 2,
+    type_dist=(1, 1),
+    pref_e6=((500000, 500000), (500000, 500000)),
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Growing model with vertex types — the igraph_establishment_game
+    analogue (games.c, directly below callaway): each new vertex
+    i = k..n-1 tries to connect to k existing vertices, succeeding with
+    probability pref[type_i][type_target]. Same md5-draw scheme as
+    callaway_traits_game (see its docstring for the integer-exact
+    thresholds). Documented deviation: the reference samples the k
+    targets without replacement (igraph_random_sample's sequential
+    stream); the communication-free variant draws each target
+    independently (md5(seed:e:i:j) % i) — with-replacement, the same
+    relaxation the reference itself uses in callaway_traits_game."""
+    import hashlib as _hl
+
+    HEX15 = 16 ** 15
+    cum = [0]
+    for w in type_dist:
+        cum.append(cum[-1] + int(w))
+    maxcum = cum[-1]
+    if len(type_dist) != types or maxcum <= 0:
+        raise ValueError("type_dist must have `types` positive int weights")
+    cthr = [-((-c * HEX15) // maxcum) for c in cum]
+    pthr = [[(int(p) * HEX15) // 1_000_000 for p in row] for row in pref_e6]
+
+    def _d(key: str) -> int:
+        return int(_hl.md5(key.encode()).hexdigest()[:15], 16)
+
+    def _vtype(v: int) -> int:
+        r = _d(f"{seed}:t:{v}")
+        t = 0
+        for kk in range(1, types):
+            if r >= cthr[kk]:
+                t = kk
+        return t
+
+    def _gen(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["id"].to_pylist():
+            i = int(i)
+            t1 = _vtype(i)
+            for j in range(k):
+                tgt = _d(f"{seed}:e:{i}:{j}") % i
+                if _d(f"{seed}:p:{i}:{j}") < pthr[t1][_vtype(tgt)]:
+                    src.append(i)
+                    dst.append(tgt)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    steps = ray.data.range(max(0, n - k), override_num_blocks=num_partitions) \
+        .map_batches(
+            lambda b: pa.table({"id": pa.array(
+                b["id"].to_numpy(zero_copy_only=False) + k, pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+    return steps.map_batches(_gen, batch_format="pyarrow", batch_size=None)

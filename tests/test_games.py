@@ -162,3 +162,36 @@ def test_barabasi_structure_and_determinism():
     assert deg[:20].mean() > 8 * deg[1000:].mean()
     df2 = barabasi_game(2000, m=2, seed=11).to_pandas()
     assert df2.equals(df)
+
+
+def test_callaway_traits_structure():
+    from igraph_ray.sources.games import callaway_traits_game
+
+    ds = callaway_traits_game(100, types=2, edges_per_step=2,
+                              type_dist=(3, 1),
+                              pref_e6=((700000, 200000), (200000, 500000)),
+                              seed=11, num_partitions=4)
+    df = ds.to_pandas()
+    # endpoints of a step-i trial are uniform over 0..i <= 99
+    assert df.src.max() < 100 and df.dst.max() < 100
+    assert len(df) <= 2 * 99  # at most edges_per_step per step
+    # determinism across parallelism
+    df2 = callaway_traits_game(100, types=2, edges_per_step=2,
+                               type_dist=(3, 1),
+                               pref_e6=((700000, 200000), (200000, 500000)),
+                               seed=11, num_partitions=1).to_pandas()
+    key = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert key(df) == key(df2)
+
+
+def test_establishment_structure():
+    from igraph_ray.sources.games import establishment_game
+
+    ds = establishment_game(80, types=2, k=3, type_dist=(1, 2),
+                            pref_e6=((800000, 100000), (100000, 600000)),
+                            seed=13, num_partitions=4)
+    df = ds.to_pandas()
+    # src is always the new vertex (>= k), targets strictly older
+    assert (df.src >= 3).all()
+    assert (df.dst < df.src).all()
+    assert len(df) <= 3 * 77
