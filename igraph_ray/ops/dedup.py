@@ -531,3 +531,85 @@ def duplicated_spans(
                          "span_end": pa.array(p[en] + l, pa.int64())})
 
     return s.map_batches(_spans, batch_format="pyarrow", batch_size=None)
+
+
+def remove_duplicated_spans(
+    docs: ray.data.Dataset,
+    l: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """(doc_id, clean_text, n_removed): the actionable form of
+    ``duplicated_spans`` — every token covered by a corpus-duplicated
+    ``l``-token window is dropped (BOTH occurrences, the symmetric rule:
+    keeping "the first" would need a global occurrence order; Lee et
+    al.'s suffix-array cut has the same all-copies option) and the
+    remaining tokens are re-joined with single spaces (canonical
+    whitespace). Docs without duplicated windows pass through with
+    n_removed = 0.
+
+    Shape: spans come from duplicated_spans (its scale notes apply);
+    per-doc span lists are packed by one boundary-aligned sort +
+    vectorized group pass into a list<int64> column, then ONE
+    broadcast/hash join onto the docs and a per-batch rebuild. The
+    rebuild splits/joins each document's text once — per-document
+    string work, the same class as fingerprint()."""
+    spans = duplicated_spans(docs, l=l, text_col=text_col, id_col=id_col,
+                             num_partitions=num_partitions).materialize()
+    from igraph_ray.csr import compute_boundaries
+
+    bounds = compute_boundaries(spans, num_partitions, col="doc_id")
+    s = (spans.sort("doc_id", boundaries=bounds) if bounds
+         else spans.sort("doc_id"))
+
+    def _pack(b: pa.Table) -> pa.Table:
+        # spans serialize to one "s,e,s,e,…" string per doc: pyarrow's
+        # acero join (the broadcast path) cannot carry list-typed
+        # payload columns
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "spans": pa.array([], pa.string())})
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return empty
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        st = b["span_start"].to_numpy(zero_copy_only=False)
+        en = b["span_end"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((st, d))
+        d, st, en = d[o], st[o], en[o]
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = d[1:] != d[:-1]
+        doc_first = np.flatnonzero(brk)
+        ends = np.r_[doc_first[1:], len(d)]
+        packed = [",".join(f"{st[i]},{en[i]}" for i in range(lo, hi))
+                  for lo, hi in zip(doc_first, ends)]
+        return pa.table({id_col: pa.array(d[doc_first], pa.int64()),
+                         "spans": pa.array(packed, pa.string())})
+
+    packed = s.map_batches(_pack, batch_format="pyarrow", batch_size=None)
+    j = hash_join(docs, packed, on=id_col, num_partitions=num_partitions,
+                  join_type="left_outer")
+
+    def _apply(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        spans_col = (b["spans"].to_pylist() if "spans" in b.column_names
+                     else [None] * b.num_rows)
+        clean, removed = [], []
+        for t, sp in zip(texts, spans_col):
+            toks = t.split()
+            if not sp:
+                clean.append(" ".join(toks))
+                removed.append(0)
+                continue
+            nums = [int(x) for x in sp.split(",")]
+            drop = np.zeros(len(toks), dtype=bool)
+            for i in range(0, len(nums), 2):
+                drop[nums[i]:nums[i + 1]] = True
+            clean.append(" ".join(tok for tok, dd in zip(toks, drop)
+                                  if not dd))
+            removed.append(int(drop.sum()))
+        return pa.table({id_col: b[id_col],
+                         "clean_text": pa.array(clean, pa.string()),
+                         "n_removed": pa.array(removed, pa.int64())})
+
+    return j.map_batches(_apply, batch_format="pyarrow", batch_size=None)

@@ -150,3 +150,31 @@ def fingerprint(docs: ray.data.Dataset, text_col: str = "text", window: int = 8)
         return pa.table({"doc_id": b["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+_PII_PATTERNS = {
+    # RE2 syntax on both sides: pyarrow's count_substring_regex and
+    # DuckDB's regexp_extract_all are both RE2, so counts agree exactly
+    "n_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_url": r"https?://[^\s]+",
+    "n_ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, n_email, n_url, n_ip, has_pii): per-document counts of
+    the common PII-ish surface patterns a curation pipeline screens for
+    (leftmost non-overlapping RE2 matches, one count_substring_regex
+    kernel per pattern per batch — zero per-row Python)."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": b["doc_id"]}
+        total = np.zeros(b.num_rows, dtype=np.int64)
+        for name, pat in _PII_PATTERNS.items():
+            c = pc.cast(pc.count_substring_regex(b[text_col], pat), pa.int64())
+            cols[name] = c
+            total += c.to_numpy(zero_copy_only=False)
+        cols["has_pii"] = pa.array((total > 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)

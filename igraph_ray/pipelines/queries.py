@@ -2979,6 +2979,20 @@ def q_fingerprint(sf_dir: str):
     return tx.fingerprint(_docs(sf_dir), window=8)
 
 
+def q_pii_counts(sf_dir: str):
+    """Per-doc PII-surface counts (emails / URLs / IPv4) — RE2
+    leftmost-non-overlapping counts on both sides (pyarrow
+    count_substring_regex and DuckDB regexp_extract_all are both RE2)."""
+    return tx.pii_counts(_docs(sf_dir))
+
+
+def q_clean_dup_spans(sf_dir: str):
+    """Substring-dedup applied: text with every corpus-duplicated
+    5-token window removed (all copies — see
+    ops/dedup.py remove_duplicated_spans), whitespace-canonicalized."""
+    return dd.remove_duplicated_spans(_docs(sf_dir), l=5).sort("doc_id")
+
+
 def q_minhash_pairs(sf_dir: str):
     return dd.minhash_lsh_pairs(_docs(sf_dir))
 
@@ -4401,6 +4415,8 @@ def queries() -> Dict[str, Callable]:
         "fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "dup_spans": q_dup_spans,
+        "clean_dup_spans": q_clean_dup_spans,
+        "pii_counts": q_pii_counts,
         "simhash": q_simhash,
         "ngram_dups": q_ngram_dups,
         "event_type_count": q_event_type_count,
@@ -4595,6 +4611,56 @@ grp AS (SELECT doc_id, pos,
         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM brk)
 SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 5 AS BIGINT) AS span_end
 FROM grp GROUP BY doc_id, gid ORDER BY doc_id, span_start""",
+        "clean_dup_spans": r"""
+WITH toks AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos, word
+  FROM (
+    SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS word,
+           UNNEST(range(1, len(string_split_regex(text, '\s+')) + 1)) AS i
+    FROM documents
+  ) WHERE word <> ''
+),
+wins AS (
+  SELECT doc_id, pos,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w || ' ' || lead(word, 4) OVER w AS gram,
+         lead(word, 4) OVER w IS NOT NULL AS valid
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+v AS (SELECT doc_id, pos, gram FROM wins WHERE valid),
+dup AS (SELECT gram FROM v GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM v WHERE gram IN (SELECT gram FROM dup)),
+cover AS (SELECT DISTINCT h.doc_id, h.pos + u.o AS tpos
+          FROM hits h CROSS JOIN (SELECT UNNEST(range(5)) AS o) u),
+kept AS (SELECT t.doc_id, t.pos, t.word FROM toks t
+         LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.tpos = t.pos
+         WHERE c.doc_id IS NULL),
+agg AS (SELECT doc_id,
+               string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(t.n, 0) - COALESCE(a.n_kept, 0) AS n_removed
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id""",
+        "pii_counts": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+  CAST(CASE WHEN len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    + len(regexp_extract_all(text, 'https?://[^\s]+'))
+    + len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0
+    THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+FROM documents ORDER BY doc_id""",
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
         "mst": _sql_mst(),

@@ -558,3 +558,33 @@ def test_duplicated_spans_parallelism_invariant():
     key = lambda df: sorted(map(tuple, df.values.tolist()))
     assert key(a) == key(b)
     assert len(a) == 6  # 40/7 rounded up -> docs 0,7,14,21,28,35
+
+
+def test_pii_counts():
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "contact me at a.b@example.com or http://x.io/page now",
+            "server 10.0.0.1 and 192.168.1.255 up",
+            "no pii here at all",
+        ], pa.string())}))
+    df = text.pii_counts(docs).to_pandas().sort_values("doc_id")
+    assert df.n_email.tolist() == [1, 0, 0]
+    assert df.n_url.tolist() == [1, 0, 0]
+    assert df.n_ip.tolist() == [0, 2, 0]
+    assert df.has_pii.tolist() == [1, 1, 0]
+
+
+def test_remove_duplicated_spans():
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            f"u0 u1 {shared} u2",
+            f"w0 {shared} w1",
+            "c0 c1 c2 c3",
+        ], pa.string())}))
+    df = dedup.remove_duplicated_spans(docs, l=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert df.clean_text.tolist() == ["u0 u1 u2", "w0 w1", "c0 c1 c2 c3"]
+    assert df.n_removed.tolist() == [6, 6, 0]
