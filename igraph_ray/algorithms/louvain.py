@@ -106,6 +106,7 @@ def _one_sweep(
     singleton_movers: bool = False,
     cancel_vacated: bool = False,
     activation_salt: Optional[int] = None,
+    resolution: float = 1.0,
 ) -> Tuple[ray.data.Dataset, int]:
     """One synchronous local-moving sweep. Returns (new assign, moved).
     ``bounds``: per-level vertex-range boundaries, computed once by the
@@ -209,7 +210,9 @@ def _one_sweep(
             gain = (np.int64(round(m2)) * kv.astype(np.int64)
                     - deg.astype(np.int64) * vol_eff.astype(np.int64))
         else:
-            gain = kv / m - deg * vol_eff / (2.0 * m * m)
+            # resolution-gamma gain (RB Potts null-model scaling — the
+            # spinglass family's gamma; 1.0 = plain modularity)
+            gain = kv / m - resolution * deg * vol_eff / (2.0 * m * m)
         # singleton-swap guard: a singleton vertex may only merge into a
         # smaller-id singleton (prevents mutual-swap oscillation); moves
         # into non-singleton communities are always allowed
@@ -255,7 +258,9 @@ def _one_sweep(
                          * (bvol_own - bdeg).astype(np.int64))
             move = (bc != cur_s[best_idx]) & (bg > stay_gain)
         else:
-            stay_gain = kv_cur / m - bdeg * (bvol_own - bdeg) / (2.0 * m * m)
+            stay_gain = (kv_cur / m
+                         - resolution * bdeg * (bvol_own - bdeg)
+                         / (2.0 * m * m))
             # move only on a strict improvement over staying
             move = (bc != cur_s[best_idx]) & (bg > stay_gain + 1e-12)
         if singleton_movers:
@@ -441,11 +446,15 @@ def louvain(
     num_partitions: int = 8,
     max_sweeps: int = 8,
     max_levels: int = 10,
+    resolution: float = 1.0,
 ) -> LouvainResult:
     """Multilevel modularity communities over the undirected
     interpretation of ``graph`` (community.c:2854 contract: final labels
     canonically renumbered 0..k-1 in order of first appearance by vertex
-    id, like the reference's densification)."""
+    id, like the reference's densification). ``resolution`` is the
+    Reichardt–Bornholdt gamma scaling the null-model term of every
+    local-moving gain; 1.0 is plain modularity. The reported modularity
+    is always the plain (gamma=1) value of the final labels."""
     sym = _sym_weighted(graph).materialize()
     m2 = float(sym.sum("weight") or 0.0)
     if m2 == 0.0:
@@ -482,7 +491,8 @@ def louvain(
         )
         moved_any = False
         for _ in range(max_sweeps):
-            assign, moved = _one_sweep(cur_sym, assign, m2, num_partitions, bounds)
+            assign, moved = _one_sweep(cur_sym, assign, m2, num_partitions,
+                                       bounds, resolution=resolution)
             total_sweeps += 1
             # early stop: a sub-0.5% trickle of movers converges to nothing
             # worth another three shuffles (synchronous Louvain's long tail)

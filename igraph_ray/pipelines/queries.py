@@ -829,6 +829,23 @@ def q_leiden(sf_dir: str):
     return leiden(g, num_partitions=8).state
 
 
+def q_spinglass(sf_dir: str):
+    """Deterministic T=0 quench of the Reichardt–Bornholdt Potts model
+    (clustertool.cpp:98 semantics) at gamma=1 over the undirected view
+    of edges_a. H-minimization for the configuration null model equals
+    gamma-modularity maximization (RB PRE 74:016110 §III), realized as
+    multilevel gamma-local-moving on the shared louvain engine. Not
+    SQL-expressible as a whole (data-dependent sweep/level stopping
+    rules — same reason as ``louvain``); the louvain_sweeps query drives
+    the shared sweep recurrence hash-green, and the gamma-specific
+    behavior (planted recovery, resolution monotonicity on a ring of
+    cliques) is pytest-gated in tests/test_spinglass.py."""
+    from igraph_ray.algorithms.spinglass import spinglass_quench
+
+    g = derive.graph_a(sf_dir)
+    return spinglass_quench(g, gamma=1.5, num_partitions=8).state
+
+
 def q_triangles(sf_dir: str):
     g = derive.graph_a(sf_dir)
     return triangle_counts(g, num_partitions=8)
@@ -4356,6 +4373,7 @@ def queries() -> Dict[str, Callable]:
         "lpa": q_lpa,
         "louvain": q_louvain,
         "leiden": q_leiden,
+        "spinglass": q_spinglass,
         "scg_groups": q_scg_groups,
         "graphlets": q_graphlets,
         "triangles": q_triangles,
