@@ -1741,6 +1741,81 @@ WHERE pk.rp < ({pcase})
 ORDER BY src, dst"""
 
 
+HRG_GAME_PARAMS = dict(
+    depth=9, seed=42,
+    level_p_e6=[800000, 500000, 250000, 120000, 60000, 30000, 15000, 8000,
+                4000])
+
+
+def q_hrg_game(sf_dir: str):
+    """Hierarchical-random-graph generator (igraph_hrg_game,
+    igraph_hrg.cc) over an explicit balanced dendrogram: n=2^9 leaves,
+    one probability per level, pair (i,j) connected iff the md5 draw
+    of (seed,i,j) clears the integer threshold of level
+    floor(log2(i XOR j)). Input-independent like barabasi/callaway;
+    the DuckDB oracle replays every draw exactly."""
+    from igraph_ray.algorithms.hrg import hrg_game
+
+    return hrg_game(**HRG_GAME_PARAMS).sort(["src", "dst"])
+
+
+def _sql_hrg_game() -> str:
+    p = HRG_GAME_PARAMS
+    depth, seed = p["depth"], p["seed"]
+    n = 1 << depth
+    HEX15 = 16 ** 15
+    thr = [int(x) * HEX15 // 1_000_000 for x in p["level_p_e6"]]
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for k in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1))")
+        return f
+
+    lcase = ("CASE " + " ".join(
+        f"WHEN x >= {1 << lvl} THEN CAST({thr[lvl]} AS BIGINT)"
+        for lvl in range(depth - 1, 0, -1))
+        + f" ELSE CAST({thr[0]} AS BIGINT) END")
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range({n})) AS i) a,
+       (SELECT UNNEST(range({n})) AS j) b
+  WHERE b.j > a.i),
+hs AS (SELECT i, j, xor(i, j) AS x,
+  md5('{seed}:h:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+  FROM pairs),
+rs AS MATERIALIZED (SELECT i, j, x, {fold('h')} AS r FROM hs)
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst FROM rs
+WHERE r < ({lcase})
+ORDER BY src, dst"""
+
+
+def q_hrg_fit(sf_dir: str):
+    """Greedy-MLE HRG dendrogram (igraph_hrg_fit contract; the
+    reference's MCMC sampler replaced by the deterministic greedy
+    maximizer of the same per-node likelihood — algorithms/hrg.py
+    docstring). Rows-only at the gate (sequential heap-driven merge
+    order, not SQL-replayable — same class as fastgreedy/walktrap);
+    dendrogram-validity and likelihood pytests carry exactness."""
+    from igraph_ray.algorithms.hrg import hrg_fit
+
+    g = derive.graph_sparse(sf_dir)
+    return hrg_fit(g, n=derive.V).dendrogram
+
+
+def q_hrg_predict(sf_dir: str):
+    """Missing-link prediction from the fitted HRG
+    (igraph_hrg_predict semantics): top-32 non-adjacent pairs by the
+    fitted p_LCA, ties by (src, dst). Rows-only (depends on the
+    sequential fit); planted-edge-recovery pytest carries exactness."""
+    from igraph_ray.algorithms.hrg import hrg_fit
+
+    g = derive.graph_sparse(sf_dir)
+    return hrg_fit(g, n=derive.V, predict_k=32).predictions
+
+
 def _sql_barabasi(n: int = 400, m: int = 3, seed: int = 7) -> str:
     digit = "strpos('0123456789abcdef', substr(h, {k}, 1)) - 1"
     fold = "CAST(0 AS BIGINT)"
@@ -4482,6 +4557,9 @@ def queries() -> Dict[str, Callable]:
         "layout_fr": q_layout_fr,
         "barabasi": q_barabasi,
         "callaway": q_callaway,
+        "hrg_game": q_hrg_game,
+        "hrg_fit": q_hrg_fit,
+        "hrg_predict": q_hrg_predict,
         "establishment": q_establishment,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
@@ -5204,6 +5282,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "louvain_sweeps": _sql_louvain_sweeps(),
         "barabasi": _sql_barabasi(),
         "callaway": _sql_callaway(),
+        "hrg_game": _sql_hrg_game(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (
