@@ -1792,6 +1792,110 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+SBM_PARAMS = dict(
+    block_sizes=(150, 200, 162), seed=11,
+    pref_e6=((300000, 20000, 5000),
+             (20000, 250000, 10000),
+             (5000, 10000, 400000)))
+
+
+def q_sbm(sf_dir: str):
+    """Stochastic block model (igraph_sbm_game, sbm.c:71), undirected
+    no-loops: one independent md5 Bernoulli trial per pair at the
+    block-pair rate — input-independent, full DuckDB md5-replay."""
+    from igraph_ray.sources.games import sbm_game
+
+    return sbm_game(**SBM_PARAMS).sort(["src", "dst"])
+
+
+def _sql_sbm() -> str:
+    p = SBM_PARAMS
+    seed = p["seed"]
+    HEX15 = 16 ** 15
+    bounds = []
+    tot = 0
+    for s in p["block_sizes"]:
+        tot += int(s)
+        bounds.append(tot)
+    n = tot
+    thr = [[int(x) * HEX15 // 1_000_000 for x in row] for row in p["pref_e6"]]
+    k = len(thr)
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for kk in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {kk}, 1)) - 1))")
+        return f
+
+    def blk(col: str) -> str:
+        c = "CASE "
+        for b in range(k - 1):
+            c += f"WHEN {col} < {bounds[b]} THEN {b} "
+        return c + f"ELSE {k - 1} END"
+
+    tcase = "CASE " + " ".join(
+        f"WHEN bi = {a} AND bj = {b} THEN CAST({thr[a][b]} AS BIGINT)"
+        for a in range(k) for b in range(k)) + " END"
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range({n})) AS i) a,
+       (SELECT UNNEST(range({n})) AS j) b
+  WHERE b.j > a.i),
+hs AS (SELECT i, j, {blk('i')} AS bi, {blk('j')} AS bj,
+  md5('{seed}:s:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+  FROM pairs),
+rs AS MATERIALIZED (SELECT i, j, bi, bj, {fold('h')} AS r FROM hs)
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst FROM rs
+WHERE r < ({tcase})
+ORDER BY src, dst"""
+
+
+DOT_PRODUCT_PARAMS = dict(n=256, dim=4, mod=700, seed=5)
+
+
+def q_dot_product(sf_dir: str):
+    """Random dot-product graph (igraph_dot_product_game,
+    dotproduct.c:59): deterministic integer-e3 latent grid, edge iff
+    the md5 draw clears min(<x_i,x_j>, 1) — P>1 connects always, per
+    the reference contract. Full DuckDB md5 + integer-dot replay."""
+    from igraph_ray.sources.games import dot_product_game
+
+    return dot_product_game(**DOT_PRODUCT_PARAMS).sort(["src", "dst"])
+
+
+def _sql_dot_product() -> str:
+    p = DOT_PRODUCT_PARAMS
+    n, dim, mod, seed = p["n"], p["dim"], p["mod"], p["seed"]
+    HEX15 = 16 ** 15
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for kk in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {kk}, 1)) - 1))")
+        return f
+
+    dot = " + ".join(
+        f"(((i*7919 + {d}*104729) % {mod}) * ((j*7919 + {d}*104729) % {mod}))"
+        for d in range(dim))
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range({n})) AS i) a,
+       (SELECT UNNEST(range({n})) AS j) b
+  WHERE b.j > a.i),
+hs AS (SELECT i, j, ({dot}) AS p,
+  md5('{seed}:d:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+  FROM pairs),
+rs AS MATERIALIZED (SELECT i, j, p, {fold('h')} AS r FROM hs)
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst FROM rs
+WHERE CAST(r AS HUGEINT)
+      < CAST(LEAST(p, 1000000) AS HUGEINT) * {HEX15} // 1000000
+ORDER BY src, dst"""
+
+
 def q_hrg_fit(sf_dir: str):
     """Greedy-MLE HRG dendrogram (igraph_hrg_fit contract; the
     reference's MCMC sampler replaced by the deterministic greedy
@@ -4558,6 +4662,8 @@ def queries() -> Dict[str, Callable]:
         "barabasi": q_barabasi,
         "callaway": q_callaway,
         "hrg_game": q_hrg_game,
+        "sbm": q_sbm,
+        "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
         "hrg_predict": q_hrg_predict,
         "establishment": q_establishment,
@@ -5283,6 +5389,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "barabasi": _sql_barabasi(),
         "callaway": _sql_callaway(),
         "hrg_game": _sql_hrg_game(),
+        "sbm": _sql_sbm(),
+        "dot_product": _sql_dot_product(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

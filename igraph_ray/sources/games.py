@@ -571,3 +571,115 @@ def establishment_game(
                 b["id"].to_numpy(zero_copy_only=False) + k, pa.int64())}),
             batch_format="pyarrow", batch_size=None)
     return steps.map_batches(_gen, batch_format="pyarrow", batch_size=None)
+
+
+def sbm_game(
+    block_sizes: Tuple[int, ...],
+    pref_e6,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Stochastic block model, undirected without loops
+    (igraph_sbm_game, /root/reference/src/sbm.c:71: one Bernoulli trial
+    per vertex pair with rate pref[block(i)][block(j)]; vertex ids
+    ordered by block as in the reference's block_sizes contract).
+
+    The reference draws geometric jumps from one sequential RNG; this
+    variant gives every pair (i, j) an independent md5 15-hex draw with
+    integer-exact thresholds floor(pref_e6 · 16^15 / 1e6), so the edge
+    set is a pure function of (sizes, prefs, seed), identical at any
+    parallelism and SQL-replayable. O(n²/P) per task over the full pair
+    space — the md5-replayable variant; the jump-sampling scale path is
+    `preference_game` above (same model with drawn types)."""
+    import hashlib
+
+    pref_e6 = [[int(x) for x in row] for row in pref_e6]
+    k = len(block_sizes)
+    assert len(pref_e6) == k and all(len(r) == k for r in pref_e6)
+    assert all(pref_e6[a][b] == pref_e6[b][a] for a in range(k)
+               for b in range(k)), "undirected SBM needs symmetric prefs"
+    bounds = np.cumsum(np.asarray(block_sizes, np.int64))
+    n = int(bounds[-1])
+    HEX15 = 16 ** 15
+    thr = np.array([[p * HEX15 // 1_000_000 for p in row]
+                    for row in pref_e6], dtype=np.uint64)
+
+    def _gen(b: pa.Table) -> pa.Table:
+        outs_s, outs_d = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False):
+            i = int(i)
+            j = np.arange(i + 1, n, dtype=np.int64)
+            if not len(j):
+                continue
+            bi = int(np.searchsorted(bounds, i, side="right"))
+            bj = np.searchsorted(bounds, j, side="right")
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:s:{i}:{int(jj)}".encode())
+                     .hexdigest()[:15], 16) for jj in j], dtype=np.uint64)
+            keep = draws < thr[bi, bj]
+            outs_s.append(np.full(int(keep.sum()), i, np.int64))
+            outs_d.append(j[keep])
+        if not outs_s:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs_s)),
+                         "dst": pa.array(np.concatenate(outs_d))})
+
+    return (ray.data.range(n, override_num_blocks=num_partitions)
+            .map_batches(_gen, batch_format="pyarrow", batch_size=None))
+
+
+def dot_product_game(
+    n: int,
+    dim: int = 4,
+    mod: int = 1000,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Random dot-product graph, undirected (igraph_dot_product_game,
+    /root/reference/src/dotproduct.c:59: P(i~j) = <x_i, x_j>, clamped —
+    negative products never connect, products above one always do).
+
+    Latent positions are the deterministic integer-e3 grid
+    x_v[d] = ((v·7919 + d·104729) mod m) / 1000, so every dot
+    product is the exact rational P(i,j)/1e6 with integer
+    P = Σ_d ((i·7919+d·104729)%1000)·((j·7919+d·104729)%1000), and the
+    edge rule  md5-draw(seed,i,j) < min(P, 1e6)·16^15 / 1e6  is
+    integer-exact and SQL-replayable (reference contract: P ≥ 1e6 is an
+    unconditional edge). O(n²/P) per task over the pair space, like the
+    reference's own double loop."""
+    import hashlib
+
+    HEX15 = 16 ** 15
+
+    def _pos(v) -> np.ndarray:
+        d = np.arange(dim, dtype=np.int64)
+        return (np.asarray(v, np.int64)[..., None] * 7919
+                + d * 104729) % mod
+
+    def _gen(b: pa.Table) -> pa.Table:
+        outs_s, outs_d = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False):
+            i = int(i)
+            j = np.arange(i + 1, n, dtype=np.int64)
+            if not len(j):
+                continue
+            p = np.minimum((_pos(i)[None, :] * _pos(j)).sum(axis=1),
+                           1_000_000)
+            # p·16^15 needs 80 bits: per-element Python-int thresholds
+            thr = np.array([pp * HEX15 // 1_000_000 for pp in p.tolist()],
+                           dtype=np.uint64)
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:d:{i}:{int(jj)}".encode())
+                     .hexdigest()[:15], 16) for jj in j], dtype=np.uint64)
+            keep = draws < thr
+            outs_s.append(np.full(int(keep.sum()), i, np.int64))
+            outs_d.append(j[keep])
+        if not outs_s:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs_s)),
+                         "dst": pa.array(np.concatenate(outs_d))})
+
+    return (ray.data.range(n, override_num_blocks=num_partitions)
+            .map_batches(_gen, batch_format="pyarrow", batch_size=None))

@@ -195,3 +195,43 @@ def test_establishment_structure():
     assert (df.src >= 3).all()
     assert (df.dst < df.src).all()
     assert len(df) <= 3 * 77
+
+
+def test_sbm_structure_and_determinism():
+    from igraph_ray.sources.games import sbm_game
+
+    sizes = (20, 30, 14)
+    pref = ((600000, 30000, 0), (30000, 500000, 20000), (0, 20000, 700000))
+    df = sbm_game(sizes, pref, seed=3, num_partitions=4).to_pandas()
+    n = sum(sizes)
+    assert (df.src < df.dst).all()
+    assert df.dst.max() < n
+    # zero-rate block pair (0, 2) produces NO edges
+    assert not (((df.src < 20) & (df.dst >= 50))).any()
+    # dense intra-block-2 (p=0.7 over C(14,2)=91 pairs): binomial 5-sigma
+    m2 = ((df.src >= 50) & (df.dst >= 50)).sum()
+    assert abs(m2 - 91 * 0.7) < 5 * (91 * 0.7 * 0.3) ** 0.5
+    df2 = sbm_game(sizes, pref, seed=3, num_partitions=1).to_pandas()
+    key = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert key(df) == key(df2)
+
+
+def test_dot_product_structure_and_determinism():
+    import numpy as np
+    from igraph_ray.sources.games import dot_product_game
+
+    n, dim, mod = 64, 4, 700
+    df = dot_product_game(n, dim=dim, mod=mod, seed=5,
+                          num_partitions=4).to_pandas()
+    assert (df.src < df.dst).all() and df.dst.max() < n
+    # pairs with dot >= 1 connect unconditionally (reference contract)
+    d = np.arange(dim, dtype=np.int64)
+    pos = (np.arange(n, dtype=np.int64)[:, None] * 7919 + d * 104729) % mod
+    got = set(map(tuple, df.values.tolist()))
+    forced = [(i, j) for i in range(n) for j in range(i + 1, n)
+              if int((pos[i] * pos[j]).sum()) >= 1_000_000]
+    assert forced and all(p in got for p in forced)
+    df2 = dot_product_game(n, dim=dim, mod=mod, seed=5,
+                           num_partitions=1).to_pandas()
+    key = lambda dd: sorted(map(tuple, dd.values.tolist()))
+    assert key(df) == key(df2)
