@@ -11,6 +11,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1341,3 +1342,79 @@ def edge_clustering4(und: ray.data.Dataset, num_partitions: int = 8) -> ray.data
 
     return j.map_batches(_out, batch_format="pyarrow",
                          batch_size=None).sort(["lo", "hi"])
+
+
+def laplacian_edges(
+    graph: Graph,
+    normalized: bool = False,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Graph Laplacian in COO form over the simple undirected view
+    (igraph_laplacian, spectral_properties.c:272): L = D − A, or the
+    symmetric normalization I − D^-1/2 A D^-1/2. Plain mode emits exact
+    int64 ``value`` (diag = degree, offdiag = −1); normalized mode
+    emits ``value_e9`` = the half-up-rounded 1e9 scaling (diag 1e9,
+    offdiag −round(1e9/sqrt(d_i·d_j)) — FLOOR(x+0.5) on the positive
+    magnitude so the rounding rule is identical in numpy and SQL).
+    Isolated vertices never reach the edge table, matching the
+    reference's degree-0 convention of leaving the normalized diagonal
+    0 (no row here). One groupby for degrees, one broadcast join back
+    onto the edges — no other shuffle."""
+    und = graph.canonical_undirected().materialize()
+
+    def _ends(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.concat_arrays(
+            [b["lo"].combine_chunks(), b["hi"].combine_chunks()])})
+
+    deg = (und.map_batches(_ends, batch_format="pyarrow", batch_size=None)
+           .groupby("v").count())  # (v, count())
+
+    if not normalized:
+        def _off(b: pa.Table) -> pa.Table:
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "i": pa.array(np.concatenate([lo, hi])),
+                "j": pa.array(np.concatenate([hi, lo])),
+                "value": pa.array(np.full(2 * len(lo), -1, np.int64))})
+
+        def _diag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "i": b["v"], "j": b["v"],
+                "value": pc.cast(b["count()"], pa.int64())})
+
+        return (und.map_batches(_off, batch_format="pyarrow",
+                                batch_size=None)
+                .union(deg.map_batches(_diag, batch_format="pyarrow",
+                                       batch_size=None))
+                .sort(["i", "j"]))
+
+    j1 = hash_join(und, deg.map_batches(
+        lambda b: pa.table({"lo": b["v"], "d1": b["count()"]}),
+        batch_format="pyarrow", batch_size=None), on="lo",
+        num_partitions=num_partitions)
+    j2 = hash_join(j1, deg.map_batches(
+        lambda b: pa.table({"hi": b["v"], "d2": b["count()"]}),
+        batch_format="pyarrow", batch_size=None), on="hi",
+        num_partitions=num_partitions)
+
+    def _off_n(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        d1 = b["d1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d2 = b["d2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mag = np.floor(1e9 / np.sqrt(d1 * d2) + 0.5).astype(np.int64)
+        return pa.table({
+            "i": pa.array(np.concatenate([lo, hi])),
+            "j": pa.array(np.concatenate([hi, lo])),
+            "value_e9": pa.array(np.concatenate([-mag, -mag]))})
+
+    def _diag_n(b: pa.Table) -> pa.Table:
+        one = np.full(b.num_rows, 1_000_000_000, np.int64)
+        return pa.table({"i": b["v"], "j": b["v"],
+                         "value_e9": pa.array(one)})
+
+    return (j2.map_batches(_off_n, batch_format="pyarrow", batch_size=None)
+            .union(deg.map_batches(_diag_n, batch_format="pyarrow",
+                                   batch_size=None))
+            .sort(["i", "j"]))

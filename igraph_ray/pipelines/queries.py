@@ -1792,6 +1792,62 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+def q_laplacian(sf_dir: str):
+    """Graph Laplacian L = D − A in COO form over the simple
+    undirected view of edges_a (igraph_laplacian,
+    spectral_properties.c:272) — exact int64 values."""
+    from igraph_ray.ops.structural import laplacian_edges
+
+    return laplacian_edges(derive.graph_a(sf_dir))
+
+
+SQL_LAPLACIAN = f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({SQL_EDGES_A})),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und)
+  GROUP BY v)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(value AS BIGINT) AS value FROM (
+  SELECT lo AS i, hi AS j, -1 AS value FROM und
+  UNION ALL SELECT hi, lo, -1 FROM und
+  UNION ALL SELECT v, v, d FROM deg)
+ORDER BY i, j"""
+
+
+def q_laplacian_norm(sf_dir: str):
+    """Symmetric normalized Laplacian I − D^-1/2 A D^-1/2 in COO form
+    (igraph_laplacian normalized=true): value_e9 with the FLOOR(x+0.5)
+    half-up rounding applied to the positive magnitude so numpy and
+    DuckDB round identically."""
+    from igraph_ray.ops.structural import laplacian_edges
+
+    return laplacian_edges(derive.graph_a(sf_dir), normalized=True)
+
+
+SQL_LAPLACIAN_NORM = f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({SQL_EDGES_A})),
+deg AS MATERIALIZED (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und)
+  GROUP BY v),
+offmag AS (
+  SELECT u.lo, u.hi,
+         CAST(FLOOR(1e9 / sqrt(CAST(d1.d * d2.d AS DOUBLE)) + 0.5)
+              AS BIGINT) AS mag
+  FROM und u JOIN deg d1 ON d1.v = u.lo JOIN deg d2 ON d2.v = u.hi)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(value_e9 AS BIGINT) AS value_e9 FROM (
+  SELECT lo AS i, hi AS j, -mag AS value_e9 FROM offmag
+  UNION ALL SELECT hi, lo, -mag FROM offmag
+  UNION ALL SELECT v, v, 1000000000 FROM deg)
+ORDER BY i, j"""
+
+
 SBM_PARAMS = dict(
     block_sizes=(150, 200, 162), seed=11,
     pref_e6=((300000, 20000, 5000),
@@ -4663,6 +4719,8 @@ def queries() -> Dict[str, Callable]:
         "callaway": q_callaway,
         "hrg_game": q_hrg_game,
         "sbm": q_sbm,
+        "laplacian": q_laplacian,
+        "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
         "hrg_predict": q_hrg_predict,
@@ -5390,6 +5448,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "callaway": _sql_callaway(),
         "hrg_game": _sql_hrg_game(),
         "sbm": _sql_sbm(),
+        "laplacian": SQL_LAPLACIAN,
+        "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
