@@ -44,6 +44,7 @@ from igraph_ray.pipelines.derive import (
     SQL_EDGES_A_W,
     SQL_EDGES_B,
     SQL_EDGES_MULTI,
+    SQL_EDGES_SPARSE,
     SQL_VERTS_A,
     V,
 )
@@ -1790,6 +1791,56 @@ rs AS MATERIALIZED (SELECT i, j, x, {fold('h')} AS r FROM hs)
 SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst FROM rs
 WHERE r < ({lcase})
 ORDER BY src, dst"""
+
+
+DOM_ROOT = 1
+
+
+def q_dominators(sf_dir: str):
+    """Dominator tree rooted at vertex 1 over the sparse derived
+    digraph (igraph_dominator_tree, st-cuts.c:388): (vertex, idom) for
+    every root-reachable vertex except the root. Engine = CHK RPO
+    fixpoint in one guarded task; oracle = the definitional SQL (v
+    strictly dominates w iff removing v cuts w from root, computed as
+    one simultaneous per-removal recursive reachability; idom = the
+    strict dominator with the largest own strict-dominator set — the
+    chain property makes it unique)."""
+    from igraph_ray.algorithms.dominators import dominator_tree
+
+    g = derive.graph_sparse(sf_dir)
+    return dominator_tree(g, root=DOM_ROOT, n=derive.V)
+
+
+SQL_DOMINATORS = f"""
+WITH RECURSIVE
+e AS MATERIALIZED ({SQL_EDGES_SPARSE}),
+full_reach(node) AS (
+  SELECT {DOM_ROOT} AS node
+  UNION
+  SELECT e.dst FROM full_reach r JOIN e ON e.src = r.node),
+cand AS (SELECT node AS v FROM full_reach WHERE node != {DOM_ROOT}),
+rm(v, node) AS (
+  SELECT v, {DOM_ROOT} AS node FROM cand
+  UNION
+  SELECT rm.v, e.dst FROM rm JOIN e ON e.src = rm.node
+  WHERE e.dst != rm.v),
+strict AS MATERIALIZED (
+  SELECT w.node AS w, CAST({DOM_ROOT} AS BIGINT) AS d
+  FROM full_reach w WHERE w.node != {DOM_ROOT}
+  UNION ALL
+  SELECT w.node AS w, c.v AS d
+  FROM full_reach w CROSS JOIN cand c
+  WHERE w.node != {DOM_ROOT} AND w.node != c.v
+    AND NOT EXISTS (SELECT 1 FROM rm
+                    WHERE rm.v = c.v AND rm.node = w.node)),
+wsize AS (SELECT w, COUNT(*) AS sz FROM strict GROUP BY w),
+pick AS (
+  SELECT s.w, s.d, COALESCE(ws.sz, 0) AS dsz
+  FROM strict s LEFT JOIN wsize ws ON ws.w = s.d)
+SELECT CAST(p.w AS BIGINT) AS vertex, CAST(p.d AS BIGINT) AS idom
+FROM pick p
+WHERE p.dsz = (SELECT MAX(q.dsz) FROM pick q WHERE q.w = p.w)
+ORDER BY vertex"""
 
 
 def q_laplacian(sf_dir: str):
@@ -4720,6 +4771,7 @@ def queries() -> Dict[str, Callable]:
         "hrg_game": q_hrg_game,
         "sbm": q_sbm,
         "laplacian": q_laplacian,
+        "dominators": q_dominators,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
@@ -5449,6 +5501,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "hrg_game": _sql_hrg_game(),
         "sbm": _sql_sbm(),
         "laplacian": SQL_LAPLACIAN,
+        "dominators": SQL_DOMINATORS,
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "establishment": _sql_establishment(),
