@@ -1793,6 +1793,19 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+def q_feedback_arc_set(sf_dir: str):
+    """Eades GR feedback arc set over the sparse derived digraph
+    (igraph_feedback_arc_set APPROX_EADES, feedback_arc_set.c:191).
+    Rows-only at the gate (the strip order is a sequential queue
+    process, not SQL-replayable); acyclicity-after-removal, the
+    m/2−n/6 bound and weighted behavior are pytest-gated in
+    tests/test_fas.py."""
+    from igraph_ray.algorithms.fas import feedback_arc_set
+
+    g = derive.graph_sparse(sf_dir)
+    return feedback_arc_set(g, n=derive.V)
+
+
 DOM_ROOT = 1
 
 
@@ -4772,6 +4785,7 @@ def queries() -> Dict[str, Callable]:
         "sbm": q_sbm,
         "laplacian": q_laplacian,
         "dominators": q_dominators,
+        "feedback_arc_set": q_feedback_arc_set,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
