@@ -1,0 +1,109 @@
+"""All simple paths up to a cutoff — the engine's
+igraph_get_all_simple_paths (/root/reference/src/paths.c:60).
+
+The reference runs a sequential DFS with an in-stack marker; the
+engine's distributed shape is level-synchronous frontier expansion:
+the frontier is a Dataset of partial paths (tail, path-string,
+visited-bitmask), each step is ONE hash_join (frontier ⋈ edges on
+tail = src, edges broadcast when small) plus ONE vectorized
+map_batches that drops extensions revisiting a vertex (bitmask test —
+numpy bit ops over a fixed-size-binary column, no per-row Python) and
+appends the new vertex to both the mask and the display string
+(pyarrow binary_join_element_wise). Simple paths explode
+combinatorially in the cutoff — inherent to the operator, the cutoff
+is the honesty guard — but each level is fully data-parallel and
+streams block-by-block, unlike the reference's single DFS stack.
+
+Paths are emitted as "v0->v1->..." strings (every path of 1..cutoff
+edges from the source), exactly reproducible in SQL by a recursive
+CTE carrying a DuckDB list: see SQL_SIMPLE_PATHS in
+pipelines/queries.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from igraph_ray.graph import Graph
+from igraph_ray.util import hash_join
+
+
+def _mask_np(col, mb: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = np.frombuffer(arr.buffers()[1], np.uint8)
+    off = arr.offset * mb
+    return buf[off: off + len(arr) * mb].reshape(-1, mb)
+
+
+def all_simple_paths(
+    graph: Graph,
+    source: int,
+    cutoff: int,
+    n: int | None = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Dataset with one ``path`` string per simple path of 1..cutoff
+    edges starting at ``source`` (targets = all vertices, the
+    igraph_get_all_simple_paths contract with vs=ALL)."""
+    n = n if n is not None else graph.num_vertices()
+    mb = (n + 7) // 8
+    edges = graph.edges.map_batches(
+        lambda b: pa.table({"tail": b["src"], "nxt": b["dst"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    mask0 = bytearray(mb)
+    mask0[source >> 3] |= 1 << (source & 7)
+    frontier = ray.data.from_arrow(pa.table({
+        "tail": pa.array([source], pa.int64()),
+        "path": pa.array([str(source)], pa.string()),
+        "mask": pa.array([bytes(mask0)], pa.binary(mb)),
+    }))
+    outs: list = []
+    for _ in range(cutoff):
+        j = hash_join(frontier, edges, on="tail",
+                      num_partitions=num_partitions)
+
+        def _extend(b: pa.Table, _mb=mb) -> pa.Table:
+            empty = pa.table({
+                "tail": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "mask": pa.array([], pa.binary(_mb))})
+            if b.num_rows == 0:
+                return empty
+            nxt = b["nxt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = _mask_np(b["mask"], _mb)
+            seen = (mask[np.arange(len(nxt)), nxt >> 3]
+                    >> (nxt & 7).astype(np.uint8)) & 1
+            b = b.filter(pa.array(seen == 0))
+            if b.num_rows == 0:
+                return empty
+            nxt = b["nxt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            newmask = _mask_np(b["mask"], _mb).copy()
+            newmask[np.arange(len(nxt)), nxt >> 3] |= (
+                1 << (nxt & 7)).astype(np.uint8)
+            nxt_arr = pa.array(nxt)
+            path = pc.binary_join_element_wise(
+                b["path"].combine_chunks()
+                if isinstance(b["path"], pa.ChunkedArray) else b["path"],
+                pc.cast(nxt_arr, pa.string()), "->")
+            mask_arr = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(_mb), len(nxt),
+                [None, pa.py_buffer(newmask.tobytes(order="C"))])
+            return pa.table({"tail": nxt_arr, "path": path,
+                             "mask": mask_arr})
+
+        frontier = j.map_batches(_extend, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+        outs.append(frontier.select_columns(["path"]))
+        if frontier.count() == 0:
+            break
+    if not outs:
+        return ray.data.from_arrow(pa.table({"path": pa.array([],
+                                                              pa.string())}))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.union(o)
+    return res.sort("path")

@@ -1793,6 +1793,37 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+SP_SOURCE, SP_CUTOFF = 1, 3
+
+
+def q_simple_paths(sf_dir: str):
+    """All simple paths of 1..3 edges from vertex 1 over the sparse
+    derived digraph (igraph_get_all_simple_paths, paths.c:60, vs=ALL),
+    as '->'-joined strings. Engine = level-synchronous frontier
+    expansion (one broadcast hash_join + one vectorized bitmask
+    map_batches per level); oracle = recursive CTE carrying the path
+    list."""
+    from igraph_ray.algorithms.simple_paths import all_simple_paths
+
+    g = derive.graph_sparse(sf_dir)
+    return all_simple_paths(g, source=SP_SOURCE, cutoff=SP_CUTOFF,
+                            n=derive.V)
+
+
+SQL_SIMPLE_PATHS = f"""
+WITH RECURSIVE
+e AS MATERIALIZED ({SQL_EDGES_SPARSE}),
+walk(tail, path, len) AS (
+  SELECT CAST({SP_SOURCE} AS BIGINT) AS tail,
+         [CAST({SP_SOURCE} AS BIGINT)] AS path, 0 AS len
+  UNION ALL
+  SELECT e.dst, list_append(w.path, CAST(e.dst AS BIGINT)), w.len + 1
+  FROM walk w JOIN e ON e.src = w.tail
+  WHERE w.len < {SP_CUTOFF} AND NOT list_contains(w.path, e.dst))
+SELECT array_to_string(path, '->') AS path FROM walk WHERE len >= 1
+ORDER BY path"""
+
+
 def q_feedback_arc_set(sf_dir: str):
     """Eades GR feedback arc set over the sparse derived digraph
     (igraph_feedback_arc_set APPROX_EADES, feedback_arc_set.c:191).
@@ -4786,6 +4817,7 @@ def queries() -> Dict[str, Callable]:
         "laplacian": q_laplacian,
         "dominators": q_dominators,
         "feedback_arc_set": q_feedback_arc_set,
+        "simple_paths": q_simple_paths,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
@@ -5516,6 +5548,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "sbm": _sql_sbm(),
         "laplacian": SQL_LAPLACIAN,
         "dominators": SQL_DOMINATORS,
+        "simple_paths": SQL_SIMPLE_PATHS,
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "establishment": _sql_establishment(),
