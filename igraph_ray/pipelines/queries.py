@@ -1793,6 +1793,98 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+def q_separators(sf_dir: str):
+    """igraph_is_separator / is_minimal_separator (separators.c:145,
+    203) over the sparse derived graph for three candidate sets: the
+    neighborhood of vertex 7 and two arithmetic rules. Engine = one
+    distributed components run on G−S per set plus the
+    member-adjacent-to-every-component minimality criterion (module
+    docstring has the equivalence proof sketch); oracle = recursive
+    undirected closure per rule with the same criterion."""
+    import pyarrow as pa
+
+    from igraph_ray.algorithms.separators import separator_profile
+
+    g = derive.graph_sparse(sf_dir)
+    uni = {int(r["vertex"]) for r in g.vertices().take_all()}
+    und = g.canonical_undirected()
+
+    def _n7(b):
+        import pyarrow.compute as pc
+        keep = pc.or_(pc.equal(b["lo"], 7), pc.equal(b["hi"], 7))
+        t = b.filter(keep)
+        return pa.table({"v": pa.concat_arrays(
+            [t["lo"].combine_chunks(), t["hi"].combine_chunks()])})
+
+    nbr7 = {int(r["v"]) for r in und.map_batches(
+        _n7, batch_format="pyarrow", batch_size=None).take_all()} - {7}
+    rules = {
+        "mod101": {v for v in uni if v % 101 == 3},
+        "mod83": {v for v in uni if v % 83 == 2},
+        "nbr7": nbr7,
+    }
+    rows = []
+    for name in sorted(rules):
+        is_sep, is_min, ncomp = separator_profile(g, rules[name])
+        rows.append((name, int(is_sep), int(is_min), int(ncomp)))
+    return pa.table({
+        "rule": pa.array([r[0] for r in rows], pa.string()),
+        "is_separator": pa.array([r[1] for r in rows], pa.int64()),
+        "is_minimal": pa.array([r[2] for r in rows], pa.int64()),
+        "ncomp": pa.array([r[3] for r in rows], pa.int64())})
+
+
+SQL_SEPARATORS = f"""
+WITH RECURSIVE
+e AS MATERIALIZED ({SQL_EDGES_SPARSE}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM e),
+sym AS MATERIALIZED (
+  SELECT lo AS u, hi AS w FROM und UNION ALL SELECT hi, lo FROM und),
+uni AS MATERIALIZED (SELECT DISTINCT u AS v FROM sym),
+removed AS MATERIALIZED (
+  SELECT 'nbr7' AS rule, w AS v FROM (SELECT DISTINCT w FROM sym WHERE u = 7)
+  UNION ALL SELECT 'mod83', v FROM uni WHERE v % 83 = 2
+  UNION ALL SELECT 'mod101', v FROM uni WHERE v % 101 = 3),
+rules AS (SELECT DISTINCT rule FROM removed),
+rem AS MATERIALIZED (
+  SELECT r.rule, u.v FROM rules r CROSS JOIN uni u
+  WHERE NOT EXISTS (SELECT 1 FROM removed x
+                    WHERE x.rule = r.rule AND x.v = u.v)),
+reach(rule, u, w) AS (
+  SELECT rule, v AS u, v AS w FROM rem
+  UNION
+  SELECT rc.rule, rc.u, s.w
+  FROM reach rc JOIN sym s ON s.u = rc.w
+  WHERE EXISTS (SELECT 1 FROM rem t
+                WHERE t.rule = rc.rule AND t.v = s.w)),
+comp AS MATERIALIZED (
+  SELECT rule, u, MIN(w) AS lab FROM reach GROUP BY rule, u),
+nc AS (SELECT rule, COUNT(DISTINCT lab) AS ncomp FROM comp GROUP BY rule),
+scount AS (SELECT rule, COUNT(*) AS sc FROM removed GROUP BY rule),
+adj AS (
+  SELECT x.rule, x.v AS member, c.lab
+  FROM removed x
+  JOIN sym s ON s.u = x.v
+  JOIN comp c ON c.rule = x.rule AND c.u = s.w
+  GROUP BY x.rule, x.v, c.lab),
+fullmem AS (
+  SELECT a.rule, a.member FROM adj a
+  GROUP BY a.rule, a.member
+  HAVING COUNT(*) = (SELECT ncomp FROM nc WHERE nc.rule = a.rule)),
+fm AS (SELECT rule, COUNT(*) AS nfull FROM fullmem GROUP BY rule)
+SELECT r.rule AS rule,
+  CAST(CASE WHEN n.ncomp > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_separator,
+  CAST(CASE WHEN n.ncomp > 1 AND COALESCE(f.nfull, 0) = s.sc
+       THEN 1 ELSE 0 END AS BIGINT) AS is_minimal,
+  CAST(n.ncomp AS BIGINT) AS ncomp
+FROM rules r
+JOIN nc n ON n.rule = r.rule
+JOIN scount s ON s.rule = r.rule
+LEFT JOIN fm f ON f.rule = r.rule
+ORDER BY rule"""
+
+
 SP_SOURCE, SP_CUTOFF = 1, 3
 
 
@@ -4818,6 +4910,7 @@ def queries() -> Dict[str, Callable]:
         "dominators": q_dominators,
         "feedback_arc_set": q_feedback_arc_set,
         "simple_paths": q_simple_paths,
+        "separators": q_separators,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
@@ -5549,6 +5642,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "laplacian": SQL_LAPLACIAN,
         "dominators": SQL_DOMINATORS,
         "simple_paths": SQL_SIMPLE_PATHS,
+        "separators": SQL_SEPARATORS,
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "establishment": _sql_establishment(),
