@@ -1793,6 +1793,34 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+def q_mcs_rank(sf_dir: str):
+    """Maximum cardinality search ranks over the sparse derived graph
+    (igraph_maximum_cardinality_search, decomposition.c:56;
+    deterministic smallest-id tie rule). Rows-only at the gate (the
+    pick loop is sequential); the pick-invariant replay pytest in
+    tests/test_chordal.py carries exactness."""
+    from igraph_ray.algorithms.chordal import mcs_chordal
+
+    g = derive.graph_sparse(sf_dir)
+    alpha, _, _ = mcs_chordal(g, n=derive.V)
+    return alpha
+
+
+def q_chordal(sf_dir: str):
+    """Chordality + fill-in size of the sparse derived graph
+    (igraph_is_chordal, decomposition.c:252: elimination game along
+    the MCS order). Rows-only; chordal-family and fill-chordalizes
+    pytests carry exactness."""
+    import pyarrow as pa
+
+    from igraph_ray.algorithms.chordal import mcs_chordal
+
+    g = derive.graph_sparse(sf_dir)
+    _, chordal, fill = mcs_chordal(g, n=derive.V)
+    return pa.table({"chordal": pa.array([int(chordal)], pa.int64()),
+                     "fill_count": pa.array([fill.num_rows], pa.int64())})
+
+
 def q_separators(sf_dir: str):
     """igraph_is_separator / is_minimal_separator (separators.c:145,
     203) over the sparse derived graph for three candidate sets: the
@@ -4911,6 +4939,8 @@ def queries() -> Dict[str, Callable]:
         "feedback_arc_set": q_feedback_arc_set,
         "simple_paths": q_simple_paths,
         "separators": q_separators,
+        "mcs_rank": q_mcs_rank,
+        "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hrg_fit": q_hrg_fit,
