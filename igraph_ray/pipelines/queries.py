@@ -1793,6 +1793,26 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+def q_lsap(sf_dir: str):
+    """Minimum-cost assignment (igraph_solve_lsap, lsap.c) of the
+    deterministic 64×64 integer cost grid
+    c[i][j] = ((i·37 + j·61) % 101)·1000 + (7i + 11j) % 97.
+    Rows-only at the gate (the optimum needs the sequential
+    augmenting-path loop); brute-force optimality and the LP-duality
+    certificate are pytest-gated in tests/test_lsap.py, and the
+    returned (u_e6, v_e6) columns ARE the certificate — Σu + Σv equals
+    the reported cost."""
+    import numpy as np
+
+    from igraph_ray.algorithms.lsap import solve_lsap
+
+    n = 64
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    c = (((i * 37 + j * 61) % 101) * 1000 + (7 * i + 11 * j) % 97)
+    return solve_lsap(c.astype(np.float64))
+
+
 def q_mcs_rank(sf_dir: str):
     """Maximum cardinality search ranks over the sparse derived graph
     (igraph_maximum_cardinality_search, decomposition.c:56;
@@ -4940,6 +4960,7 @@ def queries() -> Dict[str, Callable]:
         "simple_paths": q_simple_paths,
         "separators": q_separators,
         "mcs_rank": q_mcs_rank,
+        "lsap": q_lsap,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
