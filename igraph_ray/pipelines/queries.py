@@ -2143,6 +2143,69 @@ WHERE r < ({tcase})
 ORDER BY src, dst"""
 
 
+HSBM_PARAMS = dict(
+    n=512, m=64, rho_sizes=(16, 16, 32), p_e6=8000, seed=23,
+    c_e6=((500000, 100000, 50000),
+          (100000, 400000, 20000),
+          (50000, 20000, 300000)))
+
+
+def q_hsbm(sf_dir: str):
+    """Hierarchical SBM (igraph_hsbm_game, sbm.c:243): per-block
+    cluster SBM + flat inter-block rate, one md5 Bernoulli per pair —
+    full DuckDB replay."""
+    from igraph_ray.sources.games import hsbm_game
+
+    return hsbm_game(**HSBM_PARAMS).sort(["src", "dst"])
+
+
+def _sql_hsbm() -> str:
+    p = HSBM_PARAMS
+    n, m, seed = p["n"], p["m"], p["seed"]
+    HEX15 = 16 ** 15
+    cum = []
+    tot = 0
+    for s in p["rho_sizes"]:
+        tot += int(s)
+        cum.append(tot)
+    k = len(cum)
+    cthr = [[int(x) * HEX15 // 1_000_000 for x in row] for row in p["c_e6"]]
+    pthr = int(p["p_e6"]) * HEX15 // 1_000_000
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for kk in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {kk}, 1)) - 1))")
+        return f
+
+    def clu(col: str) -> str:
+        c = "CASE "
+        for b in range(k - 1):
+            c += f"WHEN ({col} % {m}) < {cum[b]} THEN {b} "
+        return c + f"ELSE {k - 1} END"
+
+    ccase = "CASE " + " ".join(
+        f"WHEN ci = {a} AND cj = {b} THEN CAST({cthr[a][b]} AS BIGINT)"
+        for a in range(k) for b in range(k)) + " END"
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range({n})) AS i) a,
+       (SELECT UNNEST(range({n})) AS j) b
+  WHERE b.j > a.i),
+hs AS (SELECT i, j, (i // {m}) = (j // {m}) AS same,
+  {clu('i')} AS ci, {clu('j')} AS cj,
+  md5('{seed}:hs:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+  FROM pairs),
+rs AS MATERIALIZED (
+  SELECT i, j, same, ci, cj, {fold('h')} AS r FROM hs)
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst FROM rs
+WHERE r < (CASE WHEN same THEN ({ccase})
+           ELSE CAST({pthr} AS BIGINT) END)
+ORDER BY src, dst"""
+
+
 DOT_PRODUCT_PARAMS = dict(n=256, dim=4, mod=700, seed=5)
 
 
@@ -4964,6 +5027,7 @@ def queries() -> Dict[str, Callable]:
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
+        "hsbm": q_hsbm,
         "hrg_fit": q_hrg_fit,
         "hrg_predict": q_hrg_predict,
         "establishment": q_establishment,
@@ -5696,6 +5760,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "separators": SQL_SEPARATORS,
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
+        "hsbm": _sql_hsbm(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

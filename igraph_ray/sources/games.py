@@ -683,3 +683,59 @@ def dot_product_game(
 
     return (ray.data.range(n, override_num_blocks=num_partitions)
             .map_batches(_gen, batch_format="pyarrow", batch_size=None))
+
+
+def hsbm_game(
+    n: int,
+    m: int,
+    rho_sizes: Tuple[int, ...],
+    c_e6,
+    p_e6: int,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Hierarchical stochastic block model, undirected without loops
+    (igraph_hsbm_game, /root/reference/src/sbm.c:243): n vertices in
+    n/m blocks of m; inside a block, clusters of sizes ``rho_sizes``
+    (the reference's rho·m, summing to m) connect at rate
+    C[cl(i)][cl(j)]; vertices of different blocks connect at rate p.
+    Same independent-md5-draw scheme as sbm_game — integer-exact
+    thresholds, parallelism-invariant, SQL-replayable."""
+    import hashlib
+
+    assert n % m == 0 and sum(rho_sizes) == m
+    c_e6 = [[int(x) for x in row] for row in c_e6]
+    k = len(rho_sizes)
+    assert len(c_e6) == k and all(
+        c_e6[a][b] == c_e6[b][a] for a in range(k) for b in range(k))
+    HEX15 = 16 ** 15
+    cthr = np.array([[x * HEX15 // 1_000_000 for x in row]
+                     for row in c_e6], dtype=np.uint64)
+    pthr = np.uint64(int(p_e6) * HEX15 // 1_000_000)
+    cum = np.cumsum(np.asarray(rho_sizes, np.int64))
+
+    def _gen(b: pa.Table) -> pa.Table:
+        outs_s, outs_d = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False):
+            i = int(i)
+            j = np.arange(i + 1, n, dtype=np.int64)
+            if not len(j):
+                continue
+            same = (j // m) == (i // m)
+            cli = int(np.searchsorted(cum, i % m, side="right"))
+            clj = np.searchsorted(cum, j % m, side="right")
+            thr = np.where(same, cthr[cli, clj], pthr)
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:hs:{i}:{int(jj)}".encode())
+                     .hexdigest()[:15], 16) for jj in j], dtype=np.uint64)
+            keep = draws < thr
+            outs_s.append(np.full(int(keep.sum()), i, np.int64))
+            outs_d.append(j[keep])
+        if not outs_s:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs_s)),
+                         "dst": pa.array(np.concatenate(outs_d))})
+
+    return (ray.data.range(n, override_num_blocks=num_partitions)
+            .map_batches(_gen, batch_format="pyarrow", batch_size=None))

@@ -235,3 +235,22 @@ def test_dot_product_structure_and_determinism():
                            num_partitions=1).to_pandas()
     key = lambda dd: sorted(map(tuple, dd.values.tolist()))
     assert key(df) == key(df2)
+
+
+def test_hsbm_structure_and_determinism():
+    from igraph_ray.sources.games import hsbm_game
+
+    df = hsbm_game(n=64, m=16, rho_sizes=(8, 8),
+                   c_e6=((900000, 100000), (100000, 700000)),
+                   p_e6=0, seed=2, num_partitions=4).to_pandas()
+    # p=0: no inter-block edges at all
+    assert ((df.src // 16) == (df.dst // 16)).all()
+    # dense first cluster of block 0 (p=0.9 over C(8,2)=28 pairs)
+    import numpy as np
+    m0 = ((df.src < 8) & (df.dst < 8)).sum()
+    assert abs(m0 - 28 * 0.9) < 5 * (28 * 0.9 * 0.1) ** 0.5
+    df2 = hsbm_game(n=64, m=16, rho_sizes=(8, 8),
+                    c_e6=((900000, 100000), (100000, 700000)),
+                    p_e6=0, seed=2, num_partitions=1).to_pandas()
+    key = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert key(df) == key(df2)
