@@ -1793,6 +1793,37 @@ WHERE r < ({lcase})
 ORDER BY src, dst"""
 
 
+def q_union_projection(sf_dir: str):
+    """Dynamic union-graph projection (the fork's
+    igraph_compute_dynamic_union_graph_projection, dynamic.c:1033)
+    over the events stream: 6h-window snapshots, consecutive pairs
+    projected to union edges with 0b10/0b01/0b11 membership colors.
+    One shuffle for all pairs."""
+    from igraph_ray.ops.temporal import union_graph_projection
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"])
+    return union_graph_projection(events)
+
+
+SQL_UNION_PROJECTION = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 1000000) // 21600 AS w,
+         user_id % 512 AS src, event_id % 97 AS dst FROM events),
+dedup AS MATERIALIZED (SELECT DISTINCT w, src, dst FROM ev),
+bounds AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM dedup),
+expanded AS (
+  SELECT w AS pair, src, dst, 2 AS bit FROM dedup
+  UNION ALL SELECT w - 1, src, dst, 1 FROM dedup)
+SELECT CAST(pair AS BIGINT) AS w, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst, CAST(SUM(bit) AS BIGINT) AS color
+FROM expanded, bounds
+WHERE pair >= wmin AND pair <= wmax - 1
+GROUP BY pair, src, dst
+ORDER BY w, src, dst"""
+
+
 def q_lsap(sf_dir: str):
     """Minimum-cost assignment (igraph_solve_lsap, lsap.c) of the
     deterministic 64×64 integer cost grid
@@ -5024,6 +5055,7 @@ def queries() -> Dict[str, Callable]:
         "separators": q_separators,
         "mcs_rank": q_mcs_rank,
         "lsap": q_lsap,
+        "union_projection": q_union_projection,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
@@ -5758,6 +5790,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "dominators": SQL_DOMINATORS,
         "simple_paths": SQL_SIMPLE_PATHS,
         "separators": SQL_SEPARATORS,
+        "union_projection": SQL_UNION_PROJECTION,
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "hsbm": _sql_hsbm(),
