@@ -1824,6 +1824,55 @@ GROUP BY pair, src, dst
 ORDER BY w, src, dst"""
 
 
+def q_frequent_subgraphs(sf_dir: str):
+    """Bounded gSpan (the fork's igraph_gspan, fsm.c:2246; ≤2-edge
+    color patterns, transaction support) over the per-6h-window event
+    snapshot database, vertex color = id mod 16, min support 2."""
+    from igraph_ray.ops.fsm import frequent_subgraphs
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"])
+
+    def _snap(b):
+        import pyarrow as pa
+
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (ts // 1_000_000) // 21600
+        src = (b["user_id"].to_numpy(zero_copy_only=False) % 512)
+        dst = (b["event_id"].to_numpy(zero_copy_only=False) % 97)
+        return pa.table({"g": pa.array(g),
+                         "src": pa.array(src.astype("int64")),
+                         "dst": pa.array(dst.astype("int64"))})
+
+    snaps = events.map_batches(_snap, batch_format="pyarrow",
+                               batch_size=None)
+    return frequent_subgraphs(snaps, min_support=2, colors=16)
+
+
+SQL_FREQUENT_SUBGRAPHS = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 1000000) // 21600 AS g,
+         user_id % 512 AS src, event_id % 97 AS dst FROM events),
+und AS MATERIALIZED (
+  SELECT DISTINCT g, LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ev WHERE src != dst),
+sym AS MATERIALIZED (
+  SELECT g, lo AS x, hi AS y FROM und UNION ALL SELECT g, hi, lo FROM und),
+singles AS (
+  SELECT DISTINCT g, 'e:' || LEAST(lo % 16, hi % 16) || '-'
+         || GREATEST(lo % 16, hi % 16) AS pattern FROM und),
+wedges AS (
+  SELECT DISTINCT a.g, 'w:' || (a.x % 16) || '|'
+         || LEAST(a.y % 16, b.y % 16) || '-'
+         || GREATEST(a.y % 16, b.y % 16) AS pattern
+  FROM sym a JOIN sym b ON a.g = b.g AND a.x = b.x AND a.y < b.y),
+allp AS (SELECT * FROM singles UNION ALL SELECT * FROM wedges)
+SELECT pattern, CAST(COUNT(*) AS BIGINT) AS support
+FROM allp GROUP BY pattern HAVING COUNT(*) >= 2
+ORDER BY pattern"""
+
+
 def q_lsap(sf_dir: str):
     """Minimum-cost assignment (igraph_solve_lsap, lsap.c) of the
     deterministic 64×64 integer cost grid
@@ -5056,6 +5105,7 @@ def queries() -> Dict[str, Callable]:
         "mcs_rank": q_mcs_rank,
         "lsap": q_lsap,
         "union_projection": q_union_projection,
+        "frequent_subgraphs": q_frequent_subgraphs,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
@@ -5791,6 +5841,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "simple_paths": SQL_SIMPLE_PATHS,
         "separators": SQL_SEPARATORS,
         "union_projection": SQL_UNION_PROJECTION,
+        "frequent_subgraphs": SQL_FREQUENT_SUBGRAPHS,
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "hsbm": _sql_hsbm(),
