@@ -1824,6 +1824,29 @@ GROUP BY pair, src, dst
 ORDER BY w, src, dst"""
 
 
+def q_cohesive_blocks(sf_dir: str):
+    """Moody–White cohesive blocking (igraph_cohesive_blocks,
+    cohesive_blocks.c:202) over the very-sparse derived graph:
+    (block, cohesion, parent, size) rows. Rows-only at the gate (the
+    recursion is sequential); EXACT parity with the reference's own
+    example outputs (4 graphs incl. karate) is pytest-gated in
+    tests/test_cohesive.py."""
+    from igraph_ray.algorithms.cohesive import cohesive_blocks
+
+    g = derive.graph_vsparse(sf_dir)
+    info, _ = cohesive_blocks(g)
+    return info
+
+
+def q_cohesive_block_members(sf_dir: str):
+    """Membership rows (block, vertex) of q_cohesive_blocks."""
+    from igraph_ray.algorithms.cohesive import cohesive_blocks
+
+    g = derive.graph_vsparse(sf_dir)
+    _, members = cohesive_blocks(g)
+    return members
+
+
 def q_frequent_subgraphs(sf_dir: str):
     """Bounded gSpan (the fork's igraph_gspan, fsm.c:2246; ≤2-edge
     color patterns, transaction support) over the per-6h-window event
@@ -5106,6 +5129,8 @@ def queries() -> Dict[str, Callable]:
         "lsap": q_lsap,
         "union_projection": q_union_projection,
         "frequent_subgraphs": q_frequent_subgraphs,
+        "cohesive_blocks": q_cohesive_blocks,
+        "cohesive_block_members": q_cohesive_block_members,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
