@@ -1824,6 +1824,18 @@ GROUP BY pair, src, dst
 ORDER BY w, src, dst"""
 
 
+def q_forest_fire(sf_dir: str):
+    """Forest fire growth model (igraph_forest_fire_game,
+    forestfire.c:106), md5-deterministic variant, n=400, fw=0.3,
+    bw=0.6. Rows-only (the burn frontier is a sequential recursion
+    over the prefix graph — same class as the reference's RNG loop);
+    structural + determinism pytests in tests/test_games.py."""
+    from igraph_ray.sources.games import forest_fire_game
+
+    return forest_fire_game(400, fw_prob=0.3, bw_factor=0.6,
+                            seed=7).sort(["src", "dst"])
+
+
 def q_cohesive_blocks(sf_dir: str):
     """Moody–White cohesive blocking (igraph_cohesive_blocks,
     cohesive_blocks.c:202) over the very-sparse derived graph:
@@ -5130,6 +5142,7 @@ def queries() -> Dict[str, Callable]:
         "union_projection": q_union_projection,
         "frequent_subgraphs": q_frequent_subgraphs,
         "cohesive_blocks": q_cohesive_blocks,
+        "forest_fire": q_forest_fire,
         "cohesive_block_members": q_cohesive_block_members,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,

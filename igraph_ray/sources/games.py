@@ -739,3 +739,97 @@ def hsbm_game(
 
     return (ray.data.range(n, override_num_blocks=num_partitions)
             .map_batches(_gen, batch_format="pyarrow", batch_size=None))
+
+
+def forest_fire_game(
+    n: int,
+    fw_prob: float,
+    bw_factor: float = 1.0,
+    ambs: int = 1,
+    seed: int = 42,
+    max_n: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Forest fire growth model (igraph_forest_fire_game,
+    /root/reference/src/forestfire.c:106; Leskovec, Kleinberg &
+    Faloutsos, KDD 2005): each new vertex picks ``ambs`` ambassadors
+    among the existing vertices and burns outward — from every burning
+    vertex, geometric(1−fw_prob) out-neighbors and
+    geometric(1−bw_factor·fw_prob) in-neighbors catch fire, sampled
+    without replacement; the new vertex links to everything burned.
+
+    The burn frontier reads the prefix graph, so the generator is
+    inherently sequential — exactly like the reference's single RNG
+    loop — and runs inside ONE Ray task (edge arrays never touch the
+    driver), guarded by ``max_n``. The reference's RNG stream is
+    replaced by indexed md5 draws (seed, vertex, draw#): a pure
+    function of the arguments, identical on every run. Geometric
+    draws use the inverse-CDF floor(ln u / ln(1−p)) on the 15-hex
+    uniform."""
+    import hashlib
+    import math
+
+    if n > max_n:
+        raise NotImplementedError(
+            f"forest fire is a sequential growth process; guarded to "
+            f"{max_n} vertices ({n} requested)")
+    HEX15 = 16 ** 15
+
+    @ray.remote
+    def _gen() -> pa.Table:
+        p_out = min(max(fw_prob, 0.0), 0.999999)
+        p_in = min(max(bw_factor * fw_prob, 0.0), 0.999999)
+        outn: List[List[int]] = [[] for _ in range(n)]
+        inn: List[List[int]] = [[] for _ in range(n)]
+        src_l: List[int] = []
+        dst_l: List[int] = []
+
+        def geom(u: float, p: float) -> int:
+            # number of failures before success with prob 1-p
+            if p <= 0.0:
+                return 0
+            return int(math.floor(math.log(u) / math.log(p)))
+
+        for v in range(1, n):
+            ctr = 0
+
+            def draw() -> float:
+                nonlocal ctr
+                h = int(hashlib.md5(f"{seed}:ff:{v}:{ctr}".encode())
+                        .hexdigest()[:15], 16)
+                ctr += 1
+                return (h + 1) / (HEX15 + 1)
+
+            visited = {v}
+            queue: List[int] = []
+            for _ in range(min(ambs, v)):
+                a = int(draw() * v) % v
+                if a not in visited:
+                    visited.add(a)
+                    queue.append(a)
+                    src_l.append(v)
+                    dst_l.append(a)
+            qi = 0
+            while qi < len(queue):
+                amb = queue[qi]
+                qi += 1
+                for pool_src, p in ((outn[amb], p_out), (inn[amb], p_in)):
+                    want = geom(draw(), p)
+                    pool = [x for x in pool_src if x not in visited]
+                    take = (pool if want >= len(pool) else
+                            sorted(pool, key=lambda x, _d=draw:
+                                   _d())[:want])
+                    for nei in take:
+                        visited.add(nei)
+                        queue.append(nei)
+                        src_l.append(v)
+                        dst_l.append(nei)
+            # register the new edges in the adjacency
+            for i in range(len(src_l) - 1, -1, -1):
+                if src_l[i] != v:
+                    break
+                outn[v].append(dst_l[i])
+                inn[dst_l[i]].append(v)
+        return pa.table({"src": pa.array(src_l, pa.int64()),
+                         "dst": pa.array(dst_l, pa.int64())})
+
+    return _from_refs([_gen.remote()])

@@ -254,3 +254,30 @@ def test_hsbm_structure_and_determinism():
                     p_e6=0, seed=2, num_partitions=1).to_pandas()
     key = lambda d: sorted(map(tuple, d.values.tolist()))
     assert key(df) == key(df2)
+
+
+def test_forest_fire_structure():
+    from igraph_ray.sources.games import forest_fire_game
+
+    df = forest_fire_game(200, fw_prob=0.35, bw_factor=0.6,
+                          seed=4).to_pandas()
+    # every edge goes from a newer vertex to an older one
+    assert (df.dst < df.src).all()
+    # every vertex >= 1 links at least its ambassador
+    assert set(df.src.unique()) == set(range(1, 200))
+    # no duplicate edges within a vertex's burn
+    assert not df.duplicated().any()
+    # fire spreads: more edges than the pure-ambassador tree
+    assert len(df) > 199
+    # determinism
+    df2 = forest_fire_game(200, fw_prob=0.35, bw_factor=0.6,
+                           seed=4).to_pandas()
+    assert df.values.tolist() == df2.values.tolist()
+
+
+def test_forest_fire_zero_prob_is_tree():
+    from igraph_ray.sources.games import forest_fire_game
+
+    df = forest_fire_game(100, fw_prob=0.0, seed=1).to_pandas()
+    assert len(df) == 99
+    assert (df.src.value_counts() == 1).all()
