@@ -107,3 +107,80 @@ def all_simple_paths(
     for o in outs[1:]:
         res = res.union(o)
     return res.sort("path")
+
+
+def shortest_path_counts(
+    graph: Graph,
+    source: int,
+    num_partitions: int = 8,
+    max_levels: int = 32,
+) -> ray.data.Dataset:
+    """(vertex, dist, sigma) for every vertex reachable from
+    ``source``: BFS distance and the NUMBER of distinct shortest
+    paths — the σ table of Brandes' algorithm
+    (igraph_get_all_shortest_paths semantics, paths in
+    structural_properties.c, exposed as counts; the full enumeration
+    is σ-many rows and the counts are the useful aggregate).
+
+    Level-synchronous: each level is one broadcast hash_join
+    (frontier ⋈ edges), one groupby-sum of parent sigmas, and one
+    anti-join against the settled set. σ(v) = Σ_{u→v, dist(u)=k-1}
+    σ(u). Raises past ``max_levels`` (the SQL oracle unrolls the same
+    bound)."""
+    edges = graph.edges.map_batches(
+        lambda b: pa.table({"tail": b["src"], "nxt": b["dst"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    frontier = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([source], pa.int64()),
+        "sigma": pa.array([1], pa.int64())}))
+    settled = frontier.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "dist": pa.array(
+            np.zeros(b.num_rows, np.int64)), "sigma": b["sigma"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    for level in range(1, max_levels + 2):
+        j = hash_join(
+            frontier.map_batches(
+                lambda b: pa.table({"tail": b["vertex"],
+                                    "sigma": b["sigma"]}),
+                batch_format="pyarrow", batch_size=None),
+            edges, on="tail", num_partitions=num_partitions)
+
+        def _sum(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"vertex": pa.array([], pa.int64()),
+                                 "sigma": pa.array([], pa.int64())})
+            t = pa.table({"vertex": b["nxt"], "sigma": b["sigma"]})
+            return (t.group_by("vertex").aggregate([("sigma", "sum")])
+                    .rename_columns(["vertex", "sigma"]))
+
+        nxt = (j.map_batches(_sum, batch_format="pyarrow",
+                             batch_size=None)
+               .groupby("vertex").sum("sigma"))
+        nxt = nxt.map_batches(
+            lambda b: (pa.table({"vertex": b["vertex"],
+                                 "sigma": b["sum(sigma)"]})
+                       if b.num_rows else
+                       pa.table({"vertex": pa.array([], pa.int64()),
+                                 "sigma": pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None)
+        frontier = hash_join(
+            nxt, settled.select_columns(["vertex"]), on="vertex",
+            num_partitions=num_partitions,
+            join_type="left_anti").materialize()
+        if frontier.count() == 0:
+            break
+        if level > max_levels:
+            raise RuntimeError(
+                f"BFS exceeded max_levels={max_levels}")
+        lvl = level
+
+        def _stamp(b: pa.Table, _l=lvl) -> pa.Table:
+            return pa.table({
+                "vertex": b["vertex"],
+                "dist": pa.array(np.full(b.num_rows, _l, np.int64)),
+                "sigma": b["sigma"]})
+
+        settled = settled.union(frontier.map_batches(
+            _stamp, batch_format="pyarrow", batch_size=None)
+        ).materialize()
+    return settled.sort("vertex")

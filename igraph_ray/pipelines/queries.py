@@ -1824,6 +1824,45 @@ GROUP BY pair, src, dst
 ORDER BY w, src, dst"""
 
 
+SIGMA_SOURCE, SIGMA_LEVELS = 1, 12
+
+
+def q_sigma_counts(sf_dir: str):
+    """Shortest-path counts from vertex 1 over the sparse derived
+    digraph: (vertex, dist, sigma) — BFS distance and number of
+    distinct shortest paths (the σ table of Brandes; the counts view
+    of igraph_get_all_shortest_paths). Engine = level-synchronous
+    join/groupby/anti-join per level; oracle = the same recurrence
+    unrolled level by level."""
+    from igraph_ray.algorithms.simple_paths import shortest_path_counts
+
+    g = derive.graph_sparse(sf_dir)
+    return shortest_path_counts(g, source=SIGMA_SOURCE,
+                                max_levels=SIGMA_LEVELS)
+
+
+def _sql_sigma() -> str:
+    parts = [f"WITH e AS MATERIALIZED ({SQL_EDGES_SPARSE}),",
+             f"l0 AS (SELECT CAST({SIGMA_SOURCE} AS BIGINT) AS v, "
+             f"CAST(1 AS BIGINT) AS sigma),",
+             "s0 AS (SELECT v FROM l0)"]
+    for k in range(1, SIGMA_LEVELS + 1):
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"CAST(SUM(l{k-1}.sigma) AS BIGINT) AS sigma "
+            f"FROM l{k-1} JOIN e ON e.src = l{k-1}.v "
+            f"WHERE e.dst NOT IN (SELECT v FROM s{k-1}) GROUP BY e.dst)")
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT v FROM s{k-1} "
+            f"UNION ALL SELECT v FROM l{k})")
+    sel = " UNION ALL ".join(
+        f"SELECT v, CAST({k} AS BIGINT) AS dist, sigma FROM l{k}"
+        for k in range(SIGMA_LEVELS + 1))
+    parts.append(f" SELECT v AS vertex, dist, sigma FROM ({sel}) "
+                 f"ORDER BY vertex")
+    return "\n".join(parts)
+
+
 def q_forest_fire(sf_dir: str):
     """Forest fire growth model (igraph_forest_fire_game,
     forestfire.c:106), md5-deterministic variant, n=400, fw=0.3,
@@ -5143,6 +5182,7 @@ def queries() -> Dict[str, Callable]:
         "frequent_subgraphs": q_frequent_subgraphs,
         "cohesive_blocks": q_cohesive_blocks,
         "forest_fire": q_forest_fire,
+        "sigma_counts": q_sigma_counts,
         "cohesive_block_members": q_cohesive_block_members,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
@@ -5880,6 +5920,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "separators": SQL_SEPARATORS,
         "union_projection": SQL_UNION_PROJECTION,
         "frequent_subgraphs": SQL_FREQUENT_SUBGRAPHS,
+        "sigma_counts": _sql_sigma(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "hsbm": _sql_hsbm(),

@@ -76,3 +76,35 @@ def test_deterministic_across_partitioning():
         "src": pa.array(s[keep], pa.int64()),
         "dst": pa.array(d[keep], pa.int64())})).repartition(6), n=30)
     assert _got(g2, 0, 3, n=30) == a
+
+
+def test_sigma_counts_matches_brute():
+    from collections import deque
+
+    from igraph_ray.algorithms.simple_paths import shortest_path_counts
+
+    rng = np.random.default_rng(12)
+    s = rng.integers(0, 30, 100)
+    d = rng.integers(0, 30, 100)
+    keep = s != d
+    edges = sorted(set(zip(s[keep].tolist(), d[keep].tolist())))
+    g = _mk(*zip(*edges), 30)
+    got = {r["vertex"]: (r["dist"], r["sigma"])
+           for r in shortest_path_counts(g, 0).take_all()}
+    # brute: BFS with sigma accumulation
+    adj = [[] for _ in range(30)]
+    for a, b in edges:
+        adj[a].append(b)
+    dist = {0: 0}
+    sigma = {0: 1}
+    q = deque([0])
+    while q:
+        v = q.popleft()
+        for w in adj[v]:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                sigma[w] = 0
+                q.append(w)
+            if dist[w] == dist[v] + 1:
+                sigma[w] += sigma[v]
+    assert got == {v: (dist[v], sigma[v]) for v in dist}
