@@ -1824,6 +1824,42 @@ GROUP BY pair, src, dst
 ORDER BY w, src, dst"""
 
 
+def q_famous(sf_dir: str):
+    """The igraph_famous catalog (structure_generators.c:2111) as one
+    (name, src, dst) table — each graph written from its public
+    mathematical definition; the oracle is the same closed forms as a
+    VALUES list (both sides generated from sources/structures.FAMOUS,
+    kept in lockstep)."""
+    import pyarrow as pa
+
+    from igraph_ray.sources.structures import FAMOUS
+
+    names, srcs, dsts = [], [], []
+    for name in sorted(FAMOUS):
+        _, e = FAMOUS[name]()
+        for a, b in sorted((min(x, y), max(x, y)) for x, y in e):
+            names.append(name)
+            srcs.append(a)
+            dsts.append(b)
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "src": pa.array(srcs, pa.int64()),
+                     "dst": pa.array(dsts, pa.int64())})
+
+
+def _sql_famous() -> str:
+    from igraph_ray.sources.structures import FAMOUS
+
+    rows = []
+    for name in sorted(FAMOUS):
+        _, e = FAMOUS[name]()
+        for a, b in sorted((min(x, y), max(x, y)) for x, y in e):
+            rows.append(f"('{name}', {a}, {b})")
+    return ("SELECT name, CAST(src AS BIGINT) AS src, "
+            "CAST(dst AS BIGINT) AS dst FROM (VALUES "
+            + ", ".join(rows)
+            + ") AS t(name, src, dst) ORDER BY name, src, dst")
+
+
 SIGMA_SOURCE, SIGMA_LEVELS = 1, 12
 
 
@@ -5183,6 +5219,7 @@ def queries() -> Dict[str, Callable]:
         "cohesive_blocks": q_cohesive_blocks,
         "forest_fire": q_forest_fire,
         "sigma_counts": q_sigma_counts,
+        "famous": q_famous,
         "cohesive_block_members": q_cohesive_block_members,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
@@ -5921,6 +5958,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "union_projection": SQL_UNION_PROJECTION,
         "frequent_subgraphs": SQL_FREQUENT_SUBGRAPHS,
         "sigma_counts": _sql_sigma(),
+        "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "hsbm": _sql_hsbm(),

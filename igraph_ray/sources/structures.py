@@ -136,3 +136,77 @@ def lattice2d(rows: int, cols: int, circular: bool = False) -> ray.data.Dataset:
 
     return ray.data.range(rows * cols).map_batches(
         _f, batch_format="pyarrow", batch_size=None)
+
+
+# Famous small graphs (igraph_famous, structure_generators.c:2111) —
+# written from their public mathematical definitions, not copied:
+# each is a closed-form construction or the standard textbook edge
+# list of the named graph.
+def _petersen():
+    # outer C5, inner pentagram (i -> i+2 mod 5), spokes
+    e = [(i, (i + 1) % 5) for i in range(5)]
+    e += [(5 + i, 5 + (i + 2) % 5) for i in range(5)]
+    e += [(i, 5 + i) for i in range(5)]
+    return 10, e
+
+
+def _bull():
+    return 5, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+
+
+def _diamond():
+    return 4, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+
+
+def _house():
+    # square 0-1-2-3 plus roof apex 4 on the 2-3 wall
+    return 5, [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+
+
+def _tetrahedral():
+    return 4, [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+
+def _cubical():
+    # Q3: vertices = 3-bit strings, edges = Hamming distance 1
+    e = [(v, v ^ (1 << b)) for v in range(8) for b in range(3)
+         if v < (v ^ (1 << b))]
+    return 8, e
+
+
+def _octahedral():
+    # K_{2,2,2}: complete minus a perfect matching (i, i+3)
+    e = [(i, j) for i in range(6) for j in range(i + 1, 6)
+         if j != i + 3]
+    return 6, e
+
+
+def _krackhardt_kite():
+    return 10, [(0, 1), (0, 2), (0, 3), (0, 5), (1, 3), (1, 4), (1, 6),
+                (2, 3), (2, 5), (3, 4), (3, 5), (3, 6), (4, 6), (5, 6),
+                (5, 7), (6, 7), (7, 8), (8, 9)]
+
+
+FAMOUS = {
+    "petersen": _petersen,
+    "bull": _bull,
+    "diamond": _diamond,
+    "house": _house,
+    "tetrahedral": _tetrahedral,
+    "cubical": _cubical,
+    "octahedral": _octahedral,
+    "krackhardt_kite": _krackhardt_kite,
+}
+
+
+def famous(name: str) -> ray.data.Dataset:
+    """igraph_famous analogue: the named undirected graph as a
+    canonical (src < dst) edge Dataset."""
+    if name not in FAMOUS:
+        raise ValueError(f"unknown famous graph {name!r}; "
+                         f"have {sorted(FAMOUS)}")
+    _, e = FAMOUS[name]()
+    e = sorted((min(a, b), max(a, b)) for a, b in e)
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in e], pa.int64()),
+        "dst": pa.array([b for _, b in e], pa.int64())}))

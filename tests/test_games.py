@@ -281,3 +281,34 @@ def test_forest_fire_zero_prob_is_tree():
     df = forest_fire_game(100, fw_prob=0.0, seed=1).to_pandas()
     assert len(df) == 99
     assert (df.src.value_counts() == 1).all()
+
+
+def test_famous_structural_invariants():
+    from igraph_ray.sources.structures import FAMOUS, famous
+
+    import collections
+
+    def degs(name):
+        nv, e = FAMOUS[name]()
+        d = collections.Counter()
+        for a, b in e:
+            d[a] += 1
+            d[b] += 1
+        return nv, e, d
+
+    nv, e, d = degs("petersen")
+    assert nv == 10 and len(e) == 15 and set(d.values()) == {3}
+    # petersen girth 5: no triangles, no C4 (distinct neighbors share
+    # at most one common neighbor... check no common pair adjacency)
+    nbr = {v: set() for v in range(10)}
+    for a, b in e:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    assert all(not (nbr[a] & nbr[b]) for a, b in e)  # triangle-free
+    nv, e, d = degs("cubical")
+    assert nv == 8 and set(d.values()) == {3}
+    nv, e, d = degs("octahedral")
+    assert nv == 6 and set(d.values()) == {4}
+    # dataset surface
+    t = famous("bull").take_all()
+    assert len(t) == 5
