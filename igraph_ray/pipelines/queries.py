@@ -1824,6 +1824,18 @@ GROUP BY pair, src, dst
 ORDER BY w, src, dst"""
 
 
+def q_layout_kk(sf_dir: str):
+    """Kamada–Kawai layout of the very-sparse derived graph
+    (igraph_layout_kamada_kawai, layout_kk.c; SMACOF majorization over
+    BFS distances, circular seed). Rows-only (float coordinates);
+    square-recovery and stress-reduction pytests in
+    tests/test_layout_kk.py."""
+    from igraph_ray.ops.layout import layout_kamada_kawai
+
+    g = derive.graph_vsparse(sf_dir)
+    return layout_kamada_kawai(g, iterations=30, n=derive.V)
+
+
 def q_famous(sf_dir: str):
     """The igraph_famous catalog (structure_generators.c:2111) as one
     (name, src, dst) table — each graph written from its public
@@ -5220,6 +5232,7 @@ def queries() -> Dict[str, Callable]:
         "forest_fire": q_forest_fire,
         "sigma_counts": q_sigma_counts,
         "famous": q_famous,
+        "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
         "chordal": q_chordal,
         "laplacian_norm": q_laplacian_norm,
