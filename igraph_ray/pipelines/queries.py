@@ -1911,6 +1911,62 @@ def _sql_sigma() -> str:
     return "\n".join(parts)
 
 
+BFS_SOURCE, BFS_LEVELS = 1, 12
+
+
+def q_bfs_order(sf_dir: str):
+    """BFS visitor metadata (igraph_bfs, visitors.c:26) from vertex 1
+    over the sparse derived digraph: (vertex, rank, father, dist) under
+    deterministic sorted-neighbor FIFO order, single root. Engine =
+    level-synchronous join / grouped-min / anti-join with block-count
+    rank assignment; oracle = the identical queue recurrence unrolled
+    level by level (father = earliest-ranked previous-level
+    in-neighbor; within-level order = (father_rank, vertex))."""
+    from igraph_ray.algorithms.visitors import bfs_visitor
+
+    g = derive.graph_sparse(sf_dir)
+    return bfs_visitor(g, source=BFS_SOURCE, max_levels=BFS_LEVELS)
+
+
+def _sql_bfs_order() -> str:
+    parts = [f"WITH e AS MATERIALIZED ({derive.SQL_EDGES_SPARSE}),",
+             f"l0 AS (SELECT CAST({BFS_SOURCE} AS BIGINT) AS v, "
+             f"CAST(0 AS BIGINT) AS rnk, CAST(-1 AS BIGINT) AS father),",
+             "s0 AS (SELECT v, rnk FROM l0)"]
+    for k in range(1, BFS_LEVELS + 1):
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"MIN(l.rnk) AS frank FROM l{k-1} l JOIN e ON e.src = l.v "
+            f"WHERE e.dst NOT IN (SELECT v FROM s{k-1}) GROUP BY e.dst)")
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT c.v, "
+            f"(SELECT COUNT(*) FROM s{k-1}) - 1 + "
+            f"ROW_NUMBER() OVER (ORDER BY c.frank, c.v) AS rnk, "
+            f"p.v AS father FROM c{k} c JOIN l{k-1} p ON p.rnk = c.frank)")
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT v, rnk FROM s{k-1} "
+            f"UNION ALL SELECT v, rnk FROM l{k})")
+    sel = " UNION ALL ".join(
+        f"SELECT v, rnk, father, CAST({k} AS BIGINT) AS dist FROM l{k}"
+        for k in range(BFS_LEVELS + 1))
+    parts.append(f" SELECT v AS vertex, rnk AS rank, father, dist "
+                 f"FROM ({sel}) ORDER BY vertex")
+    return "\n".join(parts)
+
+
+def q_dfs_order(sf_dir: str):
+    """DFS visitor metadata (igraph_dfs, visitors.c:395) from vertex 1
+    over the sparse derived digraph: (vertex, order, order_out, father,
+    dist) under deterministic ascending-neighbor order. Rows-only at
+    the gate (the stack discipline is a sequential dependency chain —
+    same class as dominators); exactness vs a recursive reference
+    replay is pytest-gated in tests/test_visitors.py."""
+    from igraph_ray.algorithms.visitors import dfs_visitor
+
+    g = derive.graph_sparse(sf_dir)
+    return dfs_visitor(g, source=BFS_SOURCE)
+
+
 def q_forest_fire(sf_dir: str):
     """Forest fire growth model (igraph_forest_fire_game,
     forestfire.c:106), md5-deterministic variant, n=400, fw=0.3,
@@ -5231,6 +5287,8 @@ def queries() -> Dict[str, Callable]:
         "cohesive_blocks": q_cohesive_blocks,
         "forest_fire": q_forest_fire,
         "sigma_counts": q_sigma_counts,
+        "bfs_order": q_bfs_order,
+        "dfs_order": q_dfs_order,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -5971,6 +6029,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "union_projection": SQL_UNION_PROJECTION,
         "frequent_subgraphs": SQL_FREQUENT_SUBGRAPHS,
         "sigma_counts": _sql_sigma(),
+        "bfs_order": _sql_bfs_order(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
