@@ -1911,6 +1911,121 @@ def _sql_sigma() -> str:
     return "\n".join(parts)
 
 
+ISET_N, ISET_P_E6, ISET_SEED = 24, 250_000, 9
+
+
+def q_independent_sets(sf_dir: str):
+    """All maximal independent vertex sets
+    (igraph_maximal_independent_vertex_sets, cliques.c:400) of a
+    deterministic 24-vertex md5-Bernoulli graph (sbm_game, one block,
+    p=0.25, seed=9), one row per set as a vertex bitmask:
+    (mask, size). Engine = the reference's complement reduction —
+    distributed complement pass + distributed Bron–Kerbosch; oracle =
+    the same md5 edge replay, complement in SQL, and the ascending
+    clique-growth CTE with the outside-extension maximality test.
+    MAX(size) over the rows is igraph_independence_number
+    (cliques.c:1106)."""
+    from igraph_ray.sources.games import sbm_game
+    from igraph_ray.algorithms.independent_sets import (
+        maximal_independent_sets,
+    )
+
+    edges = sbm_game((ISET_N,), [[ISET_P_E6]], seed=ISET_SEED)
+    sets = maximal_independent_sets(Graph(edges), ISET_N)
+
+    def _mask(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64())})
+        masks = [sum(1 << int(v) for v in s)
+                 for s in b["set"].to_pylist()]
+        return pa.table({"mask": pa.array(masks, pa.int64()),
+                         "size": b["size"]})
+
+    return sets.map_batches(_mask, batch_format="pyarrow",
+                            batch_size=None).sort("mask")
+
+
+def _sql_independent_sets() -> str:
+    n, seed = ISET_N, ISET_SEED
+    HEX15 = 16 ** 15
+    thr = ISET_P_E6 * HEX15 // 1_000_000
+    fold = "CAST(0 AS BIGINT)"
+    for kk in range(1, 16):
+        fold = (f"(({fold}) * 16 + "
+                f"(strpos('0123456789abcdef', substr(h, {kk}, 1)) - 1))")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range({n})) AS i) a,
+       (SELECT UNNEST(range({n})) AS j) b
+  WHERE b.j > a.i),
+hs AS (SELECT i, j,
+  md5('{seed}:s:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+  FROM pairs),
+g AS MATERIALIZED (SELECT i AS lo, j AS hi FROM
+  (SELECT i, j, {fold} AS r FROM hs) t WHERE r < CAST({thr} AS BIGINT)),
+-- complement graph: pairs NOT in g
+und AS MATERIALIZED (
+  SELECT p.i AS lo, p.j AS hi FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.lo = p.i AND g.hi = p.j)),
+verts AS MATERIALIZED (SELECT UNNEST(range({n})) AS v),
+adj AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+  UNION ALL SELECT hi, lo FROM und),
+cl AS (
+  SELECT [v] AS members, v AS last FROM verts
+  UNION
+  SELECT list_append(c.members, u.hi), u.hi
+  FROM cl c JOIN und u ON u.lo = c.last
+  WHERE (SELECT COUNT(*) FROM adj a
+         WHERE a.a = u.hi AND list_contains(c.members, a.b))
+        = len(c.members)
+),
+maxcl AS (
+  SELECT members FROM cl c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj a
+    WHERE list_contains(c.members, a.b)
+      AND NOT list_contains(c.members, a.a)
+    GROUP BY a.a
+    HAVING COUNT(*) = len(c.members)))
+SELECT CAST(list_sum(list_transform(members,
+         x -> CAST(1 AS BIGINT) << CAST(x AS INTEGER))) AS BIGINT) AS mask,
+       CAST(len(members) AS BIGINT) AS size
+FROM maxcl ORDER BY mask
+"""
+
+
+def q_largest_cliques(sf_dir: str):
+    """igraph_largest_cliques (cliques.c:1005) over the sparse derived
+    graph: the maximum-size maximal cliques as canonical comma-joined
+    member strings, (clique, size) — scalar max + filter over the
+    distributed maximal-clique stream."""
+    from igraph_ray.algorithms.independent_sets import largest_cliques
+
+    out = largest_cliques(derive.graph_sparse(sf_dir), num_partitions=8)
+
+    def _s(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"clique": pa.array([], pa.string()),
+                             "size": pa.array([], pa.int64())})
+        s = [",".join(str(int(v)) for v in c)
+             for c in b["clique"].to_pylist()]
+        return pa.table({"clique": pa.array(s, pa.string()),
+                         "size": b["size"]})
+
+    return out.map_batches(_s, batch_format="pyarrow",
+                           batch_size=None).sort("clique")
+
+
+_SQL_LARGEST_CLIQUES_TMPL = """
+SELECT array_to_string(members, ',') AS clique,
+       CAST(len(members) AS BIGINT) AS size
+FROM maxcl WHERE len(members) = (SELECT MAX(len(members)) FROM maxcl)
+ORDER BY clique
+"""
+
+
 BFS_SOURCE, BFS_LEVELS = 1, 12
 
 
@@ -3440,7 +3555,7 @@ cand AS (SELECT MIN(su.d + sw.d + 1) AS g
 SELECT COALESCE(CAST(g AS BIGINT), 0) AS girth FROM cand"""
 
 
-_SQL_MAXIMAL_CLIQUES = f"""
+_SQL_CLIQUE_CTE = f"""
 WITH RECURSIVE und AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
   FROM ({derive.SQL_EDGES_SPARSE})),
@@ -3463,9 +3578,14 @@ maxcl AS (
     WHERE list_contains(c.members, a.b) AND NOT list_contains(c.members, a.a)
     GROUP BY a.a
     HAVING COUNT(*) = len(c.members)))
+"""
+
+_SQL_MAXIMAL_CLIQUES = _SQL_CLIQUE_CTE + """
 SELECT len(members) AS size, COUNT(*) AS n_cliques
 FROM maxcl GROUP BY size ORDER BY size
 """
+
+_SQL_LARGEST_CLIQUES = _SQL_CLIQUE_CTE + _SQL_LARGEST_CLIQUES_TMPL
 
 
 def q_transitivity(sf_dir: str):
@@ -5289,6 +5409,8 @@ def queries() -> Dict[str, Callable]:
         "sigma_counts": q_sigma_counts,
         "bfs_order": q_bfs_order,
         "dfs_order": q_dfs_order,
+        "independent_sets": q_independent_sets,
+        "largest_cliques": q_largest_cliques,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6030,6 +6152,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "frequent_subgraphs": SQL_FREQUENT_SUBGRAPHS,
         "sigma_counts": _sql_sigma(),
         "bfs_order": _sql_bfs_order(),
+        "independent_sets": _sql_independent_sets(),
+        "largest_cliques": _SQL_LARGEST_CLIQUES,
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
