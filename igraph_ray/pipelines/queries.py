@@ -1911,6 +1911,159 @@ def _sql_sigma() -> str:
     return "\n".join(parts)
 
 
+IMIT_SEED, IMIT_ROUNDS = 7, 2
+ROUL_SEED = 11
+MORAN_SEED = 13
+
+
+def _sql_fold8(h: str) -> str:
+    f = "CAST(0 AS BIGINT)"
+    for kk in range(1, 9):
+        f = (f"(({f}) * 16 + "
+             f"(strpos('0123456789abcdef', substr({h}, {kk}, 1)) - 1))")
+    return f
+
+
+_SQL_IMIT_BASE = f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({{edges}}) WHERE src != dst),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM m
+  UNION ALL SELECT hi, lo FROM m),
+verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
+st0 AS MATERIALIZED (SELECT v AS vertex,
+  CAST(v % 5 AS BIGINT) AS strategy,
+  CAST(({_sql_fold8("md5('q:' || '{seed}' || ':' || CAST(v AS VARCHAR))")})
+       % 1001 AS BIGINT) AS quantity
+  FROM verts)
+"""
+
+
+def q_optimal_imitation(sf_dir: str):
+    """Synchronous deterministic optimal imitation
+    (igraph_deterministic_optimal_imitation,
+    microscopic_update.c:570, IGRAPH_MAXIMUM, IGRAPH_ALL) over the
+    sparse derived graph's undirected view — every vertex adopts the
+    strategy of its strictly-better best-quantity neighbor (smallest
+    id among ties), 2 rounds; md5-derived integer quantities. Oracle =
+    the identical rule unrolled with grouped max / tie-min joins."""
+    from igraph_ray.algorithms.imitation import optimal_imitation
+
+    return optimal_imitation(derive.graph_sparse(sf_dir), seed=IMIT_SEED,
+                             rounds=IMIT_ROUNDS)
+
+
+def _sql_optimal_imitation() -> str:
+    parts = [_SQL_IMIT_BASE.format(edges=derive.SQL_EDGES_SPARSE,
+                                   seed=IMIT_SEED)]
+    for r in range(1, IMIT_ROUNDS + 1):
+        parts.append(f"""
+, nb{r} AS MATERIALIZED (
+  SELECT s.a AS v, s.b AS u, st.strategy AS us, st.quantity AS uq
+  FROM sym s JOIN st{r-1} st ON st.vertex = s.b),
+bq{r} AS (SELECT v, MAX(uq) AS bq FROM nb{r} GROUP BY v),
+bu{r} AS (SELECT n.v, MIN(n.u) AS bu FROM nb{r} n
+  JOIN bq{r} b ON b.v = n.v AND n.uq = b.bq GROUP BY n.v),
+st{r} AS MATERIALIZED (
+  SELECT s.vertex,
+    CASE WHEN b.bq IS NOT NULL AND b.bq > s.quantity
+         THEN ns.strategy ELSE s.strategy END AS strategy,
+    s.quantity AS quantity
+  FROM st{r-1} s
+  LEFT JOIN bq{r} b ON b.v = s.vertex
+  LEFT JOIN bu{r} u ON u.v = s.vertex
+  LEFT JOIN st{r-1} ns ON ns.vertex = u.bu)""")
+    parts.append(f"SELECT vertex, strategy, quantity FROM st{IMIT_ROUNDS} "
+                 f"ORDER BY vertex")
+    return "\n".join(parts)
+
+
+def q_roulette_imitation(sf_dir: str):
+    """Synchronous roulette-wheel imitation
+    (igraph_roulette_wheel_imitation, microscopic_update.c:959,
+    islocal, IGRAPH_ALL) — every vertex draws one 32-bit md5 value and
+    adopts the first ascending-id neighbor whose cumulative quantity
+    share covers the draw (retains past the last neighbor: the
+    appended-self rule), 2 rounds, exact integer comparisons. Oracle =
+    the same rule as per-vertex window cumsums."""
+    from igraph_ray.algorithms.imitation import roulette_wheel_imitation
+
+    return roulette_wheel_imitation(derive.graph_sparse(sf_dir),
+                                    seed=ROUL_SEED, rounds=IMIT_ROUNDS)
+
+
+def _sql_roulette_imitation() -> str:
+    parts = [_SQL_IMIT_BASE.format(edges=derive.SQL_EDGES_SPARSE,
+                                   seed=ROUL_SEED)]
+    for r in range(1, IMIT_ROUNDS + 1):
+        draw = _sql_fold8(
+            f"md5('{ROUL_SEED}' || ':r{r-1}:' || CAST(t.v AS VARCHAR))")
+        parts.append(f"""
+, nb{r} AS MATERIALIZED (
+  SELECT s.a AS v, s.b AS u, st.strategy AS us, st.quantity AS uq
+  FROM sym s JOIN st{r-1} st ON st.vertex = s.b),
+cw{r} AS (
+  SELECT n.v, n.u, n.us,
+    SUM(n.uq) OVER (PARTITION BY n.v ORDER BY n.u) AS cum,
+    SUM(n.uq) OVER (PARTITION BY n.v) AS tot,
+    oq.quantity AS vq
+  FROM nb{r} n JOIN st{r-1} oq ON oq.vertex = n.v),
+sel{r} AS (
+  SELECT t.v, MIN(t.u) AS pu FROM cw{r} t
+  WHERE ({draw}) * (t.tot + t.vq) <= 4294967296 * t.cum
+  GROUP BY t.v),
+st{r} AS MATERIALIZED (
+  SELECT s.vertex,
+    CASE WHEN sel.pu IS NOT NULL THEN ns.strategy
+         ELSE s.strategy END AS strategy,
+    s.quantity AS quantity
+  FROM st{r-1} s
+  LEFT JOIN sel{r} sel ON sel.v = s.vertex
+  LEFT JOIN st{r-1} ns ON ns.vertex = sel.pu)""")
+    parts.append(f"SELECT vertex, strategy, quantity FROM st{IMIT_ROUNDS} "
+                 f"ORDER BY vertex")
+    return "\n".join(parts)
+
+
+def q_moran_step(sf_dir: str):
+    """One igraph_moran_process birth-death step
+    (microscopic_update.c:723, IGRAPH_ALL, unit edge weights) on the
+    sparse derived graph's undirected view: reproducer drawn ∝
+    quantity over ascending vertices, the replaced neighbor drawn ∝
+    unit weight over the reproducer's ascending neighbors; the clone
+    inherits strategy AND quantity. md5 draws; exact integers."""
+    from igraph_ray.algorithms.imitation import moran_process
+
+    return moran_process(derive.graph_sparse(sf_dir), seed=MORAN_SEED)
+
+
+def _sql_moran_step() -> str:
+    import hashlib as _h
+
+    d1 = int(_h.md5(f"{MORAN_SEED}:moran:a".encode()).hexdigest()[:8], 16)
+    d2 = int(_h.md5(f"{MORAN_SEED}:moran:b".encode()).hexdigest()[:8], 16)
+    base = _SQL_IMIT_BASE.format(edges=derive.SQL_EDGES_SPARSE,
+                                 seed=MORAN_SEED)
+    return base + f"""
+, cum AS (SELECT vertex, strategy, quantity,
+    SUM(quantity) OVER (ORDER BY vertex) AS c,
+    SUM(quantity) OVER () AS s1 FROM st0),
+av AS (SELECT MIN(vertex) AS a FROM cum
+  WHERE CAST({d1} AS BIGINT) * s1 <= 4294967296 * c),
+nbr AS (SELECT s.b AS u,
+    ROW_NUMBER() OVER (ORDER BY s.b) AS rn,
+    COUNT(*) OVER () AS nn
+  FROM sym s JOIN av ON s.a = av.a),
+bv AS (SELECT MIN(u) AS b FROM nbr
+  WHERE CAST({d2} AS BIGINT) * nn <= 4294967296 * rn)
+SELECT s.vertex,
+  CASE WHEN s.vertex = bv.b THEN sa.strategy ELSE s.strategy END AS strategy,
+  CASE WHEN s.vertex = bv.b THEN sa.quantity ELSE s.quantity END AS quantity
+FROM st0 s, bv, av JOIN st0 sa ON sa.vertex = av.a
+ORDER BY s.vertex
+"""
+
+
 ISET_N, ISET_P_E6, ISET_SEED = 24, 250_000, 9
 
 
@@ -5411,6 +5564,9 @@ def queries() -> Dict[str, Callable]:
         "dfs_order": q_dfs_order,
         "independent_sets": q_independent_sets,
         "largest_cliques": q_largest_cliques,
+        "optimal_imitation": q_optimal_imitation,
+        "roulette_imitation": q_roulette_imitation,
+        "moran_step": q_moran_step,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6154,6 +6310,9 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "bfs_order": _sql_bfs_order(),
         "independent_sets": _sql_independent_sets(),
         "largest_cliques": _SQL_LARGEST_CLIQUES,
+        "optimal_imitation": _sql_optimal_imitation(),
+        "roulette_imitation": _sql_roulette_imitation(),
+        "moran_step": _sql_moran_step(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
