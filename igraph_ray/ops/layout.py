@@ -279,3 +279,174 @@ def layout_kamada_kawai(
         "vertex": pa.array(np.arange(n, dtype=np.int64)),
         "x": pa.array(X[:, 0]),
         "y": pa.array(X[:, 1])}))
+
+
+# --------------------------------------------------------------- Sugiyama
+
+def _global_rank(ds: ray.data.Dataset, sort_cols, out_col: str = "grank"
+                 ) -> ray.data.Dataset:
+    """Append a 0-based global rank under ``sort_cols`` order — sorted
+    blocks + per-block offsets from row counts only (the dense_rank_map
+    pattern; no row data lands on the driver)."""
+    from igraph_ray.util import _block_rows
+
+    s = ds.sort(sort_cols).materialize()
+    refs = s.to_arrow_refs()
+    sizes = ray.get([_block_rows.remote(r) for r in refs])
+    offsets = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+
+    @ray.remote
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            out_col, pa.array(np.arange(off, off + t.num_rows), pa.int64()))
+
+    out = [_stamp.remote(r, int(off))
+           for r, off, nn in zip(refs, offsets, sizes) if nn > 0]
+    if not out:
+        return s
+    return ray.data.from_arrow_refs(out)
+
+
+def layout_sugiyama(
+    graph: Graph,
+    n: Optional[int] = None,
+    sweeps: int = 4,
+    hgap: float = 1.0,
+    vgap: float = 1.0,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Sugiyama-style layered layout (igraph_layout_sugiyama,
+    sugiyama.c:91): (vertex, x, y) with y = layer·vgap and x =
+    within-layer slot·hgap.
+
+    The reference's four phases, re-expressed distributed:
+    1. cycle removal — Eades GR feedback arcs (algorithms/fas, the
+       reference's own igraph_feedback_arc_set default) are REVERSED,
+       preserving connectivity for the layering;
+    2. layering — longest-path layers on the aligned superstep engine
+       (the reference's layering when no layers vector is given);
+    3. ordering — ``sweeps`` barycenter passes: each vertex's key is
+       the mean x of its direct neighbors (both directions), then
+       re-rank within layer by (barycenter, vertex) — a sort + two
+       grouped aggregates per sweep, no driver data;
+    4. horizontal placement — slot index · hgap (the reference's
+       LP-compaction needs GLPK; slot placement is the documented
+       deviation, as is skipping dummy vertices on long edges).
+    """
+    from igraph_ray.algorithms.fas import feedback_arc_set
+    from igraph_ray.algorithms.paths import longest_path_layers
+    from igraph_ray.ops.relational import _dedup
+
+    back = feedback_arc_set(graph, n=n)  # small pa.Table of back arcs
+    bs = back["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bd = back["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(bs) and max(bs.max(), bd.max()) >= (1 << 31):
+        raise NotImplementedError(
+            "layout_sugiyama packs back-arc keys into int64; ids must "
+            "fit 2^31")
+    back_ref = ray.put(np.sort(bs * (np.int64(1) << 32) + bd))
+
+    def _reorient(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        bk = ray.get(back_ref)
+        if len(bk):
+            key = src * (np.int64(1) << 32) + dst
+            idx = np.searchsorted(bk, key)
+            idx = np.minimum(idx, len(bk) - 1)
+            flip = bk[idx] == key
+            src, dst = (np.where(flip, dst, src), np.where(flip, src, dst))
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    dag = _dedup(graph.edges.map_batches(
+        _reorient, batch_format="pyarrow", batch_size=None)).materialize()
+    layers = longest_path_layers(Graph(dag, n=None),
+                                 num_partitions=num_partitions).state
+    layers = layers.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "layer": b["layer"]}),
+        batch_format="pyarrow", batch_size=None)
+
+    # initial order: by vertex id within layer
+    pos = _global_rank(layers, ["layer", "vertex"])
+    sym = dag.map_batches(
+        lambda b: pa.table({
+            "v": pa.array(np.concatenate(
+                [b["src"].to_numpy(zero_copy_only=False),
+                 b["dst"].to_numpy(zero_copy_only=False)])),
+            "u": pa.array(np.concatenate(
+                [b["dst"].to_numpy(zero_copy_only=False),
+                 b["src"].to_numpy(zero_copy_only=False)]))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    for _ in range(max(0, sweeps)):
+        nbr = hash_join(
+            sym,
+            pos.map_batches(
+                lambda b: pa.table({"u": b["vertex"], "ux": b["grank"]}),
+                batch_format="pyarrow", batch_size=None),
+            on="u", num_partitions=num_partitions)
+
+        def _pre(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "ux" not in b.column_names:
+                return pa.table({"vertex": pa.array([], pa.int64()),
+                                 "sx": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            t = pa.table({"vertex": b["v"], "sx": b["ux"],
+                          "cnt": pa.array(np.ones(b.num_rows, np.int64))})
+            return (t.group_by("vertex")
+                    .aggregate([("sx", "sum"), ("cnt", "sum")])
+                    .rename_columns(["vertex", "sx", "cnt"]))
+
+        bc = (nbr.map_batches(_pre, batch_format="pyarrow", batch_size=None)
+              .groupby("vertex").sum(["sx", "cnt"]))
+        bc = bc.map_batches(
+            lambda b: (pa.table({
+                "vertex": b["vertex"],
+                # e6 fixed-point barycenter keeps the sort key integral
+                "bc": pa.array(
+                    (b["sum(sx)"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64) * 1_000_000
+                     // np.maximum(b["sum(cnt)"].to_numpy(
+                         zero_copy_only=False).astype(np.int64), 1))
+                    .astype(np.int64))})
+                if b.num_rows else
+                pa.table({"vertex": pa.array([], pa.int64()),
+                          "bc": pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None)
+        merged = hash_join(pos.select_columns(["vertex", "layer"]), bc,
+                           on="vertex", num_partitions=num_partitions,
+                           join_type="left_outer")
+
+        def _key(b: pa.Table) -> pa.Table:
+            bcv = b["bc"].to_numpy(zero_copy_only=False)
+            bcv = np.nan_to_num(bcv.astype(np.float64),
+                                nan=0.0).astype(np.int64)
+            return pa.table({"vertex": b["vertex"], "layer": b["layer"],
+                             "bc": pa.array(bcv)})
+
+        pos = _global_rank(
+            merged.map_batches(_key, batch_format="pyarrow",
+                               batch_size=None),
+            ["layer", "bc", "vertex"]).materialize()
+
+    # within-layer slot = grank - min grank of the layer
+    base = pos.groupby("layer").min("grank").map_batches(
+        lambda b: (pa.table({"layer": b["layer"], "base": b["min(grank)"]})
+                   if b.num_rows else
+                   pa.table({"layer": pa.array([], pa.int64()),
+                             "base": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    out = hash_join(pos, base, on="layer", num_partitions=num_partitions)
+
+    def _xy(b: pa.Table) -> pa.Table:
+        g = b["grank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bs = b["base"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ly = b["layer"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vertex": b["vertex"],
+                         "x": pa.array((g - bs).astype(np.float64) * hgap),
+                         "y": pa.array(ly.astype(np.float64) * vgap)})
+
+    return out.map_batches(_xy, batch_format="pyarrow", batch_size=None)

@@ -2939,6 +2939,20 @@ def q_community_eb(sf_dir: str):
     return community_edge_betweenness(g, max_removals=6, num_partitions=8)
 
 
+def q_layout_sugiyama(sf_dir: str):
+    """Sugiyama layered layout (igraph_layout_sugiyama, sugiyama.c:91)
+    of the very-sparse derived digraph: Eades-FAS cycle reversal →
+    longest-path layers (aligned superstep) → 4 barycenter ordering
+    sweeps → slot placement. (vertex, x, y) with integer slot x and
+    layer y. Rows-only at the gate (the barycenter fixpoint is
+    iterative); layer/slot invariants + determinism are pytest-gated
+    in tests/test_sugiyama.py."""
+    from igraph_ray.ops.layout import layout_sugiyama
+
+    out = layout_sugiyama(derive.graph_vsparse(sf_dir), n=derive.V, sweeps=4)
+    return out.sort("vertex")
+
+
 def q_layout_circle(sf_dir: str):
     """igraph_layout_circle (layout.c:148): vertex i at
     (cos 2πi/n, sin 2πi/n) over the dense universe; ×10⁶ rounded. The
@@ -5567,6 +5581,7 @@ def queries() -> Dict[str, Callable]:
         "optimal_imitation": q_optimal_imitation,
         "roulette_imitation": q_roulette_imitation,
         "moran_step": q_moran_step,
+        "layout_sugiyama": q_layout_sugiyama,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
