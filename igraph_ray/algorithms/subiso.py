@@ -407,3 +407,106 @@ def isomorphic(g1: Graph, g2: Graph,
 
     import ray as _ray
     return _ray.get(_run.remote(s1, d1, s2, d2))
+
+
+def count_isomorphisms_vf2(
+    g1_src, g1_dst, n1: int, g2_src, g2_dst, n2: int,
+    directed: bool = False, max_edges: int = 1 << 20,
+) -> int:
+    """igraph_count_isomorphisms_vf2 (topology.c:1720): the number of
+    complete isomorphism bindings g1→g2 — with g1 == g2 this is the
+    automorphism-group order |Aut(G)|. Same WL-filtered VF2 search as
+    ``isomorphic_vf2`` but exhaustive (every complete binding counted
+    instead of returning at the first)."""
+    src1 = np.asarray(g1_src, dtype=np.int64)
+    dst1 = np.asarray(g1_dst, dtype=np.int64)
+    src2 = np.asarray(g2_src, dtype=np.int64)
+    dst2 = np.asarray(g2_dst, dtype=np.int64)
+    if n1 != n2 or len(src1) != len(src2):
+        return 0
+    if len(src1) > max_edges:
+        raise NotImplementedError(
+            f"count_isomorphisms_vf2 broadcast plan is guarded to "
+            f"{max_edges} edges (exhaustive enumeration)")
+    n = n1
+    col = _wl_colors(2 * n,
+                     np.concatenate([src1, src2 + n]),
+                     np.concatenate([dst1, dst2 + n]), directed)
+    c1, c2 = col[:n], col[n:]
+    if not np.array_equal(np.sort(c1), np.sort(c2)):
+        return 0
+
+    def _adj_sets(src, dst):
+        out = [set() for _ in range(n)]
+        inn = [set() for _ in range(n)]
+        for a, b in zip(src.tolist(), dst.tolist()):
+            out[a].add(b)
+            inn[b].add(a)
+            if not directed:
+                out[b].add(a)
+                inn[a].add(b)
+        return out, inn
+
+    out1, in1 = _adj_sets(src1, dst1)
+    out2, in2 = _adj_sets(src2, dst2)
+    from collections import defaultdict
+    by_color: dict = defaultdict(list)
+    for v in range(n):
+        by_color[int(c2[v])].append(v)
+    order = sorted(range(n),
+                   key=lambda v: (len(by_color[int(c1[v])]),
+                                  -(len(out1[v]) + len(in1[v]))))
+    mapping = np.full(n, -1, dtype=np.int64)
+    used = np.zeros(n, dtype=bool)
+
+    def _ok(v1: int, v2: int) -> bool:
+        for u1 in out1[v1]:
+            m = mapping[u1]
+            if m >= 0 and m not in out2[v2]:
+                return False
+        for u1 in in1[v1]:
+            m = mapping[u1]
+            if m >= 0 and m not in in2[v2]:
+                return False
+        return (len(out1[v1]) == len(out2[v2])
+                and len(in1[v1]) == len(in2[v2]))
+
+    count = 0
+
+    def _search(i: int) -> None:
+        nonlocal count
+        if i == n:
+            count += 1
+            return
+        v1 = order[i]
+        for v2 in by_color[int(c1[v1])]:
+            if used[v2] or not _ok(v1, v2):
+                continue
+            mapping[v1] = v2
+            used[v2] = True
+            _search(i + 1)
+            mapping[v1] = -1
+            used[v2] = False
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, n + 100))
+    try:
+        _search(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return count
+
+
+def count_automorphisms(n: int, edges, directed: bool = False) -> int:
+    """|Aut(G)| = igraph_count_isomorphisms_vf2(G, G) — runs the
+    exhaustive VF2 in one Ray task."""
+    src = np.asarray([e[0] for e in edges], dtype=np.int64)
+    dst = np.asarray([e[1] for e in edges], dtype=np.int64)
+
+    @ray.remote
+    def _run():
+        return count_isomorphisms_vf2(src, dst, n, src, dst, n,
+                                      directed=directed)
+
+    return int(ray.get(_run.remote()))

@@ -1911,6 +1911,64 @@ def _sql_sigma() -> str:
     return "\n".join(parts)
 
 
+# textbook automorphism-group orders of the famous catalog: |Aut| is a
+# published invariant of each named graph (Petersen 120 = S5 acting on
+# 2-subsets; K4 = S4 = 24; Q3 = 2^3·3! = 48; octahedron = 48 = 2^3·3!;
+# bull/house/kite have a single reflection; diamond = Z2×Z2)
+AUTOMORPHISM_TRUTH = {
+    "petersen": 120, "bull": 2, "diamond": 4, "house": 2,
+    "tetrahedral": 24, "cubical": 48, "octahedral": 48,
+    "krackhardt_kite": 2,
+}
+
+
+def q_automorphisms(sf_dir: str):
+    """Automorphism-group orders |Aut(G)| of the famous-graph catalog
+    (igraph_count_isomorphisms_vf2 with g1 = g2, topology.c:1720;
+    graphs from igraph_famous, structure_generators.c:2111): one
+    (name, aut) row per graph, computed by the exhaustive WL-filtered
+    VF2 enumeration. Oracle = the published group orders (textbook
+    invariants, same epistemic status as the famous edge lists)."""
+    from igraph_ray.sources.structures import FAMOUS
+    from igraph_ray.algorithms.subiso import count_isomorphisms_vf2
+
+    @ray.remote
+    def _aut(name: str) -> tuple:
+        n, edges = FAMOUS[name]()
+        src = np.asarray([e[0] for e in edges], dtype=np.int64)
+        dst = np.asarray([e[1] for e in edges], dtype=np.int64)
+        return name, count_isomorphisms_vf2(src, dst, n, src, dst, n,
+                                            directed=False)
+
+    rows = ray.get([_aut.remote(nm) for nm in sorted(AUTOMORPHISM_TRUTH)])
+    return pa.table({"name": pa.array([r[0] for r in rows], pa.string()),
+                     "aut": pa.array([int(r[1]) for r in rows],
+                                     pa.int64())})
+
+
+def _sql_automorphisms() -> str:
+    rows = ", ".join(f"('{k}', {v})"
+                     for k, v in sorted(AUTOMORPHISM_TRUTH.items()))
+    return (f"SELECT * FROM (VALUES {rows}) AS t(name, aut) ORDER BY name")
+
+
+def q_optimal_modularity(sf_dir: str):
+    """Exact maximum-modularity partition
+    (igraph_community_optimal_modularity, optimal_modularity.c:38) of a
+    deterministic 14-vertex planted 2-block SBM (p_in=0.6, p_out=0.08,
+    seed=21): (vertex, community, q_e9) with min-member canonical
+    labels. Branch-and-bound with a greedy-agglomerative incumbent in
+    ONE guarded task — NP-hard exactly like the reference's GLPK ILP,
+    hence rows-only at the gate; brute-force-partition parity is
+    pytest-gated in tests/test_optimal_modularity.py."""
+    from igraph_ray.sources.games import sbm_game
+    from igraph_ray.algorithms.optimal_modularity import optimal_modularity
+
+    edges = sbm_game((7, 7), [[600_000, 80_000], [80_000, 600_000]],
+                     seed=21)
+    return optimal_modularity(Graph(edges)).sort("vertex")
+
+
 IMIT_SEED, IMIT_ROUNDS = 7, 2
 ROUL_SEED = 11
 MORAN_SEED = 13
@@ -5582,6 +5640,8 @@ def queries() -> Dict[str, Callable]:
         "roulette_imitation": q_roulette_imitation,
         "moran_step": q_moran_step,
         "layout_sugiyama": q_layout_sugiyama,
+        "automorphisms": q_automorphisms,
+        "optimal_modularity": q_optimal_modularity,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6328,6 +6388,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "optimal_imitation": _sql_optimal_imitation(),
         "roulette_imitation": _sql_roulette_imitation(),
         "moran_step": _sql_moran_step(),
+        "automorphisms": _sql_automorphisms(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
