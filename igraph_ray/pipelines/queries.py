@@ -1952,6 +1952,58 @@ def _sql_automorphisms() -> str:
     return (f"SELECT * FROM (VALUES {rows}) AS t(name, aut) ORDER BY name")
 
 
+CITED_N, CITED_K, CITED_PREF, CITED_EPS, CITED_SEED = 300, 3, (5, 1, 3), 2, 17
+
+
+def q_cited_type(sf_dir: str):
+    """Cited-type citation growth (igraph_cited_type_game,
+    games.c:3167): 300 vertices, types v mod 3, preference weights
+    (5,1,3), 2 citations per step — md5-deterministic draws with the
+    CLOSED-FORM prefix-mass inversion (types cycle mod K, so the
+    cumulative preference mass needs no sequential cumsum), identical
+    at any parallelism. Oracle = the same draw-and-invert arithmetic
+    replayed per (i, j) in SQL."""
+    from igraph_ray.sources.games import cited_type_game
+
+    return cited_type_game(CITED_N, CITED_PREF, CITED_K,
+                           edges_per_step=CITED_EPS,
+                           seed=CITED_SEED).sort(["src", "dst"])
+
+
+def _sql_cited_type() -> str:
+    row = list(CITED_PREF)
+    K = CITED_K
+    P = [0]
+    for x in row:
+        P.append(P[-1] + int(x))
+    T = P[-1]
+    fold = "CAST(0 AS BIGINT)"
+    for kk in range(1, 13):
+        fold = (f"(({fold}) * 16 + "
+                f"(strpos('0123456789abcdef', substr(h, {kk}, 1)) - 1))")
+    pcase = ("CASE " + " ".join(
+        f"WHEN (i % {K}) = {r} THEN {P[r]}" for r in range(K)) + " END")
+    poscase = ("CASE " + " ".join(
+        f"WHEN (r % {T}) < {P[r + 1]} THEN {r}" for r in range(K - 1))
+        + f" ELSE {K - 1} END")
+    return f"""
+WITH steps AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range(1, {CITED_N})) AS i) a,
+       (SELECT UNNEST(range({CITED_EPS})) AS j) b),
+d AS (SELECT i, j,
+  md5('{CITED_SEED}:c:' || CAST(i AS VARCHAR) || ':'
+      || CAST(j AS VARCHAR)) AS h FROM steps),
+f AS (SELECT i, j, {fold} AS draw FROM d),
+s AS (SELECT i, j, draw,
+  (i // {K}) * {T} + ({pcase}) AS mass FROM f),
+r AS (SELECT i, (draw * mass) // {16 ** 12} AS r FROM s WHERE mass > 0),
+t AS (SELECT i, (r // {T}) * {K} + ({poscase}) AS dst FROM r)
+SELECT CAST(i AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM t
+ORDER BY src, dst
+"""
+
+
 def q_optimal_modularity(sf_dir: str):
     """Exact maximum-modularity partition
     (igraph_community_optimal_modularity, optimal_modularity.c:38) of a
@@ -5642,6 +5694,7 @@ def queries() -> Dict[str, Callable]:
         "layout_sugiyama": q_layout_sugiyama,
         "automorphisms": q_automorphisms,
         "optimal_modularity": q_optimal_modularity,
+        "cited_type": q_cited_type,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6389,6 +6442,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "roulette_imitation": _sql_roulette_imitation(),
         "moran_step": _sql_moran_step(),
         "automorphisms": _sql_automorphisms(),
+        "cited_type": _sql_cited_type(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),

@@ -833,3 +833,84 @@ def forest_fire_game(
                          "dst": pa.array(dst_l, pa.int64())})
 
     return _from_refs([_gen.remote()])
+
+
+def citing_cited_type_game(
+    nodes: int,
+    pref,
+    k_types: int,
+    edges_per_step: int = 1,
+    seed: int = 17,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """igraph_citing_cited_type_game (games.c:3258; games.c:3167
+    igraph_cited_type_game is the one-row special case): vertex i cites
+    ``edges_per_step`` earlier vertices, each target drawn with
+    probability ∝ pref[type(i)][type(target)] over vertices 0..i-1.
+
+    md5-deterministic variant: types are ``v mod k_types`` and each
+    (i, j) draw is one 48-bit md5 fold r' mapped to r = r'·S_i >> 48
+    with S_i the prefix preference mass — because types cycle mod K,
+    the cumulative mass C(x) = (x div K)·T + P[x mod K] is CLOSED FORM
+    and its inverse (block div + a K-step prefix ladder) vectorizes per
+    new vertex with no sequential cumsum state, so generation is
+    embarrassingly parallel over i and SQL-replayable. ``pref`` is a
+    k×k integer weight matrix (rows = citing type).
+    """
+    pref = [[int(x) for x in row] for row in pref]
+    K = int(k_types)
+    assert len(pref) == K and all(len(r) == K for r in pref)
+    assert all(x >= 0 for row in pref for x in row)
+    assert all(sum(row) > 0 for row in pref)
+    HEX12 = 16 ** 12  # 48-bit draws
+    # per citing-type prefix sums over cited types 0..K-1
+    P = [np.concatenate([[0], np.cumsum(row)]).astype(np.int64)
+         for row in pref]  # P[t][r] = Σ_{j<r} pref[t][j]
+    T = [int(p[-1]) for p in P]
+
+    def _gen(b: pa.Table) -> pa.Table:
+        import hashlib
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids >= 1]
+        outs_s, outs_d = [], []
+        for i in ids:
+            i = int(i)
+            t = i % K
+            Pt, Tt = P[t], T[t]
+            # S_i = mass of vertices 0..i-1 for citing type t
+            S = (i // K) * Tt + int(Pt[i % K])
+            if S == 0:
+                continue
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:c:{i}:{j}".encode())
+                     .hexdigest()[:12], 16)
+                 for j in range(edges_per_step)], dtype=np.int64)
+            r = (draws * S) // HEX12
+            blk = r // Tt
+            rem = r - blk * Tt
+            pos = np.searchsorted(Pt[1:], rem, side="right")
+            to = blk * K + pos
+            outs_s.append(np.full(edges_per_step, i, np.int64))
+            outs_d.append(to.astype(np.int64))
+        if not outs_s:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs_s)),
+                         "dst": pa.array(np.concatenate(outs_d))})
+
+    return (ray.data.range(nodes, override_num_blocks=num_partitions)
+            .map_batches(_gen, batch_format="pyarrow", batch_size=None))
+
+
+def cited_type_game(nodes: int, pref_row, k_types: int,
+                    edges_per_step: int = 1, seed: int = 17,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """igraph_cited_type_game (games.c:3167): target drawn ∝
+    pref[type(target)] regardless of the citing type — the
+    constant-rows case of ``citing_cited_type_game``."""
+    row = [int(x) for x in pref_row]
+    assert len(row) == int(k_types)
+    return citing_cited_type_game(
+        nodes, [row] * int(k_types), k_types,
+        edges_per_step=edges_per_step, seed=seed,
+        num_partitions=num_partitions)

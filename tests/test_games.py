@@ -312,3 +312,57 @@ def test_famous_structural_invariants():
     # dataset surface
     t = famous("bull").take_all()
     assert len(t) == 5
+
+
+class TestCitedType:
+    def test_structure(self, ray_session):
+        from igraph_ray.sources.games import cited_type_game
+
+        df = cited_type_game(100, (5, 1, 3), 3, edges_per_step=2,
+                             seed=17).to_pandas()
+        assert len(df) == 99 * 2
+        assert (df.dst < df.src).all()          # cites earlier only
+        assert (df.src >= 1).all()
+
+    def test_preference_bias(self, ray_session):
+        from igraph_ray.sources.games import cited_type_game
+
+        df = cited_type_game(600, (10, 1, 1), 3, edges_per_step=3,
+                             seed=5).to_pandas()
+        by_type = df.dst.mod(3).value_counts()
+        # type 0 carries 10/12 of the mass
+        assert by_type.get(0, 0) > 4 * (by_type.get(1, 0) +
+                                        by_type.get(2, 0)) / 2
+
+    def test_citing_rows_constant_equals_cited(self, ray_session):
+        from igraph_ray.sources.games import (cited_type_game,
+                                              citing_cited_type_game)
+
+        a = cited_type_game(80, (2, 3), 2, edges_per_step=2,
+                            seed=9).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        b = citing_cited_type_game(80, [[2, 3], [2, 3]], 2,
+                                   edges_per_step=2,
+                                   seed=9).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_citing_rows_differ(self, ray_session):
+        from igraph_ray.sources.games import citing_cited_type_game
+
+        # citing type 0 cites only type 1 and vice versa
+        df = citing_cited_type_game(
+            200, [[0, 1], [1, 0]], 2, edges_per_step=1,
+            seed=3).to_pandas()
+        assert ((df.src % 2) != (df.dst % 2)).all()
+
+    def test_parallelism_invariance(self, ray_session):
+        from igraph_ray.sources.games import cited_type_game
+
+        a = cited_type_game(150, (5, 1, 3), 3, edges_per_step=2, seed=17,
+                            num_partitions=2).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        b = cited_type_game(150, (5, 1, 3), 3, edges_per_step=2, seed=17,
+                            num_partitions=11).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        assert a.values.tolist() == b.values.tolist()
