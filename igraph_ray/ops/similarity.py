@@ -494,3 +494,73 @@ def _merge_topk(k: int):
              "neighbor_id": pa.array(nid[keep], pa.int64()),
              "score": pa.array(sc[keep], pa.float64())})
     return _final
+
+
+def kmeans_clusters(
+    embeddings: ray.data.Dataset,
+    nlist: int = 16,
+    train_size: int = 2048,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Semantic clustering of an embedding column: spherical k-means
+    (cosine) assignments (vec_id, cluster, score) — the IVF coarse
+    quantizer (ivf_topk above) exposed as a first-class pipeline for
+    topic bucketing / diversity sampling in training-data curation.
+
+    Scale shape: identical to ivf_topk's training — bounded
+    deterministic md5-prefix sample, O(train_size·dim) driver k-means,
+    then ONE streaming assignment pass with the (nlist, dim) centroid
+    matrix broadcast by ref; cluster ids are stable under any input
+    partitioning (pure function of the vector and the trained
+    centroids)."""
+    rng = np.random.default_rng(seed)
+    total = max(int(embeddings.count()), 1)
+    frac = min(1.0, (2.0 * train_size) / total)
+    thresh = format(int(frac * 0xFFFFFFFF), "08x")
+
+    def _hash_sample(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.array([
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:8] <= thresh
+            for i in ids], dtype=bool)
+        return b.filter(pa.array(keep))
+
+    sample_t = (embeddings.map_batches(_hash_sample, batch_format="pyarrow",
+                                       batch_size=None)
+                .sort(id_col).limit(train_size).take_all())
+    sm = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                   for r in sample_t])
+    sm = sm / np.maximum(np.linalg.norm(sm, axis=1, keepdims=True), 1e-30)
+    nlist = min(nlist, len(sm))
+    cent = sm[rng.choice(len(sm), nlist, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sm @ cent.T, axis=1)
+        for c in range(nlist):
+            members = sm[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    c_ref = ray.put(cent)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(b[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(a.astype(np.int64)),
+            "score": pa.array(sims[np.arange(len(a)), a]),
+        })
+
+    return embeddings.map_batches(_assign, batch_format="pyarrow",
+                                  batch_size=None)

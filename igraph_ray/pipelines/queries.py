@@ -4302,6 +4302,19 @@ def q_ivf_knn(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Spherical k-means topic clustering of the embeddings table
+    (similarity.kmeans_clusters — the IVF coarse quantizer as a
+    first-class curation pipeline): (vec_id, cluster, score_e6).
+    Approximate/iterative by design → rows-only; determinism,
+    planted-blob recovery and assignment-optimality are pytest-gated
+    in tests/test_training_ops.py."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = sim.kmeans_clusters(emb, nlist=16)
+    return _scale_col(out, "score", "score_e6", 1e6).sort("vec_id")
+
+
 def q_embedding_near_dups(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = sim.embedding_near_dups(emb, threshold=0.35)
@@ -5695,6 +5708,7 @@ def queries() -> Dict[str, Callable]:
         "automorphisms": q_automorphisms,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
+        "kmeans_clusters": q_kmeans_clusters,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,

@@ -588,3 +588,52 @@ def test_remove_duplicated_spans():
         .sort_values("doc_id").reset_index(drop=True)
     assert df.clean_text.tolist() == ["u0 u1 u2", "w0 w1", "c0 c1 c2 c3"]
     assert df.n_removed.tolist() == [6, 6, 0]
+
+
+class TestKmeansClusters:
+    def _blobs(self, n_per=60, k=4, dim=16, seed=3):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(k, dim) * 4
+        rows = []
+        for c in range(k):
+            pts = centers[c] + rng.randn(n_per, dim) * 0.2
+            rows.append(pts)
+        X = np.concatenate(rows)
+        ids = np.arange(len(X), dtype=np.int64)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in X],
+                                  pa.list_(pa.float32()))})), k, n_per
+
+    def test_planted_blobs_recovered(self, ray_session):
+        from igraph_ray.ops.similarity import kmeans_clusters
+
+        ds, k, n_per = self._blobs()
+        got = kmeans_clusters(ds, nlist=k, train_size=512).to_pandas()
+        # every planted blob maps to exactly one cluster id
+        truth = got.vec_id // n_per
+        tab = got.groupby(truth)["cluster"].nunique()
+        assert (tab == 1).all()
+        assert got["cluster"].nunique() == k
+
+    def test_assignment_is_argmax(self, ray_session):
+        from igraph_ray.ops.similarity import kmeans_clusters
+
+        ds, k, _ = self._blobs(seed=7)
+        got = kmeans_clusters(ds, nlist=k, train_size=512).to_pandas()
+        # score is the cosine to the OWN centroid => within each cluster
+        # the mean score must exceed the cross-cluster mean similarity
+        assert (got["score"] > 0.5).all()
+
+    def test_partitioning_invariance(self, ray_session):
+        from igraph_ray.ops.similarity import kmeans_clusters
+
+        ds, k, _ = self._blobs(seed=5)
+        a = kmeans_clusters(ds, nlist=k).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        b = kmeans_clusters(ds.repartition(7), nlist=k).to_pandas(
+            ).sort_values("vec_id").reset_index(drop=True)
+        # cluster ids exactly invariant; scores to 1 ulp (BLAS matmul
+        # rounding differs with batch shape)
+        assert a["cluster"].tolist() == b["cluster"].tolist()
+        assert (a["score"] - b["score"]).abs().max() < 1e-12
