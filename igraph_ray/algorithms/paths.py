@@ -69,7 +69,8 @@ def sssp_hops(
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
 
-    csr = graph.csr_index("out", num_partitions, weighted=weighted)
+    csr = graph.csr_index("out", num_partitions, weighted=weighted,
+                          clamp_negative=False)
     blocks = csr.block_descriptors()
 
     def _init(sd: dict) -> dict:

@@ -191,7 +191,8 @@ class Graph:
 
     # ---------------- CSR index cache ----------------
 
-    def csr_index(self, variant: str, num_partitions: int, weighted: bool = False):
+    def csr_index(self, variant: str, num_partitions: int, weighted: bool = False,
+                  clamp_negative: bool = True):
         """Range-partitioned CSR blocks for a derived edge view, built once
         per (variant, partitioning) and cached — the engine analogue of
         igraph's oi/os & ii/is indexes (igraph_datatype.h:54-70), except
@@ -205,14 +206,18 @@ class Graph:
         """
         from igraph_ray.csr import build_csr_index
 
-        key = (variant, num_partitions, weighted)
+        key = (variant, num_partitions, weighted, clamp_negative)
         if key not in self._csr_cache:
             # all variants carry the in-index: PageRank's reduceat gather
             # and components' reduceat min-label gather rely on it
             with_in_index = True
             if variant == "out":
                 edges = self.without_loops()
-                if weighted:
+                # clamp is the PageRank/eigenvector contract
+                # (centrality.c:1447-1462); min-plus shortest-path
+                # consumers pass clamp_negative=False (Bellman-Ford
+                # accepts negative weights, distances.c)
+                if weighted and clamp_negative:
                     def _clamp(b: pa.Table) -> pa.Table:
                         w = pc.max_element_wise(pc.cast(b["weight"], pa.float64()), 0.0)
                         return pa.table({"src": b["src"], "dst": b["dst"], "weight": w})

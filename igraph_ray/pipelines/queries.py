@@ -392,6 +392,65 @@ def q_sssp_weighted(sf_dir: str):
     return st.map_batches(_cast, batch_format="pyarrow", batch_size=None)
 
 
+def q_sssp_negative(sf_dir: str):
+    """Negative-weight single-source shortest paths (Bellman–Ford /
+    Johnson semantics, structural_properties.c:2082
+    igraph_shortest_paths_bellman_ford) over the ACYCLIC src<dst view
+    of the sparse digraph — weights ((src·3+dst) mod 7) − 2 take
+    values in [−2, 4], so some relaxations improve through negative
+    edges; the DAG guarantee rules out negative cycles (the
+    reference's precondition). The engine loop is the same min-plus
+    fixpoint as sssp_weighted — relax-to-fixpoint IS Bellman–Ford, so
+    negatives need no new kernel; the oracle unrolls the identical
+    recurrence."""
+    def _w(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src < dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "weight": pa.array((src * 3 + dst) % 7 - 2)})
+
+    dag = derive.edges_sparse(sf_dir).map_batches(
+        _w, batch_format="pyarrow", batch_size=None).materialize()
+    g = Graph(dag, n=None, weighted=True)
+    source = int(g.vertices().min("vertex"))
+    st = sssp_hops(g, source=source, weighted=True, num_partitions=8).state
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vertex": b["vertex"],
+             "dist": pc.cast(pc.round(b["dist"]), pa.int64())})
+
+    return st.map_batches(_cast, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_sssp_negative(iters: int = 30) -> str:
+    edges = (f"SELECT src, dst, ((src * 3 + dst) % 7) - 2 AS weight "
+             f"FROM ({derive.SQL_EDGES_SPARSE}) WHERE src < dst")
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"h0 AS MATERIALIZED (SELECT v, CASE WHEN v = "
+        f"(SELECT MIN(v) FROM verts) THEN 0 ELSE {_BIG} END AS d "
+        f"FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT h.v, "
+            f"LEAST(h.d, COALESCE(m.md, {_BIG})) AS d "
+            f"FROM {p} h LEFT JOIN (SELECT e.dst AS v, "
+            f"MIN(p.d + e.weight) AS md "
+            f"FROM edges e JOIN {p} p ON p.v = e.src "
+            f"WHERE p.d < {_BIG} GROUP BY e.dst) m ON m.v = h.v)")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT v AS vertex, CAST(d AS BIGINT) AS dist FROM h{iters} "
+            f"WHERE d < {_BIG} ORDER BY vertex")
+
+
 def q_path_length_hist(sf_dir: str):
     """Exact directed path-length histogram over ordered reachable pairs
     (igraph_path_length_hist, structural_properties.c:293)."""
@@ -5709,6 +5768,7 @@ def queries() -> Dict[str, Callable]:
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,
+        "sssp_negative": q_sssp_negative,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6457,6 +6517,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "moran_step": _sql_moran_step(),
         "automorphisms": _sql_automorphisms(),
         "cited_type": _sql_cited_type(),
+        "sssp_negative": _sql_sssp_negative(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),

@@ -205,3 +205,42 @@ def test_neighborhood_sketches_exact_registers():
         if len(bl) >= 8:
             rel_errs.append(abs(est - len(bl)) / len(bl))
     assert np.mean(rel_errs) < 0.6
+
+
+class TestNegativeWeights:
+    def test_bellman_ford_negative(self, ray_session):
+        # DAG with a negative shortcut: 0->1 (5), 0->2 (1), 2->3 (1),
+        # 3->1 (-4) => dist(1) = -2, not 5
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+        from igraph_ray.algorithms.paths import sssp_hops
+
+        t = pa.table({"src": pa.array([0, 0, 2, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 1], pa.int64()),
+                      "weight": pa.array([5, 1, 1, -4], pa.int64())})
+        g = Graph(ray.data.from_arrow(t), n=None, weighted=True)
+        got = sssp_hops(g, source=0, weighted=True,
+                        num_partitions=4).state.to_pandas()
+        d = dict(zip(got.vertex, got.dist))
+        assert d == {0: 0.0, 1: -2.0, 2: 1.0, 3: 2.0}
+
+    def test_pagerank_clamp_unaffected(self, ray_session):
+        # the out-CSR still clamps for PageRank consumers
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+        from igraph_ray.csr import fetch_block
+
+        t = pa.table({"src": pa.array([0, 0], pa.int64()),
+                      "dst": pa.array([1, 2], pa.int64()),
+                      "weight": pa.array([3, -1], pa.int64())})
+        g = Graph(ray.data.from_arrow(t), n=None, weighted=True)
+        csr = g.csr_index("out", 2, weighted=True)  # default clamps
+        ws = np.concatenate([fetch_block(r)["weight"]
+                             for (_, _, r) in csr.block_descriptors()])
+        assert (ws >= 0).all()
+        csr2 = g.csr_index("out", 2, weighted=True, clamp_negative=False)
+        ws2 = np.concatenate([fetch_block(r)["weight"]
+                              for (_, _, r) in csr2.block_descriptors()])
+        assert (ws2 == np.array([3.0, -1.0])).all()
