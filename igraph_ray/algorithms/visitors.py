@@ -193,3 +193,69 @@ def dfs_visitor(graph: Graph, source: int) -> ray.data.Dataset:
 
     ref = directed_arrays_ref(graph.edges)
     return ray.data.from_arrow(ray.get(_dfs_task.remote(ref, source, 0)))
+
+
+def unfold_tree(
+    graph: Graph,
+    source: int,
+    n: int,
+    num_partitions: int = 8,
+    max_levels: int = 64,
+) -> ray.data.Dataset:
+    """igraph_unfold_tree (structural_properties.c:5552): convert the
+    reachable subgraph into a tree by COPYING every vertex reached
+    again through a non-tree edge. Returns (src, dst, dst_orig) —
+    tree edges carry dst_orig = dst; each non-tree edge (u, w) becomes
+    (u, copy_id, w) with copy ids n, n+1, … assigned in the
+    deterministic processing order (queue rank of u, then w ascending —
+    the sorted-adjacency reading of the reference's v_ptr++ sequence;
+    copies are leaves exactly as in the reference).
+
+    Fully distributed: the BFS ranks come from ``bfs_visitor``; tree
+    edges are the father table; non-tree copy ids are one
+    block-count-offset rank over the (rank(u), w) sort. Multi-edges are
+    deduplicated first (the engine's derived views are simple graphs;
+    the reference would copy once per parallel edge)."""
+    from igraph_ray.util import hash_join as _hj
+    from igraph_ray.ops.relational import _dedup
+
+    bfs = bfs_visitor(graph, source, num_partitions=num_partitions,
+                      max_levels=max_levels).materialize()
+    tree = bfs.filter(expr="father >= 0").map_batches(
+        lambda b: pa.table({"src": b["father"], "dst": b["vertex"],
+                            "dst_orig": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None)
+    edges = _dedup(graph.edges)
+    # non-tree edges among reached tails: join u's rank, drop the one
+    # father edge per vertex
+    j = _hj(edges.map_batches(
+        lambda b: pa.table({"u": b["src"], "w": b["dst"]}),
+        batch_format="pyarrow", batch_size=None),
+        bfs.map_batches(
+            lambda b: pa.table({"u": b["vertex"], "ur": b["rank"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="u", num_partitions=num_partitions)
+    j = _hj(j, bfs.map_batches(
+        lambda b: pa.table({"w": b["vertex"], "wf": b["father"]}),
+        batch_format="pyarrow", batch_size=None),
+        on="w", num_partitions=num_partitions)
+    nont = j.filter(expr="wf != u")
+    if nont.count() == 0:
+        return tree.sort(["src", "dst"])
+    s = nont.sort(["ur", "w"]).materialize()
+    refs = s.to_arrow_refs()
+    sizes = ray.get([_block_rows.remote(r) for r in refs])
+    offsets = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+
+    @ray.remote
+    def _copies(t: pa.Table, off: int) -> pa.Table:
+        return pa.table({
+            "src": t["u"],
+            "dst": pa.array(np.arange(n + off, n + off + t.num_rows),
+                            pa.int64()),
+            "dst_orig": t["w"]})
+
+    out = [_copies.remote(r, int(off))
+           for r, off, nn in zip(refs, offsets, sizes) if nn > 0]
+    return tree.union(ray.data.from_arrow_refs(out)).sort(["src", "dst"])

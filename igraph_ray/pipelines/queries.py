@@ -2365,7 +2365,9 @@ def q_bfs_order(sf_dir: str):
     return bfs_visitor(g, source=BFS_SOURCE, max_levels=BFS_LEVELS)
 
 
-def _sql_bfs_order() -> str:
+def _sql_bfs_parts() -> tuple:
+    """(CTE prefix, all-levels union select) of the unrolled BFS queue
+    recurrence — shared by the bfs_order and unfold_tree oracles."""
     parts = [f"WITH e AS MATERIALIZED ({derive.SQL_EDGES_SPARSE}),",
              f"l0 AS (SELECT CAST({BFS_SOURCE} AS BIGINT) AS v, "
              f"CAST(0 AS BIGINT) AS rnk, CAST(-1 AS BIGINT) AS father),",
@@ -2386,9 +2388,48 @@ def _sql_bfs_order() -> str:
     sel = " UNION ALL ".join(
         f"SELECT v, rnk, father, CAST({k} AS BIGINT) AS dist FROM l{k}"
         for k in range(BFS_LEVELS + 1))
-    parts.append(f" SELECT v AS vertex, rnk AS rank, father, dist "
-                 f"FROM ({sel}) ORDER BY vertex")
-    return "\n".join(parts)
+    return "\n".join(parts), sel
+
+
+def _sql_bfs_order() -> str:
+    prefix, sel = _sql_bfs_parts()
+    return (f"{prefix}\n SELECT v AS vertex, rnk AS rank, father, dist "
+            f"FROM ({sel}) ORDER BY vertex")
+
+
+def q_unfold_tree(sf_dir: str):
+    """igraph_unfold_tree (structural_properties.c:5552) from vertex 1
+    over the sparse derived digraph: the reachable subgraph as a tree,
+    every non-tree edge (u, w) replaced by (u, copy, w) with copy ids
+    V, V+1, … in deterministic (queue-rank-of-u, w) order. Rows =
+    (src, dst, dst_orig). Engine = bfs_visitor ranks + joins + one
+    block-offset rank; oracle = the same BFS CTE extended with the
+    father-edge exclusion and a ROW_NUMBER copy sequence."""
+    from igraph_ray.algorithms.visitors import unfold_tree
+
+    g = derive.graph_sparse(sf_dir)
+    return unfold_tree(g, source=BFS_SOURCE, n=derive.V,
+                       max_levels=BFS_LEVELS)
+
+
+def _sql_unfold_tree() -> str:
+    prefix, sel = _sql_bfs_parts()
+    return f"""{prefix}
+, bfs AS MATERIALIZED (SELECT v, rnk, father FROM ({sel})),
+tree AS (SELECT father AS src, v AS dst, v AS dst_orig
+  FROM bfs WHERE father >= 0),
+nont AS (SELECT e.src AS u, e.dst AS w, bu.rnk AS ur
+  FROM e JOIN bfs bu ON bu.v = e.src
+  JOIN bfs bw ON bw.v = e.dst
+  WHERE bw.father IS DISTINCT FROM e.src),
+copies AS (SELECT u, w,
+  ROW_NUMBER() OVER (ORDER BY ur, w) - 1 AS idx FROM nont)
+SELECT src, dst, dst_orig FROM tree
+UNION ALL
+SELECT u AS src, CAST({derive.V} + idx AS BIGINT) AS dst, w AS dst_orig
+FROM copies
+ORDER BY src, dst
+"""
 
 
 def q_dfs_order(sf_dir: str):
@@ -5769,6 +5810,7 @@ def queries() -> Dict[str, Callable]:
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,
         "sssp_negative": q_sssp_negative,
+        "unfold_tree": q_unfold_tree,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6518,6 +6560,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "automorphisms": _sql_automorphisms(),
         "cited_type": _sql_cited_type(),
         "sssp_negative": _sql_sssp_negative(),
+        "unfold_tree": _sql_unfold_tree(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),

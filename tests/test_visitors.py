@@ -136,3 +136,35 @@ class TestDFS:
         for r in got.itertuples():
             assert ref[r.vertex] == (r.order, r.order_out, r.father,
                                      r.dist), r
+
+
+class TestUnfoldTree:
+    def test_tree_properties(self, ray_session):
+        from igraph_ray.algorithms.visitors import unfold_tree
+
+        got = unfold_tree(_graph(EDGES_DIAMOND), 1, n=100).to_pandas()
+        # every original edge reachable from the root appears exactly once
+        ref = _bfs_ref(EDGES_DIAMOND, 1)
+        reach_edges = [(a, b) for a, b in EDGES_DIAMOND if a in ref]
+        assert len(got) == len(reach_edges)
+        # tree: every dst has exactly one incoming edge
+        assert got["dst"].is_unique
+        # copies are leaves with ids >= n and map back to reached verts
+        copies = got[got.dst >= 100]
+        assert set(copies.dst_orig).issubset(ref)
+        assert not set(copies.dst) & set(got.src)
+        # tree rows keep dst_orig == dst and match the BFS fathers
+        tree = got[got.dst < 100]
+        for r in tree.itertuples():
+            assert r.dst_orig == r.dst
+            assert ref[r.dst][1] == r.src
+
+    def test_copy_multiplicity(self, ray_session):
+        from igraph_ray.algorithms.visitors import unfold_tree
+
+        # triangle: root 0 -> 1, 0 -> 2, 1 -> 2 (2 reached twice)
+        got = unfold_tree(_graph([(0, 1), (0, 2), (1, 2)]), 0,
+                          n=10).to_pandas()
+        assert len(got) == 3
+        assert sorted(got.dst_orig) == [1, 2, 2]
+        assert (got.dst >= 10).sum() == 1
