@@ -663,3 +663,104 @@ def longest_path_layers(
         )
     res.state = res.state.select_columns(["vertex", "layer"])
     return res
+
+
+def convergence_degree(
+    graph: Graph,
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+) -> ray.data.Dataset:
+    """Per-edge geodesic field sizes (igraph_convergence_degree,
+    structural_properties.c:4082): for each directed simple edge
+    e = (u, v),
+
+      ins(e)  = #{ i : d(i, u) + 1 = d(i, v) }   (sources whose
+                 shortest-path DAG contains e)
+      outs(e) = #{ t : d(v, t) + 1 = d(u, t) }   (targets; the
+                 reference's reverse-BFS pass — d over reversed edges
+                 from t IS the forward distance to t)
+
+    and the convergence degree is (ins−outs)/(ins+outs). Returns exact
+    integers (src, dst, ins, outs) — the ratio is derivable and the
+    integers hash exactly. One all-sources K-column BFS (the
+    path_length_hist machinery) + two self-joins of the distance table
+    through the edge list with per-batch count pre-combine; the
+    O(V·E) cost is the reference's own complexity class."""
+    from igraph_ray.ops.relational import _dedup
+    from igraph_ray.util import hash_join
+
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    sources = [int(r["vertex"]) for r in graph.vertices().take_all()]
+    D = multi_source_hops(graph, sources, num_partitions=num_partitions,
+                          chunk=chunk, variant="out").materialize()
+    edges = _dedup(graph.edges.filter(expr="src != dst")).materialize()
+
+    def _count_pairs(first_rename, second_rename, keys, cond_cols):
+        a = hash_join(
+            edges.map_batches(
+                lambda b: pa.table({"u": b["src"], "v": b["dst"]}),
+                batch_format="pyarrow", batch_size=None),
+            D.map_batches(first_rename, batch_format="pyarrow",
+                          batch_size=None),
+            on=keys[0], num_partitions=num_partitions)
+        j = hash_join(a, D.map_batches(second_rename,
+                                       batch_format="pyarrow",
+                                       batch_size=None),
+                      on=keys[1], num_partitions=num_partitions)
+        ca, cb = cond_cols
+
+        def _cnt(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or ca not in b.column_names:
+                return pa.table({"u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            da = b[ca].to_numpy(zero_copy_only=False)
+            db = b[cb].to_numpy(zero_copy_only=False)
+            keep = db == da + 1
+            t = pa.table({"u": b["u"].filter(pa.array(keep)),
+                          "v": b["v"].filter(pa.array(keep))})
+            t = t.append_column("n", pa.array(
+                np.ones(t.num_rows, np.int64)))
+            return (t.group_by(["u", "v"]).aggregate([("n", "sum")])
+                    .rename_columns(["u", "v", "n"]))
+
+        g = (j.map_batches(_cnt, batch_format="pyarrow", batch_size=None)
+             .groupby(["u", "v"]).sum("n"))
+        return g.map_batches(
+            lambda b: (pa.table({"u": b["u"], "v": b["v"],
+                                 "n": b["sum(n)"]})
+                       if b.num_rows else
+                       pa.table({"u": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None)
+
+    # ins: a = (i, u, du) joined on u; b = (i, v, dv) joined on (i, v)
+    ins = _count_pairs(
+        lambda b: pa.table({"i": b["source"], "u": b["vertex"],
+                            "du": b["dist"]}),
+        lambda b: pa.table({"i": b["source"], "v": b["vertex"],
+                            "dv": b["dist"]}),
+        ("u", ("i", "v")), ("du", "dv"))
+    # outs: a = (v, t, dvt) joined on v; b = (u, t, dut) on (u, t) —
+    # D rows are d(source→vertex), so v/u are the SOURCE side here
+    outs = _count_pairs(
+        lambda b: pa.table({"v": b["source"], "t": b["vertex"],
+                            "dvt": b["dist"]}),
+        lambda b: pa.table({"u": b["source"], "t": b["vertex"],
+                            "dut": b["dist"]}),
+        ("v", ("u", "t")), ("dvt", "dut"))
+    both = hash_join(
+        ins.map_batches(lambda b: pa.table(
+            {"u": b["u"], "v": b["v"], "ins": b["n"]}),
+            batch_format="pyarrow", batch_size=None),
+        outs.map_batches(lambda b: pa.table(
+            {"u": b["u"], "v": b["v"], "outs": b["n"]}),
+            batch_format="pyarrow", batch_size=None),
+        on=("u", "v"), num_partitions=num_partitions)
+    return both.map_batches(
+        lambda b: pa.table({"src": b["u"], "dst": b["v"],
+                            "ins": b["ins"], "outs": b["outs"]}),
+        batch_format="pyarrow", batch_size=None).sort(["src", "dst"])

@@ -4917,6 +4917,39 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+def q_convergence_degree(sf_dir: str):
+    """Per-edge geodesic field sizes (igraph_convergence_degree,
+    structural_properties.c:4082) over the dense derived digraph:
+    (src, dst, ins, outs) with ins = sources whose shortest-path DAG
+    uses the edge and outs = targets (the convergence degree
+    (ins−outs)/(ins+outs) is derivable; the integers hash exactly).
+    Engine = one all-sources K-column BFS + two counted self-joins of
+    the distance table through the edge list; oracle = the shared
+    unrolled all-pairs body + the same two joins."""
+    from igraph_ray.algorithms.paths import convergence_degree
+
+    return convergence_degree(derive.graph_a(sf_dir), num_partitions=8)
+
+
+def _sql_convergence_degree(iters: int = 30) -> str:
+    return f"""{_sql_allpairs_body(iters)},
+ins AS (SELECT e.src AS u, e.dst AS v, COUNT(*) AS n
+  FROM edges e
+  JOIN p{iters} a ON a.t = e.src
+  JOIN p{iters} b ON b.s = a.s AND b.t = e.dst AND b.d = a.d + 1
+  GROUP BY 1, 2),
+outs AS (SELECT e.src AS u, e.dst AS v, COUNT(*) AS n
+  FROM edges e
+  JOIN p{iters} a ON a.s = e.dst
+  JOIN p{iters} b ON b.s = e.src AND b.t = a.t AND b.d = a.d + 1
+  GROUP BY 1, 2)
+SELECT i.u AS src, i.v AS dst, CAST(i.n AS BIGINT) AS ins,
+       CAST(o.n AS BIGINT) AS outs
+FROM ins i JOIN outs o ON o.u = i.u AND o.v = i.v
+ORDER BY src, dst
+"""
+
+
 def _sql_path_length_hist(iters: int = _SSSP_ITERS) -> str:
     return (
         f"{_sql_allpairs_body(iters)}\n"
@@ -5811,6 +5844,7 @@ def queries() -> Dict[str, Callable]:
         "kmeans_clusters": q_kmeans_clusters,
         "sssp_negative": q_sssp_negative,
         "unfold_tree": q_unfold_tree,
+        "convergence_degree": q_convergence_degree,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6561,6 +6595,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "cited_type": _sql_cited_type(),
         "sssp_negative": _sql_sssp_negative(),
         "unfold_tree": _sql_unfold_tree(),
+        "convergence_degree": _sql_convergence_degree(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),

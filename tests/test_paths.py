@@ -244,3 +244,38 @@ class TestNegativeWeights:
         ws2 = np.concatenate([fetch_block(r)["weight"]
                               for (_, _, r) in csr2.block_descriptors()])
         assert (ws2 == np.array([3.0, -1.0])).all()
+
+
+class TestConvergenceDegree:
+    def test_bruteforce(self, ray_session):
+        import itertools
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+        from igraph_ray.algorithms.paths import convergence_degree
+
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 0), (1, 3)]
+        n = 4
+        # all-pairs BFS distances
+        INF = 10**9
+        d = {(i, j): (0 if i == j else INF) for i in range(n)
+             for j in range(n)}
+        for _ in range(n):
+            for a, b in edges:
+                for i in range(n):
+                    if d[(i, a)] + 1 < d[(i, b)]:
+                        d[(i, b)] = d[(i, a)] + 1
+        ref = {}
+        for u, v in edges:
+            ins = sum(1 for i in range(n)
+                      if d[(i, u)] < INF and d[(i, u)] + 1 == d[(i, v)])
+            outs = sum(1 for t in range(n)
+                       if d[(v, t)] < INF and d[(v, t)] + 1 == d[(u, t)])
+            ref[(u, v)] = (ins, outs)
+        g = Graph(ray.data.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64())})))
+        got = convergence_degree(g, num_partitions=4).to_pandas()
+        assert len(got) == len(edges)
+        for r in got.itertuples():
+            assert ref[(r.src, r.dst)] == (r.ins, r.outs), r
