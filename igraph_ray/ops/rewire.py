@@ -306,3 +306,56 @@ def _repair_round(
         return pa.table({"src": pa.array(s), "dst": pa.array(d)})
 
     return flagged.map_batches(_apply, batch_format="pyarrow", batch_size=None)
+
+
+def rewire_edges(
+    edges: ray.data.Dataset,
+    n: int,
+    prob_e6: int,
+    seed: int = 19,
+    loops: bool = False,
+) -> ray.data.Dataset:
+    """igraph_rewire_edges (games.c:2843, multiple=True branch): every
+    edge ENDPOINT is independently rewired with probability p to a
+    uniformly drawn vertex; with ``loops=False`` the draw uses the
+    reference's r-over-[0, n-2] trick (r != other ? r : n-1) so no loop
+    is created. md5-deterministic variant: endpoints are indexed by the
+    canonical (src, dst) sort rank — side a first, then side b against
+    the ALREADY-REWIRED a, matching the reference's flat in-order
+    endpoint walk — with one 32-bit fold per decision/draw and an exact
+    integer threshold floor(p·2³²/1e6); SQL-replayable via ROW_NUMBER
+    over the same order. Returns the rewired (src, dst)."""
+    import hashlib
+
+    from igraph_ray.ops.layout import _global_rank
+
+    thr = int(prob_e6) * (1 << 32) // 1_000_000
+
+    def _f8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ranked = _global_rank(
+        edges.select_columns(["src", "dst"]), ["src", "dst"], "idx")
+
+    def _rw(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        idx = b["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = np.array([_f8(f"{seed}:a:{int(i)}") for i in idx],
+                      np.int64) < thr
+        ra = np.array([_f8(f"{seed}:ra:{int(i)}") for i in idx], np.int64)
+        db = np.array([_f8(f"{seed}:b:{int(i)}") for i in idx],
+                      np.int64) < thr
+        rb = np.array([_f8(f"{seed}:rb:{int(i)}") for i in idx], np.int64)
+        if loops:
+            src = np.where(da, ra % n, src)
+            dst = np.where(db, rb % n, dst)
+        else:
+            r = ra % (n - 1)
+            src = np.where(da, np.where(r != dst, r, n - 1), src)
+            r2 = rb % (n - 1)
+            dst = np.where(db, np.where(r2 != src, r2, n - 1), dst)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return ranked.map_batches(_rw, batch_format="pyarrow",
+                              batch_size=None)

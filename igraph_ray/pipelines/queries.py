@@ -4917,6 +4917,54 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+REWIRE_PROB_E6, REWIRE_SEED = 300_000, 19
+
+
+def q_rewire_edges(sf_dir: str):
+    """Probabilistic endpoint rewiring (igraph_rewire_edges,
+    games.c:2843, multiple=True, loops=False) of the sparse derived
+    digraph at p=0.3 — md5-deterministic per canonical endpoint index,
+    side b drawn against the already-rewired side a exactly like the
+    reference's in-order endpoint walk. Oracle = ROW_NUMBER over the
+    same (src, dst) order + the same fold/threshold arithmetic."""
+    from igraph_ray.ops.rewire import rewire_edges
+
+    out = rewire_edges(derive.edges_sparse(sf_dir), n=derive.V,
+                       prob_e6=REWIRE_PROB_E6, seed=REWIRE_SEED)
+    return out.sort(["src", "dst"])
+
+
+def _sql_rewire_edges() -> str:
+    thr = REWIRE_PROB_E6 * (1 << 32) // 1_000_000
+    n = derive.V
+    folds = {k: _sql_fold8(f"h{k}") for k in ("a", "ra", "b", "rb")}
+    return f"""
+WITH e AS MATERIALIZED ({derive.SQL_EDGES_SPARSE}),
+r AS (SELECT src, dst,
+  ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS idx FROM e),
+h AS (SELECT src, dst,
+  md5('{REWIRE_SEED}:a:' || CAST(idx AS VARCHAR)) AS ha,
+  md5('{REWIRE_SEED}:ra:' || CAST(idx AS VARCHAR)) AS hra,
+  md5('{REWIRE_SEED}:b:' || CAST(idx AS VARCHAR)) AS hb,
+  md5('{REWIRE_SEED}:rb:' || CAST(idx AS VARCHAR)) AS hrb
+FROM r),
+f AS (SELECT src, dst, {folds['a']} AS fa, {folds['ra']} AS fra,
+  {folds['b']} AS fb, {folds['rb']} AS frb FROM h),
+s1 AS (SELECT dst, fb, frb,
+  CASE WHEN fa < {thr} THEN
+    (CASE WHEN (fra % {n - 1}) != dst THEN fra % {n - 1}
+          ELSE {n - 1} END)
+  ELSE src END AS nsrc FROM f),
+s2 AS (SELECT nsrc,
+  CASE WHEN fb < {thr} THEN
+    (CASE WHEN (frb % {n - 1}) != nsrc THEN frb % {n - 1}
+          ELSE {n - 1} END)
+  ELSE dst END AS ndst FROM s1)
+SELECT CAST(nsrc AS BIGINT) AS src, CAST(ndst AS BIGINT) AS dst
+FROM s2 ORDER BY src, dst
+"""
+
+
 def q_convergence_degree(sf_dir: str):
     """Per-edge geodesic field sizes (igraph_convergence_degree,
     structural_properties.c:4082) over the dense derived digraph:
@@ -5845,6 +5893,7 @@ def queries() -> Dict[str, Callable]:
         "sssp_negative": q_sssp_negative,
         "unfold_tree": q_unfold_tree,
         "convergence_degree": q_convergence_degree,
+        "rewire_edges": q_rewire_edges,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6596,6 +6645,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "sssp_negative": _sql_sssp_negative(),
         "unfold_tree": _sql_unfold_tree(),
         "convergence_degree": _sql_convergence_degree(),
+        "rewire_edges": _sql_rewire_edges(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
