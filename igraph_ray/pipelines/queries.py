@@ -4917,6 +4917,86 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+BP_N1, BP_N2, BP_P_E6, BP_SEED = 40, 60, 120_000, 23
+BPM_M, BPM_SEED = 500, 29
+
+
+def q_bipartite_gnp(sf_dir: str):
+    """Random bipartite G(n1, n2, p) (igraph_bipartite_game_gnp,
+    bipartite.c:867): md5-Bernoulli per pair, exact thresholds —
+    full DuckDB replay oracle."""
+    from igraph_ray.sources.games import bipartite_gnp
+
+    return bipartite_gnp(BP_N1, BP_N2, BP_P_E6,
+                         seed=BP_SEED).sort(["src", "dst"])
+
+
+def _sql_bipartite_gnp() -> str:
+    HEX15 = 16 ** 15
+    thr = BP_P_E6 * HEX15 // 1_000_000
+    fold = "CAST(0 AS BIGINT)"
+    for kk in range(1, 16):
+        fold = (f"(({fold}) * 16 + "
+                f"(strpos('0123456789abcdef', substr(h, {kk}, 1)) - 1))")
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, {BP_N1} + b.j AS j
+  FROM (SELECT UNNEST(range({BP_N1})) AS i) a,
+       (SELECT UNNEST(range({BP_N2})) AS j) b),
+hs AS (SELECT i, j, md5('{BP_SEED}:bp:' || CAST(i AS VARCHAR) || ':'
+  || CAST(j AS VARCHAR)) AS h FROM pairs)
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst
+FROM (SELECT i, j, {fold} AS r FROM hs) t
+WHERE r < CAST({thr} AS BIGINT) ORDER BY src, dst
+"""
+
+
+def q_bipartite_gnm(sf_dir: str):
+    """Random bipartite G(n1, n2, m) (igraph_bipartite_game_gnm,
+    bipartite.c:958): exactly m edges by md5-rank selection (the m
+    smallest (fold, i, j) over the pair space) — one distributed
+    sort+limit; ORDER BY ... LIMIT oracle."""
+    from igraph_ray.sources.games import bipartite_gnm
+
+    return bipartite_gnm(BP_N1, BP_N2, BPM_M,
+                         seed=BPM_SEED).sort(["src", "dst"])
+
+
+def _sql_bipartite_gnm() -> str:
+    fold = "CAST(0 AS BIGINT)"
+    for kk in range(1, 16):
+        fold = (f"(({fold}) * 16 + "
+                f"(strpos('0123456789abcdef', substr(h, {kk}, 1)) - 1))")
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, {BP_N1} + b.j AS j
+  FROM (SELECT UNNEST(range({BP_N1})) AS i) a,
+       (SELECT UNNEST(range({BP_N2})) AS j) b),
+hs AS (SELECT i, j, md5('{BPM_SEED}:bm:' || CAST(i AS VARCHAR) || ':'
+  || CAST(j AS VARCHAR)) AS h FROM pairs),
+f AS (SELECT i, j, {fold} AS fold FROM hs),
+sel AS (SELECT i, j FROM f ORDER BY fold, i, j LIMIT {BPM_M})
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst FROM sel
+ORDER BY src, dst
+"""
+
+
+def q_full_bipartite(sf_dir: str):
+    """igraph_full_bipartite (bipartite.c:388): the complete bipartite
+    K(8, 11) — closed-form cross-join oracle."""
+    from igraph_ray.sources.games import full_bipartite
+
+    return full_bipartite(8, 11).sort(["src", "dst"])
+
+
+_SQL_FULL_BIPARTITE = """
+SELECT CAST(a.i AS BIGINT) AS src, CAST(8 + b.j AS BIGINT) AS dst
+FROM (SELECT UNNEST(range(8)) AS i) a,
+     (SELECT UNNEST(range(11)) AS j) b
+ORDER BY src, dst
+"""
+
+
 REWIRE_PROB_E6, REWIRE_SEED = 300_000, 19
 
 
@@ -5894,6 +5974,9 @@ def queries() -> Dict[str, Callable]:
         "unfold_tree": q_unfold_tree,
         "convergence_degree": q_convergence_degree,
         "rewire_edges": q_rewire_edges,
+        "bipartite_gnp": q_bipartite_gnp,
+        "bipartite_gnm": q_bipartite_gnm,
+        "full_bipartite": q_full_bipartite,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6646,6 +6729,9 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "unfold_tree": _sql_unfold_tree(),
         "convergence_degree": _sql_convergence_degree(),
         "rewire_edges": _sql_rewire_edges(),
+        "bipartite_gnp": _sql_bipartite_gnp(),
+        "bipartite_gnm": _sql_bipartite_gnm(),
+        "full_bipartite": _SQL_FULL_BIPARTITE,
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),

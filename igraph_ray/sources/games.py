@@ -914,3 +914,90 @@ def cited_type_game(nodes: int, pref_row, k_types: int,
         nodes, [row] * int(k_types), k_types,
         edges_per_step=edges_per_step, seed=seed,
         num_partitions=num_partitions)
+
+
+def full_bipartite(n1: int, n2: int) -> ray.data.Dataset:
+    """igraph_full_bipartite (bipartite.c:388): every bottom vertex
+    0..n1-1 connected to every top vertex n1..n1+n2-1 (directed=False
+    reading: one edge per pair, bottom→top)."""
+    def _gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = i[i < n1]
+        src = np.repeat(i, n2)
+        dst = np.tile(np.arange(n1, n1 + n2, dtype=np.int64), len(i))
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return ray.data.range(n1).map_batches(_gen, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def bipartite_gnp(n1: int, n2: int, p_e6: int,
+                  seed: int = 23,
+                  num_partitions: int = 8) -> ray.data.Dataset:
+    """igraph_bipartite_game_gnp (bipartite.c:867): one Bernoulli trial
+    per (bottom, top) pair — md5-deterministic 15-hex draws with the
+    exact integer threshold floor(p·16¹⁵/1e6), identical at any
+    parallelism and SQL-replayable (the sbm_game scheme over the
+    bipartite pair space). Bottom ids 0..n1-1, top n1..n1+n2-1."""
+    import hashlib
+
+    HEX15 = 16 ** 15
+    thr = int(p_e6) * HEX15 // 1_000_000
+
+    def _gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids < n1]
+        outs_s, outs_d = [], []
+        for i in ids:
+            i = int(i)
+            j = np.arange(n1, n1 + n2, dtype=np.int64)
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:bp:{i}:{int(jj)}".encode())
+                     .hexdigest()[:15], 16) for jj in j], dtype=np.uint64)
+            keep = draws < np.uint64(thr)
+            outs_s.append(np.full(int(keep.sum()), i, np.int64))
+            outs_d.append(j[keep])
+        if not outs_s:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs_s)),
+                         "dst": pa.array(np.concatenate(outs_d))})
+
+    return (ray.data.range(n1, override_num_blocks=num_partitions)
+            .map_batches(_gen, batch_format="pyarrow", batch_size=None))
+
+
+def bipartite_gnm(n1: int, n2: int, m: int,
+                  seed: int = 29,
+                  num_partitions: int = 8) -> ray.data.Dataset:
+    """igraph_bipartite_game_gnm (bipartite.c:958): exactly m distinct
+    (bottom, top) edges, uniform over the pair space —
+    md5-rank-selection deterministic variant: every pair gets one
+    15-hex fold and the m smallest (fold, i, j) win. One distributed
+    sort + limit; SQL-replayable (ORDER BY fold, i, j LIMIT m)."""
+    import hashlib
+
+    def _gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids < n1]
+        outs = []
+        for i in ids:
+            i = int(i)
+            j = np.arange(n1, n1 + n2, dtype=np.int64)
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:bm:{i}:{int(jj)}".encode())
+                     .hexdigest()[:15], 16) for jj in j], dtype=np.int64)
+            outs.append(pa.table({
+                "fold": pa.array(draws),
+                "src": pa.array(np.full(n2, i, np.int64)),
+                "dst": pa.array(j)}))
+        if not outs:
+            return pa.table({"fold": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    ranked = (ray.data.range(n1, override_num_blocks=num_partitions)
+              .map_batches(_gen, batch_format="pyarrow", batch_size=None)
+              .sort(["fold", "src", "dst"]).limit(int(m)))
+    return ranked.select_columns(["src", "dst"])

@@ -366,3 +366,42 @@ class TestCitedType:
                             num_partitions=11).to_pandas().sort_values(
             ["src", "dst"]).reset_index(drop=True)
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestBipartiteGames:
+    def test_gnp_structure(self, ray_session):
+        from igraph_ray.sources.games import bipartite_gnp
+
+        df = bipartite_gnp(20, 30, 200_000, seed=3).to_pandas()
+        assert df.src.between(0, 19).all()
+        assert df.dst.between(20, 49).all()
+        # ~p fraction of the 600 pairs
+        assert 60 < len(df) < 180
+
+    def test_gnm_exact_count_and_dedup(self, ray_session):
+        from igraph_ray.sources.games import bipartite_gnm
+
+        df = bipartite_gnm(20, 30, 123, seed=5).to_pandas()
+        assert len(df) == 123
+        assert not df.duplicated().any()
+        assert df.src.between(0, 19).all()
+        assert df.dst.between(20, 49).all()
+
+    def test_full_bipartite(self, ray_session):
+        from igraph_ray.sources.games import full_bipartite
+
+        df = full_bipartite(4, 5).to_pandas()
+        assert len(df) == 20
+        assert set(zip(df.src, df.dst)) == {
+            (i, 4 + j) for i in range(4) for j in range(5)}
+
+    def test_gnp_parallelism_invariance(self, ray_session):
+        from igraph_ray.sources.games import bipartite_gnp
+
+        a = bipartite_gnp(25, 25, 300_000, seed=7,
+                          num_partitions=2).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        b = bipartite_gnp(25, 25, 300_000, seed=7,
+                          num_partitions=9).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        assert a.values.tolist() == b.values.tolist()
