@@ -4917,6 +4917,79 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+HULL_N, HULL_SEED, HULL_MOD = 48, 31, 2_000_003
+
+
+def _hull_points() -> "pa.Table":
+    import hashlib
+
+    v = np.arange(HULL_N, dtype=np.int64)
+    x = np.array([int(hashlib.md5(f"hx:{HULL_SEED}:{i}".encode())
+                      .hexdigest()[:8], 16) % HULL_MOD for i in v],
+                 np.int64)
+    y = np.array([int(hashlib.md5(f"hy:{HULL_SEED}:{i}".encode())
+                      .hexdigest()[:8], 16) % HULL_MOD for i in v],
+                 np.int64)
+    assert len({(int(a), int(b)) for a, b in zip(x, y)}) == HULL_N
+    return pa.table({"vertex": pa.array(v), "x": pa.array(x),
+                     "y": pa.array(y)})
+
+
+def q_convex_hull(sf_dir: str):
+    """Convex hull extreme points (igraph_convex_hull, other.c:121) of
+    a 48-point md5 integer cloud: (vertex, x, y) of the hull VERTICES
+    (strict turns — collinear boundary points are not extreme).
+    Engine = Andrew's monotone chain, exact int64 cross products, one
+    guarded task (the reference's hull is likewise a sequential scan);
+    oracle = the definitional extreme-point test — p is NOT a hull
+    vertex iff it lies in a nondegenerate triangle of three other
+    points (sign test) or on a segment between two others. Exact
+    integer arithmetic on both sides."""
+    from igraph_ray.ops.geometry import convex_hull
+
+    return convex_hull(ray.data.from_arrow(_hull_points())).sort("vertex")
+
+
+def _sql_convex_hull() -> str:
+    # points are tiny and md5-deterministic: inline them as VALUES —
+    # the ORACLE part (containment) is the definitional computation
+    t = _hull_points()
+    rows = ", ".join(
+        f"({int(a)}, {int(b)}, {int(c)})"
+        for a, b, c in zip(t["vertex"].to_pylist(), t["x"].to_pylist(),
+                           t["y"].to_pylist()))
+    return f"""
+WITH pts AS (SELECT CAST(v AS BIGINT) AS v, CAST(x AS BIGINT) AS x,
+  CAST(y AS BIGINT) AS y FROM (VALUES {rows}) AS t(v, x, y)),
+raw AS (
+  SELECT p.v AS v,
+    ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) AS area,
+    ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) AS s1,
+    ((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)) AS s2,
+    ((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)) AS s3
+  FROM pts p, pts a, pts b, pts c
+  WHERE a.v < b.v AND b.v < c.v
+    AND p.v != a.v AND p.v != b.v AND p.v != c.v),
+tri AS (
+  SELECT v FROM raw
+  WHERE area != 0
+    AND ((s1 >= 0 AND s2 >= 0 AND s3 >= 0)
+         OR (s1 <= 0 AND s2 <= 0 AND s3 <= 0))
+),
+seg AS (
+  SELECT p.v FROM pts p, pts a, pts b
+  WHERE a.v < b.v AND p.v != a.v AND p.v != b.v
+    AND ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) = 0
+    AND (p.x - a.x) * (p.x - b.x) <= 0
+    AND (p.y - a.y) * (p.y - b.y) <= 0
+),
+inner_pts AS (SELECT v FROM tri UNION SELECT v FROM seg)
+SELECT CAST(v AS BIGINT) AS vertex, CAST(x AS BIGINT) AS x,
+       CAST(y AS BIGINT) AS y
+FROM pts WHERE v NOT IN (SELECT v FROM inner_pts) ORDER BY vertex
+"""
+
+
 BP_N1, BP_N2, BP_P_E6, BP_SEED = 40, 60, 120_000, 23
 BPM_M, BPM_SEED = 500, 29
 
@@ -5977,6 +6050,7 @@ def queries() -> Dict[str, Callable]:
         "bipartite_gnp": q_bipartite_gnp,
         "bipartite_gnm": q_bipartite_gnm,
         "full_bipartite": q_full_bipartite,
+        "convex_hull": q_convex_hull,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6732,6 +6806,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "bipartite_gnp": _sql_bipartite_gnp(),
         "bipartite_gnm": _sql_bipartite_gnm(),
         "full_bipartite": _SQL_FULL_BIPARTITE,
+        "convex_hull": _sql_convex_hull(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
