@@ -4917,6 +4917,71 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+def q_centralization(sf_dir: str):
+    """Graph-level centralization for betweenness and closeness
+    (igraph_centralization_betweenness / _closeness + their _tmax
+    companions, centrality.c:3082,3211): C = Σ_v (max − score_v) /
+    tmax, with vertices missing from the score table contributing
+    max − 0 and tmax the reference's closed forms — directed
+    betweenness (n−1)²(n−2), out-mode closeness (n−1)(1−1/n). Rows
+    (measure, c_e9); scores are the SAME e-scaled integers as the
+    hash-green `betweenness` / `closeness` queries, so both sides sum
+    exact ints and perform ONE identical double division."""
+    from igraph_ray.algorithms.betweenness import betweenness
+    from igraph_ray.algorithms.paths import closeness_centrality
+
+    g = derive.graph_a(sf_dir)
+    n = int(Graph(derive.edges_a(sf_dir)).vertices().count())
+
+    def _gap(df, col):
+        mx = int(df[col].max())
+        return (df[col].count(), mx,
+                int((mx - df[col]).sum()))
+
+    bc = _scale_col(betweenness(g, num_partitions=8, chunk=64),
+                    "bc", "bc_e6", 1e6).to_pandas()
+    rows_b, max_b, gap_b = _gap(bc, "bc_e6")
+    gap_b += (n - rows_b) * max_b
+    tmax_b = float(n - 1) * float(n - 1) * float(n - 2)
+    c_b = int(np.floor(float(gap_b) * 1000.0 / tmax_b + 0.5))
+
+    cl = _scale_col(closeness_centrality(g, variant="out",
+                                         num_partitions=8),
+                    "closeness", "closeness_e8", 1e8).to_pandas()
+    rows_c, max_c, gap_c = _gap(cl, "closeness_e8")
+    gap_c += (n - rows_c) * max_c
+    tmax_c = float(n - 1) * (1.0 - 1.0 / float(n))
+    c_c = int(np.floor(float(gap_c) * 10.0 / tmax_c + 0.5))
+
+    return pa.table({
+        "measure": pa.array(["betweenness", "closeness"], pa.string()),
+        "c_e9": pa.array([c_b, c_c], pa.int64())})
+
+
+def _sql_centralization() -> str:
+    return f"""
+WITH nv AS (SELECT COUNT(*) AS n FROM ({SQL_VERTS_A}) t),
+b AS (SELECT bc_e6 AS x FROM ({_sql_betweenness()}) t),
+c AS (SELECT closeness_e8 AS x FROM ({_sql_closeness()}) t),
+bg AS (SELECT (SELECT MAX(x) FROM b) AS mx, COUNT(*) AS cnt,
+       SUM((SELECT MAX(x) FROM b) - x) AS gap FROM b),
+cg AS (SELECT (SELECT MAX(x) FROM c) AS mx, COUNT(*) AS cnt,
+       SUM((SELECT MAX(x) FROM c) - x) AS gap FROM c)
+SELECT 'betweenness' AS measure,
+  CAST(FLOOR(CAST(bg.gap + (nv.n - bg.cnt) * bg.mx AS DOUBLE) * 1000.0
+    / (CAST(nv.n - 1 AS DOUBLE) * CAST(nv.n - 1 AS DOUBLE)
+       * CAST(nv.n - 2 AS DOUBLE)) + 0.5) AS BIGINT) AS c_e9
+FROM bg, nv
+UNION ALL
+SELECT 'closeness' AS measure,
+  CAST(FLOOR(CAST(cg.gap + (nv.n - cg.cnt) * cg.mx AS DOUBLE) * 10.0
+    / (CAST(nv.n - 1 AS DOUBLE) * (1.0 - 1.0 / CAST(nv.n AS DOUBLE)))
+    + 0.5) AS BIGINT) AS c_e9
+FROM cg, nv
+ORDER BY measure
+"""
+
+
 HULL_N, HULL_SEED, HULL_MOD = 48, 31, 2_000_003
 
 
@@ -6051,6 +6116,7 @@ def queries() -> Dict[str, Callable]:
         "bipartite_gnm": q_bipartite_gnm,
         "full_bipartite": q_full_bipartite,
         "convex_hull": q_convex_hull,
+        "centralization": q_centralization,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6807,6 +6873,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "bipartite_gnm": _sql_bipartite_gnm(),
         "full_bipartite": _SQL_FULL_BIPARTITE,
         "convex_hull": _sql_convex_hull(),
+        "centralization": _sql_centralization(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
