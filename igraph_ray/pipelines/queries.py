@@ -4917,6 +4917,43 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+SUBCOMP_V = 1
+
+
+def q_subcomponent(sf_dir: str):
+    """igraph_subcomponent (structural_properties.c:1234, IGRAPH_ALL):
+    the vertices in the same weakly connected component as vertex 1 of
+    the very-sparse digraph. Engine = ONE distributed min-label
+    components run + a filter on vertex 1's label (no per-query BFS);
+    oracle = the definitional recursive closure over the symmetrized
+    edges."""
+    from igraph_ray.algorithms.components import connected_components
+
+    g = derive.graph_vsparse(sf_dir)
+    labels = connected_components(g, num_partitions=8).state
+    lab = labels.filter(expr=f"vertex == {SUBCOMP_V}").take_all()
+    if not lab:
+        return pa.table({"vertex": pa.array([SUBCOMP_V], pa.int64())})
+    comp = int(lab[0]["label"])
+    return (labels.filter(expr=f"label == {comp}")
+            .select_columns(["vertex"]).sort("vertex"))
+
+
+def _sql_subcomponent() -> str:
+    return f"""
+WITH RECURSIVE m AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_VSPARSE})),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM m
+  UNION ALL SELECT hi, lo FROM m),
+reach(v) AS (
+  SELECT CAST({SUBCOMP_V} AS BIGINT)
+  UNION
+  SELECT s.b FROM reach r JOIN sym s ON s.a = r.v)
+SELECT v AS vertex FROM reach ORDER BY vertex
+"""
+
+
 def q_centralization(sf_dir: str):
     """Graph-level centralization for betweenness and closeness
     (igraph_centralization_betweenness / _closeness + their _tmax
@@ -6117,6 +6154,7 @@ def queries() -> Dict[str, Callable]:
         "full_bipartite": q_full_bipartite,
         "convex_hull": q_convex_hull,
         "centralization": q_centralization,
+        "subcomponent": q_subcomponent,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6874,6 +6912,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "full_bipartite": _SQL_FULL_BIPARTITE,
         "convex_hull": _sql_convex_hull(),
         "centralization": _sql_centralization(),
+        "subcomponent": _sql_subcomponent(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
