@@ -182,30 +182,36 @@ def multi_source_hops(
     max_iter: int = 10_000,
     chunk: int = 128,
     variant: str = "out",
+    weighted: bool = False,
 ) -> ray.data.Dataset:
-    """Unweighted hop distances from every source in ``sources``:
-    Dataset (source, vertex, dist) over reached pairs. Sources are
-    processed in chunks of ``chunk`` columns through one dense K-column
-    BFS each (see module docstring). ``variant``: "out" follows edge
-    direction, "rev" reverses it (igraph IGRAPH_IN), "sym" ignores it."""
+    """Multi-source shortest distances from every source in
+    ``sources``: Dataset (source, vertex, dist) over reached pairs.
+    Sources are processed in chunks of ``chunk`` columns through one
+    dense K-column BFS (unweighted) or K-column min-plus Bellman-Ford
+    (``weighted=True`` — integer-valued weights, the dist column stays
+    int64). ``variant``: "out" follows edge direction, "rev" reverses
+    it (igraph IGRAPH_IN), "sym" ignores it."""
     out: List[ray.data.Dataset] = []
     sources = list(sources)
     for lo in range(0, len(sources), chunk):
         out.append(_k_column_hops(graph, sources[lo : lo + chunk],
-                                  num_partitions, max_iter, variant))
+                                  num_partitions, max_iter, variant,
+                                  weighted=weighted))
     ds = out[0]
     for o in out[1:]:
         ds = ds.union(o)
     return ds
 
 
-def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out") -> ray.data.Dataset:
+def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out",
+                   weighted=False) -> ray.data.Dataset:
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
     K = len(sources)
     src_arr = np.asarray(sources, dtype=np.int64)
-    csr = graph.csr_index(variant, num_partitions, weighted=False)
+    csr = graph.csr_index(variant, num_partitions, weighted=weighted,
+                          clamp_negative=False)
     blocks = csr.block_descriptors()
     cols = [f"d{k}" for k in range(K)]
 
@@ -241,10 +247,13 @@ def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out") -> r
             contrib = np.full((block_width(blk), K), np.inf)
             loc = block_local(blk, verts[sel])
             pres = loc >= 0
-            contrib[loc[pres], :] = dmat[sel, :][pres, :] + 1.0
+            step = 0.0 if weighted else 1.0
+            contrib[loc[pres], :] = dmat[sel, :][pres, :] + step
             if len(blk["in_starts"]) == 0:
                 continue
             vals = contrib[blk["in_src"], :]
+            if weighted:
+                vals = vals + blk["in_weight"][:, None]
             mins = np.minimum.reduceat(vals, blk["in_starts"], axis=0)
             dsts = blk["in_dst"]
             msg_count += len(dsts) * K

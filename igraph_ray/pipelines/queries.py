@@ -4917,6 +4917,101 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
+def _sql_allpairs_weighted(iters: int = 40) -> str:
+    """Unrolled weighted all-pairs min-plus over the very-sparse
+    WEIGHTED digraph: CTE chain ending in w{iters}(s, t, d). iters
+    bounds the EDGE COUNT of an optimal path — on the tiny vsparse
+    reach sets 40 is far above any optimal path length."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "w0 AS MATERIALIZED (SELECT v AS s, v AS t, CAST(0 AS BIGINT) "
+        "AS d FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"w{k-1}"
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT s, t, MIN(d) AS d FROM ("
+            f"SELECT s, t, d FROM {p} UNION ALL "
+            f"SELECT p.s, e.dst AS t, p.d + e.weight AS d "
+            f"FROM {p} p JOIN edges e ON e.src = p.t"
+            f") GROUP BY s, t)")
+    return ",\n".join(parts)
+
+
+def q_closeness_weighted(sf_dir: str):
+    """Weighted out-closeness (igraph_closeness with weights,
+    structural_properties.c Dijkstra branch) over the very-sparse
+    weighted digraph: reached/Σ(weighted dist) over reachable targets,
+    self excluded, e8 integers. Engine = the K-column min-plus
+    Bellman-Ford (multi_source_hops weighted=True); oracle = the
+    unrolled weighted all-pairs chain."""
+    from igraph_ray.algorithms.paths import multi_source_hops
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    sources = [int(r["vertex"]) for r in g.vertices().take_all()]
+    D = multi_source_hops(g, sources, num_partitions=8, weighted=True)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        s = b["source"].to_numpy(zero_copy_only=False)
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        keep = s != v
+        t = pa.table({"vertex": pa.array(s[keep]),
+                      "r": pa.array(np.ones(int(keep.sum()), np.int64)),
+                      "sd": pa.array(d[keep])})
+        return (t.group_by("vertex").aggregate([("r", "sum"),
+                                                ("sd", "sum")])
+                .rename_columns(["vertex", "r", "sd"]))
+
+    agg = (D.map_batches(_pre, batch_format="pyarrow", batch_size=None)
+           .groupby("vertex").sum(["r", "sd"]))
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "closeness_e8": pa.array([], pa.int64())})
+        r = b["sum(r)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sd = b["sum(sd)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = sd > 0
+        v = b["vertex"].to_numpy(zero_copy_only=False)[keep]
+        c = np.floor(r[keep] / sd[keep] * 1e8 + 0.5).astype(np.int64)
+        return pa.table({"vertex": pa.array(v),
+                         "closeness_e8": pa.array(c)})
+
+    return (agg.map_batches(_final, batch_format="pyarrow",
+                            batch_size=None).sort("vertex"))
+
+
+def _sql_closeness_weighted(iters: int = 40) -> str:
+    return (
+        f"{_sql_allpairs_weighted(iters)}\n"
+        f"SELECT s AS vertex, CAST(FLOOR(CAST(cnt AS DOUBLE) / sumd * 1e8"
+        f" + 0.5) AS BIGINT) AS closeness_e8 "
+        f"FROM (SELECT s, COUNT(*) AS cnt, SUM(d) AS sumd FROM w{iters} "
+        f"WHERE s != t GROUP BY s) q WHERE sumd > 0 ORDER BY vertex")
+
+
+def q_diameter_weighted(sf_dir: str):
+    """Weighted diameter (igraph_diameter_dijkstra): the maximum
+    weighted shortest-path distance over reachable ordered pairs of
+    the very-sparse weighted digraph — one scalar off the same
+    K-column min-plus table."""
+    from igraph_ray.algorithms.paths import multi_source_hops
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    sources = [int(r["vertex"]) for r in g.vertices().take_all()]
+    D = multi_source_hops(g, sources, num_partitions=8, weighted=True)
+    mx = int(D.max("dist"))
+    return pa.table({"diameter": pa.array([mx], pa.int64())})
+
+
+def _sql_diameter_weighted(iters: int = 40) -> str:
+    return (f"{_sql_allpairs_weighted(iters)}\n"
+            f"SELECT CAST(MAX(d) AS BIGINT) AS diameter FROM w{iters}")
+
+
 SUBCOMP_V = 1
 
 
@@ -6155,6 +6250,8 @@ def queries() -> Dict[str, Callable]:
         "convex_hull": q_convex_hull,
         "centralization": q_centralization,
         "subcomponent": q_subcomponent,
+        "closeness_weighted": q_closeness_weighted,
+        "diameter_weighted": q_diameter_weighted,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -6913,6 +7010,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "convex_hull": _sql_convex_hull(),
         "centralization": _sql_centralization(),
         "subcomponent": _sql_subcomponent(),
+        "closeness_weighted": _sql_closeness_weighted(),
+        "diameter_weighted": _sql_diameter_weighted(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),

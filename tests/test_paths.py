@@ -279,3 +279,31 @@ class TestConvergenceDegree:
         assert len(got) == len(edges)
         for r in got.itertuples():
             assert ref[(r.src, r.dst)] == (r.ins, r.outs), r
+
+
+class TestWeightedMultiSource:
+    def test_matches_bellman_ford(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+        from igraph_ray.algorithms.paths import multi_source_hops
+
+        edges = [(0, 1, 4), (0, 2, 1), (2, 1, 1), (1, 3, 2), (2, 3, 7),
+                 (3, 4, 1), (4, 0, 3)]
+        t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], pa.int64()),
+                      "weight": pa.array([e[2] for e in edges], pa.int64())})
+        g = Graph(ray.data.from_arrow(t), n=None, weighted=True)
+        got = multi_source_hops(g, [0, 1, 2, 3, 4],
+                                weighted=True).to_pandas()
+        INF = 10**9
+        d = {(i, j): (0 if i == j else INF) for i in range(5)
+             for j in range(5)}
+        for _ in range(5):
+            for a, b, w in edges:
+                for i in range(5):
+                    if d[(i, a)] + w < d[(i, b)]:
+                        d[(i, b)] = d[(i, a)] + w
+        ref = {(i, j): v for (i, j), v in d.items() if v < INF}
+        gotmap = {(r.source, r.vertex): r.dist for r in got.itertuples()}
+        assert gotmap == ref
