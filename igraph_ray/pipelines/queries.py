@@ -5012,6 +5012,40 @@ def _sql_diameter_weighted(iters: int = 40) -> str:
             f"SELECT CAST(MAX(d) AS BIGINT) AS diameter FROM w{iters}")
 
 
+def q_eccentricity_weighted(sf_dir: str):
+    """Weighted out-eccentricity (igraph_eccentricity_dijkstra
+    semantics) over the very-sparse weighted digraph: per source the
+    max weighted shortest-path distance to any REACHED vertex (self
+    included — sources reaching nothing get 0, igraph's convention of
+    restricting to the reachable set). Same K-column min-plus table as
+    closeness_weighted; grouped max."""
+    from igraph_ray.algorithms.paths import multi_source_hops
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    sources = [int(r["vertex"]) for r in g.vertices().take_all()]
+    D = multi_source_hops(g, sources, num_partitions=8, weighted=True)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        t = pa.table({"vertex": b["source"], "ecc": b["dist"]})
+        return (t.group_by("vertex").aggregate([("ecc", "max")])
+                .rename_columns(["vertex", "ecc"]))
+
+    agg = (D.map_batches(_pre, batch_format="pyarrow", batch_size=None)
+           .groupby("vertex").max("ecc"))
+    return agg.map_batches(
+        lambda b: (pa.table({"vertex": b["vertex"], "ecc": b["max(ecc)"]})
+                   if b.num_rows else
+                   pa.table({"vertex": pa.array([], pa.int64()),
+                             "ecc": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None).sort("vertex")
+
+
+def _sql_eccentricity_weighted(iters: int = 40) -> str:
+    return (f"{_sql_allpairs_weighted(iters)}\n"
+            f"SELECT s AS vertex, CAST(MAX(d) AS BIGINT) AS ecc "
+            f"FROM w{iters} GROUP BY s ORDER BY vertex")
+
+
 SUBCOMP_V = 1
 
 
@@ -6252,6 +6286,7 @@ def queries() -> Dict[str, Callable]:
         "subcomponent": q_subcomponent,
         "closeness_weighted": q_closeness_weighted,
         "diameter_weighted": q_diameter_weighted,
+        "eccentricity_weighted": q_eccentricity_weighted,
         "famous": q_famous,
         "layout_kk": q_layout_kk,
         "cohesive_block_members": q_cohesive_block_members,
@@ -7012,6 +7047,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "subcomponent": _sql_subcomponent(),
         "closeness_weighted": _sql_closeness_weighted(),
         "diameter_weighted": _sql_diameter_weighted(),
+        "eccentricity_weighted": _sql_eccentricity_weighted(),
         "famous": _sql_famous(),
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
