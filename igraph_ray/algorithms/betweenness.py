@@ -420,3 +420,94 @@ def _chunk_brandes_state(graph, csr_out, out_blocks, rev_blocks, sources,
         final_state = fwd.aligned_state
 
     return final_state, src_arr
+
+
+# ------------------------------------------------------------- weighted
+
+_WBC_GUARD_EDGES = 2_000_000
+
+
+@ray.remote
+def _wbc_task(arrays) -> pa.Table:
+    """All-sources weighted Brandes (Brandes 2001, Dijkstra variant —
+    a published algorithm, not the reference's code): σ counts over
+    min-weight paths, δ accumulation in decreasing-distance order.
+    With strictly positive weights, equal-distance vertices cannot lie
+    on each other's shortest paths, so distance order is a valid
+    dependency order regardless of heap tie-breaks."""
+    import heapq
+
+    src, dst, w = arrays
+    if len(src) > _WBC_GUARD_EDGES:
+        raise NotImplementedError(
+            f"betweenness_weighted exact all-sources plan is guarded to "
+            f"{_WBC_GUARD_EDGES} edges — use the sampled/unweighted "
+            f"distributed paths at scale (betweenness.py)")
+    verts = np.unique(np.concatenate([src, dst])) if len(src) else \
+        np.array([], np.int64)
+    n = len(verts)
+    ridx = {int(v): i for i, v in enumerate(verts)}
+    s_l = np.array([ridx[int(x)] for x in src], np.int64)
+    d_l = np.array([ridx[int(x)] for x in dst], np.int64)
+    order = np.lexsort((d_l, s_l))
+    s_l, d_l, w_l = s_l[order], d_l[order], w[order].astype(np.float64)
+    starts = np.searchsorted(s_l, np.arange(n + 1))
+    bc = np.zeros(n, np.float64)
+    INF = np.inf
+    for s in range(n):
+        dist = np.full(n, INF)
+        sigma = np.zeros(n)
+        dist[s] = 0.0
+        sigma[s] = 1.0
+        preds: list = [[] for _ in range(n)]
+        heap = [(0.0, s)]
+        popped: list = []
+        done = np.zeros(n, bool)
+        while heap:
+            dv, v = heapq.heappop(heap)
+            if done[v]:
+                continue
+            done[v] = True
+            popped.append(v)
+            for ei in range(int(starts[v]), int(starts[v + 1])):
+                u = int(d_l[ei])
+                nd = dv + w_l[ei]
+                if nd < dist[u]:
+                    dist[u] = nd
+                    sigma[u] = sigma[v]
+                    preds[u] = [v]
+                    heapq.heappush(heap, (nd, u))
+                elif nd == dist[u]:
+                    sigma[u] += sigma[v]
+                    preds[u].append(v)
+        delta = np.zeros(n)
+        for v in reversed(popped):
+            for p in preds[v]:
+                delta[p] += sigma[p] / sigma[v] * (1.0 + delta[v])
+            if v != s:
+                bc[v] += delta[v]
+    return pa.table({"vertex": pa.array(verts.astype(np.int64)),
+                     "bc": pa.array(bc)})
+
+
+def betweenness_weighted(graph: Graph) -> ray.data.Dataset:
+    """Exact weighted betweenness (igraph_betweenness with weights,
+    centrality.c Dijkstra branch): (vertex, bc) over the weighted
+    directed edges — ONE guarded task (the reference is likewise a
+    sequential per-source sweep; the distributed/sampled unweighted
+    plans above are the scale path)."""
+    from igraph_ray.util import _concat_tables, drop_empty_blocks
+
+    @ray.remote
+    def _cols(t: pa.Table):
+        if t is None or t.num_rows == 0 or "src" not in t.column_names:
+            return (np.array([], np.int64), np.array([], np.int64),
+                    np.array([], np.float64))
+        return (t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["weight"].to_numpy(zero_copy_only=False).astype(
+                    np.float64))
+
+    refs = drop_empty_blocks(graph.edges).to_arrow_refs()
+    arrays = _cols.remote(_concat_tables.remote(refs))
+    return ray.data.from_arrow(ray.get(_wbc_task.remote(arrays)))

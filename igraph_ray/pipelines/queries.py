@@ -4917,11 +4917,12 @@ def _sql_allpairs_body(iters: int = _SSSP_ITERS) -> str:
     return ",\n".join(parts)
 
 
-def _sql_allpairs_weighted(iters: int = 40) -> str:
+def _sql_allpairs_weighted(iters: int = 60) -> str:
     """Unrolled weighted all-pairs min-plus over the very-sparse
     WEIGHTED digraph: CTE chain ending in w{iters}(s, t, d). iters
-    bounds the EDGE COUNT of an optimal path — on the tiny vsparse
-    reach sets 40 is far above any optimal path length."""
+    bounds the EDGE COUNT of an optimal path; 60 exceeds the
+    measured max weighted distance (52 at sf0.01, integer weights
+    >= 1 bound path length by distance)."""
     parts = [
         f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W})",
         "verts AS MATERIALIZED (SELECT src AS v FROM edges "
@@ -4984,7 +4985,7 @@ def q_closeness_weighted(sf_dir: str):
                             batch_size=None).sort("vertex"))
 
 
-def _sql_closeness_weighted(iters: int = 40) -> str:
+def _sql_closeness_weighted(iters: int = 60) -> str:
     return (
         f"{_sql_allpairs_weighted(iters)}\n"
         f"SELECT s AS vertex, CAST(FLOOR(CAST(cnt AS DOUBLE) / sumd * 1e8"
@@ -5007,9 +5008,58 @@ def q_diameter_weighted(sf_dir: str):
     return pa.table({"diameter": pa.array([mx], pa.int64())})
 
 
-def _sql_diameter_weighted(iters: int = 40) -> str:
+def _sql_diameter_weighted(iters: int = 60) -> str:
     return (f"{_sql_allpairs_weighted(iters)}\n"
             f"SELECT CAST(MAX(d) AS BIGINT) AS diameter FROM w{iters}")
+
+
+def q_betweenness_weighted(sf_dir: str):
+    """Exact weighted betweenness (igraph_betweenness, weights branch)
+    over the very-sparse weighted digraph: bc_e6 integers. Engine =
+    guarded all-sources Brandes–Dijkstra task; oracle = the σ pair
+    formula with the σ chain unrolled by integer DISTANCE VALUE
+    (predecessors of a distance-d vertex sit at d − w < d, so the
+    value-level unroll is exact — the weighted reading of the
+    unweighted hop unroll)."""
+    from igraph_ray.algorithms.betweenness import betweenness_weighted
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    bc = betweenness_weighted(g)
+    return _scale_col(bc, "bc", "bc_e6", 1e6).sort("vertex")
+
+
+def _sql_betweenness_weighted(maxd: int = 60) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, CAST(0 AS BIGINT) "
+        "AS d, CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, maxd + 1):
+        p = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {p} "
+            f"UNION ALL SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, CAST({k} AS BIGINT) AS d, "
+            f"SUM(p.sig) AS sig "
+            f"FROM {p} p JOIN edges e ON e.src = p.t "
+            f"AND p.d + e.weight = {k} GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} o "
+            f"WHERE o.s = n.s AND o.t = n.t))")
+    q = f"q{maxd}"
+    parts.append(
+        f"bc AS (SELECT p1.t AS v, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM {q} p1 JOIN {q} p2 ON p2.s = p1.t "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t "
+        f"AND p3.d = p1.d + p2.d "
+        f"WHERE p1.s != p1.t AND p2.s != p2.t AND p1.s != p2.t "
+        f"GROUP BY p1.t)")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT verts.v AS vertex, "
+            f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) AS bc_e6 "
+            f"FROM verts LEFT JOIN bc b ON b.v = verts.v ORDER BY vertex")
 
 
 def q_eccentricity_weighted(sf_dir: str):
@@ -5040,7 +5090,7 @@ def q_eccentricity_weighted(sf_dir: str):
         batch_format="pyarrow", batch_size=None).sort("vertex")
 
 
-def _sql_eccentricity_weighted(iters: int = 40) -> str:
+def _sql_eccentricity_weighted(iters: int = 60) -> str:
     return (f"{_sql_allpairs_weighted(iters)}\n"
             f"SELECT s AS vertex, CAST(MAX(d) AS BIGINT) AS ecc "
             f"FROM w{iters} GROUP BY s ORDER BY vertex")
@@ -6285,6 +6335,7 @@ def queries() -> Dict[str, Callable]:
         "centralization": q_centralization,
         "subcomponent": q_subcomponent,
         "closeness_weighted": q_closeness_weighted,
+        "betweenness_weighted": q_betweenness_weighted,
         "diameter_weighted": q_diameter_weighted,
         "eccentricity_weighted": q_eccentricity_weighted,
         "famous": q_famous,
@@ -7046,6 +7097,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "centralization": _sql_centralization(),
         "subcomponent": _sql_subcomponent(),
         "closeness_weighted": _sql_closeness_weighted(),
+        "betweenness_weighted": _sql_betweenness_weighted(),
         "diameter_weighted": _sql_diameter_weighted(),
         "eccentricity_weighted": _sql_eccentricity_weighted(),
         "famous": _sql_famous(),

@@ -119,3 +119,54 @@ def _brandes_ref_single(n, adj, s):
         if w != s:
             bc[w] += delta[w]
     return bc
+
+
+class TestWeightedBetweenness:
+    def test_bruteforce_path_enumeration(self, ray_session):
+        import itertools
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+        from igraph_ray.algorithms.betweenness import betweenness_weighted
+
+        edges = [(0, 1, 1), (1, 2, 1), (0, 2, 3), (2, 3, 2), (1, 3, 4),
+                 (3, 4, 1), (0, 4, 9), (4, 1, 2)]
+        n = 5
+        # enumerate ALL simple paths per (s, t); keep min-weight ones
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+
+        def all_paths(s, t):
+            out = []
+            stack = [(s, [s], 0)]
+            while stack:
+                v, path, wsum = stack.pop()
+                if v == t:
+                    out.append((wsum, path))
+                    continue
+                for u, w in adj.get(v, []):
+                    if u not in path:
+                        stack.append((u, path + [u], wsum + w))
+            return out
+
+        ref = {v: 0.0 for v in range(n)}
+        for s, t in itertools.permutations(range(n), 2):
+            paths = all_paths(s, t)
+            if not paths:
+                continue
+            mind = min(p[0] for p in paths)
+            short = [p[1] for p in paths if p[0] == mind]
+            for v in range(n):
+                if v in (s, t):
+                    continue
+                through = sum(1 for p in short if v in p)
+                ref[v] += through / len(short)
+        t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                      "dst": pa.array([e[1] for e in edges], pa.int64()),
+                      "weight": pa.array([e[2] for e in edges],
+                                         pa.int64())})
+        g = Graph(ray.data.from_arrow(t), n=None, weighted=True)
+        got = betweenness_weighted(g).to_pandas()
+        for r in got.itertuples():
+            assert abs(ref[r.vertex] - r.bc) < 1e-12, r
