@@ -511,3 +511,85 @@ def betweenness_weighted(graph: Graph) -> ray.data.Dataset:
     refs = drop_empty_blocks(graph.edges).to_arrow_refs()
     arrays = _cols.remote(_concat_tables.remote(refs))
     return ray.data.from_arrow(ray.get(_wbc_task.remote(arrays)))
+
+
+@ray.remote
+def _webc_task(arrays) -> pa.Table:
+    """Weighted EDGE betweenness by the same Brandes–Dijkstra sweep:
+    the dependency pushed across a shortest-path-DAG edge (p→v),
+    σ_p/σ_v·(1+δ_v), IS that edge's per-source contribution."""
+    import heapq
+
+    src, dst, w = arrays
+    if len(src) > _WBC_GUARD_EDGES:
+        raise NotImplementedError(
+            f"edge_betweenness_weighted guarded to {_WBC_GUARD_EDGES} "
+            f"edges")
+    verts = np.unique(np.concatenate([src, dst])) if len(src) else \
+        np.array([], np.int64)
+    n = len(verts)
+    ridx = {int(v): i for i, v in enumerate(verts)}
+    s_l = np.array([ridx[int(x)] for x in src], np.int64)
+    d_l = np.array([ridx[int(x)] for x in dst], np.int64)
+    order = np.lexsort((d_l, s_l))
+    s_l, d_l, w_l = s_l[order], d_l[order], w[order].astype(np.float64)
+    starts = np.searchsorted(s_l, np.arange(n + 1))
+    ebc = np.zeros(len(s_l), np.float64)
+    INF = np.inf
+    for s in range(n):
+        dist = np.full(n, INF)
+        sigma = np.zeros(n)
+        dist[s] = 0.0
+        sigma[s] = 1.0
+        pred_edges: list = [[] for _ in range(n)]  # edge indices
+        heap = [(0.0, s)]
+        popped: list = []
+        done = np.zeros(n, bool)
+        while heap:
+            dv, v = heapq.heappop(heap)
+            if done[v]:
+                continue
+            done[v] = True
+            popped.append(v)
+            for ei in range(int(starts[v]), int(starts[v + 1])):
+                u = int(d_l[ei])
+                nd = dv + w_l[ei]
+                if nd < dist[u]:
+                    dist[u] = nd
+                    sigma[u] = sigma[v]
+                    pred_edges[u] = [ei]
+                    heapq.heappush(heap, (nd, u))
+                elif nd == dist[u]:
+                    sigma[u] += sigma[v]
+                    pred_edges[u].append(ei)
+        delta = np.zeros(n)
+        for v in reversed(popped):
+            for ei in pred_edges[v]:
+                p = int(s_l[ei])
+                c = sigma[p] / sigma[v] * (1.0 + delta[v])
+                ebc[ei] += c
+                delta[p] += c
+    return pa.table({"src": pa.array(verts[s_l].astype(np.int64)),
+                     "dst": pa.array(verts[d_l].astype(np.int64)),
+                     "ebc": pa.array(ebc)})
+
+
+def edge_betweenness_weighted(graph: Graph) -> ray.data.Dataset:
+    """igraph_edge_betweenness with weights (centrality.c Dijkstra
+    branch): (src, dst, ebc) — ONE guarded task, see
+    betweenness_weighted."""
+    from igraph_ray.util import _concat_tables, drop_empty_blocks
+
+    @ray.remote
+    def _cols(t: pa.Table):
+        if t is None or t.num_rows == 0 or "src" not in t.column_names:
+            return (np.array([], np.int64), np.array([], np.int64),
+                    np.array([], np.float64))
+        return (t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["weight"].to_numpy(zero_copy_only=False).astype(
+                    np.float64))
+
+    refs = drop_empty_blocks(graph.edges).to_arrow_refs()
+    arrays = _cols.remote(_concat_tables.remote(refs))
+    return ray.data.from_arrow(ray.get(_webc_task.remote(arrays)))

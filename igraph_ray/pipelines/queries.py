@@ -5062,6 +5062,97 @@ def _sql_betweenness_weighted(maxd: int = 60) -> str:
             f"FROM verts LEFT JOIN bc b ON b.v = verts.v ORDER BY vertex")
 
 
+def q_edge_betweenness_weighted(sf_dir: str):
+    """Weighted edge betweenness (igraph_edge_betweenness, weights
+    branch) over the very-sparse weighted digraph: (src, dst, ebc_e6).
+    Engine = the Brandes–Dijkstra sweep's per-DAG-edge dependency
+    pushes; oracle = the edge pair formula over the distance-value
+    σ chain: ebc(u→v) = Σ σ(s,u)·σ(v,t)/σ(s,t) where
+    d(s,u) + w(u,v) + d(v,t) = d(s,t)."""
+    from igraph_ray.algorithms.betweenness import (
+        edge_betweenness_weighted,
+    )
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    ebc = edge_betweenness_weighted(g)
+    return _scale_col(ebc, "ebc", "ebc_e6", 1e6).sort(["src", "dst"])
+
+
+def _sql_edge_betweenness_weighted(maxd: int = 60) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, CAST(0 AS BIGINT) "
+        "AS d, CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, maxd + 1):
+        p = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {p} "
+            f"UNION ALL SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, CAST({k} AS BIGINT) AS d, "
+            f"SUM(p.sig) AS sig "
+            f"FROM {p} p JOIN edges e ON e.src = p.t "
+            f"AND p.d + e.weight = {k} GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} o "
+            f"WHERE o.s = n.s AND o.t = n.t))")
+    q = f"q{maxd}"
+    parts.append(
+        f"ebc AS (SELECT e.src, e.dst, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM edges e "
+        f"JOIN {q} p1 ON p1.t = e.src "
+        f"JOIN {q} p2 ON p2.s = e.dst "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t "
+        f"AND p3.d = p1.d + e.weight + p2.d "
+        f"GROUP BY e.src, e.dst)")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT e.src, e.dst, "
+            f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) "
+            f"AS ebc_e6 "
+            f"FROM edges e LEFT JOIN ebc b ON b.src = e.src "
+            f"AND b.dst = e.dst ORDER BY e.src, e.dst")
+
+
+def q_path_length_hist_weighted(sf_dir: str):
+    """Weighted path-length histogram (igraph_path_length_hist under
+    Dijkstra distances) over ordered reachable pairs of the
+    very-sparse weighted digraph: (dist, count) exact integers off the
+    shared K-column min-plus table."""
+    from igraph_ray.algorithms.paths import multi_source_hops
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    sources = [int(r["vertex"]) for r in g.vertices().take_all()]
+    D = multi_source_hops(g, sources, num_partitions=8, weighted=True)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        s = b["source"].to_numpy(zero_copy_only=False)
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        keep = s != v
+        t = pa.table({"dist": pa.array(d[keep]),
+                      "count": pa.array(
+                          np.ones(int(keep.sum()), np.int64))})
+        return (t.group_by("dist").aggregate([("count", "sum")])
+                .rename_columns(["dist", "count"]))
+
+    agg = (D.map_batches(_pre, batch_format="pyarrow", batch_size=None)
+           .groupby("dist").sum("count"))
+    return agg.map_batches(
+        lambda b: (pa.table({"dist": b["dist"], "count": b["sum(count)"]})
+                   if b.num_rows else
+                   pa.table({"dist": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None).sort("dist")
+
+
+def _sql_path_length_hist_weighted(iters: int = 60) -> str:
+    return (f"{_sql_allpairs_weighted(iters)}\n"
+            f"SELECT CAST(d AS BIGINT) AS dist, COUNT(*) AS count "
+            f"FROM w{iters} WHERE s != t GROUP BY d ORDER BY dist")
+
+
 def q_eccentricity_weighted(sf_dir: str):
     """Weighted out-eccentricity (igraph_eccentricity_dijkstra
     semantics) over the very-sparse weighted digraph: per source the
@@ -6336,6 +6427,8 @@ def queries() -> Dict[str, Callable]:
         "subcomponent": q_subcomponent,
         "closeness_weighted": q_closeness_weighted,
         "betweenness_weighted": q_betweenness_weighted,
+        "edge_betweenness_weighted": q_edge_betweenness_weighted,
+        "path_length_hist_weighted": q_path_length_hist_weighted,
         "diameter_weighted": q_diameter_weighted,
         "eccentricity_weighted": q_eccentricity_weighted,
         "famous": q_famous,
@@ -7098,6 +7191,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "subcomponent": _sql_subcomponent(),
         "closeness_weighted": _sql_closeness_weighted(),
         "betweenness_weighted": _sql_betweenness_weighted(),
+        "edge_betweenness_weighted": _sql_edge_betweenness_weighted(),
+        "path_length_hist_weighted": _sql_path_length_hist_weighted(),
         "diameter_weighted": _sql_diameter_weighted(),
         "eccentricity_weighted": _sql_eccentricity_weighted(),
         "famous": _sql_famous(),
