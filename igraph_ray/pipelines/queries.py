@@ -5062,6 +5062,111 @@ def _sql_betweenness_weighted(maxd: int = 60) -> str:
             f"FROM verts LEFT JOIN bc b ON b.v = verts.v ORDER BY vertex")
 
 
+def q_sssp_weighted_tree(sf_dir: str):
+    """Weighted shortest-path tree (igraph_get_shortest_paths_dijkstra
+    parent structure): from the min universe vertex of the weighted
+    edges_a digraph, (vertex, dist, parent) with parent = the SMALLEST
+    predecessor u satisfying the relaxation identity
+    d(u) + w(u, v) = d(v) (source parents itself). Engine = the
+    sssp_weighted distance fixpoint + one broadcast join and a grouped
+    min — no second traversal; oracle = the unrolled min-plus chain
+    extended with the same identity."""
+    from igraph_ray.util import hash_join
+
+    g = derive.graph_a_weighted(sf_dir)
+    source = int(g.vertices().min("vertex"))
+    st = sssp_hops(g, source=source, weighted=True,
+                   num_partitions=8).state.materialize()
+
+    def _du(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["vertex"], "du": b["dist"]})
+
+    def _dv(b: pa.Table) -> pa.Table:
+        return pa.table({"v": b["vertex"], "dv": b["dist"]})
+
+    e = g.edges.map_batches(
+        lambda b: pa.table({"u": b["src"], "v": b["dst"],
+                            "w": b["weight"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(e, st.map_batches(_du, batch_format="pyarrow",
+                                    batch_size=None),
+                  on="u", num_partitions=8)
+    j = hash_join(j, st.map_batches(_dv, batch_format="pyarrow",
+                                    batch_size=None),
+                  on="v", num_partitions=8)
+
+    def _par(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "du" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "parent": pa.array([], pa.int64())})
+        du = b["du"].to_numpy(zero_copy_only=False)
+        dv = b["dv"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        keep = du + w == dv
+        t = pa.table({"vertex": b["v"].filter(pa.array(keep)),
+                      "parent": b["u"].filter(pa.array(keep))})
+        return (t.group_by("vertex").aggregate([("parent", "min")])
+                .rename_columns(["vertex", "parent"]))
+
+    par = (j.map_batches(_par, batch_format="pyarrow", batch_size=None)
+           .groupby("vertex").min("parent"))
+    par = par.map_batches(
+        lambda b: (pa.table({"vertex": b["vertex"],
+                             "parent": b["min(parent)"]})
+                   if b.num_rows else
+                   pa.table({"vertex": pa.array([], pa.int64()),
+                             "parent": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    merged = hash_join(st, par, on="vertex", num_partitions=8,
+                       join_type="left_outer")
+
+    def _fin(b: pa.Table, _s=source) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        p = b["parent"].to_numpy(zero_copy_only=False)
+        p = np.where(np.isnan(p.astype(np.float64)), v,
+                     np.nan_to_num(p.astype(np.float64))).astype(np.int64)
+        return pa.table({"vertex": pa.array(v),
+                         "dist": pa.array(np.round(d).astype(np.int64)),
+                         "parent": pa.array(p)})
+
+    return merged.map_batches(_fin, batch_format="pyarrow",
+                              batch_size=None).sort("vertex")
+
+
+def _sql_sssp_weighted_tree(iters: int = 30) -> str:
+    from igraph_ray.pipelines.derive import SQL_EDGES_A_W
+
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A_W})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        f"h0 AS MATERIALIZED (SELECT v, CASE WHEN v = "
+        f"(SELECT MIN(v) FROM verts) THEN 0 ELSE {_BIG} END AS d "
+        f"FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT h.v, "
+            f"LEAST(h.d, COALESCE(m.md, {_BIG})) AS d "
+            f"FROM {p} h LEFT JOIN (SELECT e.dst AS v, "
+            f"MIN(p.d + e.weight) AS md "
+            f"FROM edges e JOIN {p} p ON p.v = e.src "
+            f"WHERE p.d < {_BIG} GROUP BY e.dst) m ON m.v = h.v)")
+    q = f"h{iters}"
+    parts.append(
+        f"par AS (SELECT e.dst AS v, MIN(e.src) AS parent "
+        f"FROM edges e JOIN {q} a ON a.v = e.src "
+        f"JOIN {q} b ON b.v = e.dst AND a.d + e.weight = b.d "
+        f"WHERE a.d < {_BIG} GROUP BY e.dst)")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT h.v AS vertex, CAST(h.d AS BIGINT) AS dist, "
+            f"COALESCE(p.parent, h.v) AS parent "
+            f"FROM {q} h LEFT JOIN par p ON p.v = h.v "
+            f"WHERE h.d < {_BIG} ORDER BY vertex")
+
+
 def q_edge_betweenness_weighted(sf_dir: str):
     """Weighted edge betweenness (igraph_edge_betweenness, weights
     branch) over the very-sparse weighted digraph: (src, dst, ebc_e6).
@@ -6428,6 +6533,7 @@ def queries() -> Dict[str, Callable]:
         "closeness_weighted": q_closeness_weighted,
         "betweenness_weighted": q_betweenness_weighted,
         "edge_betweenness_weighted": q_edge_betweenness_weighted,
+        "sssp_weighted_tree": q_sssp_weighted_tree,
         "path_length_hist_weighted": q_path_length_hist_weighted,
         "diameter_weighted": q_diameter_weighted,
         "eccentricity_weighted": q_eccentricity_weighted,
@@ -7192,6 +7298,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "closeness_weighted": _sql_closeness_weighted(),
         "betweenness_weighted": _sql_betweenness_weighted(),
         "edge_betweenness_weighted": _sql_edge_betweenness_weighted(),
+        "sssp_weighted_tree": _sql_sssp_weighted_tree(),
         "path_length_hist_weighted": _sql_path_length_hist_weighted(),
         "diameter_weighted": _sql_diameter_weighted(),
         "eccentricity_weighted": _sql_eccentricity_weighted(),
