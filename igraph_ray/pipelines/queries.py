@@ -1978,6 +1978,12 @@ AUTOMORPHISM_TRUTH = {
     "petersen": 120, "bull": 2, "diamond": 4, "house": 2,
     "tetrahedral": 24, "cubical": 48, "octahedral": 48,
     "krackhardt_kite": 2,
+    # LCF-constructed classics vs their published group orders — a
+    # cross-check of the lcf_edges construction itself: |Aut(Heawood)|
+    # = PGL(2,7) = 336, Pappus 216, Frucht 1 (the minimal cubic
+    # identity graph), Desargues 240, Moebius-Kantor 96, Nauru 144
+    "heawood": 336, "pappus": 216, "frucht": 1,
+    "desargues": 240, "moebius_kantor": 96, "nauru": 144,
 }
 
 
@@ -2061,6 +2067,53 @@ t AS (SELECT i, (r // {T}) * {K} + ({poscase}) AS dst FROM r)
 SELECT CAST(i AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM t
 ORDER BY src, dst
 """
+
+
+LCF_CODES = {"heawood": (14, (5, -5)), "nauru": (24, (5, -9, 7, -7, 9, -5))}
+
+
+def q_lcf(sf_dir: str):
+    """LCF-notation graphs (igraph_lcf_vector,
+    structure_generators.c:1617): Heawood [5,-5]⁷ and Nauru
+    [5,-9,7,-7,9,-5]⁴ as (name, lo, hi) canonical edges. Engine =
+    sources.structures.lcf_edges (ring + dedup'd chords); oracle =
+    the SAME construction written INDEPENDENTLY in SQL arithmetic
+    (range + mod CASE ladder + LEAST/GREATEST dedup)."""
+    from igraph_ray.sources.structures import lcf_edges
+
+    names, los, his = [], [], []
+    for nm in sorted(LCF_CODES):
+        n, shifts = LCF_CODES[nm]
+        for a, b in lcf_edges(n, list(shifts), n // len(shifts)):
+            names.append(nm)
+            los.append(a)
+            his.append(b)
+    return pa.table({"name": pa.array(names, pa.string()),
+                     "lo": pa.array(los, pa.int64()),
+                     "hi": pa.array(his, pa.int64())})
+
+
+def _sql_lcf() -> str:
+    parts = []
+    for nm in sorted(LCF_CODES):
+        n, shifts = LCF_CODES[nm]
+        k = len(shifts)
+        case = ("CASE " + " ".join(
+            f"WHEN i % {k} = {r} THEN {shifts[r]}"
+            for r in range(k)) + " END")
+        parts.append(f"""
+SELECT '{nm}' AS name, LEAST(i, j) AS lo, GREATEST(i, j) AS hi FROM (
+  SELECT i, (i + 1) % {n} AS j
+  FROM (SELECT UNNEST(range({n})) AS i)
+  UNION
+  SELECT i, ((i + ({case})) % {n} + {n}) % {n} AS j
+  FROM (SELECT UNNEST(range({n})) AS i)
+) t""")
+    u = " UNION ".join(f"SELECT DISTINCT name, lo, hi FROM ({p}) q{i}"
+                       for i, p in enumerate(parts))
+    return (f"SELECT name, CAST(lo AS BIGINT) AS lo, "
+            f"CAST(hi AS BIGINT) AS hi FROM ({u}) z "
+            f"ORDER BY name, lo, hi")
 
 
 def q_optimal_modularity(sf_dir: str):
@@ -6517,6 +6570,7 @@ def queries() -> Dict[str, Callable]:
         "moran_step": q_moran_step,
         "layout_sugiyama": q_layout_sugiyama,
         "automorphisms": q_automorphisms,
+        "lcf": q_lcf,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,
@@ -7284,6 +7338,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "roulette_imitation": _sql_roulette_imitation(),
         "moran_step": _sql_moran_step(),
         "automorphisms": _sql_automorphisms(),
+        "lcf": _sql_lcf(),
         "cited_type": _sql_cited_type(),
         "sssp_negative": _sql_sssp_negative(),
         "unfold_tree": _sql_unfold_tree(),

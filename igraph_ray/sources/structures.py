@@ -210,3 +210,57 @@ def famous(name: str) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table({
         "src": pa.array([a for a, _ in e], pa.int64()),
         "dst": pa.array([b for _, b in e], pa.int64())}))
+
+
+# LCF notation (igraph_lcf_vector, structure_generators.c:1617): a
+# Hamiltonian cubic graph from a ring 0..n-1 plus chords
+# i -> (i + shifts[i mod k]) mod n, shifts repeated around the ring.
+def lcf_edges(n: int, shifts, repeats: int):
+    """Canonical (lo < hi) edge list of the LCF graph — ring plus
+    deduplicated chords (every chord is named twice by the notation)."""
+    assert len(shifts) * repeats == n
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    chords = set()
+    for i in range(n):
+        s = shifts[i % len(shifts)]
+        j = (i + s) % n
+        chords.add((min(i, j), max(i, j)))
+    out = {(min(a, b), max(a, b)) for a, b in ring} | chords
+    return sorted(out)
+
+
+def _lcf_famous(n, shifts, repeats):
+    return lambda: (n, lcf_edges(n, shifts, repeats))
+
+
+# published LCF codes of the classic cubic graphs (textbook notation)
+FAMOUS["heawood"] = _lcf_famous(14, [5, -5], 7)
+FAMOUS["pappus"] = _lcf_famous(18, [5, 7, -7, 7, -7, -5], 3)
+FAMOUS["frucht"] = _lcf_famous(
+    12, [-5, -2, -4, 2, 5, -2, 2, 5, -2, -5, 4, 2], 1)
+FAMOUS["desargues"] = _lcf_famous(20, [5, -5, 9, -9], 5)
+FAMOUS["moebius_kantor"] = _lcf_famous(16, [5, -5], 8)
+FAMOUS["nauru"] = _lcf_famous(24, [5, -9, 7, -7, 9, -5], 4)
+
+
+def _zachary():
+    # Zachary karate club (public dataset; same list as the reference's
+    # own example fixtures) — 34 vertices, 78 edges
+    e = [
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8),
+        (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21),
+        (0, 31), (1, 2), (1, 3), (1, 7), (1, 13), (1, 17), (1, 19),
+        (1, 21), (1, 30), (2, 3), (2, 7), (2, 8), (2, 9), (2, 13),
+        (2, 27), (2, 28), (2, 32), (3, 7), (3, 12), (3, 13), (4, 6),
+        (4, 10), (5, 6), (5, 10), (5, 16), (6, 16), (8, 30), (8, 32),
+        (8, 33), (9, 33), (13, 33), (14, 32), (14, 33), (15, 32),
+        (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+        (22, 32), (22, 33), (23, 25), (23, 27), (23, 29), (23, 32),
+        (23, 33), (24, 25), (24, 27), (24, 31), (25, 31), (26, 29),
+        (26, 33), (27, 33), (28, 31), (28, 33), (29, 32), (29, 33),
+        (30, 32), (30, 33), (31, 32), (31, 33), (32, 33),
+    ]
+    return 34, e
+
+
+FAMOUS["zachary"] = _zachary
