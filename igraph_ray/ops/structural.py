@@ -1418,3 +1418,36 @@ def laplacian_edges(
             .union(deg.map_batches(_diag_n, batch_format="pyarrow",
                                    batch_size=None))
             .sort(["i", "j"]))
+
+
+def is_graphical_degree_sequence(degrees: np.ndarray) -> tuple:
+    """(is_degree_sequence, is_graphical) for an undirected degree
+    sequence (igraph_is_degree_sequence /
+    igraph_is_graphical_degree_sequence,
+    structural_properties.c:6629,6686). The reference runs
+    Havel–Hakimi; this uses the equivalent Erdős–Gallai criterion
+    (published closed form), fully vectorized: with d sorted
+    descending, graphical ⟺ Σd even and ∀k:
+    Σ_{i≤k} d_i ≤ k(k−1) + Σ_{i>k} min(d_i, k)."""
+    d = np.sort(np.asarray(degrees, np.int64))[::-1]
+    n = len(d)
+    if n == 0:
+        return True, True
+    if (d < 0).any():
+        return False, False
+    is_seq = int(d.sum()) % 2 == 0
+    if not is_seq:
+        return False, False
+    pre = np.cumsum(d)
+    k = np.arange(1, n + 1)
+    # Σ_{i>k} min(d_i, k): tail is ascending in min(), split at the
+    # first index > k where d < k (d sorted desc → searchsorted on -d)
+    # count of i > k with d_i >= k:
+    ge = np.searchsorted(-d, -k, side="right")  # #i with d_i >= k
+    cnt_ge = np.maximum(ge - k, 0)
+    # sum of d_i for i > max(k, ge): full tail sum minus prefix
+    start = np.maximum(k, ge)
+    tail_sum = pre[-1] - pre[start - 1]
+    rhs = k * (k - 1) + k * cnt_ge + tail_sum
+    lhs = pre[k - 1]
+    return True, bool((lhs <= rhs).all())

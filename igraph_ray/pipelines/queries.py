@@ -2069,6 +2069,75 @@ ORDER BY src, dst
 """
 
 
+def q_graphical(sf_dir: str):
+    """Degree-sequence predicates (igraph_is_degree_sequence /
+    igraph_is_graphical_degree_sequence,
+    structural_properties.c:6629,6686) on the canonical undirected
+    sparse graph's degree multiset and the same multiset with one
+    degree-1 vertex appended (odd sum → both false). Engine =
+    vectorized Erdős–Gallai from the distributed degree histogram;
+    oracle = Erdős–Gallai written independently in SQL window/self-join
+    arithmetic. Rows (seq, is_seq, is_graphical)."""
+    from igraph_ray.ops.structural import is_graphical_degree_sequence
+
+    und = derive.graph_sparse(sf_dir).canonical_undirected()
+
+    def _deg(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        t = pa.table({"v": pa.array(np.concatenate([lo, hi])),
+                      "d": pa.array(np.ones(2 * len(lo), np.int64))})
+        return (t.group_by("v").aggregate([("d", "sum")])
+                .rename_columns(["v", "d"]))
+
+    degt = (und.map_batches(_deg, batch_format="pyarrow", batch_size=None)
+            .groupby("v").sum("d"))
+    # degree HISTOGRAM to the driver (O(#distinct degrees), scale-safe);
+    # the predicate itself is sequence-level by definition
+    hist = {}
+    for r in degt.groupby("sum(d)").count().take_all():
+        hist[int(r["sum(d)"])] = int(r["count()"])
+    seq = np.repeat(np.fromiter(hist.keys(), np.int64),
+                    np.fromiter(hist.values(), np.int64))
+    a_seq, a_gr = is_graphical_degree_sequence(seq)
+    b_seq, b_gr = is_graphical_degree_sequence(
+        np.concatenate([seq, [1]]))
+    return pa.table({
+        "seq": pa.array(["plus_one", "sparse"], pa.string()),
+        "is_seq": pa.array([int(b_seq), int(a_seq)], pa.int64()),
+        "is_graphical": pa.array([int(b_gr), int(a_gr)], pa.int64())})
+
+
+def _sql_graphical() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE})),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM (
+  SELECT lo AS v FROM m UNION ALL SELECT hi FROM m) t GROUP BY v),
+ds AS MATERIALIZED (SELECT d,
+  ROW_NUMBER() OVER (ORDER BY d DESC, v) AS k FROM deg),
+pre AS (SELECT k, d, SUM(d) OVER (ORDER BY k) AS lhs FROM ds),
+rhs AS (SELECT a.k,
+  SUM(CASE WHEN b.d < a.k THEN b.d ELSE a.k END) AS mins
+  FROM ds a JOIN ds b ON b.k > a.k GROUP BY a.k),
+chk AS (SELECT BOOL_AND(p.lhs <= p.k * (p.k - 1) + COALESCE(r.mins, 0))
+  AS ok FROM pre p LEFT JOIN rhs r ON r.k = p.k),
+tot AS (SELECT SUM(d) AS s FROM deg)
+SELECT 'sparse' AS seq,
+  CAST(CASE WHEN tot.s % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seq,
+  CAST(CASE WHEN tot.s % 2 = 0 AND chk.ok THEN 1 ELSE 0 END AS BIGINT)
+    AS is_graphical
+FROM tot, chk
+UNION ALL
+SELECT 'plus_one' AS seq,
+  CAST(CASE WHEN (tot.s + 1) % 2 = 0 THEN 1 ELSE 0 END AS BIGINT),
+  CAST(0 AS BIGINT)
+FROM tot
+ORDER BY seq
+"""
+
+
 LCF_CODES = {"heawood": (14, (5, -5)), "nauru": (24, (5, -9, 7, -7, 9, -5))}
 
 
@@ -6571,6 +6640,7 @@ def queries() -> Dict[str, Callable]:
         "layout_sugiyama": q_layout_sugiyama,
         "automorphisms": q_automorphisms,
         "lcf": q_lcf,
+        "graphical": q_graphical,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,
@@ -7339,6 +7409,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "moran_step": _sql_moran_step(),
         "automorphisms": _sql_automorphisms(),
         "lcf": _sql_lcf(),
+        "graphical": _sql_graphical(),
         "cited_type": _sql_cited_type(),
         "sssp_negative": _sql_sssp_negative(),
         "unfold_tree": _sql_unfold_tree(),

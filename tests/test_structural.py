@@ -553,3 +553,47 @@ def test_betweenness_source_additivity():
           betweenness(g, sources=b, num_partitions=2, chunk=16).take_all()}
     for v in range(n):
         assert abs(full[v] - (pa_.get(v, 0.0) + pb.get(v, 0.0))) < 1e-9, v
+
+
+class TestGraphicalSequence:
+    def test_known_cases(self, ray_session):
+        from igraph_ray.ops.structural import (
+            is_graphical_degree_sequence as g)
+
+        assert g([3, 3, 3, 3]) == (True, True)       # K4
+        assert g([3, 3, 3, 1]) == (True, False)      # EG violation
+        assert g([2, 1]) == (False, False)           # odd sum
+        assert g([0, 0, 0]) == (True, True)          # empty graph
+        assert g([4, 4, 4, 1, 1]) == (True, False)
+        assert g([]) == (True, True)
+
+    def test_random_vs_havel_hakimi(self, ray_session):
+        import numpy as np
+        from igraph_ray.ops.structural import (
+            is_graphical_degree_sequence as g)
+
+        def havel_hakimi(seq):
+            work = sorted(seq, reverse=True)
+            if sum(work) % 2:
+                return False
+            while work:
+                work.sort(reverse=True)
+                d = work.pop(0)
+                if d == 0:
+                    return True
+                if d > len(work):
+                    return False
+                for i in range(d):
+                    work[i] -= 1
+                    if work[i] < 0:
+                        return False
+            return True
+
+        rng = np.random.RandomState(3)
+        for _ in range(60):
+            n = rng.randint(2, 12)
+            seq = rng.randint(0, n, n).tolist()
+            is_seq, is_gr = g(seq)
+            assert is_seq == (sum(seq) % 2 == 0)
+            if is_seq:
+                assert is_gr == havel_hakimi(seq), seq
