@@ -2069,6 +2069,111 @@ ORDER BY src, dst
 """
 
 
+STC_N, STC_P_E6, STC_SEED = 12, 250_000, 37
+
+
+def _stc_sql_edges() -> str:
+    HEX15 = 16 ** 15
+    thr = STC_P_E6 * HEX15 // 1_000_000
+    fold = "CAST(0 AS BIGINT)"
+    for kk in range(1, 16):
+        fold = (f"(({fold}) * 16 + "
+                f"(strpos('0123456789abcdef', substr(h, {kk}, 1)) - 1))")
+    return f"""
+  SELECT i AS src, j AS dst FROM (
+    SELECT i, j, {fold} AS r FROM (
+      SELECT a.i AS i, b.j AS j,
+        md5('{STC_SEED}:dg:' || CAST(a.i AS VARCHAR) || ':'
+            || CAST(b.j AS VARCHAR)) AS h
+      FROM (SELECT UNNEST(range({STC_N})) AS i) a,
+           (SELECT UNNEST(range({STC_N})) AS j) b
+      WHERE a.i != b.j) t) u
+  WHERE r < CAST({thr} AS BIGINT)"""
+
+
+def _stc_edges():
+    import hashlib
+
+    HEX15 = 16 ** 15
+    thr = STC_P_E6 * HEX15 // 1_000_000
+    src, dst = [], []
+    for i in range(STC_N):
+        for j in range(STC_N):
+            if i == j:
+                continue
+            d = int(hashlib.md5(f"{STC_SEED}:dg:{i}:{j}".encode())
+                    .hexdigest()[:15], 16)
+            if d < thr:
+                src.append(i)
+                dst.append(j)
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())})
+
+
+def q_all_st_cuts(sf_dir: str):
+    """All minimal s-t edge cuts (igraph_all_st_cuts, st-cuts.c:976;
+    Provan–Shier) of a deterministic 12-vertex md5 digraph, s=0,
+    t=11: (cut_id, src, dst) with cut_id the source-side vertex
+    bitmask. Engine = the closed-partition enumeration in one guarded
+    task (exponential by nature, like the reference's output); oracle
+    = the identical characterization per mask — s-generation and
+    cut-head co-reachability — via recursive CTEs."""
+    from igraph_ray.algorithms.stcuts import all_st_cuts
+
+    g = Graph(ray.data.from_arrow(_stc_edges()))
+    return all_st_cuts(g, 0, STC_N - 1).sort(["cut_id", "src", "dst"])
+
+
+def _sql_all_st_cuts() -> str:
+    n, t = STC_N, STC_N - 1
+    return f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({_stc_sql_edges()}),
+fw(v) AS (SELECT CAST(0 AS BIGINT) UNION
+  SELECT e.dst FROM fw JOIN e0 e ON e.src = fw.v),
+bw(v) AS (SELECT CAST({t} AS BIGINT) UNION
+  SELECT e.src FROM bw JOIN e0 e ON e.dst = bw.v),
+rv AS MATERIALIZED (SELECT DISTINCT f.v FROM fw f JOIN bw b ON b.v = f.v),
+rmask AS (SELECT SUM(CAST(1 AS BIGINT) << CAST(v AS INTEGER)) AS rm
+  FROM rv),
+e_r AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+  JOIN rv a ON a.v = e.src JOIN rv b ON b.v = e.dst),
+masks AS MATERIALIZED (
+  SELECT m, xor(rm, m) AS comp FROM
+    (SELECT UNNEST(range({1 << n})) AS m) t, rmask
+  WHERE (m & 1) = 1 AND ((m >> {t}) & 1) = 0
+    AND (m & ~rm) = 0),
+reach(m, v) AS (
+  SELECT m, CAST(0 AS BIGINT) FROM masks
+  UNION
+  SELECT r.m, e.dst FROM reach r JOIN e_r e ON e.src = r.v
+  JOIN masks k ON k.m = r.m
+  WHERE ((k.m >> CAST(e.dst AS INTEGER)) & 1) = 1),
+sgen AS MATERIALIZED (
+  SELECT k.m, k.comp FROM masks k
+  JOIN (SELECT m, COUNT(DISTINCT v) AS c FROM reach GROUP BY m) rc
+    ON rc.m = k.m
+  WHERE rc.c = bit_count(k.m)),
+wreach(m, v) AS (
+  SELECT m, CAST({t} AS BIGINT) FROM sgen
+  UNION
+  SELECT w.m, e.src FROM wreach w JOIN e_r e ON e.dst = w.v
+  JOIN sgen k ON k.m = w.m
+  WHERE ((k.comp >> CAST(e.src AS INTEGER)) & 1) = 1),
+cute AS MATERIALIZED (
+  SELECT k.m, e.src, e.dst FROM sgen k JOIN e_r e
+    ON ((k.m >> CAST(e.src AS INTEGER)) & 1) = 1
+   AND ((k.m >> CAST(e.dst AS INTEGER)) & 1) = 0),
+ok AS (SELECT m FROM sgen s
+  WHERE NOT EXISTS (SELECT 1 FROM cute c
+    WHERE c.m = s.m AND NOT EXISTS (
+      SELECT 1 FROM wreach w WHERE w.m = c.m AND w.v = c.dst)))
+SELECT CAST(c.m AS BIGINT) AS cut_id, CAST(c.src AS BIGINT) AS src,
+       CAST(c.dst AS BIGINT) AS dst
+FROM cute c JOIN ok ON ok.m = c.m
+ORDER BY cut_id, src, dst
+"""
+
+
 def q_graphical(sf_dir: str):
     """Degree-sequence predicates (igraph_is_degree_sequence /
     igraph_is_graphical_degree_sequence,
@@ -6641,6 +6746,7 @@ def queries() -> Dict[str, Callable]:
         "automorphisms": q_automorphisms,
         "lcf": q_lcf,
         "graphical": q_graphical,
+        "all_st_cuts": q_all_st_cuts,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,
@@ -7410,6 +7516,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "automorphisms": _sql_automorphisms(),
         "lcf": _sql_lcf(),
         "graphical": _sql_graphical(),
+        "all_st_cuts": _sql_all_st_cuts(),
         "cited_type": _sql_cited_type(),
         "sssp_negative": _sql_sssp_negative(),
         "unfold_tree": _sql_unfold_tree(),
