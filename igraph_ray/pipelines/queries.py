@@ -2174,6 +2174,30 @@ ORDER BY cut_id, src, dst
 """
 
 
+def q_all_st_mincuts(sf_dir: str):
+    """All MINIMUM s-t cuts (igraph_all_st_mincuts, st-cuts.c:1290,
+    unit capacities): the minimal cuts of q_all_st_cuts filtered to
+    the minimum edge count — same engine task with mincuts_only;
+    oracle = the all-cuts oracle filtered by the min group size."""
+    from igraph_ray.algorithms.stcuts import all_st_cuts
+
+    g = Graph(ray.data.from_arrow(_stc_edges()))
+    return all_st_cuts(g, 0, STC_N - 1,
+                       mincuts_only=True).sort(["cut_id", "src", "dst"])
+
+
+def _sql_all_st_mincuts() -> str:
+    return f"""
+WITH allc AS MATERIALIZED ({_sql_all_st_cuts()}),
+sizes AS (SELECT cut_id, COUNT(*) AS k FROM allc GROUP BY cut_id),
+best AS (SELECT MIN(k) AS k FROM sizes)
+SELECT a.cut_id AS cut_id, a.src AS src, a.dst AS dst FROM allc a
+JOIN sizes s ON s.cut_id = a.cut_id, best
+WHERE s.k = best.k
+ORDER BY a.cut_id, a.src, a.dst
+"""
+
+
 def q_graphical(sf_dir: str):
     """Degree-sequence predicates (igraph_is_degree_sequence /
     igraph_is_graphical_degree_sequence,
@@ -6747,6 +6771,7 @@ def queries() -> Dict[str, Callable]:
         "lcf": q_lcf,
         "graphical": q_graphical,
         "all_st_cuts": q_all_st_cuts,
+        "all_st_mincuts": q_all_st_mincuts,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,
@@ -7517,6 +7542,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "lcf": _sql_lcf(),
         "graphical": _sql_graphical(),
         "all_st_cuts": _sql_all_st_cuts(),
+        "all_st_mincuts": _sql_all_st_mincuts(),
         "cited_type": _sql_cited_type(),
         "sssp_negative": _sql_sssp_negative(),
         "unfold_tree": _sql_unfold_tree(),
