@@ -5596,13 +5596,17 @@ def q_centralization(sf_dir: str):
     g = derive.graph_a(sf_dir)
     n = int(Graph(derive.edges_a(sf_dir)).vertices().count())
 
-    def _gap(df, col):
-        mx = int(df[col].max())
-        return (df[col].count(), mx,
-                int((mx - df[col]).sum()))
+    def _gap(ds, col):
+        # distributed scalars only — the score table never lands on
+        # the driver (max + sum + count are streaming aggregates)
+        m = ds.materialize()
+        mx = int(m.max(col))
+        rows = int(m.count())
+        total = int(m.sum(col))
+        return rows, mx, rows * mx - total
 
     bc = _scale_col(betweenness(g, num_partitions=8, chunk=64),
-                    "bc", "bc_e6", 1e6).to_pandas()
+                    "bc", "bc_e6", 1e6)
     rows_b, max_b, gap_b = _gap(bc, "bc_e6")
     gap_b += (n - rows_b) * max_b
     tmax_b = float(n - 1) * float(n - 1) * float(n - 2)
@@ -5610,7 +5614,7 @@ def q_centralization(sf_dir: str):
 
     cl = _scale_col(closeness_centrality(g, variant="out",
                                          num_partitions=8),
-                    "closeness", "closeness_e8", 1e8).to_pandas()
+                    "closeness", "closeness_e8", 1e8)
     rows_c, max_c, gap_c = _gap(cl, "closeness_e8")
     gap_c += (n - rows_c) * max_c
     tmax_c = float(n - 1) * (1.0 - 1.0 / float(n))
