@@ -30,10 +30,14 @@ from igraph_ray.kernels import pagerank_messages_csc
 from igraph_ray.superstep import SuperstepResult
 
 
-def _sym_graph(graph: Graph) -> Graph:
+def _sym_graph(graph: Graph, dad_weights: bool = False) -> Graph:
     """Symmetrized simple view (each undirected edge in both
-    directions) — ASE is defined on the undirected adjacency."""
-    und = graph.canonical_undirected()
+    directions) — ASE is defined on the undirected adjacency. With
+    ``dad_weights`` each edge carries w(u,v) = 1/sqrt(d_u·d_v), so the
+    weighted gather computes D^{-1/2}·A·D^{-1/2}·x — the Laplacian
+    ("DAD") spectral-embedding operator of embedding.c:998 — with NO
+    extra per-superstep work."""
+    und = graph.canonical_undirected().materialize()
 
     def _sym(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
@@ -43,9 +47,48 @@ def _sym_graph(graph: Graph) -> Graph:
             "dst": pa.array(np.concatenate([hi, lo])),
         })
 
-    return Graph(und.map_batches(_sym, batch_format="pyarrow",
-                                 batch_size=None).materialize(),
-                 n=graph.num_vertices() if graph._explicit_n else None)
+    sym = und.map_batches(_sym, batch_format="pyarrow",
+                          batch_size=None)
+    n = graph.num_vertices() if graph._explicit_n else None
+    if not dad_weights:
+        return Graph(sym.materialize(), n=n)
+    from igraph_ray.util import hash_join
+
+    def _deg(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": b["src"],
+                      "d": pa.array(np.ones(b.num_rows, np.int64))})
+        return (t.group_by("v").aggregate([("d", "sum")])
+                .rename_columns(["v", "d"]))
+
+    deg = (sym.map_batches(_deg, batch_format="pyarrow", batch_size=None)
+           .groupby("v").sum("d"))
+    deg = deg.map_batches(
+        lambda b: (pa.table({"v": b["v"], "d": b["sum(d)"]})
+                   if b.num_rows else
+                   pa.table({"v": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(sym.map_batches(
+        lambda b: pa.table({"v": b["src"], "dst": b["dst"]}),
+        batch_format="pyarrow", batch_size=None), deg, on="v",
+        num_partitions=8)
+    j = hash_join(j.map_batches(
+        lambda b: pa.table({"src": b["v"], "u": b["dst"],
+                            "ds": b["d"]}),
+        batch_format="pyarrow", batch_size=None),
+        deg.map_batches(lambda b: pa.table({"u": b["v"], "dd": b["d"]}),
+                        batch_format="pyarrow", batch_size=None),
+        on="u", num_partitions=8)
+
+    def _w(b: pa.Table) -> pa.Table:
+        ds = b["ds"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dd = b["dd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"src": b["src"], "dst": b["u"],
+                         "weight": pa.array(1.0 / np.sqrt(ds * dd))})
+
+    return Graph(j.map_batches(_w, batch_format="pyarrow",
+                               batch_size=None).materialize(),
+                 n=n, weighted=True)
 
 
 def adjacency_spectral_embedding(
@@ -55,17 +98,20 @@ def adjacency_spectral_embedding(
     fixed_iterations: int = 60,
     num_partitions: Optional[int] = None,
     engine: str = "tasks",
+    variant: str = "ase",
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is (vertex, d0..d{k-1}) —
     row v of X = U_k·|Λ_k|^{1/2}, eigenpairs ordered by |λ| descending,
     each column's sign fixed so its max-|value| entry (smallest vertex
     id on ties) is positive."""
-    sym = _sym_graph(graph)
+    assert variant in ("ase", "lse")
+    dad = variant == "lse"
+    sym = _sym_graph(graph, dad_weights=dad)
     n = sym.num_vertices()
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
-    csr = sym.csr_index("out", num_partitions, weighted=False)
+    csr = sym.csr_index("out", num_partitions, weighted=dad)
     blocks = csr.block_descriptors()
     # guard vectors (randomized-subspace oversampling): iterate with
     # k+oversample columns so the k-th pair's convergence rate is
@@ -104,7 +150,7 @@ def adjacency_spectral_embedding(
         segs = [[] for _ in range(nb)]
         msg_count = 0
         col_pairs = [pagerank_messages_csc(csr_desc, sb["vertex"],
-                                           X[:, j].copy(), deg1, False)
+                                           X[:, j].copy(), deg1, dad)
                      for j in range(kk)]
         # identical dst structure across columns (same verts, same CSC
         # walk) — stack the k partial vectors per (block, dst-run)

@@ -3573,6 +3573,36 @@ def q_scg_groups(sf_dir: str):
                         num_partitions=8).sort("vertex")
 
 
+def q_laplacian_embedding(sf_dir: str):
+    """Laplacian (DAD) spectral embedding
+    (igraph_laplacian_spectral_embedding, embedding.c:998): top-k
+    eigenpairs of D^{-1/2}·A·D^{-1/2} scaled by sqrt(|λ|), k=2, over
+    the undirected dense derived graph — the SAME stride-2 subspace
+    iteration as ASE with 1/sqrt(d_u·d_v) edge weights (one degree
+    join; no extra per-superstep work). Values ×10⁶. Rows-only at the
+    gate; dense-eigh agreement is pytest-gated
+    (tests/test_embedding.py::test_lse_matches_dense_eigh)."""
+    from igraph_ray.algorithms.embedding import adjacency_spectral_embedding
+
+    g = derive.graph_a(sf_dir)
+    res = adjacency_spectral_embedding(g, k=2, fixed_iterations=60,
+                                       num_partitions=8, variant="lse")
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "l0_e6": pa.array(np.round(
+                b["d0"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)),
+            "l1_e6": pa.array(np.round(
+                b["d1"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64)),
+        })
+
+    return res.state.map_batches(_scale, batch_format="pyarrow",
+                                 batch_size=None).sort("vertex")
+
+
 def q_spectral_embedding(sf_dir: str):
     """Adjacency spectral embedding (igraph_adjacency_spectral_embedding,
     embedding.c; ASE = U_k·|Λ_k|^{1/2}) of the undirected dense derived
@@ -6776,6 +6806,7 @@ def queries() -> Dict[str, Callable]:
         "graphical": q_graphical,
         "all_st_cuts": q_all_st_cuts,
         "all_st_mincuts": q_all_st_mincuts,
+        "laplacian_embedding": q_laplacian_embedding,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,

@@ -104,3 +104,44 @@ def test_ase_deterministic(ray_session):
     t2 = r2.state.to_pandas().sort_values("vertex").reset_index(drop=True)
     assert np.array_equal(t1["d0"].to_numpy(), t2["d0"].to_numpy())
     assert np.array_equal(t1["d1"].to_numpy(), t2["d1"].to_numpy())
+
+
+def test_lse_matches_dense_eigh(ray_session):
+    # LSE: eigenpairs of D^{-1/2} A D^{-1/2} (embedding.c:998, DAD)
+    rng = np.random.default_rng(7)
+    n = 50
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in rng.integers(0, n, (300, 2)) if a != b})
+    # ensure no isolated vertices (DAD undefined at degree 0)
+    seen = {v for p in pairs for v in p}
+    for v in range(n):
+        if v not in seen:
+            pairs.append((min(v, (v + 1) % n), max(v, (v + 1) % n)))
+    pairs = sorted(set(pairs))
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
+    k = 3
+    res = adjacency_spectral_embedding(_g(src, dst, n), k=k, oversample=3,
+                                       fixed_iterations=160,
+                                       num_partitions=4, variant="lse")
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0
+    A[dst, src] = 1.0
+    d = A.sum(1)
+    DAD = A / np.sqrt(np.outer(d, d))
+    ev, U = np.linalg.eigh(DAD)
+    order = np.argsort(-np.abs(ev))[:k]
+    ev_ref = ev[order]
+    ref = U[:, order] * np.sqrt(np.abs(ev_ref))[None, :]
+    # sign convention: max-|value| entry positive
+    for j in range(k):
+        i = np.argmax(np.abs(ref[:, j]))
+        if ref[i, j] < 0:
+            ref[:, j] = -ref[:, j]
+    assert np.allclose(res.scalars["eigenvalues"], ev_ref, atol=1e-5)
+    t = res.state.to_pandas().sort_values("vertex").reset_index(drop=True)
+    E = t[[f"d{j}" for j in range(k)]].to_numpy()
+    for j in range(k):
+        err = min(np.abs(E[:, j] - ref[:, j]).max(),
+                  np.abs(E[:, j] + ref[:, j]).max())
+        assert err < 1e-3, (j, err)
