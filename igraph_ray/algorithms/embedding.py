@@ -298,3 +298,48 @@ def adjacency_spectral_embedding(
         [_final.remote(b) for b in res.aligned_state.blocks])
     res.scalars["eigenvalues"] = [float(x) for x in evals]
     return res
+
+
+def dim_select(sv: np.ndarray) -> int:
+    """igraph_dim_select (embedding.c:1054; Zhu & Ghodsi 2006 profile
+    likelihood): the split point of a (descending) singular-value
+    vector maximizing the two-group shared-variance Gaussian profile
+    log-likelihood. Vectorized closed form: prefix/suffix sums give
+    every split's means and variances at once."""
+    sv = np.asarray(sv, np.float64)
+    n = len(sv)
+    if n == 0:
+        raise ValueError("need at least one singular value")
+    if n == 1:
+        return 1
+    pre = np.cumsum(sv)
+    pre2 = np.cumsum(sv * sv)
+    tot, tot2 = pre[-1], pre2[-1]
+    best, best_dim = -np.inf, 1
+    for i in range(n):  # group 1 = sv[:i+1]
+        n1 = i + 1
+        n2 = n - n1
+        sum1, sumsq1 = pre[i], pre2[i]
+        sum2, sumsq2 = tot - sum1, tot2 - sumsq1
+        mean1 = sum1 / n1
+        mean2 = sum2 / n2 if n2 else 0.0
+        varsq1 = sumsq1 - n1 * mean1 * mean1
+        varsq2 = (sumsq2 - n2 * mean2 * mean2) if n2 else 0.0
+        if n2 == 0:
+            sd = np.sqrt(max(varsq1, 0.0) / (n - 1))
+        elif n == 2:
+            # the reference's sd is 0/0 = NaN here; its NaN profile
+            # never wins a strict comparison — skip the split
+            continue
+        else:
+            sd = np.sqrt(max(varsq1 + varsq2, 0.0) / (n - 2))
+        if sd <= 0:
+            # the reference's -n·log(0) → +inf: a zero-variance split
+            # wins outright (first such split under strict >)
+            profile = np.inf
+        else:
+            profile = (-n * np.log(sd)
+                       - (varsq1 + varsq2) / (2.0 * sd * sd))
+        if profile > best:
+            best, best_dim = profile, n1
+    return int(best_dim)

@@ -3573,6 +3573,24 @@ def q_scg_groups(sf_dir: str):
                         num_partitions=8).sort("vertex")
 
 
+def q_dim_select(sf_dir: str):
+    """igraph_dim_select (embedding.c:1054; Zhu–Ghodsi profile
+    likelihood) on the |λ| spectrum head of the dense derived graph's
+    ASE (k=6): (dim,). Rows-only; exactness vs a literal transcription
+    of the reference's streaming recurrence is pytest-gated
+    (tests/test_embedding.py::test_dim_select_reference_replay)."""
+    from igraph_ray.algorithms.embedding import (
+        adjacency_spectral_embedding,
+        dim_select,
+    )
+
+    g = derive.graph_a(sf_dir)
+    res = adjacency_spectral_embedding(g, k=6, fixed_iterations=60,
+                                       num_partitions=8)
+    sv = np.sort(np.abs(np.asarray(res.scalars["eigenvalues"])))[::-1]
+    return pa.table({"dim": pa.array([dim_select(sv)], pa.int64())})
+
+
 def q_laplacian_embedding(sf_dir: str):
     """Laplacian (DAD) spectral embedding
     (igraph_laplacian_spectral_embedding, embedding.c:998): top-k
@@ -6807,6 +6825,7 @@ def queries() -> Dict[str, Callable]:
         "all_st_cuts": q_all_st_cuts,
         "all_st_mincuts": q_all_st_mincuts,
         "laplacian_embedding": q_laplacian_embedding,
+        "dim_select": q_dim_select,
         "optimal_modularity": q_optimal_modularity,
         "cited_type": q_cited_type,
         "kmeans_clusters": q_kmeans_clusters,

@@ -145,3 +145,65 @@ def test_lse_matches_dense_eigh(ray_session):
         err = min(np.abs(E[:, j] - ref[:, j]).max(),
                   np.abs(E[:, j] + ref[:, j]).max())
         assert err < 1e-3, (j, err)
+
+
+def test_dim_select_reference_replay(ray_session):
+    """dim_select vs a literal transcription of the reference's
+    streaming recurrence (embedding.c:1054)."""
+    import math
+
+    from igraph_ray.algorithms.embedding import dim_select
+
+    def ref(sv):
+        n = len(sv)
+        if n == 1:
+            return 1
+        sum1 = 0.0
+        sum2 = sum(sv)
+        sumsq1 = 0.0
+        sumsq2 = sum(x * x for x in sv)
+        mean1, mean2 = 0.0, sum2 / n
+        varsq1, varsq2 = 0.0, sum((mean2 - x) ** 2 for x in sv)
+        best, dim = -math.inf, 1
+        for i in range(n - 1):
+            n1, n2 = i + 1, n - i - 1
+            x = sv[i]
+            sum1 += x; sum2 -= x
+            sumsq1 += x * x; sumsq2 -= x * x
+            om1, om2 = mean1, mean2
+            mean1, mean2 = sum1 / n1, sum2 / n2
+            varsq1 += (x - om1) * (x - mean1)
+            varsq2 -= (x - om2) * (x - mean2)
+            var1 = 0 if i == 0 else varsq1 / (n1 - 1)
+            var2 = 0 if i == n - 2 else varsq2 / (n2 - 1)
+            if n == 2:
+                continue  # C computes 0/0 = NaN: never wins
+            sd = math.sqrt(((n1 - 1) * var1 + (n2 - 1) * var2) / (n - 2))
+            prof = math.inf if sd == 0 else (
+                -n * math.log(sd)
+                - ((sumsq1 - 2 * mean1 * sum1 + n1 * mean1 ** 2)
+                   + (sumsq2 - 2 * mean2 * sum2 + n2 * mean2 ** 2))
+                / 2.0 / sd / sd)
+            if prof > best:
+                best, dim = prof, n1
+        x = sv[n - 1]
+        sum1 += x
+        om1 = mean1
+        mean1 = sum1 / n
+        sumsq1 += x * x
+        varsq1 += (x - om1) * (x - mean1)
+        sd = math.sqrt(varsq1 / (n - 1))
+        prof = math.inf if sd == 0 else (
+            -n * math.log(sd)
+            - (sumsq1 - 2 * mean1 * sum1 + n * mean1 ** 2) / 2.0 / sd / sd)
+        if prof > best:
+            dim = n
+        return dim
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        n = int(rng.integers(2, 15))
+        sv = np.sort(rng.random(n) * 10)[::-1]
+        assert dim_select(sv) == ref(list(sv)), sv
+    assert dim_select([10, 9.5, 9, 1, 0.9, 1.1, 0.95, 1.05]) == 3
+    assert dim_select([3.0]) == 1
