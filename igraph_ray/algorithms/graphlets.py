@@ -106,13 +106,7 @@ def graphlets_candidate_basis(
     lvl_rows = und.groupby("weight").count().take_all()
     levels = sorted(r["weight"] for r in lvl_rows)[:max_levels]
 
-    # one weight lookup for all levels — the basis itself is
-    # driver-resident by contract (the reference returns exactly this
-    # list), and maximal_cliques' broadcast plan already bounds the
-    # simple-edge count, so this pull is bounded by the same guard
-    wmap = {(r["lo"], r["hi"]): r["weight"] for r in und.take_all()}
-
-    seen: dict = {}
+    seen: set = set()
     for t in levels:
         sub_edges = und.filter(expr=f"weight >= {t!r}")
 
@@ -124,14 +118,37 @@ def graphlets_candidate_basis(
                     n=graph.num_vertices() if graph._explicit_n else None)
         cl = maximal_cliques(sub, num_partitions=num_partitions, min_size=2)
         for r in cl.take_all():
-            cq = tuple(int(v) for v in r["clique"])
-            if cq in seen:
-                continue
-            thr = min(wmap[(a, b)] for i, a in enumerate(cq)
-                      for b in cq[i + 1:])
-            seen[cq] = thr
-    order = sorted(seen, key=lambda c: (seen[c], c))
-    return list(order), np.array([seen[c] for c in order], dtype=np.float64)
+            seen.add(tuple(int(v) for v in r["clique"]))
+
+    # per-clique min internal weight via a hash-join of the clique
+    # pair-incidence table against the weighted edge table (no
+    # driver-resident edge-weight map — the weights stay distributed;
+    # only the basis itself is a driver list, the reference's own
+    # return contract)
+    cliques = sorted(seen)
+    if not cliques:
+        return [], np.array([], dtype=np.float64)
+    los, his, cls = [], [], []
+    for ci, cq in enumerate(cliques):
+        for i, a in enumerate(cq):
+            for b in cq[i + 1:]:
+                los.append(a)
+                his.append(b)
+                cls.append(ci)
+    inc = ray.data.from_arrow(pa.table({
+        "lo": pa.array(los, pa.int64()), "hi": pa.array(his, pa.int64()),
+        "clique": pa.array(cls, pa.int64())}))
+    joined = hash_join(inc, und, on=("lo", "hi"),
+                       num_partitions=num_partitions or 8)
+    thr_rows = joined.groupby("clique").min("weight").take_all()
+    thr_by_idx = np.zeros(len(cliques), dtype=np.float64)
+    for r in thr_rows:
+        thr_by_idx[r["clique"]] = r["min(weight)"]
+    order = sorted(range(len(cliques)),
+                   key=lambda i: (thr_by_idx[i], cliques[i]))
+    return ([cliques[i] for i in order],
+            thr_by_idx[np.array(order, dtype=np.int64)]
+            if order else np.array([], dtype=np.float64))
 
 
 def graphlets_project(

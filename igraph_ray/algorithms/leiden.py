@@ -111,6 +111,74 @@ def _refine(
     return ref.select_columns(["vertex", "community"]), sweeps
 
 
+def leiden_pinned(
+    graph: Graph,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Pinned one-round Leiden with the exact int64 gain comparator:
+    exactly ONE full-activation local-moving sweep from singletons
+    (phase 1), then exactly ONE constrained refinement sweep from
+    singletons on the intra-community edge subset (phase 2 — global
+    degrees/volumes/m2, singleton_movers + cancel_vacated, the Leiden
+    connectivity guards). Integer weights keep both phases bit-exact,
+    so a fixed SQL text replays the full round — the driver-checked
+    core of the Leiden recurrence (Traag et al. 2019), with the
+    data-dependent sweep/level loops pinned away. Returns
+    (vertex, community, refined) raw labels."""
+    sym = _sym_weighted(graph).materialize()
+    m2 = float(sym.sum("weight") or 0.0)
+    if m2 == 0.0:
+        return graph.vertices().map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "community": b["vertex"],
+                                "refined": b["vertex"]}),
+            batch_format="pyarrow", batch_size=None)
+    from igraph_ray.csr import compute_boundaries
+
+    deg = _degrees(sym)
+    assign = deg.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "deg": b["deg"],
+                            "community": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    bounds = compute_boundaries(assign, num_partitions, col="vertex")
+    assign, _moved = _one_sweep(sym, assign, m2, num_partitions,
+                                bounds=bounds, integer_gains=True)
+    # phase 2: one constrained singleton-merge sweep on intra edges
+    lab_s = assign.map_batches(
+        lambda b: pa.table({"src": b["vertex"], "p_src": b["community"]}),
+        batch_format="pyarrow", batch_size=None)
+    lab_d = assign.map_batches(
+        lambda b: pa.table({"dst": b["vertex"], "p_dst": b["community"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(sym, lab_s, on="src", num_partitions=num_partitions)
+    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions)
+
+    def _intra(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.equal(b["p_src"], b["p_dst"])
+        return pa.table({"src": b["src"].filter(keep),
+                         "dst": b["dst"].filter(keep),
+                         "weight": b["weight"].filter(keep)})
+
+    intra = j.map_batches(_intra, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    ref = assign.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "deg": b["deg"],
+                            "community": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    ref, _rm = _one_sweep(intra, ref, m2, num_partitions, bounds=bounds,
+                          integer_gains=True, singleton_movers=True,
+                          cancel_vacated=True)
+    out = hash_join(
+        assign.select_columns(["vertex", "community"]),
+        ref.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "refined": b["community"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="vertex", num_partitions=num_partitions)
+    return out.select_columns(["vertex", "community", "refined"])
+
+
 def leiden(
     graph: Graph,
     num_partitions: int = 8,

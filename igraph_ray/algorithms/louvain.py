@@ -107,6 +107,8 @@ def _one_sweep(
     cancel_vacated: bool = False,
     activation_salt: Optional[int] = None,
     resolution: float = 1.0,
+    gamma_num: int = 1,
+    gamma_den: int = 1,
 ) -> Tuple[ray.data.Dataset, int]:
     """One synchronous local-moving sweep. Returns (new assign, moved).
     ``bounds``: per-level vertex-range boundaries, computed once by the
@@ -135,7 +137,13 @@ def _one_sweep(
     pair oscillating under full activation is separated with
     probability 1/2 per salted sweep, so oscillations die geometrically
     while every run stays exactly reproducible. Callers vary the salt
-    per sweep."""
+    per sweep.
+
+    ``gamma_num``/``gamma_den``: exact rational resolution gamma for the
+    integer comparator — with ``integer_gains`` the compared quantity
+    becomes gain·den·2m² = den·m2·k_vc − num·deg·vol_eff, so any
+    gamma = num/den (e.g. the spinglass 3/2) replays bit-for-bit in SQL.
+    Ignored on the float path (use ``resolution`` there)."""
     vols = _volumes(assign, num_partitions).materialize()
 
     def _lab_dst(b: pa.Table) -> pa.Table:
@@ -206,9 +214,11 @@ def _one_sweep(
         #   kvc_cur/m − deg·(vol_cur−deg)/(2m²) for staying
         vol_eff = np.where(is_cur, volc - deg, volc)
         if integer_gains:
-            # exact int64 comparator: gain·2m² = m2·kvc − deg·vol_eff
-            gain = (np.int64(round(m2)) * kv.astype(np.int64)
-                    - deg.astype(np.int64) * vol_eff.astype(np.int64))
+            # exact int64 comparator: gain·den·2m² = den·m2·kvc − num·deg·vol_eff
+            gain = (np.int64(gamma_den) * np.int64(round(m2))
+                    * kv.astype(np.int64)
+                    - np.int64(gamma_num) * deg.astype(np.int64)
+                    * vol_eff.astype(np.int64))
         else:
             # resolution-gamma gain (RB Potts null-model scaling — the
             # spinglass family's gamma; 1.0 = plain modularity)
@@ -253,8 +263,9 @@ def _one_sweep(
         bvol_own = vol_own_s[best_idx]
         bcsize_own = (csize_own[order])[best_idx]
         if integer_gains:
-            stay_gain = (np.int64(round(m2)) * kv_cur.astype(np.int64)
-                         - bdeg.astype(np.int64)
+            stay_gain = (np.int64(gamma_den) * np.int64(round(m2))
+                         * kv_cur.astype(np.int64)
+                         - np.int64(gamma_num) * bdeg.astype(np.int64)
                          * (bvol_own - bdeg).astype(np.int64))
             move = (bc != cur_s[best_idx]) & (bg > stay_gain)
         else:
@@ -439,6 +450,67 @@ def louvain_sweeps(
         assign, _moved = _one_sweep(sym, assign, m2, num_partitions,
                                     bounds=bounds, integer_gains=True)
     return assign.select_columns(["vertex", "community"])
+
+
+def louvain_pinned(
+    graph: Graph,
+    level_sweeps: Tuple[int, ...] = (2, 1),
+    num_partitions: int = 8,
+    gamma_num: int = 1,
+    gamma_den: int = 1,
+) -> ray.data.Dataset:
+    """Pinned-schedule multilevel Louvain with the exact int64 gain
+    comparator: exactly ``level_sweeps[L]`` synchronous sweeps at level
+    L, a community contraction between levels, labels composed back to
+    the original vertices (raw labels, no renumbering — like
+    louvain_sweeps). SQL-replayable: the unroll depth is fixed and the
+    arithmetic is integer throughout (weights are integers and coarse
+    weights are integer sums), so the driver oracle replays the full
+    multilevel recurrence of community.c:2854 in unrolled CTEs —
+    including the contraction, which louvain_sweeps alone does not
+    exercise. ``gamma_num/gamma_den`` pin the RB resolution rationally
+    (the spinglass_sweeps path). Returns (vertex, community)."""
+    sym = _sym_weighted(graph).materialize()
+    m2 = float(sym.sum("weight") or 0.0)
+    if m2 == 0.0:
+        return graph.vertices().map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "community": b["vertex"]}),
+            batch_format="pyarrow", batch_size=None)
+    from igraph_ray.csr import compute_boundaries
+
+    mapping: Optional[ray.data.Dataset] = None
+    cur_sym = sym
+    for li, sweeps in enumerate(level_sweeps):
+        deg = _degrees(cur_sym)
+        assign = deg.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"], "deg": b["deg"],
+                                "community": b["vertex"]}),
+            batch_format="pyarrow", batch_size=None).materialize()
+        bounds = compute_boundaries(assign, num_partitions, col="vertex")
+        for _ in range(sweeps):
+            assign, _moved = _one_sweep(
+                cur_sym, assign, m2, num_partitions, bounds=bounds,
+                integer_gains=True, gamma_num=gamma_num,
+                gamma_den=gamma_den)
+        lvl_map = assign.select_columns(["vertex", "community"]).materialize()
+        if mapping is None:
+            mapping = lvl_map
+        else:
+            j = hash_join(
+                mapping,
+                lvl_map.map_batches(
+                    lambda b: pa.table({"community": b["vertex"],
+                                        "next": b["community"]}),
+                    batch_format="pyarrow", batch_size=None),
+                on="community", num_partitions=num_partitions)
+            mapping = j.map_batches(
+                lambda b: pa.table({"vertex": b["vertex"],
+                                    "community": b["next"]}),
+                batch_format="pyarrow", batch_size=None).materialize()
+        if li + 1 < len(level_sweeps):
+            cur_sym = _coarsen(cur_sym, lvl_map, num_partitions).materialize()
+    return mapping
 
 
 def louvain(

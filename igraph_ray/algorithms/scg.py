@@ -101,6 +101,145 @@ def scg_grouping(
         batch_format="pyarrow", batch_size=None).materialize()
 
 
+def _group_by_joint_bins(
+    vectors: ray.data.Dataset,
+    cols,
+    intervals: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """(vertex, group) from the joint equal-width-interval bins of
+    integer-valued vector columns (igraph_scg_grouping's
+    IGRAPH_SCG_INTERV rule over a caller-supplied matrix V — scg.c's
+    grouping API takes V from the user). Integer arithmetic throughout:
+    bin = min(intervals-1, (x-min)·intervals // (max-min)), so the
+    grouping replays bit-for-bit in SQL. Groups densified 0..k-1 by
+    first appearance (min vertex id)."""
+    vectors = vectors.materialize()
+    aggs = []
+    for c in cols:
+        aggs += [Min(c), Max(c)]
+    ext = vectors.aggregate(*aggs)
+    mins = np.array([int(ext[f"min({c})"]) for c in cols], dtype=np.int64)
+    maxs = np.array([int(ext[f"max({c})"]) for c in cols], dtype=np.int64)
+    width = maxs - mins
+
+    def _bins(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "group": pa.array([], pa.int64())})
+        key = np.zeros(b.num_rows, dtype=np.int64)
+        for i, c in enumerate(cols):
+            x = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if width[i] == 0:
+                bi = np.zeros(b.num_rows, dtype=np.int64)
+            else:
+                bi = ((x - mins[i]) * intervals) // width[i]
+                np.minimum(bi, intervals - 1, out=bi)
+            key = key * intervals + bi
+        return pa.table({"vertex": b["vertex"],
+                         "group": pa.array(key, pa.int64())})
+
+    binned = vectors.map_batches(_bins, batch_format="pyarrow",
+                                 batch_size=None)
+    firsts = binned.groupby("group").min("vertex").map_batches(
+        lambda b: pa.table({"group": b["group"], "minv": b["min(vertex)"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(binned, firsts, on="group", num_partitions=num_partitions)
+    bymin = j.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "group": b["minv"]}),
+        batch_format="pyarrow", batch_size=None)
+    rank = dense_rank_map(bymin, "group")
+    j2 = hash_join(
+        bymin,
+        rank.map_batches(
+            lambda b: pa.table({"group": b["group"], "dense": b["rank"]}),
+            batch_format="pyarrow", batch_size=None),
+        on="group", num_partitions=num_partitions)
+    return j2.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "group": b["dense"]}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+
+def scg_grouping_power(
+    graph: Graph,
+    intervals: int = 4,
+    steps=(2, 3),
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(vertex, group): interval grouping (scg.c igraph_scg_grouping,
+    IGRAPH_SCG_INTERV) of the exact-integer power iterates
+    x_k = A_sym^k · 1 at the requested ``steps`` — the Krylov vectors
+    the approximate SCG methods build their subspace from
+    (scg_approximate_methods.c), kept in integer arithmetic so the
+    whole grouping is SQL-replayable (the driver-checked pinned form
+    of scg_grouping; the eigenvector form stays rows-only). A_sym is
+    the simple undirected adjacency (distinct endpoint pairs, loops
+    dropped)."""
+    verts = graph.vertices().materialize()
+
+    def _und(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.concatenate([s, d]), pa.int64()),
+                         "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    und = graph.edges.map_batches(_und, batch_format="pyarrow",
+                                  batch_size=None) \
+        .groupby(["src", "dst"]).count() \
+        .map_batches(lambda b: b.select(["src", "dst"]),
+                     batch_format="pyarrow", batch_size=None).materialize()
+
+    x = verts.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "val": pa.array(
+                                np.ones(b.num_rows, np.int64), pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    recorded = {}
+    for k in range(1, max(steps) + 1):
+        msgs = hash_join(
+            und,
+            x.map_batches(
+                lambda b: pa.table({"dst": b["vertex"], "val": b["val"]}),
+                batch_format="pyarrow", batch_size=None),
+            on="dst", num_partitions=num_partitions)
+        summed = msgs.map_batches(
+            lambda b: pa.TableGroupBy(
+                pa.table({"vertex": b["src"], "val": b["val"]}), ["vertex"])
+            .aggregate([("val", "sum")]).rename_columns(["vertex", "val"]),
+            batch_format="pyarrow", batch_size=None) \
+            .groupby("vertex").sum("val") \
+            .map_batches(
+                lambda b: pa.table({"vertex": b["vertex"],
+                                    "nval": b["sum(val)"]}),
+                batch_format="pyarrow", batch_size=None)
+        x = hash_join(verts, summed, on="vertex",
+                      num_partitions=num_partitions,
+                      join_type="left_outer").map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"],
+                "val": (pc.fill_null(pc.cast(b["nval"], pa.int64()), 0)
+                        if "nval" in b.column_names
+                        else pa.array(np.zeros(b.num_rows, np.int64),
+                                      pa.int64()))}),
+            batch_format="pyarrow", batch_size=None).materialize()
+        if k in steps:
+            recorded[k] = x
+    cols = []
+    merged = None
+    for i, k in enumerate(steps):
+        c = f"d{i}"
+        cols.append(c)
+        part = recorded[k].map_batches(
+            lambda b, _c=c: pa.table({"vertex": b["vertex"], _c: b["val"]}),
+            batch_format="pyarrow", batch_size=None)
+        merged = part if merged is None else hash_join(
+            merged, part, on="vertex", num_partitions=num_partitions)
+    return _group_by_joint_bins(merged, cols, intervals, num_partitions) \
+        .sort("vertex")
+
+
 def scg_adjacency(
     graph: Graph,
     ell: int = 2,

@@ -29,7 +29,7 @@ import dataclasses
 import ray.data
 
 from igraph_ray.graph import Graph
-from igraph_ray.algorithms.louvain import louvain
+from igraph_ray.algorithms.louvain import louvain, louvain_pinned
 
 
 @dataclasses.dataclass
@@ -37,6 +37,26 @@ class SpinglassResult:
     state: ray.data.Dataset  # (vertex, community) dense 0..k-1
     modularity: float        # plain (gamma=1) modularity of the labels
     sweeps: int
+
+
+def spinglass_sweeps(
+    graph: Graph,
+    gamma_num: int = 3,
+    gamma_den: int = 2,
+    sweeps: int = 2,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Exactly ``sweeps`` synchronous T=0 spin-quench sweeps of the RB
+    Potts model at the exact rational resolution gamma = num/den, from
+    the all-singleton spin state (clustertool.cpp:98 greedy spin-update
+    semantics, pinned for the driver oracle). The Hamiltonian-decrease
+    comparison is the exact int64 quantity den·m2·k_vc − num·deg·vol_eff
+    (gain·den·2m² — RB PRE 74:016110 §III equivalence with
+    gamma-modularity), so a fixed SQL text replays it bit-for-bit.
+    Returns (vertex, community) raw spin labels."""
+    return louvain_pinned(graph, level_sweeps=(sweeps,),
+                          num_partitions=num_partitions,
+                          gamma_num=gamma_num, gamma_den=gamma_den)
 
 
 def spinglass_quench(

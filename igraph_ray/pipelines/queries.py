@@ -855,17 +855,31 @@ def q_lpa(sf_dir: str):
 
 
 def q_louvain(sf_dir: str):
-    """Multilevel modularity communities (community.c:2854 analogue) over
-    the undirected view of edges_a. Deterministic (no RNG, min-id tie
-    breaks) but not SQL-expressible AS A WHOLE: the sweep count per level
-    and the level count are data-dependent stopping rules, and a fixed
-    SQL text cannot adapt its unroll depth to them (the float gain
-    comparator is additionally summation-order sensitive). The core
-    recurrence IS driver-checked: the ``louvain_sweeps`` query replays
-    two pinned local-moving sweeps with the exact int64 gain comparator
-    against an unrolled CTE oracle, hash-green; quality gates
+    """Pinned-replay multilevel Louvain (community.c:2854 recurrence)
+    over the undirected view of edges_a: exactly 2 local-moving sweeps
+    at level 1, a community contraction, and 1 sweep on the coarse
+    graph, all with the exact int64 gain comparator — the full
+    multilevel machinery (sweep + coarsen + label composition) with the
+    data-dependent stopping rules pinned so the driver oracle replays
+    it in unrolled CTEs, hash-checked. The adaptive full algorithm is
+    ``louvain_full`` (rows-only by nature); quality gates
     (planted-partition recovery, karate modularity floor) live in
     tests/test_louvain.py."""
+    from igraph_ray.algorithms.louvain import louvain_pinned
+
+    g = derive.graph_a(sf_dir)
+    return louvain_pinned(g, level_sweeps=(2, 1),
+                          num_partitions=8).sort("vertex")
+
+
+def q_louvain_full(sf_dir: str):
+    """Adaptive multilevel Louvain (community.c:2854 analogue) over the
+    undirected view of edges_a — the user-facing full algorithm with
+    data-dependent sweep/level stopping rules (rows-only by nature: a
+    fixed SQL text cannot adapt its unroll depth; the float gain
+    comparator is additionally summation-order sensitive). The pinned
+    recurrence is driver-checked hash-green via ``louvain`` and
+    ``louvain_sweeps``."""
     from igraph_ray.algorithms.louvain import louvain
 
     g = derive.graph_a(sf_dir)
@@ -873,16 +887,29 @@ def q_louvain(sf_dir: str):
 
 
 def q_leiden(sf_dir: str):
-    """Leiden communities (Traag, Waltman & van Eck, Sci Rep 2019 — the
-    refinement-guaranteed successor of community.c:2854's multilevel
-    Louvain) over the undirected view of edges_a. Deterministic
-    (min-id tie breaks, splitmix64 half-activation damping, θ→0 greedy
-    refinement) but not SQL-expressible as a whole for the same reason
-    as ``louvain``: sweep/level counts are data-dependent stopping
-    rules. The louvain_sweeps query drives the shared local-moving
-    recurrence hash-green; Leiden-specific guarantees (refined-community
+    """Pinned-replay one-round Leiden (Traag, Waltman & van Eck, Sci
+    Rep 2019) over the undirected view of edges_a: exactly one
+    full-activation local-moving sweep from singletons, then exactly
+    one constrained refinement sweep (intra-community edge subset,
+    singleton_movers + cancel_vacated — the Leiden connectivity
+    guards), both with the exact int64 gain comparator, so the driver
+    oracle replays the round in CTEs hash-checked. Returns
+    (vertex, community, refined). The adaptive full algorithm is
+    ``leiden_full``; Leiden-specific guarantees (refined-community
     connectivity, planted recovery, Q >= Louvain) are pytest-gated in
     tests/test_leiden.py."""
+    from igraph_ray.algorithms.leiden import leiden_pinned
+
+    g = derive.graph_a(sf_dir)
+    return leiden_pinned(g, num_partitions=8).sort("vertex")
+
+
+def q_leiden_full(sf_dir: str):
+    """Adaptive multilevel Leiden over the undirected view of edges_a —
+    the user-facing full algorithm (rows-only by nature: sweep/level
+    counts are data-dependent stopping rules, same impossibility note
+    as ``louvain_full``). The one-round recurrence with the Leiden
+    refinement guards is driver-checked hash-green via ``leiden``."""
     from igraph_ray.algorithms.leiden import leiden
 
     g = derive.graph_a(sf_dir)
@@ -890,16 +917,30 @@ def q_leiden(sf_dir: str):
 
 
 def q_spinglass(sf_dir: str):
-    """Deterministic T=0 quench of the Reichardt–Bornholdt Potts model
-    (clustertool.cpp:98 semantics) at gamma=1 over the undirected view
-    of edges_a. H-minimization for the configuration null model equals
-    gamma-modularity maximization (RB PRE 74:016110 §III), realized as
-    multilevel gamma-local-moving on the shared louvain engine. Not
-    SQL-expressible as a whole (data-dependent sweep/level stopping
-    rules — same reason as ``louvain``); the louvain_sweeps query drives
-    the shared sweep recurrence hash-green, and the gamma-specific
-    behavior (planted recovery, resolution monotonicity on a ring of
-    cliques) is pytest-gated in tests/test_spinglass.py."""
+    """Pinned-replay T=0 spin quench of the Reichardt–Bornholdt Potts
+    model (clustertool.cpp:98 greedy spin-update semantics) over the
+    undirected view of edges_a: exactly 2 synchronous quench sweeps at
+    the exact rational resolution gamma = 3/2, compared as the int64
+    quantity den·m2·k_vc − num·deg·vol_eff (H-minimization for the
+    configuration null model equals gamma-modularity maximization, RB
+    PRE 74:016110 §III), so the driver oracle replays the quench
+    bit-for-bit in CTEs. The adaptive multilevel quench is
+    ``spinglass_full``; gamma-specific behavior (planted recovery,
+    resolution monotonicity on a ring of cliques) is pytest-gated in
+    tests/test_spinglass.py."""
+    from igraph_ray.algorithms.spinglass import spinglass_sweeps
+
+    g = derive.graph_a(sf_dir)
+    return spinglass_sweeps(g, gamma_num=3, gamma_den=2, sweeps=2,
+                            num_partitions=8).sort("vertex")
+
+
+def q_spinglass_full(sf_dir: str):
+    """Adaptive multilevel T=0 RB quench at gamma=1.5 over the
+    undirected view of edges_a — the user-facing full algorithm
+    (rows-only by nature: data-dependent sweep/level stopping rules,
+    same impossibility note as ``louvain_full``). The quench-sweep
+    recurrence is driver-checked hash-green via ``spinglass``."""
     from igraph_ray.algorithms.spinglass import spinglass_quench
 
     g = derive.graph_a(sf_dir)
@@ -3532,13 +3573,44 @@ def _sql_sir() -> str:
 
 
 def q_graphlets(sf_dir: str):
-    """Graphlet decomposition (igraph_graphlets, glet.c; Azari & Airoldi
-    2012) of the weighted very-sparse derived graph: one row per
-    (graphlet_id, vertex) with the EM projection weight (x10^6 rounded)
-    and the clique's threshold. Rows-only at the gate (threshold-level
-    maximal-clique enumeration + iterative EM are not SQL-expressible);
-    the EM recurrence is pytest-exact against a sequential replica of
-    glet.c:716-744 (tests/test_graphlets.py)."""
+    """Graphlet candidate basis (igraph_graphlets_candidate_basis,
+    glet.c; Azari & Airoldi 2012) of the weighted very-sparse derived
+    graph: the maximal cliques of every threshold graph G_{>=t},
+    deduplicated by vertex set and tagged with their min internal
+    weight — one row per (graphlet_id, vertex) with the threshold
+    (x10^6) and clique size, ordered by (threshold, members). The
+    basis IS SQL-expressible (per-level clique-growth CTE with the
+    outside-extension maximality test, the ``independent_sets``
+    pattern), so this is driver-checked hash-green; the iterative EM
+    projection weights are ``graphlets_mu`` (rows-only by nature,
+    pytest-exact against a sequential replica of glet.c:716-744 in
+    tests/test_graphlets.py)."""
+    from igraph_ray.algorithms.graphlets import graphlets_candidate_basis
+
+    g = derive.graph_vsparse_weighted(sf_dir)
+    cliques, thr = graphlets_candidate_basis(g, num_partitions=8)
+    gid, vs, thrs, sizes = [], [], [], []
+    for i, cq in enumerate(cliques):
+        for v in cq:
+            gid.append(i)
+            vs.append(v)
+            thrs.append(int(round(thr[i] * 1_000_000)))
+            sizes.append(len(cq))
+    return pa.table({
+        "graphlet": pa.array(gid, pa.int64()),
+        "vertex": pa.array(vs, pa.int64()),
+        "threshold_e6": pa.array(thrs, pa.int64()),
+        "size": pa.array(sizes, pa.int64()),
+    })
+
+
+def q_graphlets_mu(sf_dir: str):
+    """Full graphlet decomposition (igraph_graphlets, glet.c): the
+    candidate basis plus the EM projection weights mu (x10^6), ordered
+    by decreasing mu. Rows-only by nature (the EM multiplicative
+    update glet.c:716-744 is float-iterative); the basis half is
+    driver-checked hash-green via ``graphlets``, and the EM recurrence
+    is pytest-exact in tests/test_graphlets.py."""
     from igraph_ray.algorithms.graphlets import graphlets
 
     g = derive.graph_vsparse_weighted(sf_dir)
@@ -3560,12 +3632,30 @@ def q_graphlets(sf_dir: str):
 
 def q_scg_groups(sf_dir: str):
     """Spectral coarse graining groups (igraph_scg_grouping, scg.c,
-    IGRAPH_SCG_INTERV semantics: joint equal-width-interval bins of the
-    top-2 eigenvector components, densified by first appearance) of the
-    undirected dense derived graph. Rows-only at the gate (the
-    eigenbasis is an iterative solve, same impossibility note as
-    spectral_embedding); semiprojector algebra P·A·Pᵀ and
-    block-recovery exactness are pytest-gated in tests/test_scg.py."""
+    IGRAPH_SCG_INTERV semantics: joint equal-width-interval bins of a
+    caller-supplied vector matrix V, densified by first appearance) of
+    the undirected view of edges_a, with V = the exact-integer power
+    iterates [A²·1, A³·1] — the Krylov vectors the approximate SCG
+    methods build from (scg_approximate_methods.c), pinned to integer
+    arithmetic so the driver oracle replays the grouping bit-for-bit
+    (bin = (x−min)·intervals // (max−min), clipped). The
+    eigenvector-based grouping is ``scg_groups_spectral`` (rows-only by
+    nature); semiprojector algebra P·A·Pᵀ and block-recovery exactness
+    are pytest-gated in tests/test_scg.py."""
+    from igraph_ray.algorithms.scg import scg_grouping_power
+
+    g = derive.graph_a(sf_dir)
+    return scg_grouping_power(g, intervals=4, steps=(2, 3),
+                              num_partitions=8)
+
+
+def q_scg_groups_spectral(sf_dir: str):
+    """Spectral coarse graining groups over the top-2 eigenvector
+    components (igraph_scg_grouping on the eigenbasis — the reference's
+    default matrix). Rows-only by nature (the eigenbasis is an
+    iterative solve, same impossibility note as spectral_embedding);
+    the interval-grouping rule itself is driver-checked hash-green via
+    ``scg_groups``."""
     from igraph_ray.algorithms.scg import scg_grouping
 
     g = derive.graph_a(sf_dir)
@@ -5010,6 +5100,264 @@ def _sql_louvain_sweeps(sweeps: int = 2) -> str:
             f"JOIN stay{i} st ON st.v = a.vertex)")
     return (",\n".join(parts)
             + f"\nSELECT vertex, community FROM a{sweeps} ORDER BY vertex")
+
+
+def _sweep_cte_parts(parts, sym: str, pre: str, i: int,
+                     num: int = 1, den: int = 1) -> None:
+    """Emit the CTEs of ONE synchronous local-moving sweep (the
+    algorithms/louvain.py _one_sweep integer comparator, rational
+    gamma = num/den): {pre}a{i} -> {pre}a{i+1} over edge table ``sym``
+    (src, dst, w). Self-loop rows (present on coarsened graphs) are
+    excluded from k_vc but counted in deg/vol, matching the engine."""
+    a = f"{pre}a{i}"
+    parts.append(
+        f"{pre}vols{i} AS MATERIALIZED (SELECT community AS c, "
+        f"SUM(deg) AS vol, COUNT(*) AS csize FROM {a} GROUP BY 1)")
+    parts.append(
+        f"{pre}kvc{i} AS MATERIALIZED (SELECT s.src AS v, "
+        f"a.community AS comm, SUM(s.w) AS kvc FROM {sym} s "
+        f"JOIN {a} a ON a.vertex = s.dst WHERE s.src <> s.dst "
+        f"GROUP BY 1, 2)")
+    parts.append(
+        f"{pre}sc{i} AS MATERIALIZED (SELECT k.v, k.comm, "
+        f"({den} * (SELECT m2 FROM m2t) * k.kvc - {num} * a.deg * "
+        f"(CASE WHEN k.comm = a.community THEN vc.vol - a.deg "
+        f"ELSE vc.vol END)) AS g, "
+        f"(vo.csize = 1 AND vc.csize = 1 AND k.comm > a.community) "
+        f"AS blocked, a.community AS cur FROM {pre}kvc{i} k "
+        f"JOIN {pre}vols{i} vc ON vc.c = k.comm "
+        f"JOIN {a} a ON a.vertex = k.v "
+        f"JOIN {pre}vols{i} vo ON vo.c = a.community)")
+    parts.append(
+        f"{pre}best{i} AS MATERIALIZED (SELECT v, comm, g, cur FROM ("
+        f"SELECT v, comm, g, cur, ROW_NUMBER() OVER ("
+        f"PARTITION BY v ORDER BY g DESC, comm ASC) AS rn "
+        f"FROM {pre}sc{i} WHERE NOT blocked) WHERE rn = 1)")
+    parts.append(
+        f"{pre}stay{i} AS MATERIALIZED (SELECT a.vertex AS v, "
+        f"({den} * (SELECT m2 FROM m2t) * COALESCE(s.kvc, 0) "
+        f"- {num} * a.deg * (vo.vol - a.deg)) AS sg "
+        f"FROM {a} a JOIN {pre}vols{i} vo ON vo.c = a.community "
+        f"LEFT JOIN {pre}kvc{i} s ON s.v = a.vertex "
+        f"AND s.comm = a.community)")
+    parts.append(
+        f"{pre}a{i + 1} AS MATERIALIZED (SELECT a.vertex, a.deg, "
+        f"CASE WHEN b.comm IS NOT NULL AND b.comm <> a.community "
+        f"AND b.g > st.sg THEN b.comm ELSE a.community END AS community "
+        f"FROM {a} a LEFT JOIN {pre}best{i} b ON b.v = a.vertex "
+        f"JOIN {pre}stay{i} st ON st.v = a.vertex)")
+
+
+def _sql_louvain_pinned(edges_w_sql: str, level_sweeps=(2, 1),
+                        num: int = 1, den: int = 1) -> str:
+    """Unrolled replay of louvain_pinned (algorithms/louvain.py): per
+    level the pinned number of integer-comparator sweeps, a community
+    contraction (GROUP BY both mapped endpoints, self-loops kept — they
+    carry intra-community weight), and label composition back to the
+    original vertices. gamma = num/den scales the comparator exactly
+    (spinglass_sweeps); m2 is the level-1 total, which contraction
+    preserves."""
+    parts = [
+        f"WITH dirw AS MATERIALIZED ({edges_w_sql})",
+        "sym_l0 AS MATERIALIZED ("
+        "SELECT src, dst, CAST(weight AS BIGINT) AS w FROM dirw "
+        "WHERE src <> dst "
+        "UNION ALL SELECT dst, src, CAST(weight AS BIGINT) AS w FROM dirw "
+        "WHERE src <> dst)",
+        "m2t AS MATERIALIZED (SELECT SUM(w) AS m2 FROM sym_l0)",
+    ]
+    for lv, sweeps in enumerate(level_sweeps):
+        sym = f"sym_l{lv}"
+        pre = f"l{lv}_"
+        parts.append(
+            f"{pre}a0 AS MATERIALIZED (SELECT src AS vertex, "
+            f"SUM(w) AS deg, src AS community FROM {sym} GROUP BY src)")
+        for i in range(sweeps):
+            _sweep_cte_parts(parts, sym, pre, i, num=num, den=den)
+        if lv == 0:
+            parts.append(
+                f"map{lv} AS MATERIALIZED "
+                f"(SELECT vertex, community FROM {pre}a{sweeps})")
+        else:
+            parts.append(
+                f"map{lv} AS MATERIALIZED (SELECT m.vertex, a.community "
+                f"FROM map{lv - 1} m JOIN {pre}a{sweeps} a "
+                f"ON a.vertex = m.community)")
+        if lv + 1 < len(level_sweeps):
+            parts.append(
+                f"sym_l{lv + 1} AS MATERIALIZED (SELECT "
+                f"c1.community AS src, c2.community AS dst, SUM(s.w) AS w "
+                f"FROM {sym} s JOIN {pre}a{sweeps} c1 ON c1.vertex = s.src "
+                f"JOIN {pre}a{sweeps} c2 ON c2.vertex = s.dst "
+                f"GROUP BY 1, 2)")
+    last = len(level_sweeps) - 1
+    return (",\n".join(parts)
+            + f"\nSELECT vertex, community FROM map{last} ORDER BY vertex")
+
+
+def _sql_leiden_pinned(edges_w_sql: str) -> str:
+    """Unrolled replay of leiden_pinned (algorithms/leiden.py): one
+    integer-comparator local-moving sweep from singletons, then one
+    constrained refinement sweep from singletons on the intra-community
+    edge subset — global deg/vols/m2, singleton_movers (own csize = 1)
+    and cancel_vacated (moves into a label vacated by its sole occupant
+    this sweep are dropped) — the Leiden connectivity guards."""
+    parts = [
+        f"WITH dirw AS MATERIALIZED ({edges_w_sql})",
+        "sym_l0 AS MATERIALIZED ("
+        "SELECT src, dst, CAST(weight AS BIGINT) AS w FROM dirw "
+        "WHERE src <> dst "
+        "UNION ALL SELECT dst, src, CAST(weight AS BIGINT) AS w FROM dirw "
+        "WHERE src <> dst)",
+        "m2t AS MATERIALIZED (SELECT SUM(w) AS m2 FROM sym_l0)",
+        "l0_a0 AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS deg, "
+        "src AS community FROM sym_l0 GROUP BY src)",
+    ]
+    _sweep_cte_parts(parts, "sym_l0", "l0_", 0)
+    parts += [
+        # phase-2 input: intra-community edges under the phase-1 labels
+        "intra AS MATERIALIZED (SELECT s.src, s.dst, s.w FROM sym_l0 s "
+        "JOIN l0_a1 c1 ON c1.vertex = s.src "
+        "JOIN l0_a1 c2 ON c2.vertex = s.dst "
+        "WHERE c1.community = c2.community)",
+        "r0 AS MATERIALIZED (SELECT vertex, deg, vertex AS community "
+        "FROM l0_a1)",
+        "rvols AS MATERIALIZED (SELECT community AS c, SUM(deg) AS vol, "
+        "COUNT(*) AS csize FROM r0 GROUP BY 1)",
+        "rkvc AS MATERIALIZED (SELECT s.src AS v, r.community AS comm, "
+        "SUM(s.w) AS kvc FROM intra s JOIN r0 r ON r.vertex = s.dst "
+        "WHERE s.src <> s.dst GROUP BY 1, 2)",
+        "rsc AS MATERIALIZED (SELECT k.v, k.comm, "
+        "((SELECT m2 FROM m2t) * k.kvc - a.deg * "
+        "(CASE WHEN k.comm = a.community THEN vc.vol - a.deg "
+        "ELSE vc.vol END)) AS g, "
+        "(vo.csize = 1 AND vc.csize = 1 AND k.comm > a.community) "
+        "AS blocked, a.community AS cur, vo.csize AS csize_own "
+        "FROM rkvc k JOIN rvols vc ON vc.c = k.comm "
+        "JOIN r0 a ON a.vertex = k.v "
+        "JOIN rvols vo ON vo.c = a.community)",
+        "rbest AS MATERIALIZED (SELECT v, comm, g, cur, csize_own FROM ("
+        "SELECT v, comm, g, cur, csize_own, ROW_NUMBER() OVER ("
+        "PARTITION BY v ORDER BY g DESC, comm ASC) AS rn "
+        "FROM rsc WHERE NOT blocked) WHERE rn = 1)",
+        "rstay AS MATERIALIZED (SELECT a.vertex AS v, "
+        "((SELECT m2 FROM m2t) * COALESCE(s.kvc, 0) "
+        "- a.deg * (vo.vol - a.deg)) AS sg "
+        "FROM r0 a JOIN rvols vo ON vo.c = a.community "
+        "LEFT JOIN rkvc s ON s.v = a.vertex AND s.comm = a.community)",
+        "rmv AS MATERIALIZED (SELECT b.v, b.comm FROM rbest b "
+        "JOIN rstay st ON st.v = b.v "
+        "WHERE b.comm <> b.cur AND b.g > st.sg AND b.csize_own = 1)",
+        "rsurv AS MATERIALIZED (SELECT v, comm FROM rmv "
+        "WHERE comm NOT IN (SELECT v FROM rmv))",
+        "r1 AS MATERIALIZED (SELECT r.vertex, "
+        "COALESCE(s.comm, r.community) AS refined FROM r0 r "
+        "LEFT JOIN rsurv s ON s.v = r.vertex)",
+    ]
+    return (",\n".join(parts)
+            + "\nSELECT a.vertex, a.community, r.refined FROM l0_a1 a "
+            "JOIN r1 r ON r.vertex = a.vertex ORDER BY a.vertex")
+
+
+def _sql_scg_groups(intervals: int = 4) -> str:
+    """Replay of scg_grouping_power (algorithms/scg.py): exact-integer
+    power iterates x_k = A_sym^k · 1 (simple undirected adjacency) at
+    k = 2, 3; per-column equal-width integer bins
+    (x−min)·intervals // (max−min) clipped to intervals−1 (width 0 →
+    bin 0); joint key bin0·intervals + bin1; groups densified by first
+    appearance (DENSE_RANK over the min member vertex)."""
+    return f"""
+WITH e AS MATERIALIZED ({derive.SQL_EDGES_A}),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+verts AS MATERIALIZED ({derive.SQL_VERTS_A}),
+x1 AS MATERIALIZED (SELECT v.v AS vertex,
+  COALESCE(s.c, 0) AS val FROM verts v LEFT JOIN
+  (SELECT src, COUNT(*) AS c FROM und GROUP BY src) s ON s.src = v.v),
+x2 AS MATERIALIZED (SELECT v.v AS vertex, COALESCE(s.c, 0) AS val
+  FROM verts v LEFT JOIN
+  (SELECT u.src, SUM(x.val) AS c FROM und u
+   JOIN x1 x ON x.vertex = u.dst GROUP BY u.src) s ON s.src = v.v),
+x3 AS MATERIALIZED (SELECT v.v AS vertex, COALESCE(s.c, 0) AS val
+  FROM verts v LEFT JOIN
+  (SELECT u.src, SUM(x.val) AS c FROM und u
+   JOIN x2 x ON x.vertex = u.dst GROUP BY u.src) s ON s.src = v.v),
+cols AS MATERIALIZED (SELECT a.vertex, a.val AS d0, b.val AS d1
+  FROM x2 a JOIN x3 b ON b.vertex = a.vertex),
+ext AS MATERIALIZED (SELECT MIN(d0) AS mn0, MAX(d0) AS mx0,
+  MIN(d1) AS mn1, MAX(d1) AS mx1 FROM cols),
+keys AS MATERIALIZED (SELECT vertex,
+  (CASE WHEN mx0 = mn0 THEN 0 ELSE LEAST({intervals - 1},
+     ((d0 - mn0) * {intervals}) // (mx0 - mn0)) END) * {intervals}
+  + (CASE WHEN mx1 = mn1 THEN 0 ELSE LEAST({intervals - 1},
+     ((d1 - mn1) * {intervals}) // (mx1 - mn1)) END) AS k
+  FROM cols, ext),
+firsts AS MATERIALIZED (SELECT k, MIN(vertex) AS minv
+  FROM keys GROUP BY k),
+ranks AS MATERIALIZED (SELECT k,
+  CAST(DENSE_RANK() OVER (ORDER BY minv) - 1 AS BIGINT) AS grp
+  FROM firsts)
+SELECT ks.vertex, r.grp AS "group"
+FROM keys ks JOIN ranks r ON r.k = ks.k ORDER BY ks.vertex
+"""
+
+
+def _sql_graphlets(max_w: int = 10) -> str:
+    """Replay of graphlets_candidate_basis (algorithms/graphlets.py):
+    for every threshold t the maximal cliques (size >= 2) of G_{>=t}
+    via the ascending clique-growth CTE with the outside-extension
+    maximality test (the ``independent_sets`` pattern), deduplicated by
+    vertex set, tagged with their min internal weight, ordered by
+    (threshold, members). Levels not among the distinct weights yield
+    the same threshold graph as the next present level, so enumerating
+    every t in 1..{max_w} reproduces the engine's distinct-level sweep
+    after the UNION dedup (vsparse weights are o_orderkey%10+1)."""
+    parts = [
+        f"WITH RECURSIVE dirw AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE_W})",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, "
+        "GREATEST(src, dst) AS hi, CAST(MAX(weight) AS BIGINT) AS w "
+        "FROM dirw GROUP BY 1, 2)",
+    ]
+    unions = []
+    for t in range(1, max_w + 1):
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT lo, hi FROM und WHERE w >= {t})")
+        parts.append(
+            f"adj{t} AS MATERIALIZED (SELECT lo AS a, hi AS b FROM g{t} "
+            f"UNION ALL SELECT hi, lo FROM g{t})")
+        parts.append(
+            f"cl{t} AS (SELECT [a] AS members, a AS last FROM "
+            f"(SELECT DISTINCT a FROM adj{t}) "
+            f"UNION "
+            f"SELECT list_append(c.members, u.hi), u.hi "
+            f"FROM cl{t} c JOIN g{t} u ON u.lo = c.last "
+            f"WHERE (SELECT COUNT(*) FROM adj{t} a "
+            f"WHERE a.a = u.hi AND list_contains(c.members, a.b)) "
+            f"= len(c.members))")
+        parts.append(
+            f"maxcl{t} AS MATERIALIZED (SELECT members FROM cl{t} c "
+            f"WHERE len(members) >= 2 AND NOT EXISTS ("
+            f"SELECT 1 FROM adj{t} a "
+            f"WHERE list_contains(c.members, a.b) "
+            f"AND NOT list_contains(c.members, a.a) "
+            f"GROUP BY a.a HAVING COUNT(*) = len(c.members)))")
+        unions.append(f"SELECT members FROM maxcl{t}")
+    parts.append(
+        "allcl AS MATERIALIZED (SELECT DISTINCT members FROM ("
+        + " UNION ALL ".join(unions) + "))")
+    parts.append(
+        "thr AS MATERIALIZED (SELECT members, "
+        "(SELECT MIN(u.w) FROM und u WHERE list_contains(members, u.lo) "
+        "AND list_contains(members, u.hi)) AS t FROM allcl)")
+    parts.append(
+        "ranked AS MATERIALIZED (SELECT members, t, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY t, members) - 1 AS BIGINT) "
+        "AS gid FROM thr)")
+    return (",\n".join(parts)
+            + "\nSELECT gid AS graphlet, UNNEST(members) AS vertex, "
+            "CAST(t * 1000000 AS BIGINT) AS threshold_e6, "
+            "CAST(len(members) AS BIGINT) AS size "
+            "FROM ranked ORDER BY graphlet, vertex")
 
 
 def _sql_mst(rounds: int = 10) -> str:
@@ -6871,6 +7219,11 @@ def queries() -> Dict[str, Callable]:
         "clique_number": q_clique_number,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
+        "louvain_full": q_louvain_full,
+        "leiden_full": q_leiden_full,
+        "spinglass_full": q_spinglass_full,
+        "scg_groups_spectral": q_scg_groups_spectral,
+        "graphlets_mu": q_graphlets_mu,
     }
 
 
@@ -7575,6 +7928,16 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "mis": _sql_mis(),
         "matching": _sql_matching(),
         "louvain_sweeps": _sql_louvain_sweeps(),
+        "louvain": _sql_louvain_pinned(
+            f"SELECT src, dst, 1 AS weight FROM ({SQL_EDGES_A})",
+            level_sweeps=(2, 1)),
+        "leiden": _sql_leiden_pinned(
+            f"SELECT src, dst, 1 AS weight FROM ({SQL_EDGES_A})"),
+        "spinglass": _sql_louvain_pinned(
+            f"SELECT src, dst, 1 AS weight FROM ({SQL_EDGES_A})",
+            level_sweeps=(2,), num=3, den=2),
+        "scg_groups": _sql_scg_groups(),
+        "graphlets": _sql_graphlets(),
         "barabasi": _sql_barabasi(),
         "callaway": _sql_callaway(),
         "hrg_game": _sql_hrg_game(),
