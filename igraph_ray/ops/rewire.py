@@ -200,112 +200,179 @@ def _repair_round(
     seed: int,
     rnd: int,
     num_partitions: int,
-    tail_cap: int,
+    tail_cap: int = 0,  # retained for API compat; repair is uncapped now
 ) -> ray.data.Dataset:
     """One targeted edge-swap repair round (the distributed analogue of the
     reference's rejection trials, games.c:2816): pair each violating row
     with one seeded-random clean partner, propose the dst swap
     (b.src,c.dst)+(c.src,b.dst), and accept ONLY swaps whose two new pairs
     are loop-free, mutually distinct across this round's proposals, and
-    absent from the current edge multiset (one distributed membership
-    semi-join of the small proposal table against the full edge table).
-    Accepted swaps strictly reduce the violation count and can never
-    introduce a new violation — unlike blind re-permutation, which
-    re-collides at the graph's density rate and stalls on dense inputs.
+    absent from the current edge multiset. Accepted swaps strictly reduce
+    the violation count and can never introduce a new violation — unlike
+    blind re-permutation, which re-collides at the graph's density rate
+    and stalls on dense inputs.
 
-    Driver-side state is O(min(n_bad, tail_cap)) rows; the edge table
-    itself stays distributed (rowid-keyed replacement map broadcast into
-    map_batches)."""
+    Fully distributed: pairing is a rank-position hash join (violators
+    ranked by rowid, partners by seeded hash — the keyed-segment exchange
+    pattern), proposal-key distinctness is a groupby-min over the 2k key
+    rows, multiset membership is a left-outer join against the edge
+    table, and the accepted replacements apply through one rowid join.
+    The driver holds only scalar counts; no violation cap, so repair
+    semantics are identical at any violation volume."""
     rsd = np.uint64((seed + 1) * 1_000_003 + rnd)
+    from igraph_ray.ops.layout import _global_rank
 
-    def _pull(ds: ray.data.Dataset) -> pa.Table:
-        t = ds.to_pandas()
-        return t
-
-    # violating tail, deterministic order, capped
-    bad_df = _pull(
-        flagged.map_batches(
-            lambda t: t.filter(t["bad"]).select(["rowid", "src", "dst"]),
-            batch_format="pyarrow", batch_size=None,
-        )
-    ).sort_values("rowid").head(tail_cap)
-    k = len(bad_df)
+    # violating rows, deterministically ranked by rowid
+    bad = flagged.map_batches(
+        lambda t: t.filter(t["bad"]).select(["rowid", "src", "dst"])
+        if "bad" in t.column_names else
+        pa.table({"rowid": pa.array([], pa.int64()),
+                  "src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    bad_ranked = _global_rank(bad, ["rowid"], "pos").map_batches(
+        lambda t: pa.table({"pos": t["pos"], "b_rid": t["rowid"],
+                            "b_src": t["src"], "b_dst": t["dst"]}),
+        batch_format="pyarrow", batch_size=None)
+    k = n_bad
     total = flagged.count()
     frac = min(1.0, (4.0 * k + 64.0) / max(1, total - n_bad))
 
     def _sample_clean(t: pa.Table, _rsd=rsd, _frac=frac) -> pa.Table:
+        empty = pa.table({"rowid": pa.array([], pa.int64()),
+                          "src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "bad" not in t.column_names:
+            return empty
         good = pc.invert(t["bad"]).to_numpy(zero_copy_only=False)
         rid = t["rowid"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = _splitmix(rid ^ _rsd)
         pick = good & ((h.astype(np.float64) / 2**64) < _frac)
-        return t.filter(pa.array(pick)).select(["rowid", "src", "dst"])
+        out = t.filter(pa.array(pick)).select(["rowid", "src", "dst"])
+        return out.append_column(
+            "h", pa.array(h[pick].astype(np.int64), pa.int64()))
 
-    part_df = _pull(
-        flagged.map_batches(_sample_clean, batch_format="pyarrow", batch_size=None)
-    )
-    if len(part_df) == 0:
-        return flagged.select_columns(["rowid", "src", "dst"]).map_batches(
-            lambda t: t.select(["src", "dst"]), batch_format="pyarrow", batch_size=None
-        )
-    # pseudo-random deterministic pairing order
-    ph = _splitmix(part_df["rowid"].to_numpy().astype(np.uint64) + rsd)
-    part_df = part_df.iloc[np.argsort(ph, kind="stable")].head(max(k, 1))
-    kk = min(k, len(part_df))
-    b_rid = bad_df["rowid"].to_numpy()[:kk]
-    b_src = bad_df["src"].to_numpy()[:kk]
-    b_dst = bad_df["dst"].to_numpy()[:kk]
-    c_rid = part_df["rowid"].to_numpy()[:kk]
-    c_src = part_df["src"].to_numpy()[:kk]
-    c_dst = part_df["dst"].to_numpy()[:kk]
-    n1s, n1d = b_src, c_dst  # proposal's first new pair
-    n2s, n2d = c_src, b_dst  # and second
-    ok = (n1s != n1d) & (n2s != n2d)
-    # all 2·k proposed keys must be mutually distinct (first occurrence
-    # wins); a proposal needs BOTH its keys to be first occurrences
-    keys = np.concatenate(
-        [np.stack([n1s, n1d], axis=1), np.stack([n2s, n2d], axis=1)]
-    )
-    _, first_idx = np.unique(keys, axis=0, return_index=True)
-    is_first = np.zeros(2 * kk, dtype=bool)
-    is_first[first_idx] = True
-    ok &= is_first[:kk] & is_first[kk:]
-    # distributed membership: which proposed keys already exist?
-    prop_keys = pa.table(
-        {"src": pa.array(keys[:, 0], pa.int64()),
-         "dst": pa.array(keys[:, 1], pa.int64()),
-         "pk": pa.array(np.arange(2 * kk), pa.int64())}
-    )
-    existing = hash_join(
-        flagged.select_columns(["src", "dst"]),
-        ray.data.from_arrow(prop_keys),
-        on=("src", "dst"), num_partitions=num_partitions,
-    ).to_pandas()
-    hit = np.zeros(2 * kk, dtype=bool)
-    if len(existing):
-        hit[existing["pk"].to_numpy()] = True
-    ok &= ~hit[:kk] & ~hit[kk:]
-    # rowid-keyed replacement map for accepted swaps, broadcast once
-    rep_rid = np.concatenate([b_rid[ok], c_rid[ok]])
-    rep_src = np.concatenate([n1s[ok], n2s[ok]])
-    rep_dst = np.concatenate([n1d[ok], n2d[ok]])
-    order = np.argsort(rep_rid, kind="stable")
-    rep_ref = ray.put(
-        {"rid": rep_rid[order], "src": rep_src[order], "dst": rep_dst[order]}
-    )
+    partners = flagged.map_batches(_sample_clean, batch_format="pyarrow",
+                                   batch_size=None)
+    if partners.count() == 0:
+        return flagged.select_columns(["src", "dst"])
+    # deterministic pseudo-random pairing order: rank partners by
+    # (hash, rowid) and join rank-to-rank with the violator stream
+    part_ranked = _global_rank(partners, ["h", "rowid"], "pos").map_batches(
+        lambda t: pa.table({"pos": t["pos"], "c_rid": t["rowid"],
+                            "c_src": t["src"], "c_dst": t["dst"]}),
+        batch_format="pyarrow", batch_size=None)
+    props = hash_join(bad_ranked, part_ranked, on="pos",
+                      num_partitions=num_partitions).materialize()
+    kk = props.count()
+    if kk == 0:
+        return flagged.select_columns(["src", "dst"])
+
+    # 2·kk proposal keys, pk = global first-occurrence index (n1 keys at
+    # pos, n2 keys at pos+kk — the concatenated layout of the original
+    # distinctness rule)
+    def _keys(t: pa.Table, _kk=kk) -> pa.Table:
+        if t.num_rows == 0 or "pos" not in t.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "pk": pa.array([], pa.int64())})
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        n1s = t["b_src"].to_numpy(zero_copy_only=False)
+        n1d = t["c_dst"].to_numpy(zero_copy_only=False)
+        n2s = t["c_src"].to_numpy(zero_copy_only=False)
+        n2d = t["b_dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([n1s, n2s]), pa.int64()),
+            "dst": pa.array(np.concatenate([n1d, n2d]), pa.int64()),
+            "pk": pa.array(np.concatenate([pos, pos + _kk]), pa.int64())})
+
+    key_rows = props.map_batches(_keys, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    # first occurrence per proposed key (mutual distinctness)
+    winners = key_rows.groupby(["src", "dst"]).min("pk").map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"],
+                            "win_pk": t["min(pk)"]}),
+        batch_format="pyarrow", batch_size=None)
+    keyed = hash_join(key_rows, winners, on=("src", "dst"),
+                      num_partitions=num_partitions)
+    # multiset membership: proposed keys already present in the edge
+    # table — one broadcast semi-join streaming over the edges (the
+    # key_rows side is O(n_bad) and broadcasts; no edge-table shuffle)
+    hits = hash_join(flagged.select_columns(["src", "dst"]), key_rows,
+                     on=("src", "dst"), num_partitions=num_partitions) \
+        .groupby("pk").count().map_batches(
+            lambda t: pa.table({"pk": t["pk"],
+                                "hit": pc.cast(
+                                    pc.greater(t["count()"], 0),
+                                    pa.int8())}),
+            batch_format="pyarrow", batch_size=None)
+    keyed = hash_join(keyed, hits, on="pk",
+                      num_partitions=num_partitions,
+                      join_type="left_outer")
+
+    def _key_ok(t: pa.Table, _kk=kk) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "okc": pa.array([], pa.int64())})
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        win = t["win_pk"].to_numpy(zero_copy_only=False)
+        hit = (pc.is_valid(t["hit"]).to_numpy(zero_copy_only=False)
+               if "hit" in t.column_names else np.zeros(len(pk), bool))
+        ok = (pk == win) & ~hit
+        pos = np.where(pk < _kk, pk, pk - _kk)
+        return pa.table({"pos": pa.array(pos, pa.int64()),
+                         "okc": pa.array(ok.astype(np.int64), pa.int64())})
+
+    # a proposal is accepted iff BOTH its key rows pass: sum(okc) == 2
+    ok_pos = keyed.map_batches(_key_ok, batch_format="pyarrow",
+                               batch_size=None) \
+        .groupby("pos").sum("okc").map_batches(
+            lambda t: pa.table({"pos": t["pos"], "n_ok": t["sum(okc)"]}),
+            batch_format="pyarrow", batch_size=None)
+    accepted = hash_join(props, ok_pos, on="pos",
+                         num_partitions=num_partitions)
+
+    def _repl(t: pa.Table) -> pa.Table:
+        empty = pa.table({"rowid": pa.array([], pa.int64()),
+                          "new_src": pa.array([], pa.int64()),
+                          "new_dst": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "n_ok" not in t.column_names:
+            return empty
+        keep = (t["n_ok"].to_numpy(zero_copy_only=False) == 2)
+        # loop-free guard on both new pairs
+        n1s = t["b_src"].to_numpy(zero_copy_only=False)
+        n1d = t["c_dst"].to_numpy(zero_copy_only=False)
+        n2s = t["c_src"].to_numpy(zero_copy_only=False)
+        n2d = t["b_dst"].to_numpy(zero_copy_only=False)
+        keep &= (n1s != n1d) & (n2s != n2d)
+        b_rid = t["b_rid"].to_numpy(zero_copy_only=False)[keep]
+        c_rid = t["c_rid"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "rowid": pa.array(np.concatenate([b_rid, c_rid]), pa.int64()),
+            "new_src": pa.array(np.concatenate([n1s[keep], n2s[keep]]),
+                                pa.int64()),
+            "new_dst": pa.array(np.concatenate([n1d[keep], n2d[keep]]),
+                                pa.int64())})
+
+    repl = accepted.map_batches(_repl, batch_format="pyarrow",
+                                batch_size=None)
+    merged = hash_join(flagged.select_columns(["rowid", "src", "dst"]),
+                       repl, on="rowid", num_partitions=num_partitions,
+                       join_type="left_outer")
 
     def _apply(t: pa.Table) -> pa.Table:
-        rep = ray.get(rep_ref)
-        rid = t["rowid"].to_numpy(zero_copy_only=False)
-        s = t["src"].to_numpy(zero_copy_only=False).copy()
-        d = t["dst"].to_numpy(zero_copy_only=False).copy()
-        pos = np.searchsorted(rep["rid"], rid)
-        pos_c = np.clip(pos, 0, len(rep["rid"]) - 1)
-        m = (len(rep["rid"]) > 0) & (rep["rid"][pos_c] == rid)
-        s[m] = rep["src"][pos_c[m]]
-        d[m] = rep["dst"][pos_c[m]]
-        return pa.table({"src": pa.array(s), "dst": pa.array(d)})
+        if "new_src" not in t.column_names:  # no accepted swaps this round
+            return t.select(["src", "dst"])
+        s = pc.if_else(pc.is_null(t["new_src"]), t["src"],
+                       pc.cast(t["new_src"], pa.int64()))
+        d = pc.if_else(pc.is_null(t["new_dst"]), t["dst"],
+                       pc.cast(t["new_dst"], pa.int64()))
+        return pa.table({"src": s, "dst": d})
 
-    return flagged.map_batches(_apply, batch_format="pyarrow", batch_size=None)
+    return merged.map_batches(_apply, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def rewire_edges(

@@ -106,3 +106,33 @@ def test_graph_attrs_save_load(tmp_path):
     assert g2.num_vertices() == n
     assert g2.num_edges() == len(s)
     assert _pairs(g2.edges) == set(zip(s.astype(int), d.astype(int)))
+
+
+def test_rewire_dense_uncapped_repair():
+    """Dense fixture: the permutation collides at the density rate, so
+    the violation count is large — the distributed repair must fix ALL
+    of them with no driver-side cap changing semantics (the round-3
+    tail_cap is retained in the signature but ignored)."""
+    n = 60
+    # dense digraph: |E| ≈ 60*59*0.3 ≈ 1060 — the permutation collides
+    # on ~30% of rows (166 violations with this seed), far beyond what
+    # a per-round cap of 1 could repair in max_rounds
+    rng = np.random.RandomState(11)
+    s, d = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    s, d = s.ravel(), d.ravel()
+    keep = (s != d) & (rng.rand(len(s)) < 0.3)
+    s = s[keep].astype(np.int64)
+    d = d[keep].astype(np.int64)
+    out = rewire(_mk(s, d), seed=3, num_partitions=4,
+                 tail_cap=1).materialize()
+    t = out.to_pandas()
+    np.testing.assert_array_equal(
+        np.bincount(t["src"], minlength=n), np.bincount(s, minlength=n))
+    np.testing.assert_array_equal(
+        np.bincount(t["dst"], minlength=n), np.bincount(d, minlength=n))
+    assert is_simple(out)
+    # tail_cap is semantics-free: same seed, any cap -> identical output
+    t2 = rewire(_mk(s, d), seed=3, num_partitions=4,
+                tail_cap=10**9).to_pandas()
+    key = lambda x: sorted(zip(x["src"].astype(int), x["dst"].astype(int)))
+    assert key(t) == key(t2)
