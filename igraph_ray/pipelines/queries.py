@@ -3428,6 +3428,83 @@ def _sql_subiso_cycle4() -> str:
     )
 
 
+# general subgraph-isomorphism patterns (topology.c:1720 VF2 contract —
+# arbitrary connected query graphs; the engine's binding-join plan takes
+# any pattern, these pin the driver-checked instances)
+SUBISO_TREE5 = [(0, 1), (1, 2), (1, 3), (3, 4)]     # spider tree T5
+SUBISO_HOUSE = [(0, 1), (1, 2), (2, 3), (3, 0),
+                (0, 4), (1, 4)]                      # C4 + apex triangle
+
+
+def _sql_subiso_pattern(pedges) -> str:
+    """Join-chain oracle for count_sub_isomorphisms over the undirected
+    sparse view, for an ARBITRARY connected pattern: bind the pattern
+    vertices in the engine's own BFS order (algorithms/subiso.py
+    _pattern_order), one sym join per spanning edge, every residual
+    pattern edge as an EXISTS semi join, injectivity as pairwise <>."""
+    from igraph_ray.algorithms.subiso import _pattern_order
+    from igraph_ray.pipelines.derive import SQL_EDGES_SPARSE
+
+    eset = set()
+    for a, b in pedges:
+        eset.add((a, b))
+        eset.add((b, a))
+    p = max(max(a, b) for a, b in pedges) + 1
+    order = _pattern_order(p, pedges)
+    col = {order[0]: "t0.a", order[1]: "t0.b"}
+    joins = ["sym t0"]
+    conds = []
+    bound = [order[0], order[1]]
+    ti = 0
+    for vi in order[2:]:
+        anchor = next(u for u in bound if (u, vi) in eset)
+        ti += 1
+        joins.append(f"JOIN sym t{ti} ON t{ti}.a = {col[anchor]}")
+        col[vi] = f"t{ti}.b"
+        for u in bound:
+            conds.append(f"{col[vi]} <> {col[u]}")
+        for u in bound:
+            if u != anchor and (u, vi) in eset:
+                conds.append(
+                    f"EXISTS (SELECT 1 FROM sym s WHERE "
+                    f"s.a = {col[u]} AND s.b = {col[vi]})")
+        bound.append(vi)
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return (f"WITH se AS MATERIALIZED ({SQL_EDGES_SPARSE}),\n"
+            f"{_SQL_SYM_SPARSE}\n"
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n_maps "
+            f"FROM {' '.join(joins)}{where}")
+
+
+def q_subiso_tree5(sf_dir: str):
+    """Count of injective maps of the 5-vertex spider tree
+    (igraph_count_subisomorphisms_vf2, topology.c:1720, non-induced —
+    arbitrary-pattern surface) in the undirected sparse view; the
+    engine's binding-join plan handles any connected pattern, oracle
+    generated by the same BFS-order join chain."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_sparse(sf_dir)
+    n = count_sub_isomorphisms(
+        g, [a for a, _ in SUBISO_TREE5], [b for _, b in SUBISO_TREE5],
+        directed=False, num_partitions=8)
+    return pa.table({"n_maps": pa.array([n], pa.int64())})
+
+
+def q_subiso_house(sf_dir: str):
+    """Count of injective maps of the 5-vertex house graph (C4 plus an
+    apex adjacent to two corners — a pattern with residual non-spanning
+    edges, exercising the semi-join checks of the binding plan) in the
+    undirected sparse view."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_sparse(sf_dir)
+    n = count_sub_isomorphisms(
+        g, [a for a, _ in SUBISO_HOUSE], [b for _, b in SUBISO_HOUSE],
+        directed=False, num_partitions=8)
+    return pa.table({"n_maps": pa.array([n], pa.int64())})
+
+
 def q_community_eb(sf_dir: str):
     """Girvan–Newman edge-betweenness dendrogram
     (igraph_community_edge_betweenness, community.c:312) — first 6
@@ -7224,6 +7301,8 @@ def queries() -> Dict[str, Callable]:
         "spinglass_full": q_spinglass_full,
         "scg_groups_spectral": q_scg_groups_spectral,
         "graphlets_mu": q_graphlets_mu,
+        "subiso_tree5": q_subiso_tree5,
+        "subiso_house": q_subiso_house,
     }
 
 
@@ -7989,6 +8068,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
             f"({derive.SQL_EDGES_SPARSE}) t"
         ),
         "subiso_cycle4": _sql_subiso_cycle4(),
+        "subiso_tree5": _sql_subiso_pattern(SUBISO_TREE5),
+        "subiso_house": _sql_subiso_pattern(SUBISO_HOUSE),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

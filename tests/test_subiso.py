@@ -43,6 +43,11 @@ PATTERNS = {
     "path4": [(0, 1), (1, 2), (2, 3)],
     "cycle4": [(0, 1), (1, 2), (2, 3), (3, 0)],
     "claw": [(0, 1), (0, 2), (0, 3)],
+    # arbitrary 5-vertex patterns (general-pattern surface): a branching
+    # spider tree and the house graph (C4 + apex — exercises residual
+    # non-spanning pattern edges, i.e. the semi-join checks)
+    "tree5": [(0, 1), (1, 2), (1, 3), (3, 4)],
+    "house": [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (1, 4)],
 }
 
 
