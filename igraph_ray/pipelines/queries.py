@@ -1842,6 +1842,151 @@ WHERE pk.rp < ({pcase})
 ORDER BY src, dst"""
 
 
+# --- sequential-roulette growth-game tail (games.c psumtree family) ----
+# Draw values are pure md5 functions of (seed, step, j), so they are
+# precomputed HERE and embedded as integer literals; the SQL replays
+# only the state evolution — one MATERIALIZED CTE chain carrying the
+# accumulated edge table, with the exact-integer roulette
+#   to = MIN(v) WHERE draw32 * S <= 2^32 * cum_incl(v)
+# (the microscopic_update.c oracle convention).
+
+RECENT_DEGREE_PARAMS = dict(n=64, m=2, window=4, zero_appeal=1, seed=17)
+LASTCIT_PARAMS = dict(n=64, edges_per_node=1, agebins=3,
+                      preference=(6, 3, 2, 1), seed=19)
+BARABASI_AGING_PARAMS = dict(n=64, m=2, aging_bin=3, seed=23)
+
+
+def q_recent_degree(sf_dir: str):
+    """Recent-degree growth game (igraph_recent_degree_game,
+    games.c:1574; power=1, zero_appeal=1, outpref=False): each new
+    vertex cites m targets ∝ (citations gained in the last `window`
+    steps) + 1. Input-independent like barabasi; the oracle replays the
+    windowed-count state per step."""
+    from igraph_ray.sources.games import recent_degree_game
+
+    return recent_degree_game(**RECENT_DEGREE_PARAMS).sort(["src", "dst"])
+
+
+def q_lastcit(sf_dir: str):
+    """Last-citation growth game (igraph_lastcit_game, games.c:3033):
+    each new vertex cites one target ∝ preference[lag bin of the
+    target's last citation] (never-cited tail positive). The oracle
+    carries lastcit state via MAX(step) over the accumulated edges."""
+    from igraph_ray.sources.games import lastcit_game
+
+    return lastcit_game(**LASTCIT_PARAMS).sort(["src", "dst"])
+
+
+def q_barabasi_aging(sf_dir: str):
+    """Preferential attachment with aging (igraph_barabasi_aging_game,
+    games.c:1732; pa_exp=1, aging_exp=-1, coefs 1, zero_age_appeal=0):
+    weight = (deg+1)/(age+1), with the reference's own event order —
+    including its (age+2) aging-boundary factor — replayed via
+    LCM-scaled integer weights."""
+    from igraph_ray.sources.games import barabasi_aging_game
+
+    return barabasi_aging_game(**BARABASI_AGING_PARAMS).sort(["src", "dst"])
+
+
+def _seq_game_draws(seed: int, tag: str, n: int, m: int):
+    from igraph_ray.sources.games import _draw32
+
+    return {(i, j): _draw32(seed, tag, i, j)
+            for i in range(1, n) for j in range(m)}
+
+
+def _seq_game_sql(n: int, m: int, w_expr_fn, draws) -> str:
+    """Shared unrolled-CTE chain: e{i} accumulates (s, d) edge rows;
+    w_expr_fn(i) -> SQL producing (v, w) for v in range(i) given
+    e{i-1}; every step's m picks use the same pre-step cumsum (the
+    reference updates its psumtree after the draw loop)."""
+    parts = ["WITH e0(s, d) AS MATERIALIZED "
+             "(SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) "
+             "WHERE FALSE)"]
+    for i in range(1, n):
+        parts.append(
+            f", w{i} AS MATERIALIZED ({w_expr_fn(i)})"
+            f", c{i} AS MATERIALIZED (SELECT v, "
+            f"SUM(w) OVER (ORDER BY v) AS c, SUM(w) OVER () AS s1 "
+            f"FROM w{i})")
+        arms = " ".join(
+            f"UNION ALL SELECT {i}, (SELECT MIN(v) FROM c{i} "
+            f"WHERE CAST({draws[(i, j)]} AS BIGINT) * s1 <= "
+            f"4294967296 * c)"
+            for j in range(m))
+        parts.append(
+            f", e{i} AS MATERIALIZED (SELECT s, d FROM e{i - 1} {arms})")
+    parts.append(
+        f" SELECT CAST(s AS BIGINT) AS src, CAST(d AS BIGINT) AS dst "
+        f"FROM e{n - 1} ORDER BY src, dst")
+    return "".join(parts)
+
+
+def _sql_recent_degree() -> str:
+    p = RECENT_DEGREE_PARAMS
+    n, m, W, za = p["n"], p["m"], p["window"], p["zero_appeal"]
+    draws = _seq_game_draws(p["seed"], "rd", n, m)
+
+    def w_expr(i: int) -> str:
+        return (f"SELECT r.range AS v, {za} + "
+                f"(SELECT COUNT(*) FROM e{i - 1} pe "
+                f"WHERE pe.d = r.range AND pe.s >= {i - W + 1}) AS w "
+                f"FROM range({i}) r")
+
+    return _seq_game_sql(n, m, w_expr, draws)
+
+
+def _sql_lastcit() -> str:
+    p = LASTCIT_PARAMS
+    n, A = p["n"], p["agebins"]
+    pref = list(p["preference"])
+    bw = n // A + 1
+    draws = _seq_game_draws(p["seed"], "lc", n, p["edges_per_node"])
+    kcase = ("CASE CAST(({i} - 1 - lc.c) // " + str(bw) + " AS BIGINT) "
+             + " ".join(f"WHEN {k} THEN {pref[k]}" for k in range(A))
+             + " END")
+
+    def w_expr(i: int) -> str:
+        return (f"SELECT r.range AS v, CASE WHEN lc.c IS NULL "
+                f"THEN {pref[A]} ELSE {kcase.format(i=i)} END AS w "
+                f"FROM range({i}) r LEFT JOIN "
+                f"(SELECT d, MAX(s) AS c FROM e{i - 1} GROUP BY d) lc "
+                f"ON lc.d = r.range")
+
+    return _seq_game_sql(n, p["edges_per_node"], w_expr, draws)
+
+
+def _sql_barabasi_aging() -> str:
+    from math import gcd
+
+    p = BARABASI_AGING_PARAMS
+    n, m, ab = p["n"], p["m"], p["aging_bin"]
+    bw = n // ab + 1
+    max_den = (n - 1) // bw + 2
+    L = 1
+    for d in range(1, max_den + 1):
+        L = L * d // gcd(L, d)
+    draws = _seq_game_draws(p["seed"], "ba", n, m)
+
+    def w_expr(i: int) -> str:
+        # age_k = (i-1-v)//bw; last aging boundary b = v + bw*age_k;
+        # aging (factor L/(age_k+2)) wins iff age_k>=1 and b >= last
+        # cite step c; else citation factor L/((c-v)//bw + 1); else L
+        ak = f"(({i} - 1 - r.range) // {bw})"
+        return (
+            f"SELECT r.range AS v, (1 + COALESCE(st.deg, 0)) * "
+            f"CASE WHEN {ak} >= 1 AND (st.c IS NULL OR "
+            f"r.range + {bw} * {ak} >= st.c) THEN {L} // ({ak} + 2) "
+            f"WHEN st.c IS NOT NULL THEN "
+            f"{L} // ((st.c - r.range) // {bw} + 1) "
+            f"ELSE {L} END AS w "
+            f"FROM range({i}) r LEFT JOIN "
+            f"(SELECT d, COUNT(*) AS deg, MAX(s) AS c "
+            f"FROM e{i - 1} GROUP BY d) st ON st.d = r.range")
+
+    return _seq_game_sql(n, m, w_expr, draws)
+
+
 HRG_GAME_PARAMS = dict(
     depth=9, seed=42,
     level_p_e6=[800000, 500000, 250000, 120000, 60000, 30000, 15000, 8000,
@@ -7303,6 +7448,9 @@ def queries() -> Dict[str, Callable]:
         "graphlets_mu": q_graphlets_mu,
         "subiso_tree5": q_subiso_tree5,
         "subiso_house": q_subiso_house,
+        "recent_degree": q_recent_degree,
+        "lastcit": q_lastcit,
+        "barabasi_aging": q_barabasi_aging,
     }
 
 
@@ -8070,6 +8218,9 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "subiso_cycle4": _sql_subiso_cycle4(),
         "subiso_tree5": _sql_subiso_pattern(SUBISO_TREE5),
         "subiso_house": _sql_subiso_pattern(SUBISO_HOUSE),
+        "recent_degree": _sql_recent_degree(),
+        "lastcit": _sql_lastcit(),
+        "barabasi_aging": _sql_barabasi_aging(),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

@@ -1001,3 +1001,215 @@ def bipartite_gnm(n1: int, n2: int, m: int,
               .map_batches(_gen, batch_format="pyarrow", batch_size=None)
               .sort(["fold", "src", "dst"]).limit(int(m)))
     return ranked.select_columns(["src", "dst"])
+
+
+# ---------------------------------------------------------------------------
+# Sequential-roulette growth games (the games.c psumtree family tail:
+# recent_degree / lastcit / barabasi_aging). The reference grows these
+# one vertex at a time from a psumtree whose weights depend on the whole
+# history — an inherently sequential contract (games.c documents
+# O(|V| log |V| + |E|) single-stream time). The engine keeps that
+# contract but replaces the sequential RNG stream with indexed md5
+# draws (seed, step, j) so the edge list is a pure function of the
+# parameters: identical at any parallelism AND SQL-replayable (the
+# DuckDB oracle carries the accumulated edge state through one
+# materialized CTE per step and replays every roulette with exact
+# integer comparisons). Weights are kept EXACT integers — the roulette
+#   to = min{ v : draw32 * S <= 2^32 * cumsum_incl(v) }
+# (the microscopic_update.c oracle convention) is then bit-identical in
+# numpy and SQL. Parameters are restricted to the integer-exact
+# settings (power == 1, integer appeals/preferences, aging_exp in
+# {-1, 0}); general float exponents would need float roulettes that no
+# SQL replay can match bit-for-bit, so they raise NotImplementedError
+# honestly. Driver memory is O(n + E) like barabasi_game's documented
+# ceiling; n is guarded accordingly.
+
+_SEQ_GAME_MAX_N = 1 << 22
+
+
+def _draw32(seed, tag: str, i: int, j: int) -> int:
+    import hashlib as _hl
+
+    return int(_hl.md5(f"{seed}:{tag}:{i}:{j}".encode())
+               .hexdigest()[:8], 16)
+
+
+def _roulette(weights: np.ndarray, draw: int) -> int:
+    """min v with draw * S <= 2^32 * cum_incl(v); exact in object ints
+    via int64 (weights are small ints, S < 2^31 guarded by callers)."""
+    cum = np.cumsum(weights, dtype=np.int64)
+    s = int(cum[-1])
+    lhs = draw * s  # python int, exact
+    # 2^32 * cum grows monotonically; searchsorted over int64 is exact
+    # as long as 2^32 * S fits (guarded): use the scaled array
+    rhs = cum * np.int64(4294967296)
+    return int(np.searchsorted(rhs, lhs, side="left"))
+
+
+def recent_degree_game(
+    n: int, m: int = 1, window: int = 2, zero_appeal: int = 1,
+    outpref: bool = False, seed: int = 17,
+) -> ray.data.Dataset:
+    """igraph_recent_degree_game (games.c:1574) with power == 1: vertex
+    i cites m targets drawn ∝ (#edges gained in the last `window`
+    steps) + zero_appeal. The m draws of one step are independent (the
+    reference updates its psumtree only after the draw loop). With
+    outpref the citing vertex's own out-edges count toward its weight
+    PERMANENTLY — the reference never pushes them onto the history
+    queue, so they are never decremented out of the window."""
+    if zero_appeal < 1 or int(zero_appeal) != zero_appeal:
+        raise NotImplementedError(
+            "integer-exact replay needs integer zero_appeal >= 1")
+    if n > _SEQ_GAME_MAX_N:
+        raise NotImplementedError(
+            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    n, m, window, za = int(n), int(m), int(window), int(zero_appeal)
+    # recent in-window citation counts; ledger[s] = targets cited at s
+    recent = np.zeros(n, dtype=np.int64)
+    ledger: dict = {}
+    src_out, dst_out = [], []
+    for i in range(1, n):
+        drop = i - window  # counts from steps <= i-window leave the window
+        if drop >= 1 and drop in ledger:
+            for v in ledger.pop(drop):
+                recent[v] -= 1
+        w = recent[:i] + za
+        picks = [
+            _roulette(w, _draw32(seed, "rd", i, j)) for j in range(m)
+        ]
+        for to in picks:
+            src_out.append(i)
+            dst_out.append(to)
+        ledger[i] = list(picks)
+        for v in picks:
+            recent[v] += 1
+        if outpref:
+            # own out-edges: counted but never queued for expiry
+            recent[i] += m
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)
+
+
+def lastcit_game(
+    n: int, edges_per_node: int = 1, agebins: int = 2,
+    preference=None, seed: int = 19,
+) -> ray.data.Dataset:
+    """igraph_lastcit_game (games.c:3033): vertex i cites targets drawn
+    ∝ preference[(i-1-c) // binwidth] where c is the target's last-cited
+    step (preference[agebins] for the never-cited), binwidth =
+    n//agebins + 1. Unlike the other growth games the reference updates
+    the psumtree INSIDE the per-step draw loop (a fresh citation moves
+    the target to preference[0] for the very next draw of the same
+    step) — replayed faithfully."""
+    if preference is None:
+        preference = [2] * agebins + [1]
+    pref = [int(x) for x in preference]
+    if len(pref) != agebins + 1:
+        raise ValueError("preference must have agebins+1 entries")
+    if any(x < 0 for x in pref) or pref[agebins] <= 0:
+        raise NotImplementedError(
+            "integer-exact replay needs non-negative integer preferences "
+            "with a positive never-cited tail")
+    if n > _SEQ_GAME_MAX_N:
+        raise NotImplementedError(
+            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    n, eps = int(n), int(edges_per_node)
+    binwidth = n // int(agebins) + 1
+    lastcit = np.full(n, -1, dtype=np.int64)  # -1 = never cited
+    src_out, dst_out = [], []
+    prefarr = np.array(pref, dtype=np.int64)
+    for i in range(1, n):
+        c = lastcit[:i]
+        k = (i - 1 - c) // binwidth
+        w = np.where(c < 0, prefarr[agebins], prefarr[np.minimum(k, agebins)])
+        for j in range(eps):
+            to = _roulette(w, _draw32(seed, "lc", i, j))
+            src_out.append(i)
+            dst_out.append(to)
+            lastcit[to] = i
+            w = w.copy()
+            w[to] = prefarr[0]  # in-step tree update (games.c:3097)
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)
+
+
+def barabasi_aging_game(
+    n: int, m: int = 1, aging_bin: int = 1,
+    zero_deg_appeal: int = 1, zero_age_appeal: int = 0,
+    deg_coef: int = 1, age_coef: int = 1, aging_exp: int = -1,
+    outpref: bool = False, seed: int = 23,
+) -> ray.data.Dataset:
+    """igraph_barabasi_aging_game (games.c:1732) with pa_exp == 1 and
+    aging_exp in {-1, 0}: attachment weight = (deg_coef·deg +
+    zero_deg_appeal) · (age_coef·(a+1)^aging_exp + zero_age_appeal),
+    replaying the reference's EVENT order exactly — a vertex's tree
+    weight is set by whichever fired last: its citation update (age
+    factor (cite_age+1)^γ), its aging-boundary update at step
+    v + binwidth·k (age factor (k+2)^γ — the reference's own off-by-one,
+    kept), or its insertion ((1+zero_age_appeal)·zero_deg_appeal). All
+    weights are scaled by LCM(1..max_den) so the roulette is exact
+    integer arithmetic; the m draws of one step share the pre-step
+    weights (psumtree updated after the draw loop)."""
+    from math import gcd
+
+    if aging_exp not in (-1, 0):
+        raise NotImplementedError(
+            "integer-exact replay covers aging_exp in {-1, 0} "
+            "(rational age factors); general float exponents are not "
+            "SQL-replayable")
+    for name, val in (("zero_deg_appeal", zero_deg_appeal),
+                      ("zero_age_appeal", zero_age_appeal),
+                      ("deg_coef", deg_coef), ("age_coef", age_coef)):
+        if int(val) != val or val < 0:
+            raise NotImplementedError(f"{name} must be a non-neg integer")
+    if n > _SEQ_GAME_MAX_N:
+        raise NotImplementedError(
+            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    n, m, ab = int(n), int(m), int(aging_bin)
+    zda, zaa = int(zero_deg_appeal), int(zero_age_appeal)
+    dc, ac = int(deg_coef), int(age_coef)
+    binwidth = n // ab + 1
+    max_den = (n - 1) // binwidth + 2 if aging_exp == -1 else 1
+    L = 1
+    for d in range(1, max_den + 1):
+        L = L * d // gcd(L, d)
+
+    def agef(a: int) -> int:
+        """L · (age_coef·(a+1)^γ + zaa) as an exact integer."""
+        if aging_exp == 0:
+            return L * (ac + zaa)
+        return ac * (L // (a + 1)) + L * zaa
+
+    w = np.zeros(n, dtype=np.int64)
+    deg = np.zeros(n, dtype=np.int64)
+    w[0] = zda * (L + L * zaa)  # first node: zda·(1+zaa), scaled
+    src_out, dst_out = [], []
+    for i in range(1, n):
+        ws = w[:i]
+        picks = [
+            _roulette(ws, _draw32(seed, "ba", i, j)) for j in range(m)
+        ]
+        for to in picks:
+            deg[to] += 1
+            src_out.append(i)
+            dst_out.append(to)
+        # post-draw updates, reference order: targets, the new vertex,
+        # then the aging boundaries (games.c:1804-1830)
+        for to in picks:
+            age = (i - to) // binwidth
+            w[to] = (dc * deg[to] + zda) * agef(age)
+        if outpref:
+            deg[i] += m
+            w[i] = (dc * deg[i] + zda) * (L + L * zaa)  # (zaa+1)·(deg+zda)
+        else:
+            w[i] = zda * (L + L * zaa)
+        k = 1
+        while i - binwidth * k >= 0:
+            sh = i - binwidth * k
+            w[sh] = (dc * deg[sh] + zda) * agef(k + 1)  # (age+2) factor
+            k += 1
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)

@@ -405,3 +405,146 @@ class TestBipartiteGames:
                           num_partitions=9).to_pandas().sort_values(
             ["src", "dst"]).reset_index(drop=True)
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestSequentialGrowthGames:
+    """recent_degree / lastcit / barabasi_aging vs LITERAL psumtree-order
+    replicas of the reference loops (games.c:1574, 3033, 1732) using the
+    same md5 draws — validates the engines' closed-form/event-based
+    weight maintenance on settings the driver gate does not pin
+    (outpref=True, edges_per_node=2, aging_exp=0)."""
+
+    @staticmethod
+    def _pick(w, draw):
+        cum = 0
+        s = int(sum(w))
+        for v, wv in enumerate(w):
+            cum += int(wv)
+            if draw * s <= (1 << 32) * cum:
+                return v
+        raise AssertionError("roulette fell off the end")
+
+    def test_recent_degree_vs_replica(self, ray_session):
+        from igraph_ray.sources.games import recent_degree_game, _draw32
+
+        n, m, W, za, seed = 40, 2, 3, 1, 5
+        for outpref in (False, True):
+            # literal replica: degree[] + history queue with -1 markers
+            degree = [0] * n
+            hist = [-1]
+            edges = []
+            for i in range(1, n):
+                if i >= W:
+                    while True:
+                        j = hist.pop(0)
+                        if j == -1:
+                            break
+                        degree[j] -= 1
+                w = [degree[v] + za for v in range(i)]
+                picks = [self._pick(w, _draw32(seed, "rd", i, j))
+                         for j in range(m)]
+                for to in picks:
+                    degree[to] += 1
+                    edges.append((i, to))
+                    hist.append(to)
+                hist.append(-1)
+                if outpref:
+                    degree[i] += m  # never queued: never expires
+            got = recent_degree_game(
+                n, m=m, window=W, zero_appeal=za, outpref=outpref,
+                seed=seed).to_pandas()
+            assert sorted(zip(got.src, got.dst)) == sorted(edges), outpref
+
+    def test_lastcit_vs_replica(self, ray_session):
+        from igraph_ray.sources.games import lastcit_game, _draw32
+
+        n, eps, A, seed = 40, 2, 3, 9
+        pref = [5, 3, 2, 1]
+        bw = n // A + 1
+        # literal replica: per-vertex weight array updated in the
+        # reference's event order (in-step updates included)
+        w = [0.0] * n
+        lastcit = [0] * n
+        w[0] = pref[A]
+        edges = []
+        for i in range(1, n):
+            for j in range(eps):
+                to = self._pick(w[:i], _draw32(seed, "lc", i, j))
+                edges.append((i, to))
+                lastcit[to] = i + 1
+                w[to] = pref[0]
+            w[i] = pref[A]
+            k = 1
+            while i - bw * k >= 1:
+                sh = i - bw * k
+                # vertices last cited at step sh move to pref[k]
+                for v in range(i):
+                    if lastcit[v] == sh + 1:
+                        w[v] = pref[k]
+                k += 1
+        got = lastcit_game(n, edges_per_node=eps, agebins=A,
+                           preference=pref, seed=seed).to_pandas()
+        assert sorted(zip(got.src, got.dst)) == sorted(edges)
+
+    def test_barabasi_aging_vs_replica(self, ray_session):
+        from igraph_ray.sources.games import barabasi_aging_game, _draw32
+        from fractions import Fraction
+
+        n, m, ab, seed = 40, 2, 3, 7
+        bw = n // ab + 1
+        for aging_exp, outpref in ((-1, False), (0, False), (-1, True)):
+            def agefac(a):
+                return Fraction(1, a + 1) if aging_exp == -1 else \
+                    Fraction(1)
+
+            w = [Fraction(0)] * n
+            deg = [0] * n
+            w[0] = Fraction(1)  # zda*(1+zaa) = 1
+            edges = []
+            for i in range(1, n):
+                ws = w[:i]
+                s = sum(ws)
+                picks = []
+                for j in range(m):
+                    d = _draw32(seed, "ba", i, j)
+                    cum = Fraction(0)
+                    for v in range(i):
+                        cum += ws[v]
+                        if d * s <= (1 << 32) * cum:
+                            picks.append(v)
+                            break
+                for to in picks:
+                    deg[to] += 1
+                    edges.append((i, to))
+                for to in picks:
+                    age = (i - to) // bw
+                    w[to] = (deg[to] + 1) * agefac(age)
+                if outpref:
+                    deg[i] += m
+                    w[i] = Fraction(deg[i] + 1)
+                else:
+                    w[i] = Fraction(1)
+                k = 1
+                while i - bw * k >= 0:
+                    sh = i - bw * k
+                    w[sh] = (deg[sh] + 1) * agefac(k + 1)
+                    k += 1
+            got = barabasi_aging_game(
+                n, m=m, aging_bin=ab, aging_exp=aging_exp,
+                outpref=outpref, seed=seed).to_pandas()
+            assert sorted(zip(got.src, got.dst)) == sorted(edges), \
+                (aging_exp, outpref)
+
+    def test_guards(self, ray_session):
+        import pytest as _pt
+
+        from igraph_ray.sources.games import (
+            barabasi_aging_game, lastcit_game, recent_degree_game,
+        )
+
+        with _pt.raises(NotImplementedError):
+            recent_degree_game(10, zero_appeal=0)
+        with _pt.raises(NotImplementedError):
+            barabasi_aging_game(10, aging_exp=-2)
+        with _pt.raises(NotImplementedError):
+            lastcit_game(10, preference=[1, 1, 0])
