@@ -204,7 +204,7 @@ def multi_source_hops(
 
 
 def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out",
-                   weighted=False) -> ray.data.Dataset:
+                   weighted=False, init_all_zero=False) -> ray.data.Dataset:
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
@@ -219,7 +219,13 @@ def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out",
         v = sd["vertex"]
         out = {"vertex": v}
         for k in range(K):
-            out[cols[k]] = np.where(v == src_arr[k], 0.0, _INF)
+            if init_all_zero:
+                # virtual-source mode (Johnson potentials): a phantom
+                # source with a 0-weight edge to EVERY vertex is exactly
+                # the all-zero initial distance vector
+                out[cols[k]] = np.zeros(len(v), dtype=np.float64)
+            else:
+                out[cols[k]] = np.where(v == src_arr[k], 0.0, _INF)
         return out
 
     state = _universe_state(graph, csr, _init)
@@ -310,6 +316,113 @@ def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out",
         )
 
     return res.state.map_batches(_long, batch_format="pyarrow", batch_size=None)
+
+
+def johnson_potentials(graph: Graph, num_partitions: Optional[int] = None,
+                       max_iter: int = 10_000) -> ray.data.Dataset:
+    """Johnson reweighting potentials h(v): Bellman–Ford distances from
+    a virtual source with a 0-weight edge to every vertex
+    (igraph_shortest_paths_johnson step 1, the reference's
+    structural_properties.c:5396 contract). The virtual source never
+    materializes — it is exactly the all-zero initial distance vector
+    of the same K-column min-plus kernel, relaxed to fixpoint. Dataset
+    (vertex, h), int64 for integer weights; h(v) ≤ 0 and
+    w + h(u) − h(v) ≥ 0 on every edge when no negative cycle exists."""
+    ds = _k_column_hops(graph, [-1], num_partitions, max_iter,
+                        variant="out", weighted=True, init_all_zero=True)
+
+    def _h(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["vertex"], "h": b["dist"]})
+
+    return ds.map_batches(_h, batch_format="pyarrow", batch_size=None)
+
+
+def johnson_apsp(
+    graph: Graph,
+    sources: Optional[Sequence[int]] = None,
+    num_partitions: Optional[int] = None,
+    chunk: int = 128,
+    max_iter: int = 10_000,
+) -> ray.data.Dataset:
+    """All-pairs shortest paths with negative edge weights (no negative
+    cycles) — Johnson's algorithm (igraph_shortest_paths_johnson,
+    structural_properties.c:5396), composed from existing stages:
+
+    1. potentials h via the virtual-source Bellman–Ford
+       (:func:`johnson_potentials`);
+    2. reweight w'(u,v) = w(u,v) + h(u) − h(v) ≥ 0 — two hash joins
+       against the (vertex, h) table, no driver materialization;
+    3. the weighted K-column min-plus sweep from every requested source
+       over the reweighted non-negative graph (chunked, converges in
+       diameter supersteps instead of |V|);
+    4. un-reweight d(u,v) = d'(u,v) − h(u) + h(v) — two more joins on
+       the long (source, vertex, dist) output.
+
+    ``sources=None`` means all vertices (exact all-pairs semantics —
+    the source list itself is O(|V|) driver-side by contract; use an
+    explicit sample for the at-scale path). Integer weights stay
+    int64-exact end to end."""
+    from igraph_ray.util import hash_join
+
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    h = johnson_potentials(graph, num_partitions, max_iter).materialize()
+
+    def _rn(col_from, col_to):
+        def _m(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [col_to if c == col_from else c for c in b.column_names])
+        return _m
+
+    hs = h.map_batches(_rn("vertex", "src"), batch_format="pyarrow",
+                       batch_size=None)
+    hd = h.map_batches(_rn("vertex", "dst"), batch_format="pyarrow",
+                       batch_size=None)
+    ew = hash_join(graph.edges, hs.map_batches(
+        lambda b: b.rename_columns(
+            ["h_src" if c == "h" else c for c in b.column_names]),
+        batch_format="pyarrow", batch_size=None), on="src",
+        num_partitions=num_partitions)
+    ew = hash_join(ew, hd.map_batches(
+        lambda b: b.rename_columns(
+            ["h_dst" if c == "h" else c for c in b.column_names]),
+        batch_format="pyarrow", batch_size=None), on="dst",
+        num_partitions=num_partitions)
+
+    def _rw(b: pa.Table) -> pa.Table:
+        w = b["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs_ = b["h_src"].to_numpy(zero_copy_only=False)
+        hd_ = b["h_dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "weight": pa.array(w + hs_ - hd_, pa.int64())})
+
+    g2 = Graph(ew.map_batches(_rw, batch_format="pyarrow",
+                              batch_size=None).materialize(),
+               n=graph._n if graph._explicit_n else None, weighted=True)
+    if sources is None:
+        sources = [int(r["vertex"]) for r in graph.vertices().sort(
+            "vertex").take_all()]
+    dprime = multi_source_hops(g2, sources, num_partitions=num_partitions,
+                               max_iter=max_iter, chunk=chunk,
+                               weighted=True)
+    dj = hash_join(dprime, h.map_batches(
+        lambda b: pa.table({"source": b["vertex"], "h_s": b["h"]}),
+        batch_format="pyarrow", batch_size=None), on="source",
+        num_partitions=num_partitions)
+    dj = hash_join(dj, h.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "h_v": b["h"]}),
+        batch_format="pyarrow", batch_size=None), on="vertex",
+        num_partitions=num_partitions)
+
+    def _unrw(b: pa.Table) -> pa.Table:
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        hs_ = b["h_s"].to_numpy(zero_copy_only=False)
+        hv_ = b["h_v"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": b["source"], "vertex": b["vertex"],
+                         "dist": pa.array(d - hs_ + hv_, pa.int64())})
+
+    return dj.map_batches(_unrw, batch_format="pyarrow", batch_size=None)
 
 
 # lcm(1..20): the exact-rational denominator for harmonic sums (see

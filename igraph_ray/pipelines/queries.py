@@ -451,6 +451,61 @@ def _sql_sssp_negative(iters: int = 30) -> str:
             f"WHERE d < {_BIG} ORDER BY vertex")
 
 
+def q_apsp_johnson(sf_dir: str):
+    """All-pairs shortest paths over the negative-weight acyclic
+    fixture via Johnson's algorithm (igraph_shortest_paths_johnson,
+    structural_properties.c:5396): virtual-source Bellman–Ford
+    potentials, reweight w' = w + h(u) − h(v) ≥ 0 through hash joins,
+    the weighted K-column min-plus sweep from every source on the
+    non-negative graph, un-reweight on the long output. Same fixture
+    as sssp_negative — the src<dst view of the sparse digraph with
+    weights ((src·3+dst) mod 7) − 2 ∈ [−2, 4]; the DAG rules out
+    negative cycles. Output (source, vertex, dist) over reachable
+    ordered pairs, int64-exact; the oracle unrolls the identical
+    min-plus recurrence from all sources."""
+    from igraph_ray.algorithms.paths import johnson_apsp
+
+    def _w(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src < dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "weight": pa.array((src * 3 + dst) % 7 - 2)})
+
+    dag = derive.edges_sparse(sf_dir).map_batches(
+        _w, batch_format="pyarrow", batch_size=None).materialize()
+    g = Graph(dag, n=None, weighted=True)
+    return johnson_apsp(g, num_partitions=8, chunk=128)
+
+
+def _sql_apsp_johnson(iters: int = 30) -> str:
+    edges = (f"SELECT src, dst, ((src * 3 + dst) % 7) - 2 AS weight "
+             f"FROM ({derive.SQL_EDGES_SPARSE}) WHERE src < dst")
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"h0 AS MATERIALIZED (SELECT s.v AS source, t.v AS vertex, "
+        f"CASE WHEN s.v = t.v THEN 0 ELSE {_BIG} END AS d "
+        f"FROM verts s, verts t)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k-1}"
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT h.source, h.vertex, "
+            f"LEAST(h.d, COALESCE(m.md, {_BIG})) AS d "
+            f"FROM {p} h LEFT JOIN (SELECT p.source, e.dst AS vertex, "
+            f"MIN(p.d + e.weight) AS md "
+            f"FROM edges e JOIN {p} p ON p.vertex = e.src "
+            f"WHERE p.d < {_BIG} GROUP BY p.source, e.dst) m "
+            f"ON m.source = h.source AND m.vertex = h.vertex)")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT source, vertex, CAST(d AS BIGINT) AS dist "
+            f"FROM h{iters} WHERE d < {_BIG} ORDER BY source, vertex")
+
+
 def q_path_length_hist(sf_dir: str):
     """Exact directed path-length histogram over ordered reachable pairs
     (igraph_path_length_hist, structural_properties.c:293)."""
@@ -7451,6 +7506,7 @@ def queries() -> Dict[str, Callable]:
         "recent_degree": q_recent_degree,
         "lastcit": q_lastcit,
         "barabasi_aging": q_barabasi_aging,
+        "apsp_johnson": q_apsp_johnson,
     }
 
 
@@ -8221,6 +8277,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "recent_degree": _sql_recent_degree(),
         "lastcit": _sql_lastcit(),
         "barabasi_aging": _sql_barabasi_aging(),
+        "apsp_johnson": _sql_apsp_johnson(),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

@@ -307,3 +307,62 @@ class TestWeightedMultiSource:
         ref = {(i, j): v for (i, j), v in d.items() if v < INF}
         gotmap = {(r.source, r.vertex): r.dist for r in got.itertuples()}
         assert gotmap == ref
+
+
+class TestJohnsonAPSP:
+    """igraph_shortest_paths_johnson (structural_properties.c:5396):
+    virtual-source potentials + reweighted non-negative sweep must
+    equal plain Bellman-Ford from every source."""
+
+    def _dag(self, seed, n, m):
+        import pyarrow as pa
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        keep = src < dst  # acyclic => no negative cycles
+        src, dst = src[keep], dst[keep]
+        w = (src * 3 + dst) % 7 - 2
+        t = pa.table({"src": pa.array(src, type=pa.int64()),
+                      "dst": pa.array(dst, type=pa.int64()),
+                      "weight": pa.array(w, type=pa.int64())})
+        return Graph(ray.data.from_arrow(t), n=None, weighted=True), \
+            src, dst, w
+
+    def _bf_all_pairs(self, verts, src, dst, w):
+        big = float("inf")
+        out = {}
+        for s in verts:
+            d = {v: big for v in verts}
+            d[s] = 0
+            for _ in range(len(verts)):
+                changed = False
+                for u, v, wt in zip(src, dst, w):
+                    if d[u] + wt < d[v]:
+                        d[v] = d[u] + wt
+                        changed = True
+                if not changed:
+                    break
+            out[s] = {v: dv for v, dv in d.items() if dv < big}
+        return out
+
+    def test_johnson_matches_bellman_ford(self, ray_session):
+        from igraph_ray.algorithms.paths import (johnson_apsp,
+                                                 johnson_potentials)
+
+        g, src, dst, w = self._dag(11, 40, 160)
+        verts = sorted({int(r["vertex"]) for r in g.vertices().take_all()})
+        ref = self._bf_all_pairs(verts, src, dst, w)
+
+        # potentials make every reweighted edge non-negative
+        h = {r["vertex"]: r["h"]
+             for r in johnson_potentials(g, num_partitions=3).take_all()}
+        assert all(wt + h[u] - h[v] >= 0 for u, v, wt in zip(src, dst, w))
+        assert all(hv <= 0 for hv in h.values())
+
+        got = {}
+        for r in johnson_apsp(g, num_partitions=3, chunk=16).take_all():
+            got.setdefault(int(r["source"]), {})[int(r["vertex"])] = \
+                int(r["dist"])
+        assert got == ref
