@@ -203,12 +203,35 @@ def multi_source_hops(
     return ds
 
 
+def multi_root_hops(graph, roots, num_partitions=None, max_iter=10_000,
+                    variant="sym") -> ray.data.Dataset:
+    """Single-column BFS from a SET of roots simultaneously: Dataset
+    (vertex, dist) where dist = hops to the nearest root (forest/BFS-tree
+    depth when the roots are one per component). One aligned min-plus
+    loop regardless of root count — the multi-root analogue of
+    ``sssp_hops`` used by the Reingold–Tilford layout. ``roots`` is
+    either a sequence of vertex ids or a Dataset with columns
+    (vertex, seed) — the Dataset form never lands a root list on the
+    driver (the at-scale path when roots are one per component)."""
+    if isinstance(roots, ray.data.Dataset):
+        ds = _k_column_hops(graph, [-1], num_partitions, max_iter,
+                            variant=variant, multi_root=True,
+                            seed_state=roots)
+    else:
+        ds = _k_column_hops(graph, list(roots), num_partitions, max_iter,
+                            variant=variant, multi_root=True)
+    return ds.map_batches(
+        lambda b: b.select(["vertex", "dist"]),
+        batch_format="pyarrow", batch_size=None)
+
+
 def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out",
-                   weighted=False, init_all_zero=False) -> ray.data.Dataset:
+                   weighted=False, init_all_zero=False,
+                   multi_root=False, seed_state=None) -> ray.data.Dataset:
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
-    K = len(sources)
+    K = 1 if multi_root else len(sources)
     src_arr = np.asarray(sources, dtype=np.int64)
     csr = graph.csr_index(variant, num_partitions, weighted=weighted,
                           clamp_negative=False)
@@ -224,11 +247,19 @@ def _k_column_hops(graph, sources, num_partitions, max_iter, variant="out",
                 # source with a 0-weight edge to EVERY vertex is exactly
                 # the all-zero initial distance vector
                 out[cols[k]] = np.zeros(len(v), dtype=np.float64)
+            elif multi_root and seed_state is not None:
+                out[cols[k]] = np.where(sd["seed"] > 0, 0.0, _INF)
+            elif multi_root:
+                out[cols[k]] = np.where(np.isin(v, src_arr), 0.0, _INF)
             else:
                 out[cols[k]] = np.where(v == src_arr[k], 0.0, _INF)
         return out
 
-    state = _universe_state(graph, csr, _init)
+    if seed_state is not None:
+        state = al.state_from_dataset(
+            seed_state, [int(b) for b in csr.boundaries], init_fn=_init)
+    else:
+        state = _universe_state(graph, csr, _init)
 
     def gather_fn(sb, csr_desc, starts, scalars):
         from igraph_ray.csr import fetch_block

@@ -28,6 +28,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -450,3 +451,356 @@ def layout_sugiyama(
                          "y": pa.array(ly.astype(np.float64) * vgap)})
 
     return out.map_batches(_xy, batch_format="pyarrow", batch_size=None)
+
+
+def _exclusive_cumsum(ds: ray.data.Dataset, sort_cols, val_col: str,
+                      out_col: str = "csum") -> ray.data.Dataset:
+    """Append the EXCLUSIVE prefix sum of ``val_col`` under ``sort_cols``
+    order: sorted blocks, per-block totals to the driver (one int per
+    block), per-row cumsum stamped in tasks — the _global_rank pattern
+    generalized from counts to sums."""
+    from igraph_ray.util import drop_empty_blocks
+
+    s = drop_empty_blocks(ds).sort(sort_cols).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def _tot(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        return int(t[val_col].to_numpy(zero_copy_only=False).sum())
+
+    sizes = ray.get([_tot.remote(r) for r in refs])
+    offsets = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+
+    @ray.remote
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = off + np.concatenate([[0], np.cumsum(v[:-1])])
+        return t.append_column(out_col, pa.array(ex, pa.int64()))
+
+    out = [_stamp.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    if not out:
+        return s
+    return ray.data.from_arrow_refs(out)
+
+
+def layout_reingold_tilford(
+    graph: Graph,
+    num_partitions: int = 8,
+    max_iter: int = 10_000,
+) -> ray.data.Dataset:
+    """Reingold–Tilford tree layout (igraph_layout_reingold_tilford,
+    layout.c:1052): y = BFS depth below the component root, x centers
+    every parent over its subtree's leaf span, sibling subtrees packed
+    left-to-right in child-id order, trees of a forest side by side in
+    root-id order. igraph's contract on general graphs — lay out the
+    BFS tree — is reproduced: father(v) = min neighbor at depth−1.
+
+    Distributed shape (the two-sweep plan):
+
+    1. roots: one per component (the component's min vertex id), seeded
+       straight from the min-label components state — no root list on
+       the driver;
+    2. depth: one multi-root BFS (single aligned min-plus column);
+    3. father table: join depth onto the symmetrized edges, keep
+       du = dv − 1, min father per child;
+    4. UP sweep (aligned, sum-gather over child→father CSR):
+       leafcnt(v) = 1 for leaves else Σ leafcnt(children) — converges
+       in tree-height supersteps;
+    5. sibling prefix sums per father (grouped cumsum in child order)
+       and root offsets (exclusive cumsum of per-tree leaf counts in
+       root order — trees never overlap);
+    6. DOWN sweep (aligned, copy-gather over father→child CSR):
+       offset(v) = offset(father) + presum(v) — converges in
+       tree-depth supersteps.
+
+    x = offset + (leafcnt − 1)/2, y = depth. All-integer internally
+    (x doubled), so positions hash exactly. Depth/height-bounded
+    superstep counts are the documented contract (same family as the
+    Sugiyama layering)."""
+    from igraph_ray import aligned as al
+    from igraph_ray.algorithms.components import connected_components
+    from igraph_ray.algorithms.paths import multi_root_hops
+    from igraph_ray.csr import block_local, block_width, fetch_block
+
+    comp = connected_components(graph, num_partitions=num_partitions,
+                                densify=False).state.materialize()
+
+    def _seed(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"vertex": b["vertex"],
+                         "seed": pa.array((v == lab).astype(np.int64))})
+
+    seeds = comp.map_batches(_seed, batch_format="pyarrow", batch_size=None)
+    depth = multi_root_hops(graph, seeds, num_partitions=num_partitions,
+                            max_iter=max_iter).materialize()
+
+    # 3. father(v) = min neighbor u with depth(u) = depth(v) - 1
+    sym = graph.symmetrized()
+    du = depth.map_batches(
+        lambda b: pa.table({"src": b["vertex"], "du": b["dist"]}),
+        batch_format="pyarrow", batch_size=None)
+    dv = depth.map_batches(
+        lambda b: pa.table({"dst": b["vertex"], "dv": b["dist"]}),
+        batch_format="pyarrow", batch_size=None)
+    e = hash_join(hash_join(sym, du, on="src",
+                            num_partitions=num_partitions),
+                  dv, on="dst", num_partitions=num_partitions)
+
+    def _cand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"child": pa.array([], pa.int64()),
+                             "father": pa.array([], pa.int64())})
+        duv = b["du"].to_numpy(zero_copy_only=False)
+        dvv = b["dv"].to_numpy(zero_copy_only=False)
+        keep = duv == dvv - 1
+        return pa.table({"child": pc.array_filter(b["dst"], pa.array(keep)),
+                         "father": pc.array_filter(b["src"], pa.array(keep))})
+
+    fathers = e.map_batches(_cand, batch_format="pyarrow",
+                            batch_size=None).groupby("child") \
+        .min("father").map_batches(
+            lambda b: (pa.table({"child": b["child"],
+                                 "father": b["min(father)"]})
+                       if b.num_rows else
+                       pa.table({"child": pa.array([], pa.int64()),
+                                 "father": pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    # 4. UP sweep: leafcnt over the child->father graph
+    def _as_edges(cf: str, ff: str):
+        def _m(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b[cf], "dst": b[ff]})
+        return _m
+
+    gf_up = Graph(fathers.map_batches(_as_edges("child", "father"),
+                                      batch_format="pyarrow",
+                                      batch_size=None).materialize(),
+                  n=None)
+    csr_up = gf_up.csr_index("out", num_partitions)
+    blocks_up = csr_up.block_descriptors()
+
+    def _init_cnt(sd: dict) -> dict:
+        return {"vertex": sd["vertex"],
+                "cnt": np.ones(len(sd["vertex"]), dtype=np.float64)}
+
+    state = al.state_from_dataset(gf_up.vertices(),
+                                  [int(b) for b in csr_up.boundaries],
+                                  init_fn=_init_cnt)
+
+    def gather_up(sb, csr_desc, starts, scalars):
+        verts = sb["vertex"]
+        cnt = sb["cnt"]
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        msg_count = 0
+        if len(verts) == 0:
+            return [tuple(s) for s in segs], 0
+        vmin, vmax = verts.min(), verts.max()
+        for (vlo, vhi, ref) in csr_desc:
+            if vhi < vmin or vlo > vmax:
+                continue
+            sel = (verts >= vlo) & (verts <= vhi)
+            if not sel.any():
+                continue
+            blk = fetch_block(ref)
+            # absent-from-this-block children contribute 0 here; their
+            # own block's gather carries them (sum identity, not inf)
+            contrib = np.zeros(block_width(blk), dtype=np.float64)
+            loc = block_local(blk, verts[sel])
+            pres = loc >= 0
+            contrib[loc[pres]] = cnt[sel][pres]
+            if len(blk["in_starts"]) == 0:
+                continue
+            vals = contrib[blk["in_src"]]
+            sums = np.add.reduceat(vals, blk["in_starts"])
+            dsts = blk["in_dst"]
+            msg_count += len(dsts)
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], sums[lo:hi]))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
+
+    def apply_up(old, segments, scalars):
+        vertex = old["vertex"]
+        acc = np.zeros(len(vertex), dtype=np.float64)
+        for pairs in segments:
+            for (sd, sm) in pairs:
+                if not len(sd):
+                    continue
+                pos = np.searchsorted(vertex, sd)
+                np.add.at(acc, pos, sm)
+        # leafcnt >= 1 always, so any child present => acc > 0;
+        # vertices with no children are leaves (cnt = 1)
+        new = np.where(acc > 0, acc, 1.0)
+        changed = float((new != old["cnt"]).sum())
+        return {"vertex": vertex, "cnt": new}, {"changed": changed}
+
+    res_up = al.run_aligned_loop(
+        state=state, csr_descriptors=blocks_up,
+        gather_fn=gather_up, apply_fn=apply_up,
+        scalars={"changed": 1.0},
+        make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
+        converged=lambda s, it: s.get("changed", 1.0) == 0.0,
+        max_iter=max_iter, state_columns=["vertex", "cnt"])
+    cnt = res_up.state.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "cnt": pc.cast(pc.round(b["cnt"]), pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    # 5a. sibling prefix sums: exclusive cumsum of leafcnt in child-id
+    # order within each father
+    fc = hash_join(fathers, cnt.map_batches(
+        lambda b: pa.table({"child": b["vertex"], "ccnt": b["cnt"]}),
+        batch_format="pyarrow", batch_size=None), on="child",
+        num_partitions=num_partitions)
+
+    def _presum_group(df):
+        df = df.sort_values("child")
+        c = df["ccnt"].to_numpy()
+        df["presum"] = np.concatenate([[0], np.cumsum(c[:-1])])
+        return df[["child", "presum"]]
+
+    presum = fc.groupby("father").map_groups(
+        _presum_group, batch_format="pandas").materialize()
+
+    # 5b. root offsets: exclusive cumsum of per-tree leaf counts
+    roots = comp.map_batches(
+        lambda b: pa.table({"vertex": pc.array_filter(
+            b["vertex"], pc.equal(b["vertex"], b["label"]))}),
+        batch_format="pyarrow", batch_size=None)
+    rc = hash_join(roots, cnt, on="vertex", num_partitions=num_partitions,
+                   join_type="left_outer")
+    rc = rc.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "cnt": pc.fill_null(b["cnt"], 1)}),
+        batch_format="pyarrow", batch_size=None)
+    roff = _exclusive_cumsum(rc, ["vertex"], "cnt", "off0").materialize()
+
+    # 6. DOWN sweep: offset(v) = offset(father) + presum(v)
+    gf_dn = Graph(fathers.map_batches(_as_edges("father", "child"),
+                                      batch_format="pyarrow",
+                                      batch_size=None).materialize(),
+                  n=None)
+    csr_dn = gf_dn.csr_index("out", num_partitions)
+    blocks_dn = csr_dn.block_descriptors()
+
+    init_ds = hash_join(gf_dn.vertices(), presum.map_batches(
+        lambda b: (pa.table({"vertex": pa.array(
+            b["child"].to_numpy(zero_copy_only=False), pa.int64()),
+            "presum": pa.array(
+                b["presum"].to_numpy(zero_copy_only=False), pa.int64())})
+            if b.num_rows else
+            pa.table({"vertex": pa.array([], pa.int64()),
+                      "presum": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None), on="vertex",
+        num_partitions=num_partitions, join_type="left_outer")
+    init_ds = hash_join(init_ds, roff.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "off0": b["off0"]}),
+        batch_format="pyarrow", batch_size=None), on="vertex",
+        num_partitions=num_partitions, join_type="left_outer")
+
+    def _init_off(sd: dict) -> dict:
+        pre = np.nan_to_num(sd["presum"].astype(np.float64), nan=0.0)
+        off0 = np.nan_to_num(sd["off0"].astype(np.float64), nan=0.0)
+        return {"vertex": sd["vertex"], "presum": pre, "off": off0}
+
+    state_dn = al.state_from_dataset(init_ds,
+                                     [int(b) for b in csr_dn.boundaries],
+                                     init_fn=_init_off)
+
+    def gather_dn(sb, csr_desc, starts, scalars):
+        verts = sb["vertex"]
+        off = sb["off"]
+        nb = len(starts)
+        segs = [[] for _ in range(nb)]
+        msg_count = 0
+        if len(verts) == 0:
+            return [tuple(s) for s in segs], 0
+        vmin, vmax = verts.min(), verts.max()
+        for (vlo, vhi, ref) in csr_desc:
+            if vhi < vmin or vlo > vmax:
+                continue
+            sel = (verts >= vlo) & (verts <= vhi)
+            if not sel.any():
+                continue
+            blk = fetch_block(ref)
+            contrib = np.full(block_width(blk), np.inf)
+            loc = block_local(blk, verts[sel])
+            pres = loc >= 0
+            contrib[loc[pres]] = off[sel][pres]
+            if len(blk["in_starts"]) == 0:
+                continue
+            vals = contrib[blk["in_src"]]
+            mins = np.minimum.reduceat(vals, blk["in_starts"])
+            dsts = blk["in_dst"]
+            msg_count += len(dsts)
+            bounds = np.searchsorted(dsts, starts[1:])
+            lo = 0
+            for r, hi in enumerate(list(bounds) + [len(dsts)]):
+                if hi > lo:
+                    segs[r].append((dsts[lo:hi], mins[lo:hi]))
+                lo = hi
+        return [tuple(s) for s in segs], msg_count
+
+    def apply_dn(old, segments, scalars):
+        vertex = old["vertex"]
+        msg = np.full(len(vertex), np.inf)
+        for pairs in segments:
+            for (sd, sm) in pairs:
+                if not len(sd):
+                    continue
+                pos = np.searchsorted(vertex, sd)
+                np.minimum.at(msg, pos, sm)
+        # exactly one father per child => the min IS the father's offset
+        new = np.where(np.isfinite(msg), msg + old["presum"], old["off"])
+        changed = float((new != old["off"]).sum())
+        return ({"vertex": vertex, "presum": old["presum"], "off": new},
+                {"changed": changed})
+
+    res_dn = al.run_aligned_loop(
+        state=state_dn, csr_descriptors=blocks_dn,
+        gather_fn=gather_dn, apply_fn=apply_dn,
+        scalars={"changed": 1.0},
+        make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
+        converged=lambda s, it: s.get("changed", 1.0) == 0.0,
+        max_iter=max_iter, state_columns=["vertex", "presum", "off"])
+    off = res_dn.state.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "off": pc.cast(pc.round(b["off"]), pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+    # 7. assemble x = off + (cnt-1)/2, y = depth over the full universe
+    pos = hash_join(depth.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "y": b["dist"]}),
+        batch_format="pyarrow", batch_size=None), cnt, on="vertex",
+        num_partitions=num_partitions, join_type="left_outer")
+    pos = hash_join(pos, off, on="vertex",
+                    num_partitions=num_partitions, join_type="left_outer")
+    pos = hash_join(pos, roff.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "off0": b["off0"]}),
+        batch_format="pyarrow", batch_size=None), on="vertex",
+        num_partitions=num_partitions, join_type="left_outer")
+
+    def _xy(b: pa.Table) -> pa.Table:
+        c = pc.fill_null(b["cnt"], 1).to_numpy(zero_copy_only=False)
+        o = b["off"].to_numpy(zero_copy_only=False).astype(np.float64)
+        o0 = pc.fill_null(b["off0"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # isolated roots never enter the father graph: their offset is
+        # the root prefix directly
+        ov = np.where(np.isnan(o), o0, o)
+        return pa.table({
+            "vertex": b["vertex"],
+            "x": pa.array(ov + (c - 1) / 2.0, pa.float64()),
+            "y": pa.array(b["y"].to_numpy(
+                zero_copy_only=False).astype(np.float64)),
+        })
+
+    return pos.map_batches(_xy, batch_format="pyarrow", batch_size=None)

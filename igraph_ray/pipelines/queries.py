@@ -3797,6 +3797,105 @@ def q_layout_fr(sf_dir: str):
                            batch_size=None).materialize()
 
 
+RT_V = 512  # vertices of the deterministic layout_rt forest fixture
+
+
+def _rt_forest_table() -> pa.Table:
+    """Deterministic 3-tree forest on RT_V vertices: roots {0,1,2};
+    father(v) = v//3 when v mod 5 ≠ 0 else v//7 (always < v, so each
+    tree's root is its component minimum — the engine's root-selection
+    contract picks exactly these roots). Height ≤ 7, irregular subtree
+    sizes."""
+    v = np.arange(3, RT_V, dtype=np.int64)
+    f = np.where(v % 5 != 0, v // 3, v // 7)
+    return pa.table({"src": pa.array(f), "dst": pa.array(v)})
+
+
+def q_layout_rt(sf_dir: str):
+    """Reingold–Tilford tree layout (igraph_layout_reingold_tilford,
+    layout.c:1052) of the deterministic forest fixture: y = BFS depth,
+    x centers each parent over its subtree's leaf span, sibling
+    subtrees packed in child-id order, trees side by side in root-id
+    order. Engine path: components → multi-root BFS → father table →
+    two aligned sweeps (leaf counts up, offsets down). All-integer
+    output (x doubled), so the unrolled-sweep SQL oracle hashes
+    exactly."""
+    from igraph_ray.ops.layout import layout_reingold_tilford
+
+    g = Graph(ray.data.from_arrow(_rt_forest_table()), n=None)
+    pos = layout_reingold_tilford(g, num_partitions=8)
+
+    def _ints(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "x2": pa.array(np.round(2 * b["x"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)),
+            "y": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)),
+        })
+
+    return pos.map_batches(_ints, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+
+def _sql_layout_rt(iters: int = 10) -> str:
+    parts = [
+        f"WITH fam AS MATERIALIZED (SELECT CAST(v AS BIGINT) AS v, "
+        f"CAST(CASE WHEN v % 5 <> 0 THEN v // 3 ELSE v // 7 END AS BIGINT)"
+        f" AS f FROM range(3, {RT_V}) t(v))",
+        f"verts AS MATERIALIZED (SELECT CAST(r AS BIGINT) AS v "
+        f"FROM range(0, {RT_V}) t(r))",
+        # depth: father-chase unroll (roots 0,1,2 at depth 0)
+        "d0 AS MATERIALIZED (SELECT v, CASE WHEN v < 3 THEN 0 END AS d "
+        "FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"d{k-1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT a.v, "
+            f"COALESCE(a.d, p.d + 1) AS d FROM {p} a "
+            f"LEFT JOIN fam fm ON fm.v = a.v "
+            f"LEFT JOIN {p} p ON p.v = fm.f)")
+    parts.append("c0 AS MATERIALIZED (SELECT v, 1 AS c FROM verts)")
+    for k in range(1, iters + 1):
+        p = f"c{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT x.v, COALESCE(s.sc, 1) AS c "
+            f"FROM {p} x LEFT JOIN (SELECT fm.f AS v, SUM(cp.c) AS sc "
+            f"FROM fam fm JOIN {p} cp ON cp.v = fm.v GROUP BY fm.f) s "
+            f"ON s.v = x.v)")
+    cn = f"c{iters}"
+    parts.append(
+        f"pre AS MATERIALIZED (SELECT fm.v, fm.f, COALESCE(SUM(c.c) OVER "
+        f"(PARTITION BY fm.f ORDER BY fm.v ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND 1 PRECEDING), 0) AS presum "
+        f"FROM fam fm JOIN {cn} c ON c.v = fm.v)")
+    parts.append(
+        f"roff AS MATERIALIZED (SELECT x.v, COALESCE(SUM(c.c) OVER "
+        f"(ORDER BY x.v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        f"PRECEDING), 0) AS off0 "
+        f"FROM (SELECT v FROM verts WHERE v < 3) x "
+        f"JOIN {cn} c ON c.v = x.v)")
+    parts.append(
+        "o0 AS MATERIALIZED (SELECT x.v, COALESCE(r.off0, 0) AS o "
+        "FROM verts x LEFT JOIN roff r ON r.v = x.v)")
+    for k in range(1, iters + 1):
+        p = f"o{k-1}"
+        parts.append(
+            f"o{k} AS MATERIALIZED (SELECT a.v, CASE WHEN a.v < 3 "
+            f"THEN a.o ELSE op.o + pre.presum END AS o FROM {p} a "
+            f"LEFT JOIN pre ON pre.v = a.v "
+            f"LEFT JOIN {p} op ON op.v = pre.f)")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT v.v AS vertex, "
+            f"CAST(2 * o.o + c.c - 1 AS BIGINT) AS x2, "
+            f"CAST(d.d AS BIGINT) AS y "
+            f"FROM verts v JOIN o{iters} o ON o.v = v.v "
+            f"JOIN {cn} c ON c.v = v.v JOIN d{iters} d ON d.v = v.v "
+            f"ORDER BY vertex")
+
+
 SIR_BETA, SIR_GAMMA, SIR_STEPS, SIR_SEED_MOD = 0.4, 0.25, 4, 101
 
 
@@ -7507,6 +7606,7 @@ def queries() -> Dict[str, Callable]:
         "lastcit": q_lastcit,
         "barabasi_aging": q_barabasi_aging,
         "apsp_johnson": q_apsp_johnson,
+        "layout_rt": q_layout_rt,
     }
 
 
@@ -8278,6 +8378,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "lastcit": _sql_lastcit(),
         "barabasi_aging": _sql_barabasi_aging(),
         "apsp_johnson": _sql_apsp_johnson(),
+        "layout_rt": _sql_layout_rt(),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

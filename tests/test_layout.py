@@ -61,3 +61,70 @@ def test_layout_fr_separates_and_deterministic(ray_session):
                                        n=16).to_pandas()
     pos2 = pos2.sort_values("vertex").reset_index(drop=True)
     assert np.array_equal(xy, pos2[["x", "y"]].to_numpy())
+
+
+class TestReingoldTilford:
+    """igraph_layout_reingold_tilford (layout.c:1052): parents centered
+    over subtree leaf spans, sibling subtrees packed in id order, trees
+    side by side, y = BFS depth."""
+
+    def _forest(self):
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+
+        # tree A rooted 0: 0-(1,2), 1-(3,4), 2-(5); tree B: 6-7; isolated 8
+        t = pa.table({"src": pa.array([0, 0, 1, 1, 2, 6], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 4, 5, 7], pa.int64())})
+        return Graph(ray.data.from_arrow(t), n=9)
+
+    def test_exact_positions(self, ray_session):
+        from igraph_ray.ops.layout import layout_reingold_tilford
+
+        out = layout_reingold_tilford(self._forest(),
+                                      num_partitions=3).to_pandas()
+        got = {int(r.vertex): (r.x, r.y) for r in out.itertuples()}
+        assert got == {0: (1.0, 0.0), 1: (0.5, 1.0), 2: (2.0, 1.0),
+                       3: (0.0, 2.0), 4: (1.0, 2.0), 5: (2.0, 2.0),
+                       6: (3.0, 0.0), 7: (3.0, 1.0), 8: (4.0, 0.0)}
+
+    def test_structure_random_tree(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from igraph_ray.graph import Graph
+        from igraph_ray.ops.layout import layout_reingold_tilford
+
+        # deterministic random recursive forest: father(v) < v
+        rng = np.random.default_rng(7)
+        n = 60
+        father = {v: int(rng.integers(0, v)) for v in range(2, n)}
+        t = pa.table({
+            "src": pa.array([father[v] for v in range(2, n)], pa.int64()),
+            "dst": pa.array(list(range(2, n)), pa.int64())})
+        g = Graph(ray.data.from_arrow(t), n=n)
+        out = layout_reingold_tilford(g, num_partitions=4).to_pandas()
+        pos = {int(r.vertex): (r.x, r.y) for r in out.itertuples()}
+
+        # y == depth below root
+        depth = {0: 0, 1: 0}
+        for v in range(2, n):
+            depth[v] = depth[father[v]] + 1
+        assert all(pos[v][1] == depth[v] for v in range(n))
+
+        # no two vertices share a position; parents centered over
+        # their subtree's leaf extent
+        assert len({(x, y) for x, y in pos.values()}) == n
+        children = {}
+        for v, f in father.items():
+            children.setdefault(f, []).append(v)
+
+        def leaves(v):
+            ch = children.get(v, [])
+            if not ch:
+                return [v]
+            return [l for c in sorted(ch) for l in leaves(c)]
+
+        for v in range(n):
+            lv = leaves(v)
+            xs = [pos[l][0] for l in lv]
+            assert pos[v][0] == (min(xs) + max(xs)) / 2
