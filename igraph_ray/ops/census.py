@@ -711,3 +711,98 @@ def motifs4(graph: Graph, num_partitions: Optional[int] = None) -> pa.Table:
         "diamond": pa.array([diamond], pa.int64()),
         "k4": pa.array([k4], pa.int64()),
     })
+
+
+def motif3_instances(graph: Graph,
+                     num_partitions: Optional[int] = None
+                     ) -> ray.data.Dataset:
+    """One row per CONNECTED 3-vertex induced subgraph instance:
+    (v1 < v2 < v3, isoclass) in igraph_motifs_randesu isoclass order —
+    the instance stream behind igraph_motifs_randesu_callback
+    (motifs.c:165 full enumeration, cut_prob=0). Open triples come
+    from their unique center wedge; closed triples keep only the
+    min-center copy (i < k always, so j < i ⟺ j is the triple
+    minimum) — each instance appears exactly once, at any
+    parallelism."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    pairs = _pairs_table(graph.edges).materialize()
+    wedges = _wedge_stream(pairs, num_partitions).materialize()
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "cik": pa.array([], pa.int64())})
+        return pa.table({"i": b["lo"], "k": b["hi"], "cik": b["code"]})
+
+    pairs_ik = pairs.map_batches(_rn, batch_format="pyarrow",
+                                 batch_size=None)
+    joined = hash_join(wedges, pairs_ik, on=("i", "k"),
+                       join_type="left_outer",
+                       num_partitions=num_partitions)
+    iso_map = np.asarray(_CENSUS_TO_ISOCLASS, dtype=np.int64)
+
+    def _inst(b: pa.Table) -> pa.Table:
+        empty = pa.table({"v1": pa.array([], pa.int64()),
+                          "v2": pa.array([], pa.int64()),
+                          "v3": pa.array([], pa.int64()),
+                          "isoclass": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        i = b["i"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        j = b["j"].to_numpy(zero_copy_only=False)
+        cij = b["cij"].to_numpy(zero_copy_only=False)
+        cjk = b["cjk"].to_numpy(zero_copy_only=False)
+        cik = (pc.fill_null(b["cik"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            if "cik" in b.column_names else np.zeros(b.num_rows, np.int64))
+        # identical slotting to triad_census._classify (sorted-triple
+        # positions ab/ac/bc from the center's location)
+        j_lt_i = j < i
+        j_gt_k = j > k
+        ab = np.where(j_lt_i, cij, np.where(j_gt_k, cik, cij))
+        ac = np.where(j_lt_i, cjk, np.where(j_gt_k, cij, cik))
+        bc = np.where(j_lt_i, cik, np.where(j_gt_k, cjk, cjk))
+        clazz = TRIAD_LOOKUP[ab * 16 + ac * 4 + bc]
+        iso = iso_map[clazz]
+        closed = cik > 0
+        keep = (~closed) | j_lt_i
+        v1 = np.where(j_lt_i, j, i)[keep]
+        v2 = np.where(j_lt_i, i, np.where(j_gt_k, k, j))[keep]
+        v3 = np.where(j_gt_k, j, k)[keep]
+        return pa.table({"v1": pa.array(v1, pa.int64()),
+                         "v2": pa.array(v2, pa.int64()),
+                         "v3": pa.array(v3, pa.int64()),
+                         "isoclass": pa.array(iso[keep], pa.int64())})
+
+    return joined.map_batches(_inst, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def motifs_randesu_callback(
+    graph: Graph,
+    callback,
+    size: int = 3,
+    num_partitions: Optional[int] = None,
+    batch_size: Optional[int] = None,
+) -> ray.data.Dataset:
+    """UDF-over-motif-instances hook (igraph_motifs_randesu_callback,
+    motifs.c:165). The reference invokes the callback once per found
+    instance and lets it stop the search; the distributed contract is
+    batch-granular instead: ``callback`` receives Arrow tables
+    (v1, v2, v3, isoclass) of connected-triple instances and whatever
+    tables it returns form the resulting Dataset — a plain map_batches
+    over the parallel instance stream (no early stop; filter/aggregate
+    downstream instead)."""
+    if size != 3:
+        raise NotImplementedError(
+            "callback surface covers size=3; size=4 instances would ride "
+            "the motifs4 Möbius basis, which counts without enumerating")
+    inst = motif3_instances(graph, num_partitions)
+    return inst.map_batches(callback, batch_format="pyarrow",
+                            batch_size=batch_size)

@@ -1388,6 +1388,59 @@ census AS (
   FROM names nm LEFT JOIN allc a ON a.clazz = nm.clazz)"""
 
 
+def q_motif3_instances(sf_dir: str):
+    """Connected-triple instance stream (v1 < v2 < v3, isoclass) over
+    the edges_a digraph — the enumeration behind
+    igraph_motifs_randesu_callback (motifs.c:165): every connected
+    3-vertex induced subgraph exactly once with its directed isoclass.
+    The oracle rebuilds the canonical dyad-code pairs and the three
+    shared-vertex wedge joins in SQL and classifies through the same
+    64-entry lookup (generated from the in-repo exemplar table)."""
+    from igraph_ray.ops.census import motif3_instances
+
+    g = derive.graph_a(sf_dir)
+    return motif3_instances(g, num_partitions=8)
+
+
+def _sql_motif3_instances() -> str:
+    from igraph_ray.ops.census import TRIAD_LOOKUP, _CENSUS_TO_ISOCLASS
+
+    rows = []
+    for key in range(64):
+        ab, rest = divmod(key, 16)
+        ac, bc = divmod(rest, 4)
+        if (ab > 0) + (ac > 0) + (bc > 0) < 2:
+            continue  # fewer than two linked dyads never reaches the join
+        rows.append(f"({key}, {int(_CENSUS_TO_ISOCLASS[TRIAD_LOOKUP[key]])})")
+    lut = ", ".join(rows)
+    return f"""
+WITH edges AS MATERIALIZED ({derive.SQL_EDGES_A}),
+dirs AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+         CASE WHEN src < dst THEN 1 ELSE 2 END AS bit
+  FROM edges WHERE src <> dst),
+pairs AS MATERIALIZED (
+  SELECT lo, hi, SUM(bit) AS code FROM dirs GROUP BY lo, hi),
+tri AS MATERIALIZED (
+  SELECT p.lo AS a, p.hi AS b, q.hi AS c,
+         p.code AS ab, q.code AS ac, 0 AS bc
+  FROM pairs p JOIN pairs q ON q.lo = p.lo AND q.hi > p.hi
+  UNION ALL
+  SELECT p.lo, p.hi, q.hi, p.code, 0, q.code
+  FROM pairs p JOIN pairs q ON q.lo = p.hi
+  UNION ALL
+  SELECT p.lo, q.lo, p.hi, 0, p.code, q.code
+  FROM pairs p JOIN pairs q ON q.hi = p.hi AND q.lo > p.lo),
+grp AS (
+  SELECT a, b, c, MAX(ab) AS ab, MAX(ac) AS ac, MAX(bc) AS bc
+  FROM tri GROUP BY a, b, c),
+lut(key, isoclass) AS (VALUES {lut})
+SELECT g.a AS v1, g.b AS v2, g.c AS v3,
+       CAST(l.isoclass AS BIGINT) AS isoclass
+FROM grp g JOIN lut l ON l.key = g.ab * 16 + g.ac * 4 + g.bc
+ORDER BY v1, v2, v3"""
+
+
 def _sql_triad_census() -> str:
     return f"{_sql_census_body()}\nSELECT clazz, name, count FROM census ORDER BY clazz"
 
@@ -7607,6 +7660,7 @@ def queries() -> Dict[str, Callable]:
         "barabasi_aging": q_barabasi_aging,
         "apsp_johnson": q_apsp_johnson,
         "layout_rt": q_layout_rt,
+        "motif3_instances": q_motif3_instances,
     }
 
 
@@ -8379,6 +8433,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "barabasi_aging": _sql_barabasi_aging(),
         "apsp_johnson": _sql_apsp_johnson(),
         "layout_rt": _sql_layout_rt(),
+        "motif3_instances": _sql_motif3_instances(),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

@@ -232,3 +232,60 @@ def test_motifs3_estimate_quarter_sample_close():
         assert abs(got - true) / true < 0.10, (r["isoclass"], got, true)
         checked += 1
     assert checked >= 2
+
+
+class TestMotifCallback:
+    """igraph_motifs_randesu_callback (motifs.c:165): the instance
+    stream enumerates every connected triple exactly once, and a
+    counting callback over it reproduces the motifs3 census."""
+
+    def _g(self, seed, n, m):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        return Graph.from_numpy(src.astype(np.int64),
+                                dst.astype(np.int64), n=n), src, dst
+
+    @pytest.mark.parametrize("seed,n,m", [(3, 30, 120), (4, 80, 300)])
+    def test_counting_callback_reproduces_motifs3(self, ray_session,
+                                                  seed, n, m):
+        from igraph_ray.ops.census import motifs_randesu_callback
+
+        g, _, _ = self._g(seed, n, m)
+
+        def counting(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"isoclass": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            iso = b["isoclass"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(iso, return_counts=True)
+            return pa.table({"isoclass": pa.array(u, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        got = {}
+        out = motifs_randesu_callback(g, counting).groupby(
+            "isoclass").sum("c")
+        for r in out.take_all():
+            got[int(r["isoclass"])] = int(r["sum(c)"])
+
+        ref = motifs3(g)
+        want = {int(i): int(c) for i, c in
+                zip(ref["isoclass"].to_pylist(), ref["count"].to_pylist())
+                if int(c) != 0}
+        assert got == want
+
+    def test_instances_unique_and_connected(self, ray_session):
+        from igraph_ray.ops.census import motif3_instances
+
+        g, src, dst = self._g(5, 25, 90)
+        rows = motif3_instances(g, num_partitions=3).take_all()
+        triples = [(r["v1"], r["v2"], r["v3"]) for r in rows]
+        assert len(triples) == len(set(triples))
+        adj = set()
+        for s, d in zip(src, dst):
+            if s != d:
+                adj.add((min(s, d), max(s, d)))
+        for (a, b, c) in triples:
+            assert a < b < c
+            links = ((a, b) in adj) + ((a, c) in adj) + ((b, c) in adj)
+            assert links >= 2
