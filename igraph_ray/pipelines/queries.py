@@ -91,6 +91,25 @@ def q_pajek_edges(sf_dir: str):
         return g2.edges.materialize()
 
 
+def q_graphdb_edges(sf_dir: str):
+    """edge_table routed through a GraphDB binary write -> read round
+    trip (igraph_read_graph_graphdb, foreign.c:893: 16-bit LE words,
+    node count then per-node out-lists; dense 0-based ids preserved) —
+    the last foreign format, proved against the same SQL oracle as
+    edge_table."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.graphdb import read_graphdb, write_graphdb
+
+    g = derive.graph_a(sf_dir)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.graphdb")
+        write_graphdb(g.edges, derive.V, p)
+        ds, _n = read_graphdb(p)
+        return ds.materialize()
+
+
 def q_dimacs_arcs(sf_dir: str):
     """Weighted edge table routed through a DIMACS max-flow write ->
     read round trip (foreign.c:663-807/2395: 'p max', two 'n' lines,
@@ -7661,6 +7680,7 @@ def queries() -> Dict[str, Callable]:
         "apsp_johnson": q_apsp_johnson,
         "layout_rt": q_layout_rt,
         "motif3_instances": q_motif3_instances,
+        "graphdb_edges": q_graphdb_edges,
     }
 
 
@@ -8434,6 +8454,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "apsp_johnson": _sql_apsp_johnson(),
         "layout_rt": _sql_layout_rt(),
         "motif3_instances": _sql_motif3_instances(),
+        "graphdb_edges": SQL_EDGES_A,
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

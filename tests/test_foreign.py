@@ -396,3 +396,32 @@ def test_dot_roundtrip(ray_session, tmp_path):
     write_dot(g, str(p2))
     g3 = read_dot(str(p2))
     assert g3.attrs["directed"] is False and g3.num_edges() == 3
+
+
+def test_graphdb_roundtrip(ray_session, tmp_path):
+    """igraph_read_graph_graphdb (foreign.c:893): 16-bit LE words,
+    node count then per-node out-lists; truncated files error."""
+    import pyarrow as pa
+    import ray.data
+    from igraph_ray.sources.graphdb import read_graphdb, write_graphdb
+
+    src = [0, 0, 2, 3, 3, 3]
+    dst = [1, 2, 0, 1, 2, 3]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    p = str(tmp_path / "g.graphdb")
+    write_graphdb(ray.data.from_arrow(t), 5, p)
+
+    # wire format: n=5, then per-node [len, targets...] incl. empty lists
+    words = np.fromfile(p, dtype="<u2").tolist()
+    assert words == [5, 2, 1, 2, 0, 1, 0, 3, 1, 2, 3, 0]
+
+    ds, n = read_graphdb(p)
+    assert n == 5
+    got = sorted((r["src"], r["dst"]) for r in ds.take_all())
+    assert got == sorted(zip(src, dst))
+
+    # truncation is an error, like the reference's EFILE path
+    np.asarray(words[:-2], dtype="<u2").tofile(p)
+    with pytest.raises(ValueError):
+        read_graphdb(p)
