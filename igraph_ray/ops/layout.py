@@ -804,3 +804,366 @@ def layout_reingold_tilford(
         })
 
     return pos.map_batches(_xy, batch_format="pyarrow", batch_size=None)
+
+
+def _force_directed(
+    graph: Graph,
+    n: int,
+    iterations: int,
+    num_partitions: int,
+    att_mul,
+    rep_mul,
+    temp_fn,
+    k: float,
+) -> ray.data.Dataset:
+    """Shared force-directed engine behind graphopt and DRL: per
+    iteration, grid-cell centroid repulsion (the DRL density-grid
+    idea — O(#cells) broadcast table, no all-pairs) + per-edge
+    attraction through two hash joins, displacement capped by
+    ``temp_fn(it, iterations)``. ``att_mul(d, it)`` and ``rep_mul(d2,
+    cnt, it)`` return the multiplier applied to the raw Δ vector (the
+    iteration argument lets DRL vary the force law per annealing
+    phase). Same md5-deterministic init and unit-square clamp as
+    layout_fruchterman_reingold."""
+    cell = min(2.0 * k, 0.25)
+    ncell = max(1, int(np.ceil(1.0 / cell)))
+    und = graph.canonical_undirected().materialize()
+
+    def _init(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _md5_unit([f"x:{i}" for i in v.tolist()])
+        y = _md5_unit([f"y:{i}" for i in v.tolist()])
+        return pa.table({"vertex": pa.array(v), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    pos = ray.data.range(n).map_batches(
+        _init, batch_format="pyarrow", batch_size=None).materialize()
+
+    for it in range(iterations):
+        temp = temp_fn(it, iterations)
+
+        def _cells(b: pa.Table) -> pa.Table:
+            x = b["x"].to_numpy(zero_copy_only=False)
+            y = b["y"].to_numpy(zero_copy_only=False)
+            cx = np.clip((x / cell).astype(np.int64), 0, ncell - 1)
+            cy = np.clip((y / cell).astype(np.int64), 0, ncell - 1)
+            cid = cx * ncell + cy
+            t = pa.table({"cid": pa.array(cid), "x": b["x"], "y": b["y"],
+                          "cnt": pa.array(np.ones(len(x)))})
+            return t.group_by("cid").aggregate(
+                [("x", "sum"), ("y", "sum"), ("cnt", "sum")])
+
+        cells = (pos.map_batches(_cells, batch_format="pyarrow",
+                                 batch_size=None)
+                 .groupby("cid").sum(["x_sum", "y_sum", "cnt_sum"]))
+        cells_ref = _concat_tables.remote(cells.to_arrow_refs())
+
+        ps = pos.map_batches(lambda b: pa.table(
+            {"lo": b["vertex"], "xs": b["x"], "ys": b["y"]}),
+            batch_format="pyarrow", batch_size=None)
+        pd_ = pos.map_batches(lambda b: pa.table(
+            {"hi": b["vertex"], "xd": b["x"], "yd": b["y"]}),
+            batch_format="pyarrow", batch_size=None)
+        j = hash_join(und, ps, on="lo", num_partitions=num_partitions)
+        j = hash_join(j, pd_, on="hi", num_partitions=num_partitions)
+
+        def _att(b: pa.Table, it=it) -> pa.Table:
+            dx = b["xd"].to_numpy(zero_copy_only=False) - \
+                b["xs"].to_numpy(zero_copy_only=False)
+            dy = b["yd"].to_numpy(zero_copy_only=False) - \
+                b["ys"].to_numpy(zero_copy_only=False)
+            d = np.sqrt(dx * dx + dy * dy) + 1e-9
+            f = att_mul(d, it)
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "vertex": pa.array(np.concatenate([lo, hi])),
+                "fx": pa.array(np.concatenate([dx * f, -dx * f])),
+                "fy": pa.array(np.concatenate([dy * f, -dy * f])),
+            })
+            return t.group_by("vertex").aggregate(
+                [("fx", "sum"), ("fy", "sum")])
+
+        att = (j.map_batches(_att, batch_format="pyarrow",
+                             batch_size=None)
+               .groupby("vertex").sum(["fx_sum", "fy_sum"])
+               .materialize())
+
+        def _move(b: pa.Table, temp=temp, it=it) -> pa.Table:
+            ct = ray.get(cells_ref)
+            ccnt = ct["sum(cnt_sum)"].to_numpy(zero_copy_only=False)
+            ccx = (ct["sum(x_sum)"].to_numpy(zero_copy_only=False)
+                   / np.maximum(ccnt, 1.0))
+            ccy = (ct["sum(y_sum)"].to_numpy(zero_copy_only=False)
+                   / np.maximum(ccnt, 1.0))
+            x = b["x"].to_numpy(zero_copy_only=False).copy()
+            y = b["y"].to_numpy(zero_copy_only=False).copy()
+            dx = x[:, None] - ccx[None, :]
+            dy = y[:, None] - ccy[None, :]
+            d2 = dx * dx + dy * dy + 1e-12
+            f = rep_mul(d2, ccnt[None, :], it)
+            fx = (dx * f).sum(axis=1)
+            fy = (dy * f).sum(axis=1)
+            if "sum(fx_sum)" in b.column_names:
+                fx += np.nan_to_num(b["sum(fx_sum)"].to_numpy(
+                    zero_copy_only=False).astype(np.float64))
+                fy += np.nan_to_num(b["sum(fy_sum)"].to_numpy(
+                    zero_copy_only=False).astype(np.float64))
+            norm = np.sqrt(fx * fx + fy * fy) + 1e-12
+            step = np.minimum(norm, temp)
+            x = np.clip(x + fx / norm * step, 0.0, 1.0)
+            y = np.clip(y + fy / norm * step, 0.0, 1.0)
+            return pa.table({"vertex": b["vertex"], "x": pa.array(x),
+                             "y": pa.array(y)})
+
+        pos = (hash_join(pos, att, on="vertex",
+                         num_partitions=num_partitions,
+                         join_type="left_outer")
+               .map_batches(_move, batch_format="pyarrow",
+                            batch_size=None)
+               .repartition(num_partitions).materialize())
+    return pos
+
+
+def layout_graphopt(
+    graph: Graph,
+    iterations: int = 12,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+    node_charge: float = 0.001,
+    spring_length: float = 0.0,
+    spring_constant: float = 1.0,
+) -> ray.data.Dataset:
+    """graphopt layout (igraph_layout_graphopt, layout.c graphopt port
+    semantics): electrical repulsion node_charge²/d² between vertices
+    and a linear spring of natural length ``spring_length`` and
+    stiffness ``spring_constant`` along edges, displacement cooled
+    linearly. Grid-cell approximated repulsion (count-weighted
+    centroids) like the FR engine; unit-square coordinates, md5 init."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    k = float(np.sqrt(1.0 / n))
+    q2 = node_charge * node_charge
+
+    # spring: magnitude k_s(d - L) along the unit vector => Δ multiplier
+    # k_s(1 - L/d); charge: q² / d² along the unit vector => Δ·q²/d³
+    return _force_directed(
+        graph, n, iterations, num_partitions,
+        att_mul=lambda d, it: spring_constant * (
+            1.0 - spring_length / np.maximum(d, 1e-9)),
+        rep_mul=lambda d2, cnt, it: q2 / (d2 * np.sqrt(d2)) * cnt,
+        temp_fn=lambda it, iters: 0.1 * (1.0 - it / iters),
+        k=k)
+
+
+# DRL default phase schedule (src/drl/DensityGrid + graph.cpp phase
+# table, the "default" preset): fraction of iterations, temperature
+# scale, attraction multiplier
+_DRL_PHASES = [
+    (0.25, 2.000, 1.0),   # liquid
+    (0.25, 2.000, 2.0),   # expansion
+    (0.25, 0.250, 1.0),   # cooldown
+    (0.10, 0.100, 1.0),   # crunch
+    (0.15, 0.050, 0.5),   # simmer
+]
+
+
+def layout_drl(
+    graph: Graph,
+    iterations: int = 20,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """DRL layout (igraph_layout_drl, src/drl/): force-directed with a
+    DENSITY-GRID repulsion field and a staged annealing schedule
+    (liquid → expansion → cooldown → crunch → simmer, the default
+    preset's temperature/attraction multipliers). The engine's
+    grid-cell centroid repulsion IS DRL's density-grid idea, so the
+    distributed shape matches the reference's design rather than
+    emulating its sequential loop. md5-deterministic init,
+    unit-square output."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    k = float(np.sqrt(1.0 / n))
+
+    # map iteration -> phase parameters by cumulative fraction
+    bounds = np.cumsum([f for f, _, _ in _DRL_PHASES])
+
+    def _phase(it, iters):
+        frac = (it + 0.5) / iters
+        idx = int(np.searchsorted(bounds, frac))
+        return _DRL_PHASES[min(idx, len(_DRL_PHASES) - 1)]
+
+    def temp_fn(it, iters):
+        _, tscale, _ = _phase(it, iters)
+        return 0.075 * tscale * (1.0 - 0.5 * it / iters)
+
+    def att_mul(d, it):
+        # FR-style |Δ|²/k attraction scaled by the phase multiplier
+        _, _, amul = _phase(it, iterations)
+        return amul * d / k
+
+    return _force_directed(
+        graph, n, iterations, num_partitions,
+        att_mul=att_mul,
+        rep_mul=lambda d2, cnt, it: k * k / d2 * cnt,
+        temp_fn=temp_fn,
+        k=k)
+
+
+def layout_mds(
+    graph: Graph,
+    dim: int = 2,
+    num_landmarks: int = 64,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """MDS layout (igraph_layout_mds, layout.c MDS over the
+    shortest-path distance matrix) in the Landmark-MDS formulation
+    (de Silva & Tenenbaum, NIPS 2004 — the published out-of-sample
+    extension of classical MDS): BFS hop distances from L landmarks
+    (one K-column sweep), classical MDS on the L×L landmark matrix
+    (driver-side L² doubles only), then every vertex is placed by the
+    pseudo-inverse projection of its landmark-distance vector inside
+    map_batches. Reproduces classical MDS exactly when the landmarks
+    span the point set; the full n×n matrix never materializes — at
+    igraph's own all-pairs semantics L = n on small graphs. Landmarks
+    are the md5-smallest vertices (parallelism-invariant choice);
+    disconnected pairs take d = n like the KK fallback."""
+    import hashlib
+
+    n = graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    L = int(min(num_landmarks, n))
+
+    def _rank(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(f"mds:{i}".encode()).hexdigest()[:12]
+             for i in v.tolist()]
+        return pa.table({"vertex": pa.array(v),
+                         "h": pa.array(h, pa.string())})
+
+    lm_rows = graph.vertices().map_batches(
+        _rank, batch_format="pyarrow", batch_size=None) \
+        .sort("h").limit(L).take_all()
+    landmarks = sorted(int(r["vertex"]) for r in lm_rows)
+    col_of = {v: i for i, v in enumerate(landmarks)}
+
+    from igraph_ray.algorithms.paths import multi_source_hops
+
+    longd = multi_source_hops(graph, landmarks,
+                              num_partitions=num_partitions,
+                              chunk=min(L, 128),
+                              variant="sym").materialize()
+
+    # landmark×landmark matrix: L² rows to the driver (small by design)
+    dmat = np.full((L, L), float(n), dtype=np.float64)
+    np.fill_diagonal(dmat, 0.0)
+    # filter landmark rows distributed, then pull just L² of them
+    lm_arr = np.asarray(landmarks, dtype=np.int64)
+
+    def _lm_only(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        keep = np.isin(v, lm_arr)
+        return pa.table({"source": pc.array_filter(b["source"],
+                                                   pa.array(keep)),
+                         "vertex": pa.array(v[keep]),
+                         "dist": pc.array_filter(b["dist"],
+                                                 pa.array(keep))})
+
+    for r in longd.map_batches(_lm_only, batch_format="pyarrow",
+                               batch_size=None).take_all():
+        dmat[col_of[int(r["source"])], col_of[int(r["vertex"])]] = \
+            float(r["dist"])
+
+    # classical MDS on the landmark matrix
+    d2 = dmat * dmat
+    J = np.eye(L) - np.ones((L, L)) / L
+    B = -0.5 * J @ d2 @ J
+    w, V = np.linalg.eigh(B)
+    order = np.argsort(w)[::-1][:dim]
+    lam = np.maximum(w[order], 0.0)
+    # a dimension with negligible spectrum (e.g. dim 2 of a path graph)
+    # carries no geometry — its 1/sqrt(lam) projection row would be
+    # noise amplified by ~1/eps, so it collapses to coordinate 0
+    good = lam > 1e-9 * max(lam.max(), 1e-30)
+    s = np.where(good, np.sqrt(np.maximum(lam, 1e-30)), np.inf)
+    # de Silva–Tenenbaum projection: x = -0.5 · Lk# · (δ² - mean column)
+    pinv = (V[:, order] / s[None, :]).T                # dim×L
+    mu = d2.mean(axis=0)
+
+    mu_ref = ray.put((pinv, mu, lm_arr, float(n)))
+
+    # pivot the long distances per vertex and project — boundary-aligned
+    # sort keeps each vertex's L rows in one block
+    from igraph_ray.csr import compute_boundaries
+
+    bnds = compute_boundaries(longd, num_partitions, col="vertex")
+    sorted_d = (longd.sort("vertex", boundaries=[int(x) for x in bnds])
+                if bnds else longd.repartition(1).sort("vertex"))
+
+    def _place(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        pinv_, mu_, lms, fallback = ray.get(mu_ref)
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        s = b["source"].to_numpy(zero_copy_only=False)
+        d = b["dist"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uv, inv = np.unique(v, return_inverse=True)
+        cols = np.searchsorted(lms, s)
+        delta2 = np.full((len(uv), len(lms)), fallback * fallback)
+        delta2[inv, cols] = d * d
+        X = -0.5 * (pinv_ @ (delta2 - mu_[None, :]).T).T
+        return pa.table({"vertex": pa.array(uv, pa.int64()),
+                         "x": pa.array(X[:, 0], pa.float64()),
+                         "y": pa.array(X[:, 1] if X.shape[1] > 1
+                                       else np.zeros(len(uv)),
+                                       pa.float64())})
+
+    placed = sorted_d.map_batches(_place, batch_format="pyarrow",
+                                  batch_size=None)
+
+    # vertices in landmark-free components never appear in the distance
+    # stream — they all sit at the fallback-vector projection (constant,
+    # computed once from the all-d=n delta row)
+    fb2 = np.full(L, float(n) * float(n))
+    xfb = -0.5 * (pinv @ (fb2 - mu))
+    pos_all = hash_join(
+        graph.vertices(), placed, on="vertex",
+        num_partitions=num_partitions, join_type="left_outer")
+
+    def _fill(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        if "x" not in b.column_names:
+            nn = b.num_rows
+            return pa.table({"vertex": b["vertex"],
+                             "x": pa.array(np.full(nn, xfb[0])),
+                             "y": pa.array(np.full(
+                                 nn, xfb[1] if len(xfb) > 1 else 0.0))})
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vertex": b["vertex"],
+            "x": pa.array(np.where(np.isnan(x), xfb[0], x)),
+            "y": pa.array(np.where(
+                np.isnan(y), xfb[1] if len(xfb) > 1 else 0.0, y)),
+        })
+
+    return pos_all.map_batches(_fill, batch_format="pyarrow",
+                               batch_size=None)

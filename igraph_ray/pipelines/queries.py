@@ -3869,6 +3869,59 @@ def q_layout_fr(sf_dir: str):
                            batch_size=None).materialize()
 
 
+def _scale_pos_e6(pos):
+    def _scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "x_e6": pa.array(np.round(b["x"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+            "y_e6": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+        })
+
+    return pos.map_batches(_scale, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+
+def q_layout_graphopt(sf_dir: str):
+    """graphopt spring/charge layout (igraph_layout_graphopt, the
+    layout.c graphopt port) of the very-sparse derived graph — 10
+    iterations, grid-approximated charge repulsion, md5-deterministic
+    init. Rows-only at the gate (iterative float dynamics); the
+    separation/determinism pytests carry the contract."""
+    from igraph_ray.ops.layout import layout_graphopt
+
+    g = derive.graph_vsparse(sf_dir)
+    return _scale_pos_e6(layout_graphopt(g, iterations=10, n=derive.V,
+                                         num_partitions=8))
+
+
+def q_layout_drl(sf_dir: str):
+    """DRL density-grid layout (igraph_layout_drl, src/drl/) of the
+    very-sparse derived graph — the default liquid→expansion→cooldown→
+    crunch→simmer annealing schedule over the grid-cell repulsion
+    field. Rows-only at the gate; pytests carry the contract."""
+    from igraph_ray.ops.layout import layout_drl
+
+    g = derive.graph_vsparse(sf_dir)
+    return _scale_pos_e6(layout_drl(g, iterations=10, n=derive.V,
+                                    num_partitions=8))
+
+
+def q_layout_mds(sf_dir: str):
+    """Landmark-MDS layout (igraph_layout_mds over BFS distances, in
+    the de Silva–Tenenbaum landmark formulation) of the very-sparse
+    derived graph — 48 md5-chosen landmarks, classical MDS on the
+    landmark matrix, pseudo-inverse placement of everything else.
+    Rows-only at the gate (eigensolve); the exact-recovery pytests
+    carry the contract."""
+    from igraph_ray.ops.layout import layout_mds
+
+    g = derive.graph_vsparse(sf_dir)
+    return _scale_pos_e6(layout_mds(g, num_landmarks=48,
+                                    num_partitions=8))
+
+
 RT_V = 512  # vertices of the deterministic layout_rt forest fixture
 
 
@@ -7681,6 +7734,9 @@ def queries() -> Dict[str, Callable]:
         "layout_rt": q_layout_rt,
         "motif3_instances": q_motif3_instances,
         "graphdb_edges": q_graphdb_edges,
+        "layout_graphopt": q_layout_graphopt,
+        "layout_drl": q_layout_drl,
+        "layout_mds": q_layout_mds,
     }
 
 

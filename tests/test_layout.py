@@ -128,3 +128,115 @@ class TestReingoldTilford:
             lv = leaves(v)
             xs = [pos[l][0] for l in lv]
             assert pos[v][0] == (min(xs) + max(xs)) / 2
+
+
+class TestLayoutTail:
+    """graphopt / DRL / landmark-MDS — the layout.c + src/drl/ tail."""
+
+    def _two_cliques(self):
+        es = set()
+        for a in range(8):
+            for b in range(a + 1, 8):
+                es.add((a, b))
+                es.add((a + 8, b + 8))
+        es.add((0, 8))
+        src = np.array([e[0] for e in es], np.int64)
+        dst = np.array([e[1] for e in es], np.int64)
+        return Graph(ray.data.from_arrow(
+            pa.table({"src": src, "dst": dst})), n=16)
+
+    def _check_separates(self, xy):
+        c1, c2 = xy[:8].mean(axis=0), xy[8:].mean(axis=0)
+        intra = max(np.linalg.norm(xy[:8] - c1, axis=1).mean(),
+                    np.linalg.norm(xy[8:] - c2, axis=1).mean())
+        assert np.linalg.norm(c1 - c2) > intra
+
+    def test_graphopt_separates_and_deterministic(self, ray_session):
+        from igraph_ray.ops.layout import layout_graphopt
+
+        g = self._two_cliques()
+        p1 = layout_graphopt(g, iterations=20, n=16).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        xy = p1[["x", "y"]].to_numpy()
+        assert ((xy >= 0) & (xy <= 1)).all()
+        self._check_separates(xy)
+        p2 = layout_graphopt(g, iterations=20, n=16).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        # bit-wiggle from distributed float-sum order only
+        assert np.allclose(xy, p2[["x", "y"]].to_numpy(), atol=1e-12)
+
+    def test_drl_separates_and_deterministic(self, ray_session):
+        from igraph_ray.ops.layout import layout_drl
+
+        g = self._two_cliques()
+        p1 = layout_drl(g, iterations=20, n=16).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        xy = p1[["x", "y"]].to_numpy()
+        assert ((xy >= 0) & (xy <= 1)).all()
+        self._check_separates(xy)
+        p2 = layout_drl(g, iterations=20, n=16).to_pandas() \
+            .sort_values("vertex").reset_index(drop=True)
+        assert np.allclose(xy, p2[["x", "y"]].to_numpy(), atol=1e-12)
+
+    def test_mds_recovers_path_order(self, ray_session):
+        """Classical MDS of a path graph's hop distances is the line:
+        the first coordinate must be monotone along the path."""
+        from igraph_ray.ops.layout import layout_mds
+
+        n = 24
+        t = pa.table({"src": pa.array(np.arange(n - 1), pa.int64()),
+                      "dst": pa.array(np.arange(1, n), pa.int64())})
+        g = Graph(ray.data.from_arrow(t), n=n)
+        # landmarks = all vertices -> exact classical MDS
+        out = layout_mds(g, num_landmarks=n, num_partitions=3).to_pandas()
+        out = out.sort_values("vertex").reset_index(drop=True)
+        x = out["x"].to_numpy()
+        d = np.diff(x)
+        assert (d > 0).all() or (d < 0).all()
+        # y variance negligible vs x (a path is 1-D)
+        assert out["y"].to_numpy().std() < 0.05 * x.std()
+
+    def test_mds_landmark_matches_full_on_grid(self, ray_session):
+        """Landmark MDS with a spanning landmark set approximates the
+        full embedding: pairwise embedded distances correlate strongly
+        with hop distances on a 5x5 grid."""
+        from igraph_ray.ops.layout import layout_mds
+
+        w = 5
+        es = []
+        for r in range(w):
+            for c in range(w):
+                v = r * w + c
+                if c + 1 < w:
+                    es.append((v, v + 1))
+                if r + 1 < w:
+                    es.append((v, v + w))
+        src = np.array([e[0] for e in es], np.int64)
+        dst = np.array([e[1] for e in es], np.int64)
+        g = Graph(ray.data.from_arrow(
+            pa.table({"src": src, "dst": dst})), n=w * w)
+        out = layout_mds(g, num_landmarks=12, num_partitions=3) \
+            .to_pandas().sort_values("vertex").reset_index(drop=True)
+        xy = out[["x", "y"]].to_numpy()
+        # hop distance vs embedded distance over all pairs
+        import collections
+        adj = collections.defaultdict(list)
+        for s, d in es:
+            adj[s].append(d)
+            adj[d].append(s)
+        hop = np.full((w * w, w * w), np.inf)
+        for s in range(w * w):
+            hop[s, s] = 0
+            q = [s]
+            while q:
+                nq = []
+                for u in q:
+                    for v2 in adj[u]:
+                        if hop[s, v2] == np.inf:
+                            hop[s, v2] = hop[s, u] + 1
+                            nq.append(v2)
+                q = nq
+        emb = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+        iu = np.triu_indices(w * w, 1)
+        corr = np.corrcoef(hop[iu], emb[iu])[0, 1]
+        assert corr > 0.9
