@@ -1981,6 +1981,8 @@ RECENT_DEGREE_PARAMS = dict(n=64, m=2, window=4, zero_appeal=1, seed=17)
 LASTCIT_PARAMS = dict(n=64, edges_per_node=1, agebins=3,
                       preference=(6, 3, 2, 1), seed=19)
 BARABASI_AGING_PARAMS = dict(n=64, m=2, aging_bin=3, seed=23)
+RECENT_DEGREE_AGING_PARAMS = dict(n=64, m=2, aging_bin=3, time_window=4,
+                                  zero_appeal=1, seed=29)
 
 
 def q_recent_degree(sf_dir: str):
@@ -2013,6 +2015,64 @@ def q_barabasi_aging(sf_dir: str):
     from igraph_ray.sources.games import barabasi_aging_game
 
     return barabasi_aging_game(**BARABASI_AGING_PARAMS).sort(["src", "dst"])
+
+
+def q_recent_degree_aging(sf_dir: str):
+    """Recent-degree attachment with aging
+    (igraph_recent_degree_aging_game, games.c:1888; pa_exp=1,
+    aging_exp=-1): weight = (windowed citations + 1)/(age+1), the
+    composition of recent_degree (history-queue expiry) and
+    barabasi_aging (event-ordered updates incl. the reference's
+    (age+2) boundary factor). The oracle resolves each vertex's LAST
+    update event — expiry at xs+W, citation at c, aging boundary, or
+    insertion — from the accumulated edge CTE."""
+    from igraph_ray.sources.games import recent_degree_aging_game
+
+    return recent_degree_aging_game(**RECENT_DEGREE_AGING_PARAMS) \
+        .sort(["src", "dst"])
+
+
+def _sql_recent_degree_aging() -> str:
+    from math import gcd
+
+    p = RECENT_DEGREE_AGING_PARAMS
+    n, m, ab, W, za = (p["n"], p["m"], p["aging_bin"], p["time_window"],
+                       p["zero_appeal"])
+    bw = n // ab + 1
+    max_den = (n - 1) // bw + 2
+    L = 1
+    for d in range(1, max_den + 1):
+        L = L * d // gcd(L, d)
+    draws = _seq_game_draws(p["seed"], "rda", n, m)
+
+    def w_expr(i: int) -> str:
+        # events, latest step wins (ties: aging > citation > expiry):
+        #   aging boundary b = v + bw·ak (ak = (i-1-v)//bw >= 1),
+        #     factor L/(ak+2)
+        #   citation at c = MAX(s), factor L/((c-v)//bw + 1)
+        #   expiry at x = xs + W (xs = MAX(s) with s <= i-W),
+        #     factor L/((x-v)//bw + 1)
+        #   insertion, factor L
+        # deg is always the CURRENT windowed count (s >= i-W+1)
+        ak = f"(({i} - 1 - r.range) // {bw})"
+        return (
+            f"SELECT r.range AS v, ({za} + COALESCE(st.deg, 0)) * "
+            f"CASE WHEN {ak} >= 1 AND (st.c IS NULL OR "
+            f"r.range + {bw} * {ak} >= st.c) AND (st.xs IS NULL OR "
+            f"r.range + {bw} * {ak} >= st.xs + {W}) "
+            f"THEN {L} // ({ak} + 2) "
+            f"WHEN st.c IS NOT NULL AND (st.xs IS NULL OR "
+            f"st.c >= st.xs + {W}) THEN "
+            f"{L} // ((st.c - r.range) // {bw} + 1) "
+            f"WHEN st.xs IS NOT NULL THEN "
+            f"{L} // ((st.xs + {W} - r.range) // {bw} + 1) "
+            f"ELSE {L} END AS w "
+            f"FROM range({i}) r LEFT JOIN "
+            f"(SELECT d, COUNT(*) FILTER (WHERE s >= {i - W + 1}) AS deg, "
+            f"MAX(s) AS c, MAX(s) FILTER (WHERE s <= {i - W}) AS xs "
+            f"FROM e{i - 1} GROUP BY d) st ON st.d = r.range")
+
+    return _seq_game_sql(n, m, w_expr, draws)
 
 
 def _seq_game_draws(seed: int, tag: str, n: int, m: int):
@@ -7737,6 +7797,7 @@ def queries() -> Dict[str, Callable]:
         "layout_graphopt": q_layout_graphopt,
         "layout_drl": q_layout_drl,
         "layout_mds": q_layout_mds,
+        "recent_degree_aging": q_recent_degree_aging,
     }
 
 
@@ -8511,6 +8572,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "layout_rt": _sql_layout_rt(),
         "motif3_instances": _sql_motif3_instances(),
         "graphdb_edges": SQL_EDGES_A,
+        "recent_degree_aging": _sql_recent_degree_aging(),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("

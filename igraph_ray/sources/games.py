@@ -1213,3 +1213,83 @@ def barabasi_aging_game(
     t = pa.table({"src": pa.array(src_out, pa.int64()),
                   "dst": pa.array(dst_out, pa.int64())})
     return ray.data.from_arrow(t)
+
+
+def recent_degree_aging_game(
+    n: int, m: int = 1, aging_bin: int = 1, time_window: int = 2,
+    zero_appeal: int = 1, outpref: bool = False, aging_exp: int = -1,
+    seed: int = 29,
+) -> ray.data.Dataset:
+    """igraph_recent_degree_aging_game (games.c:1888) with pa_exp == 1
+    and aging_exp in {-1, 0}: the composition of recent_degree_game
+    (windowed citation counts via the history queue) and
+    barabasi_aging_game (event-ordered psumtree updates). Attachment
+    weight = (recent_deg + zero_appeal) · (age+1)^aging_exp, where a
+    vertex's stored weight is whatever its LAST update event set:
+    window expiry at step s+time_window (factor (age+1)^γ, fired at
+    the START of a step before its draws), citation at step c (factor
+    (age+1)^γ), aging boundary at step v + binwidth·k (factor
+    (age+2)^γ — the reference's own off-by-one, kept, games.c:1998),
+    or insertion (factor 1). LCM-scaled exact-integer roulettes; the
+    m draws of one step share the pre-step weights (games.c:1970
+    updates after the draw loop)."""
+    from math import gcd
+
+    if aging_exp not in (-1, 0):
+        raise NotImplementedError(
+            "integer-exact replay covers aging_exp in {-1, 0}")
+    if zero_appeal < 1 or int(zero_appeal) != zero_appeal:
+        raise NotImplementedError(
+            "integer-exact replay needs integer zero_appeal >= 1")
+    if n > _SEQ_GAME_MAX_N:
+        raise NotImplementedError(
+            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    n, m, ab, W = int(n), int(m), int(aging_bin), int(time_window)
+    za = int(zero_appeal)
+    binwidth = n // ab + 1
+    max_den = (n - 1) // binwidth + 2 if aging_exp == -1 else 1
+    L = 1
+    for d in range(1, max_den + 1):
+        L = L * d // gcd(L, d)
+
+    def agef(a: int) -> int:
+        """L · (a+1)^γ as an exact integer."""
+        return L // (a + 1) if aging_exp == -1 else L
+
+    w = np.zeros(n, dtype=np.int64)
+    deg = np.zeros(n, dtype=np.int64)   # WINDOWED degree
+    w[0] = za * L
+    ledger: dict = {}
+    src_out, dst_out = [], []
+    for i in range(1, n):
+        # window expiry first (games.c:1957: pops BEFORE the draws)
+        drop = i - W
+        if drop >= 1 and drop in ledger:
+            for v in ledger.pop(drop):
+                deg[v] -= 1
+                w[v] = (deg[v] + za) * agef((i - v) // binwidth)
+        ws = w[:i]
+        picks = [
+            _roulette(ws, _draw32(seed, "rda", i, j)) for j in range(m)
+        ]
+        for to in picks:
+            deg[to] += 1
+            src_out.append(i)
+            dst_out.append(to)
+        ledger[i] = list(picks)
+        # post-draw updates, reference order (games.c:1976-1989)
+        for to in picks:
+            w[to] = (deg[to] + za) * agef((i - to) // binwidth)
+        if outpref:
+            deg[i] += m
+            w[i] = (deg[i] + za) * L   # age 0 => factor 1
+        else:
+            w[i] = za * L
+        k = 1
+        while i - binwidth * k >= 0:
+            sh = i - binwidth * k
+            w[sh] = (deg[sh] + za) * agef(k + 1)  # (age+2) factor
+            k += 1
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)

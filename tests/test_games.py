@@ -548,3 +548,71 @@ class TestSequentialGrowthGames:
             barabasi_aging_game(10, aging_exp=-2)
         with _pt.raises(NotImplementedError):
             lastcit_game(10, preference=[1, 1, 0])
+
+
+class TestRecentDegreeAging:
+    """recent_degree_aging vs a LITERAL transcription of
+    games.c:1888's psumtree event order (Fraction weights, no LCM
+    scaling): window expiry pops before the draws, post-draw citation
+    updates, insertion, then the (age+2) boundary sweeps."""
+
+    def test_vs_replica(self, ray_session):
+        from fractions import Fraction
+
+        from igraph_ray.sources.games import (_draw32,
+                                              recent_degree_aging_game)
+
+        n, m, ab, W, za, seed = 40, 2, 3, 3, 1, 11
+        bw = n // ab + 1
+        for aging_exp, outpref in ((-1, False), (0, False), (-1, True)):
+            def agefac(a):
+                return Fraction(1, a + 1) if aging_exp == -1 else \
+                    Fraction(1)
+
+            w = [Fraction(0)] * n
+            deg = [0] * n
+            w[0] = Fraction(za)
+            hist = [-1]
+            edges = []
+            for i in range(1, n):
+                if i >= W:
+                    while True:
+                        j = hist.pop(0)
+                        if j == -1:
+                            break
+                        deg[j] -= 1
+                        w[j] = (deg[j] + za) * agefac((i - j) // bw)
+                ws = w[:i]
+                s = sum(ws)
+                picks = []
+                for j in range(m):
+                    d = _draw32(seed, "rda", i, j)
+                    cum = Fraction(0)
+                    for v in range(i):
+                        cum += ws[v]
+                        if d * s <= (1 << 32) * cum:
+                            picks.append(v)
+                            break
+                for to in picks:
+                    deg[to] += 1
+                    edges.append((i, to))
+                    hist.append(to)
+                hist.append(-1)
+                for to in picks:
+                    w[to] = (deg[to] + za) * agefac((i - to) // bw)
+                if outpref:
+                    deg[i] += m
+                    w[i] = Fraction(deg[i] + za)
+                else:
+                    w[i] = Fraction(za)
+                k = 1
+                while i - bw * k >= 0:
+                    sh = i - bw * k
+                    w[sh] = (deg[sh] + za) * agefac(k + 1)
+                    k += 1
+            got = recent_degree_aging_game(
+                n, m=m, aging_bin=ab, time_window=W, zero_appeal=za,
+                aging_exp=aging_exp, outpref=outpref,
+                seed=seed).to_pandas()
+            assert sorted(zip(got.src, got.dst)) == sorted(edges), \
+                (aging_exp, outpref)
