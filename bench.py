@@ -245,6 +245,41 @@ def bench_suite(sf_dir: str, num_cpus: int) -> dict:
     return {"queries": out, "details": details}
 
 
+def bench_community(num_cpus: int) -> dict:
+    """Louvain/Leiden walls, reported OUTSIDE the pinned 13-key
+    headline (round-4 verdict ask: time the now-user-facing community
+    suite). Eighth-size power-law slice with bounded levels/sweeps.
+    These are DATASET-mode loops (~10 executor launches per sweep at
+    1-3 s fixed launch cost on this box), so the local wall is
+    launch-overhead-bound; at cluster scale each launch processes GBs
+    and the overhead amortizes away. The modularity values guard
+    against quality regressions."""
+    import ray.data
+
+    from igraph_ray import Graph
+    from igraph_ray.algorithms.leiden import leiden
+    from igraph_ray.algorithms.louvain import louvain
+
+    path = ensure_bench_graph()
+    d: dict = {}
+    eg = Graph(ray.data.read_parquet(path, override_num_blocks=32).filter(
+        expr=f"src < {BENCH_V//8} and dst < {BENCH_V//8}"), n=BENCH_V // 8)
+    t = time.perf_counter()
+    lv = louvain(eg, num_partitions=BENCH_PARTITIONS, max_sweeps=2,
+                 max_levels=2)
+    lv.state.count()
+    d["louvain_eighth_s"] = round(time.perf_counter() - t, 3)
+    d["louvain_modularity"] = round(lv.modularity, 4)
+
+    t = time.perf_counter()
+    ld = leiden(eg, num_partitions=BENCH_PARTITIONS, max_sweeps=2,
+                max_refine_sweeps=1, max_levels=2)
+    ld.state.count()
+    d["leiden_eighth_s"] = round(time.perf_counter() - t, 3)
+    d["leiden_modularity"] = round(ld.modularity, 4)
+    return d
+
+
 def _scaling_child(num_cpus: int) -> dict:
     """Executed in a fresh subprocess: one PageRank bench at num_cpus.
 
@@ -315,6 +350,9 @@ def main() -> None:
         t0 = time.perf_counter()
         res = bench_suite(sf_dir, num_cpus)
         total = time.perf_counter() - t0
+        # community walls ride OUTSIDE the timed headline (pinned
+        # 13-key cross-round set) but inside the same session
+        res["details"].update(bench_community(num_cpus))
         print(json.dumps({
             "metric": "igraph_ray_headline_suite_sec",
             "value": round(total, 3),
