@@ -84,7 +84,7 @@ def _refine(
         lambda b: pa.table({"dst": b["vertex"], "p_dst": b["community"]}),
         batch_format="pyarrow", batch_size=None)
     j = hash_join(cur_sym, lab_s, on="src", num_partitions=num_partitions)
-    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions)
+    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions, lazy_left=True)
 
     def _intra(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -151,7 +151,7 @@ def leiden_pinned(
         lambda b: pa.table({"dst": b["vertex"], "p_dst": b["community"]}),
         batch_format="pyarrow", batch_size=None)
     j = hash_join(sym, lab_s, on="src", num_partitions=num_partitions)
-    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions)
+    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions, lazy_left=True)
 
     def _intra(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

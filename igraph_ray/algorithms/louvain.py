@@ -177,11 +177,15 @@ def _one_sweep(
     def _vol_for(b: pa.Table) -> pa.Table:
         return pa.table({"comm": b["comm"], "vol_c": b["vol"], "csize_c": b["csize"]})
 
+    # lazy_left: the three candidate-row joins fuse into ONE streaming
+    # execution ending at the materialize (each join boundary used to
+    # pay a full executor launch — pure overhead at gate scale)
     kvc = hash_join(
         kvc, vols.map_batches(_vol_for, batch_format="pyarrow", batch_size=None),
         on="comm", num_partitions=num_partitions,
     )
-    kvc = hash_join(kvc, assign, on="vertex", num_partitions=num_partitions)
+    kvc = hash_join(kvc, assign, on="vertex", num_partitions=num_partitions,
+                    lazy_left=True)
 
     def _own_vol(b: pa.Table) -> pa.Table:
         return pa.table({"community": b["comm"], "vol_own": b["vol"],
@@ -189,7 +193,7 @@ def _one_sweep(
 
     kvc = hash_join(
         kvc, vols.map_batches(_own_vol, batch_format="pyarrow", batch_size=None),
-        on="community", num_partitions=num_partitions,
+        on="community", num_partitions=num_partitions, lazy_left=True,
     ).materialize()
 
     # 2. per vertex: best candidate by gain (vectorized argmax per group)
@@ -295,7 +299,8 @@ def _one_sweep(
         lab = assign.map_batches(
             lambda b: pa.table({"vertex": b["vertex"], "cur": b["community"]}),
             batch_format="pyarrow", batch_size=None)
-        mv = hash_join(choice, lab, on="vertex", num_partitions=num_partitions)
+        mv = hash_join(choice, lab, on="vertex", num_partitions=num_partitions,
+                       lazy_left=True)
 
         def _only_moves(b: pa.Table) -> pa.Table:
             keep = pc.not_equal(b["new_comm"], b["cur"])
@@ -364,7 +369,8 @@ def _coarsen(
     lab_s = assign.map_batches(_ls, batch_format="pyarrow", batch_size=None)
     lab_d = assign.map_batches(_ld, batch_format="pyarrow", batch_size=None)
     j = hash_join(sym, lab_s, on="src", num_partitions=num_partitions)
-    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions)
+    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions,
+                  lazy_left=True)
 
     def _pre(b: pa.Table) -> pa.Table:
         t = pa.table({"src": b["comm_src"], "dst": b["comm_dst"], "weight": b["weight"]})
@@ -394,7 +400,7 @@ def _modularity_from(
     j = hash_join(sym, assign.map_batches(_ls, batch_format="pyarrow", batch_size=None),
                   on="src", num_partitions=num_partitions)
     j = hash_join(j, assign.map_batches(_ld, batch_format="pyarrow", batch_size=None),
-                  on="dst", num_partitions=num_partitions)
+                  on="dst", num_partitions=num_partitions, lazy_left=True)
 
     def _intra(b: pa.Table) -> pa.Table:
         same = pc.equal(b["comm_src"], b["comm_dst"])

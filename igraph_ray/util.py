@@ -107,6 +107,7 @@ def hash_join(
     num_partitions: int = 16,
     join_type: str = "inner",
     broadcast_threshold: int = BROADCAST_JOIN_ROWS,
+    lazy_left: bool = False,
 ) -> ray.data.Dataset:
     """Equi-join with empty-block sanitation.
 
@@ -115,11 +116,20 @@ def hash_join(
     batch joins against it with pyarrow's in-memory join (zero extra
     shuffle; the canonical broadcast-hash-join). Large-large joins fall
     back to Ray Data's partitioned hash join.
+
+    ``lazy_left``: skip the left side's drop_empty_blocks MATERIALIZE
+    on the broadcast path, so chains of broadcast joins fuse into one
+    streaming execution instead of paying a full executor launch per
+    join boundary. Callers must guarantee the left side cannot carry
+    null-schema empty blocks (safe for: outputs of a previous broadcast
+    hash_join, plain map_batches chains over materialized data; NOT
+    safe straight off a sort-based groupby). The partitioned fallback
+    always sanitizes.
     """
     if isinstance(on, str):
         on = (on,)
     on = list(on)
-    left_c = drop_empty_blocks(left)
+    left_c = left if lazy_left else drop_empty_blocks(left)
     right_c = drop_empty_blocks(right)
     if right_c.count() <= broadcast_threshold:
         small_ref = _concat_tables.remote(right_c.to_arrow_refs())
@@ -141,6 +151,8 @@ def hash_join(
                 return b.join(small, keys=on, join_type=arrow_type)
 
             return left_c.map_batches(_bj, batch_format="pyarrow", batch_size=None)
+    if lazy_left:
+        left_c = drop_empty_blocks(left_c)  # partitioned path must sanitize
     return left_c.join(
         right_c,
         join_type=join_type,

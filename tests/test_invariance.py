@@ -143,3 +143,40 @@ def test_mst_massive_forest_no_driver_blowup():
     assert out.count() == k
     s = int(out.sum("weight"))
     assert s == int(w.sum())
+
+
+def test_hash_join_lazy_left_matches_eager(ray_session):
+    """lazy_left skips the left-side materialize so broadcast-join
+    chains fuse; results must be identical to the eager path for every
+    join type, including empty-right and all-null-match edges."""
+    import pyarrow as pa
+    import ray.data
+    from igraph_ray.util import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "a": pa.array([10, 20, 30, 40], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4, 5], pa.int64()),
+        "b": pa.array([200, 400, 500], pa.int64())}))
+    empty = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+
+    for jt in ("inner", "left_outer", "left_semi", "left_anti"):
+        for r in (right, empty):
+            eager = hash_join(left, r, on="k", join_type=jt).to_pandas()
+            lazy = hash_join(left, r, on="k", join_type=jt,
+                             lazy_left=True).to_pandas()
+            eager = eager.sort_values(list(eager.columns)).reset_index(
+                drop=True)
+            lazy = lazy.sort_values(list(lazy.columns)).reset_index(
+                drop=True)
+            assert eager.equals(lazy), (jt, len(r.take_all()))
+
+    # a chain of lazy joins over a map_batches left stays correct
+    j = hash_join(left, right, on="k")
+    j = hash_join(j, right.map_batches(
+        lambda b: pa.table({"k": b["k"], "c": b["b"]}),
+        batch_format="pyarrow", batch_size=None), on="k", lazy_left=True)
+    got = j.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [2, 4] and list(got["c"]) == [200, 400]
