@@ -3766,6 +3766,9 @@ def _sql_subiso_cycle4() -> str:
 SUBISO_TREE5 = [(0, 1), (1, 2), (1, 3), (3, 4)]     # spider tree T5
 SUBISO_HOUSE = [(0, 1), (1, 2), (2, 3), (3, 0),
                 (0, 4), (1, 4)]                      # C4 + apex triangle
+SUBISO_PRISM = [(0, 1), (1, 2), (2, 0),
+                (3, 4), (4, 5), (5, 3),
+                (0, 3), (1, 4), (2, 5)]              # triangular prism Y3
 
 
 def _sql_subiso_pattern(pedges) -> str:
@@ -3833,6 +3836,21 @@ def q_subiso_house(sf_dir: str):
     g = derive.graph_sparse(sf_dir)
     n = count_sub_isomorphisms(
         g, [a for a, _ in SUBISO_HOUSE], [b for _, b in SUBISO_HOUSE],
+        directed=False, num_partitions=8)
+    return pa.table({"n_maps": pa.array([n], pa.int64())})
+
+
+def q_subiso_prism(sf_dir: str):
+    """Count of injective maps of the 6-vertex triangular prism (two
+    triangles joined by a perfect matching — 3 residual non-spanning
+    edges, the densest pattern the ≤6-vertex contract exercises) in
+    the undirected sparse view (igraph_count_subisomorphisms_vf2,
+    topology.c:1720, non-induced)."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_sparse(sf_dir)
+    n = count_sub_isomorphisms(
+        g, [a for a, _ in SUBISO_PRISM], [b for _, b in SUBISO_PRISM],
         directed=False, num_partitions=8)
     return pa.table({"n_maps": pa.array([n], pa.int64())})
 
@@ -7798,6 +7816,7 @@ def queries() -> Dict[str, Callable]:
         "layout_drl": q_layout_drl,
         "layout_mds": q_layout_mds,
         "recent_degree_aging": q_recent_degree_aging,
+        "subiso_prism": q_subiso_prism,
     }
 
 
@@ -8573,6 +8592,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "motif3_instances": _sql_motif3_instances(),
         "graphdb_edges": SQL_EDGES_A,
         "recent_degree_aging": _sql_recent_degree_aging(),
+        "subiso_prism": _sql_subiso_pattern(SUBISO_PRISM),
         "global_mincut": (
             f"WITH und AS ({SQL_DENSE24_UND}), "
             "degs AS (SELECT v, COUNT(*) AS d FROM ("
