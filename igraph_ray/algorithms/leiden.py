@@ -77,14 +77,16 @@ def _refine(
 ) -> Tuple[ray.data.Dataset, int]:
     """Phase 2: constrained singleton-merge sweeps. Returns
     ((vertex, community) refined labels, sweeps run)."""
-    lab_s = assign.map_batches(
-        lambda b: pa.table({"src": b["vertex"], "p_src": b["community"]}),
-        batch_format="pyarrow", batch_size=None)
-    lab_d = assign.map_batches(
-        lambda b: pa.table({"dst": b["vertex"], "p_dst": b["community"]}),
-        batch_format="pyarrow", batch_size=None)
-    j = hash_join(cur_sym, lab_s, on="src", num_partitions=num_partitions)
-    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions, lazy_left=True)
+    def _lab_s(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["vertex"], "p_src": b["community"]})
+
+    def _lab_d(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["vertex"], "p_dst": b["community"]})
+
+    j = hash_join(cur_sym, assign, on="src", num_partitions=num_partitions,
+                  right_map=_lab_s)
+    j = hash_join(j, assign, on="dst", num_partitions=num_partitions,
+                  lazy_left=True, right_map=_lab_d)
 
     def _intra(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -144,14 +146,16 @@ def leiden_pinned(
     assign, _moved = _one_sweep(sym, assign, m2, num_partitions,
                                 bounds=bounds, integer_gains=True)
     # phase 2: one constrained singleton-merge sweep on intra edges
-    lab_s = assign.map_batches(
-        lambda b: pa.table({"src": b["vertex"], "p_src": b["community"]}),
-        batch_format="pyarrow", batch_size=None)
-    lab_d = assign.map_batches(
-        lambda b: pa.table({"dst": b["vertex"], "p_dst": b["community"]}),
-        batch_format="pyarrow", batch_size=None)
-    j = hash_join(sym, lab_s, on="src", num_partitions=num_partitions)
-    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions, lazy_left=True)
+    def _lab_s(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["vertex"], "p_src": b["community"]})
+
+    def _lab_d(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["vertex"], "p_dst": b["community"]})
+
+    j = hash_join(sym, assign, on="src", num_partitions=num_partitions,
+                  right_map=_lab_s)
+    j = hash_join(j, assign, on="dst", num_partitions=num_partitions,
+                  lazy_left=True, right_map=_lab_d)
 
     def _intra(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -149,9 +149,12 @@ def _one_sweep(
     def _lab_dst(b: pa.Table) -> pa.Table:
         return pa.table({"dst": b["vertex"], "comm_dst": b["community"]})
 
-    # 1. weight from each vertex into each neighboring community
-    lab = assign.map_batches(_lab_dst, batch_format="pyarrow", batch_size=None)
-    j = hash_join(sym, lab, on="dst", num_partitions=num_partitions)
+    # 1. weight from each vertex into each neighboring community.
+    # right_map renames happen inside the broadcast-assembly task —
+    # assign/vols are already materialized, so the right side costs
+    # ZERO extra executor launches
+    j = hash_join(sym, assign, on="dst", num_partitions=num_partitions,
+                  right_map=_lab_dst)
 
     def _pre(b: pa.Table) -> pa.Table:
         # self-loops (present on coarsened graphs — contracted
@@ -181,8 +184,8 @@ def _one_sweep(
     # execution ending at the materialize (each join boundary used to
     # pay a full executor launch — pure overhead at gate scale)
     kvc = hash_join(
-        kvc, vols.map_batches(_vol_for, batch_format="pyarrow", batch_size=None),
-        on="comm", num_partitions=num_partitions,
+        kvc, vols, on="comm", num_partitions=num_partitions,
+        right_map=_vol_for,
     )
     kvc = hash_join(kvc, assign, on="vertex", num_partitions=num_partitions,
                     lazy_left=True)
@@ -192,8 +195,8 @@ def _one_sweep(
                          "csize_own": b["csize"]})
 
     kvc = hash_join(
-        kvc, vols.map_batches(_own_vol, batch_format="pyarrow", batch_size=None),
-        on="community", num_partitions=num_partitions, lazy_left=True,
+        kvc, vols, on="community", num_partitions=num_partitions,
+        lazy_left=True, right_map=_own_vol,
     ).materialize()
 
     # 2. per vertex: best candidate by gain (vectorized argmax per group)
@@ -296,11 +299,12 @@ def _one_sweep(
 
     if cancel_vacated:
         # moves only: new_comm != current community
-        lab = assign.map_batches(
-            lambda b: pa.table({"vertex": b["vertex"], "cur": b["community"]}),
-            batch_format="pyarrow", batch_size=None)
-        mv = hash_join(choice, lab, on="vertex", num_partitions=num_partitions,
-                       lazy_left=True)
+        def _lab_cur(b: pa.Table) -> pa.Table:
+            return pa.table({"vertex": b["vertex"], "cur": b["community"]})
+
+        mv = hash_join(choice, assign, on="vertex",
+                       num_partitions=num_partitions,
+                       lazy_left=True, right_map=_lab_cur)
 
         def _only_moves(b: pa.Table) -> pa.Table:
             keep = pc.not_equal(b["new_comm"], b["cur"])
@@ -366,11 +370,10 @@ def _coarsen(
     def _ld(b: pa.Table) -> pa.Table:
         return pa.table({"dst": b["vertex"], "comm_dst": b["community"]})
 
-    lab_s = assign.map_batches(_ls, batch_format="pyarrow", batch_size=None)
-    lab_d = assign.map_batches(_ld, batch_format="pyarrow", batch_size=None)
-    j = hash_join(sym, lab_s, on="src", num_partitions=num_partitions)
-    j = hash_join(j, lab_d, on="dst", num_partitions=num_partitions,
-                  lazy_left=True)
+    j = hash_join(sym, assign, on="src", num_partitions=num_partitions,
+                  right_map=_ls)
+    j = hash_join(j, assign, on="dst", num_partitions=num_partitions,
+                  lazy_left=True, right_map=_ld)
 
     def _pre(b: pa.Table) -> pa.Table:
         t = pa.table({"src": b["comm_src"], "dst": b["comm_dst"], "weight": b["weight"]})
@@ -397,10 +400,10 @@ def _modularity_from(
     def _ld(b: pa.Table) -> pa.Table:
         return pa.table({"dst": b["vertex"], "comm_dst": b["community"]})
 
-    j = hash_join(sym, assign.map_batches(_ls, batch_format="pyarrow", batch_size=None),
-                  on="src", num_partitions=num_partitions)
-    j = hash_join(j, assign.map_batches(_ld, batch_format="pyarrow", batch_size=None),
-                  on="dst", num_partitions=num_partitions, lazy_left=True)
+    j = hash_join(sym, assign, on="src", num_partitions=num_partitions,
+                  right_map=_ls)
+    j = hash_join(j, assign, on="dst", num_partitions=num_partitions,
+                  lazy_left=True, right_map=_ld)
 
     def _intra(b: pa.Table) -> pa.Table:
         same = pc.equal(b["comm_src"], b["comm_dst"])

@@ -91,6 +91,18 @@ def _concat_tables(refs) -> pa.Table:
     return pa.table({})
 
 
+@ray.remote
+def _concat_tables_mapped(refs, fn) -> pa.Table:
+    all_t = ray.get(list(refs))
+    tables = [t for t in all_t if t.num_rows > 0]
+    if tables:
+        return fn(pa.concat_tables(tables))
+    for t in all_t:
+        if t.num_columns > 0:
+            return fn(t.slice(0, 0))
+    return fn(pa.table({}))
+
+
 def _fetch_small(ref) -> pa.Table:
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     t = _SMALL_TABLE_CACHE.get(key)
@@ -108,6 +120,7 @@ def hash_join(
     join_type: str = "inner",
     broadcast_threshold: int = BROADCAST_JOIN_ROWS,
     lazy_left: bool = False,
+    right_map=None,
 ) -> ray.data.Dataset:
     """Equi-join with empty-block sanitation.
 
@@ -125,6 +138,13 @@ def hash_join(
     hash_join, plain map_batches chains over materialized data; NOT
     safe straight off a sort-based groupby). The partitioned fallback
     always sanitizes.
+
+    ``right_map``: a (pa.Table -> pa.Table) projection applied to the
+    ASSEMBLED small right table inside the broadcast task — pass the
+    materialized base dataset as ``right`` and do the rename/select
+    here, so the projection never becomes its own Dataset execution
+    (a tiny rename map otherwise costs a full executor launch). On
+    the partitioned fallback it degrades to a map_batches.
     """
     if isinstance(on, str):
         on = (on,)
@@ -132,7 +152,11 @@ def hash_join(
     left_c = left if lazy_left else drop_empty_blocks(left)
     right_c = drop_empty_blocks(right)
     if right_c.count() <= broadcast_threshold:
-        small_ref = _concat_tables.remote(right_c.to_arrow_refs())
+        if right_map is not None:
+            small_ref = _concat_tables_mapped.remote(
+                right_c.to_arrow_refs(), right_map)
+        else:
+            small_ref = _concat_tables.remote(right_c.to_arrow_refs())
         arrow_type = {"inner": "inner", "left_outer": "left outer",
                       "left_anti": "left anti",
                       "left_semi": "left semi"}.get(join_type)
@@ -153,6 +177,9 @@ def hash_join(
             return left_c.map_batches(_bj, batch_format="pyarrow", batch_size=None)
     if lazy_left:
         left_c = drop_empty_blocks(left_c)  # partitioned path must sanitize
+    if right_map is not None:
+        right_c = drop_empty_blocks(right_c.map_batches(
+            right_map, batch_format="pyarrow", batch_size=None))
     return left_c.join(
         right_c,
         join_type=join_type,
