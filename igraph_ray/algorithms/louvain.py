@@ -96,6 +96,115 @@ def _volumes(assign: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     return g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
+def choose_moves(
+    v: np.ndarray,
+    cand: np.ndarray,
+    kv: np.ndarray,
+    volc: np.ndarray,
+    cur: np.ndarray,
+    deg: np.ndarray,
+    vol_own: np.ndarray,
+    csize_c: np.ndarray,
+    csize_own: np.ndarray,
+    m2: float,
+    integer_gains: bool = False,
+    singleton_movers: bool = False,
+    activation_salt: Optional[int] = None,
+    resolution: float = 1.0,
+    gamma_num: int = 1,
+    gamma_den: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The per-vertex local-moving decision, shared verbatim by the
+    dataset sweep (_one_sweep) and the aligned actor engine
+    (community_aligned.py) so both modes make bit-identical choices.
+
+    Inputs are candidate rows — one per (vertex, neighboring community):
+    ``kv`` the weight into the candidate, ``volc``/``csize_c`` the
+    candidate community's volume/size, ``cur``/``deg``/``vol_own``/
+    ``csize_own`` the vertex's current community, degree and its
+    volume/size (repeated per row). Row order does not matter: the
+    argmax lexsort keys (vertex, -gain, candidate id) are a total order
+    over distinct candidates. Returns (vertices, new_comm) with one row
+    per distinct input vertex (new_comm == cur when staying)."""
+    m = m2 / 2.0
+    is_cur = cand == cur
+    # gain of joining candidate c (after leaving current):
+    #   kvc_c/m − deg·vol_c/(2m²)          for c ≠ current
+    #   kvc_cur/m − deg·(vol_cur−deg)/(2m²) for staying
+    vol_eff = np.where(is_cur, volc - deg, volc)
+    if integer_gains:
+        # exact int64 comparator: gain·den·2m² = den·m2·kvc − num·deg·vol_eff
+        gain = (np.int64(gamma_den) * np.int64(round(m2))
+                * kv.astype(np.int64)
+                - np.int64(gamma_num) * deg.astype(np.int64)
+                * vol_eff.astype(np.int64))
+    else:
+        # resolution-gamma gain (RB Potts null-model scaling — the
+        # spinglass family's gamma; 1.0 = plain modularity)
+        gain = kv / m - resolution * deg * vol_eff / (2.0 * m * m)
+    # singleton-swap guard: a singleton vertex may only merge into a
+    # smaller-id singleton (prevents mutual-swap oscillation); moves
+    # into non-singleton communities are always allowed
+    own_single = csize_own == 1
+    cand_single = csize_c == 1
+    blocked = own_single & cand_single & (cand > cur) & ~is_cur
+    if integer_gains:
+        gain = np.where(blocked, np.iinfo(np.int64).min // 2, gain)
+    else:
+        gain = np.where(blocked, -np.inf, gain)
+    # per-vertex argmax, ties to smaller community id, stay on equal
+    order = np.lexsort((cand, -gain, v))
+    v_s, cand_s, gain_s = v[order], cand[order], gain[order]
+    cur_s, is_cur_s = cur[order], is_cur[order]
+    first = np.empty(len(v_s), dtype=bool)
+    if len(v_s):
+        first[0] = True
+        np.not_equal(v_s[1:], v_s[:-1], out=first[1:])
+    best_idx = np.flatnonzero(first)
+    bv = v_s[best_idx]
+    bc = cand_s[best_idx]
+    bg = gain_s[best_idx]
+    # staying gain = kv,cur/m − deg·(vol_own−deg)/(2m²). kv,cur comes
+    # from the vertex's own-community candidate row when one exists
+    # (i.e. it has a same-community neighbor), else 0 — the volume
+    # penalty applies either way.
+    deg_s = deg[order]
+    vol_own_s = vol_own[order]
+    kv_cur = np.zeros(len(bv))
+    cur_rows = np.flatnonzero(is_cur_s)
+    if len(cur_rows):
+        sv = v_s[cur_rows]
+        sk = (kv[order])[cur_rows]
+        pos = np.searchsorted(bv, sv)
+        ok = (pos < len(bv)) & (bv[np.clip(pos, 0, len(bv) - 1)] == sv)
+        kv_cur[pos[ok]] = sk[ok]
+    bdeg = deg_s[best_idx]
+    bvol_own = vol_own_s[best_idx]
+    bcsize_own = (csize_own[order])[best_idx]
+    if integer_gains:
+        stay_gain = (np.int64(gamma_den) * np.int64(round(m2))
+                     * kv_cur.astype(np.int64)
+                     - np.int64(gamma_num) * bdeg.astype(np.int64)
+                     * (bvol_own - bdeg).astype(np.int64))
+        move = (bc != cur_s[best_idx]) & (bg > stay_gain)
+    else:
+        stay_gain = (kv_cur / m
+                     - resolution * bdeg * (bvol_own - bdeg)
+                     / (2.0 * m * m))
+        # move only on a strict improvement over staying
+        move = (bc != cur_s[best_idx]) & (bg > stay_gain + 1e-12)
+    if singleton_movers:
+        move &= bcsize_own == 1
+    if activation_salt is not None:
+        from igraph_ray.ops.dedup import _splitmix
+
+        h = _splitmix(bv.astype(np.uint64)
+                      + np.uint64(activation_salt & 0xFFFFFFFFFFFFFFFF))
+        move &= (h & np.uint64(1)) == 0
+    new_comm = np.where(move, bc, cur_s[best_idx])
+    return bv, new_comm
+
+
 def _one_sweep(
     sym: ray.data.Dataset,
     assign: ray.data.Dataset,  # (vertex, deg, community)
@@ -205,91 +314,21 @@ def _one_sweep(
                           "new_comm": pa.array([], pa.int64())})
         if b.num_rows == 0 or "kvc" not in b.column_names:
             return empty
-        v = b["vertex"].to_numpy(zero_copy_only=False)
-        cand = b["comm"].to_numpy(zero_copy_only=False)
-        kv = b["kvc"].to_numpy(zero_copy_only=False)
-        volc = b["vol_c"].to_numpy(zero_copy_only=False)
-        cur = b["community"].to_numpy(zero_copy_only=False)
-        deg = b["deg"].to_numpy(zero_copy_only=False)
-        vol_own = b["vol_own"].to_numpy(zero_copy_only=False)
-        csize_c = b["csize_c"].to_numpy(zero_copy_only=False)
-        csize_own = b["csize_own"].to_numpy(zero_copy_only=False)
-        m = m2 / 2.0
-        is_cur = cand == cur
-        # gain of joining candidate c (after leaving current):
-        #   kvc_c/m − deg·vol_c/(2m²)          for c ≠ current
-        #   kvc_cur/m − deg·(vol_cur−deg)/(2m²) for staying
-        vol_eff = np.where(is_cur, volc - deg, volc)
-        if integer_gains:
-            # exact int64 comparator: gain·den·2m² = den·m2·kvc − num·deg·vol_eff
-            gain = (np.int64(gamma_den) * np.int64(round(m2))
-                    * kv.astype(np.int64)
-                    - np.int64(gamma_num) * deg.astype(np.int64)
-                    * vol_eff.astype(np.int64))
-        else:
-            # resolution-gamma gain (RB Potts null-model scaling — the
-            # spinglass family's gamma; 1.0 = plain modularity)
-            gain = kv / m - resolution * deg * vol_eff / (2.0 * m * m)
-        # singleton-swap guard: a singleton vertex may only merge into a
-        # smaller-id singleton (prevents mutual-swap oscillation); moves
-        # into non-singleton communities are always allowed
-        own_single = csize_own == 1
-        cand_single = csize_c == 1
-        blocked = own_single & cand_single & (cand > cur) & ~is_cur
-        if integer_gains:
-            gain = np.where(blocked, np.iinfo(np.int64).min // 2, gain)
-        else:
-            gain = np.where(blocked, -np.inf, gain)
-        # per-vertex argmax, ties to smaller community id, stay on equal
-        order = np.lexsort((cand, -gain, v))
-        v_s, cand_s, gain_s = v[order], cand[order], gain[order]
-        cur_s, is_cur_s = cur[order], is_cur[order]
-        first = np.empty(len(v_s), dtype=bool)
-        if len(v_s):
-            first[0] = True
-            np.not_equal(v_s[1:], v_s[:-1], out=first[1:])
-        best_idx = np.flatnonzero(first)
-        bv = v_s[best_idx]
-        bc = cand_s[best_idx]
-        bg = gain_s[best_idx]
-        # staying gain = kv,cur/m − deg·(vol_own−deg)/(2m²). kv,cur comes
-        # from the vertex's own-community candidate row when one exists
-        # (i.e. it has a same-community neighbor), else 0 — the volume
-        # penalty applies either way.
-        deg_s = deg[order]
-        vol_own_s = vol_own[order]
-        kv_cur = np.zeros(len(bv))
-        cur_rows = np.flatnonzero(is_cur_s)
-        if len(cur_rows):
-            sv = v_s[cur_rows]
-            sk = (kv[order])[cur_rows]
-            pos = np.searchsorted(bv, sv)
-            ok = (pos < len(bv)) & (bv[np.clip(pos, 0, len(bv) - 1)] == sv)
-            kv_cur[pos[ok]] = sk[ok]
-        bdeg = deg_s[best_idx]
-        bvol_own = vol_own_s[best_idx]
-        bcsize_own = (csize_own[order])[best_idx]
-        if integer_gains:
-            stay_gain = (np.int64(gamma_den) * np.int64(round(m2))
-                         * kv_cur.astype(np.int64)
-                         - np.int64(gamma_num) * bdeg.astype(np.int64)
-                         * (bvol_own - bdeg).astype(np.int64))
-            move = (bc != cur_s[best_idx]) & (bg > stay_gain)
-        else:
-            stay_gain = (kv_cur / m
-                         - resolution * bdeg * (bvol_own - bdeg)
-                         / (2.0 * m * m))
-            # move only on a strict improvement over staying
-            move = (bc != cur_s[best_idx]) & (bg > stay_gain + 1e-12)
-        if singleton_movers:
-            move &= bcsize_own == 1
-        if activation_salt is not None:
-            from igraph_ray.ops.dedup import _splitmix
-
-            h = _splitmix(bv.astype(np.uint64)
-                          + np.uint64(activation_salt & 0xFFFFFFFFFFFFFFFF))
-            move &= (h & np.uint64(1)) == 0
-        new_comm = np.where(move, bc, cur_s[best_idx])
+        bv, new_comm = choose_moves(
+            v=b["vertex"].to_numpy(zero_copy_only=False),
+            cand=b["comm"].to_numpy(zero_copy_only=False),
+            kv=b["kvc"].to_numpy(zero_copy_only=False),
+            volc=b["vol_c"].to_numpy(zero_copy_only=False),
+            cur=b["community"].to_numpy(zero_copy_only=False),
+            deg=b["deg"].to_numpy(zero_copy_only=False),
+            vol_own=b["vol_own"].to_numpy(zero_copy_only=False),
+            csize_c=b["csize_c"].to_numpy(zero_copy_only=False),
+            csize_own=b["csize_own"].to_numpy(zero_copy_only=False),
+            m2=m2, integer_gains=integer_gains,
+            singleton_movers=singleton_movers,
+            activation_salt=activation_salt, resolution=resolution,
+            gamma_num=gamma_num, gamma_den=gamma_den,
+        )
         return pa.table({"vertex": pa.array(bv, pa.int64()),
                          "new_comm": pa.array(new_comm, pa.int64())})
 
