@@ -567,6 +567,7 @@ def louvain(
     max_sweeps: int = 8,
     max_levels: int = 10,
     resolution: float = 1.0,
+    mode: str = "aligned",
 ) -> LouvainResult:
     """Multilevel modularity communities over the undirected
     interpretation of ``graph`` (community.c:2854 contract: final labels
@@ -574,7 +575,19 @@ def louvain(
     id, like the reference's densification). ``resolution`` is the
     Reichardt–Bornholdt gamma scaling the null-model term of every
     local-moving gain; 1.0 is plain modularity. The reported modularity
-    is always the plain (gamma=1) value of the final labels."""
+    is always the plain (gamma=1) value of the final labels.
+
+    ``mode="aligned"`` (default) runs the sweeps on the actor-pinned
+    engine (community_aligned.py — one actor round per sweep instead of a
+    multi-join Dataset execution); ``mode="dataset"`` is the pure
+    Ray-Data loop. Both share choose_moves, so results are identical
+    whenever float sums are exact (unweighted / integer-weighted)."""
+    if mode == "aligned":
+        from igraph_ray.algorithms.community_aligned import louvain_aligned
+
+        return louvain_aligned(
+            graph, num_partitions=num_partitions, max_sweeps=max_sweeps,
+            max_levels=max_levels, resolution=resolution)
     sym = _sym_weighted(graph).materialize()
     m2 = float(sym.sum("weight") or 0.0)
     if m2 == 0.0:
