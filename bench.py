@@ -249,11 +249,11 @@ def bench_community(num_cpus: int) -> dict:
     """Louvain/Leiden walls, reported OUTSIDE the pinned 13-key
     headline (round-4 verdict ask: time the now-user-facing community
     suite). Eighth-size power-law slice with bounded levels/sweeps.
-    These are DATASET-mode loops (~10 executor launches per sweep at
-    1-3 s fixed launch cost on this box), so the local wall is
-    launch-overhead-bound; at cluster scale each launch processes GBs
-    and the overhead amortizes away. The modularity values guard
-    against quality regressions."""
+    Both run on the actor-aligned community engine
+    (community_aligned.py — one actor round per sweep; the former
+    dataset-mode loops paid ~1-3 s of fixed executor-launch cost per
+    sweep: louvain 53->8 s, leiden 135->6.5 s on this shape). The
+    modularity values guard against quality regressions."""
     import ray.data
 
     from igraph_ray import Graph

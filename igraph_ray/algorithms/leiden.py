@@ -189,11 +189,23 @@ def leiden(
     max_sweeps: int = 8,
     max_refine_sweeps: int = 8,
     max_levels: int = 10,
+    mode: str = "aligned",
 ) -> LeidenResult:
     """Leiden communities over the undirected interpretation of
     ``graph``; final labels canonically renumbered 0..k-1 by order of
     first appearance by vertex id (the community.c densification
-    contract, like louvain())."""
+    contract, like louvain()).
+
+    ``mode="aligned"`` (default) runs all three phases on the
+    actor-pinned engine (community_aligned.py); ``mode="dataset"`` is
+    the pure Ray-Data loop. Both share choose_moves and the same phase
+    schedule, so results are identical whenever float sums are exact."""
+    if mode == "aligned":
+        from igraph_ray.algorithms.community_aligned import leiden_aligned
+
+        return leiden_aligned(
+            graph, num_partitions=num_partitions, max_sweeps=max_sweeps,
+            max_refine_sweeps=max_refine_sweeps, max_levels=max_levels)
     sym = _sym_weighted(graph).materialize()
     m2 = float(sym.sum("weight") or 0.0)
     if m2 == 0.0:

@@ -89,6 +89,39 @@ def test_single_edge_and_empty():
     assert len(_labels(e)) == 3
 
 
+def test_leiden_karate_engines_identical():
+    from igraph_ray.algorithms.leiden import leiden
+
+    n, s, d = karate()
+    a = leiden(_mk(s, d, n), num_partitions=4, mode="aligned")
+    b = leiden(_mk(s, d, n), num_partitions=4, mode="dataset")
+    assert _labels(a) == _labels(b)
+    assert a.modularity == b.modularity
+    assert (a.levels, a.sweeps) == (b.levels, b.sweeps)
+
+
+def test_leiden_random_engines_identical_across_partitions():
+    from igraph_ray.algorithms.leiden import leiden
+
+    rng = np.random.default_rng(7)
+    m = 500
+    s = rng.integers(0, 90, m)
+    d = rng.integers(0, 90, m)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    ref = None
+    for parts in (2, 5):
+        a = leiden(_mk(s, d, 90), num_partitions=parts, mode="aligned")
+        la = _labels(a)
+        if ref is None:
+            b = leiden(_mk(s, d, 90), num_partitions=parts, mode="dataset")
+            assert la == _labels(b)
+            assert a.modularity == b.modularity
+            ref = la
+        else:
+            assert la == ref
+
+
 def test_self_loops_ignored_level1():
     """Self-loops carry no candidate weight at level 1 (the sym CSR drops
     them) — a loop-heavy vertex still joins its real neighbors."""
