@@ -784,6 +784,290 @@ def motif3_instances(graph: Graph,
                               batch_size=None)
 
 
+# motifs4 column order: class index used by motif4_instances
+_MOTIF4_NAMES = ("path4", "star3", "cycle4", "paw", "diamond", "k4")
+
+# sorted-quad pair positions (bit p of the induced-edge mask)
+_MOTIF4_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _build_motif4_lookup() -> np.ndarray:
+    """64-entry table: key = induced-edge bitmask over the six sorted
+    pairs (v1v2, v1v3, v1v4, v2v3, v2v4, v3v4) → class index in
+    _MOTIF4_NAMES order; -1 for disconnected masks (never produced by
+    the spanning-path/claw candidate generation). Classes on four
+    vertices are determined by edge count + max degree: m=3 star3/path4,
+    m=4 paw/cycle4, m=5 diamond, m=6 k4."""
+    table = np.full(64, -1, dtype=np.int64)
+    for mask in range(64):
+        deg = [0] * 4
+        adj = [[False] * 4 for _ in range(4)]
+        m = 0
+        for p, (i, j) in enumerate(_MOTIF4_PAIRS):
+            if mask >> p & 1:
+                deg[i] += 1
+                deg[j] += 1
+                adj[i][j] = adj[j][i] = True
+                m += 1
+        if m < 3:
+            continue
+        seen = {0}
+        stack = [0]
+        while stack:
+            x = stack.pop()
+            for y in range(4):
+                if adj[x][y] and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        if len(seen) < 4:
+            continue
+        if m == 6:
+            cls = 5
+        elif m == 5:
+            cls = 4
+        elif m == 4:
+            cls = 3 if max(deg) == 3 else 2
+        else:
+            cls = 1 if max(deg) == 3 else 0
+        table[mask] = cls
+    return table
+
+
+MOTIF4_LOOKUP = _build_motif4_lookup()
+
+
+def motif4_instances(graph: Graph,
+                     num_partitions: Optional[int] = None
+                     ) -> ray.data.Dataset:
+    """One row per CONNECTED 4-vertex induced subgraph of the simple
+    undirected view: (v1 < v2 < v3 < v4, clazz, name) with clazz in the
+    motifs4 column order (0 path4 … 5 k4) — the size-4 instance stream
+    behind igraph_motifs_randesu_callback (motifs.c:165, size=4,
+    cut_prob=0; named classes instead of isoclass ids, matching the
+    engine's motifs4 census).
+
+    Distributed plan: every connected 4-vertex graph contains a
+    spanning path4 or a spanning star3, so candidates = 3-edge walks
+    with distinct vertices (two chained hash joins over the symmetric
+    adjacency) ∪ per-center neighbor triples (the wedge stream joined
+    once more against the center's links). Candidates canonicalize to
+    the sorted quad packed into two int64 keys (ids < 2^31 guard, as
+    motifs4), dedup with one groupby, and the induced edge mask comes
+    back by joining the quad's six pair keys against the undirected
+    edge table — classification is the 64-entry MOTIF4_LOOKUP.
+    Candidate volume is the subgraph-copy count, the inherent output
+    complexity of size-4 enumeration; per-batch np.unique trims the
+    shuffle."""
+    if num_partitions is None:
+        from igraph_ray.context import num_cpus
+        num_partitions = max(2, num_cpus())
+    und = drop_empty_blocks(graph.canonical_undirected().materialize())
+
+    def _sym(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lo) and int(hi.max()) >= 2**31:
+            raise NotImplementedError(
+                "motif4_instances quad-key packing needs vertex ids < 2^31")
+        return pa.table({"a": pa.array(np.concatenate([lo, hi])),
+                         "b": pa.array(np.concatenate([hi, lo]))})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    # --- 3-edge walks a-b-c-d with all four vertices distinct ----------
+    def _bc(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"b": b["a"], "c": b["b"]})
+
+    w2 = hash_join(sym, sym.map_batches(_bc, batch_format="pyarrow",
+                                        batch_size=None),
+                   on="b", num_partitions=num_partitions)
+
+    def _wedge_walks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "bb": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        keep = a != c
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "bb": pa.array(bb[keep], pa.int64()),
+                         "c": pa.array(c[keep], pa.int64())})
+
+    wedge_walks = w2.map_batches(_wedge_walks, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def _cd(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        return pa.table({"c": b["a"], "d": b["b"]})
+
+    w3 = hash_join(wedge_walks, sym.map_batches(_cd, batch_format="pyarrow",
+                                                batch_size=None),
+                   on="c", num_partitions=num_partitions)
+
+    def _walk_quads(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k1": pa.array([], pa.int64()),
+                          "k2": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return empty
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["bb"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        keep = (d != a) & (d != bb)
+        if not keep.any():
+            return empty
+        q = np.sort(np.stack([a[keep], bb[keep], c[keep], d[keep]],
+                             axis=1), axis=1)
+        return _pack_quads(q)
+
+    cand_walks = w3.map_batches(_walk_quads, batch_format="pyarrow",
+                                batch_size=None)
+
+    # --- claw triples: wedge (i<k around j) joined with j's links ------
+    def _fake_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        return pa.table({"lo": b["lo"], "hi": b["hi"],
+                         "code": pa.array(
+                             np.ones(b.num_rows, np.int64))})
+
+    und_pairs = und.map_batches(_fake_pairs, batch_format="pyarrow",
+                                batch_size=None)
+    wedges = _wedge_stream(und_pairs, num_partitions)
+
+    def _wj(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        return pa.table({"j": b["j"], "i": b["i"], "k": b["k"]})
+
+    def _jl(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "l": pa.array([], pa.int64())})
+        return pa.table({"j": b["a"], "l": b["b"]})
+
+    claw = hash_join(
+        wedges.map_batches(_wj, batch_format="pyarrow", batch_size=None),
+        sym.map_batches(_jl, batch_format="pyarrow", batch_size=None),
+        on="j", num_partitions=num_partitions)
+
+    def _claw_quads(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k1": pa.array([], pa.int64()),
+                          "k2": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "i" not in b.column_names:
+            return empty
+        i = b["i"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        j = b["j"].to_numpy(zero_copy_only=False)
+        ll = b["l"].to_numpy(zero_copy_only=False)
+        keep = ll > k  # i < k < l: each neighbor triple once
+        if not keep.any():
+            return empty
+        q = np.sort(np.stack([i[keep], j[keep], k[keep], ll[keep]],
+                             axis=1), axis=1)
+        return _pack_quads(q)
+
+    cand_claws = claw.map_batches(_claw_quads, batch_format="pyarrow",
+                                  batch_size=None)
+
+    uniq = (cand_walks.union(cand_claws)
+            .groupby(["k1", "k2"]).count())
+
+    # --- induced edge mask via one join of the six pair keys -----------
+    def _pairs6(b: pa.Table) -> pa.Table:
+        empty = pa.table({"ekey": pa.array([], pa.int64()),
+                          "k1": pa.array([], pa.int64()),
+                          "k2": pa.array([], pa.int64()),
+                          "bit": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "k1" not in b.column_names:
+            return empty
+        k1 = b["k1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k2 = b["k2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.stack([k1 >> 32, k1 & 0xFFFFFFFF,
+                      k2 >> 32, k2 & 0xFFFFFFFF], axis=1)
+        eks, bits, r1s, r2s = [], [], [], []
+        for p, (x, y) in enumerate(_MOTIF4_PAIRS):
+            eks.append((v[:, x] << 32) | v[:, y])
+            bits.append(np.full(len(k1), 1 << p, np.int64))
+            r1s.append(k1)
+            r2s.append(k2)
+        return pa.table({"ekey": pa.array(np.concatenate(eks)),
+                         "k1": pa.array(np.concatenate(r1s)),
+                         "k2": pa.array(np.concatenate(r2s)),
+                         "bit": pa.array(np.concatenate(bits))})
+
+    pairs6 = uniq.map_batches(_pairs6, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _ekeys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lo" not in b.column_names:
+            return pa.table({"ekey": pa.array([], pa.int64())})
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ekey": pa.array((lo << 32) | hi)})
+
+    hit = hash_join(pairs6,
+                    und.map_batches(_ekeys, batch_format="pyarrow",
+                                    batch_size=None),
+                    on="ekey", num_partitions=num_partitions)
+    masks = hit.groupby(["k1", "k2"]).sum("bit")
+
+    lut = MOTIF4_LOOKUP
+    names = np.asarray(_MOTIF4_NAMES)
+
+    def _classify(b: pa.Table) -> pa.Table:
+        empty = pa.table({"v1": pa.array([], pa.int64()),
+                          "v2": pa.array([], pa.int64()),
+                          "v3": pa.array([], pa.int64()),
+                          "v4": pa.array([], pa.int64()),
+                          "clazz": pa.array([], pa.int64()),
+                          "name": pa.array([], pa.string())})
+        if b.num_rows == 0 or "k1" not in b.column_names:
+            return empty
+        k1 = b["k1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k2 = b["k2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = b["sum(bit)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = lut[mask]
+        if (cls < 0).any():  # spanning-tree candidates are connected
+            raise AssertionError("disconnected quad reached classify")
+        return pa.table({"v1": pa.array(k1 >> 32),
+                         "v2": pa.array(k1 & 0xFFFFFFFF),
+                         "v3": pa.array(k2 >> 32),
+                         "v4": pa.array(k2 & 0xFFFFFFFF),
+                         "clazz": pa.array(cls),
+                         "name": pa.array(names[cls], pa.string())})
+
+    out = masks.map_batches(_classify, batch_format="pyarrow",
+                            batch_size=None)
+    # schema anchor: a quad-free graph still reports the typed columns
+    # (drop the null-schema empty blocks a vacuous groupby leaves behind)
+    return drop_empty_blocks(out.materialize()).union(
+        ray.data.from_arrow(_classify(pa.table({}))))
+
+
+def _pack_quads(q: np.ndarray) -> pa.Table:
+    """Sorted (n,4) id rows → per-batch-unique packed (k1, k2) keys."""
+    k1 = (q[:, 0].astype(np.int64) << 32) | q[:, 1].astype(np.int64)
+    k2 = (q[:, 2].astype(np.int64) << 32) | q[:, 3].astype(np.int64)
+    u = np.unique(np.stack([k1, k2], axis=1), axis=0)
+    return pa.table({"k1": pa.array(u[:, 0]), "k2": pa.array(u[:, 1])})
+
+
 def motifs_randesu_callback(
     graph: Graph,
     callback,
@@ -794,15 +1078,19 @@ def motifs_randesu_callback(
     """UDF-over-motif-instances hook (igraph_motifs_randesu_callback,
     motifs.c:165). The reference invokes the callback once per found
     instance and lets it stop the search; the distributed contract is
-    batch-granular instead: ``callback`` receives Arrow tables
-    (v1, v2, v3, isoclass) of connected-triple instances and whatever
-    tables it returns form the resulting Dataset — a plain map_batches
-    over the parallel instance stream (no early stop; filter/aggregate
+    batch-granular instead: ``callback`` receives Arrow tables of
+    connected-instance rows — (v1, v2, v3, isoclass) at size=3,
+    (v1, v2, v3, v4, clazz, name) at size=4 — and whatever tables it
+    returns form the resulting Dataset — a plain map_batches over the
+    parallel instance stream (no early stop; filter/aggregate
     downstream instead)."""
-    if size != 3:
+    if size == 3:
+        inst = motif3_instances(graph, num_partitions)
+    elif size == 4:
+        inst = motif4_instances(graph, num_partitions)
+    else:
         raise NotImplementedError(
-            "callback surface covers size=3; size=4 instances would ride "
-            "the motifs4 Möbius basis, which counts without enumerating")
-    inst = motif3_instances(graph, num_partitions)
+            "callback surface covers size=3 and size=4 "
+            "(motifs.c randesu sizes)")
     return inst.map_batches(callback, batch_format="pyarrow",
                             batch_size=batch_size)

@@ -1460,6 +1460,74 @@ FROM grp g JOIN lut l ON l.key = g.ab * 16 + g.ac * 4 + g.bc
 ORDER BY v1, v2, v3"""
 
 
+def q_motif4_instances(sf_dir: str):
+    """Connected 4-subgraph instance stream (v1<v2<v3<v4, clazz, name)
+    over the vsparse undirected view — the size-4 enumeration behind
+    igraph_motifs_randesu_callback (motifs.c:165, size=4, cut_prob=0).
+    The oracle regenerates the spanning-path/claw candidates, dedups
+    the sorted quad, and classifies from the six induced-edge flags by
+    the same edge-count + max-degree rule."""
+    from igraph_ray.ops.census import motif4_instances
+
+    g = derive.graph_vsparse(sf_dir)
+    return motif4_instances(g, num_partitions=8)
+
+
+def _sql_motif4_instances() -> str:
+    return f"""
+WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM edges WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT lo AS a, hi AS b FROM und UNION ALL SELECT hi, lo FROM und),
+walks AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c, e3.b AS d
+  FROM adj e1
+  JOIN adj e2 ON e2.a = e1.b AND e2.b <> e1.a
+  JOIN adj e3 ON e3.a = e2.b AND e3.b <> e1.a AND e3.b <> e1.b),
+claws AS (
+  SELECT n1.b AS a, n1.a AS b, n2.b AS c, n3.b AS d
+  FROM adj n1
+  JOIN adj n2 ON n2.a = n1.a AND n2.b > n1.b
+  JOIN adj n3 ON n3.a = n1.a AND n3.b > n2.b),
+quads AS (
+  SELECT DISTINCT l[1] AS v1, l[2] AS v2, l[3] AS v3, l[4] AS v4
+  FROM (SELECT list_sort([a, b, c, d]) AS l
+        FROM (SELECT * FROM walks UNION ALL SELECT * FROM claws))),
+marks AS (
+  SELECT q.v1, q.v2, q.v3, q.v4,
+         CASE WHEN u12.lo IS NULL THEN 0 ELSE 1 END AS e12,
+         CASE WHEN u13.lo IS NULL THEN 0 ELSE 1 END AS e13,
+         CASE WHEN u14.lo IS NULL THEN 0 ELSE 1 END AS e14,
+         CASE WHEN u23.lo IS NULL THEN 0 ELSE 1 END AS e23,
+         CASE WHEN u24.lo IS NULL THEN 0 ELSE 1 END AS e24,
+         CASE WHEN u34.lo IS NULL THEN 0 ELSE 1 END AS e34
+  FROM quads q
+  LEFT JOIN und u12 ON u12.lo = q.v1 AND u12.hi = q.v2
+  LEFT JOIN und u13 ON u13.lo = q.v1 AND u13.hi = q.v3
+  LEFT JOIN und u14 ON u14.lo = q.v1 AND u14.hi = q.v4
+  LEFT JOIN und u23 ON u23.lo = q.v2 AND u23.hi = q.v3
+  LEFT JOIN und u24 ON u24.lo = q.v2 AND u24.hi = q.v4
+  LEFT JOIN und u34 ON u34.lo = q.v3 AND u34.hi = q.v4),
+cls AS (
+  SELECT v1, v2, v3, v4,
+         e12 + e13 + e14 + e23 + e24 + e34 AS m,
+         GREATEST(e12 + e13 + e14, e12 + e23 + e24,
+                  e13 + e23 + e34, e14 + e24 + e34) AS dmax
+  FROM marks)
+SELECT v1, v2, v3, v4,
+       CAST(CASE WHEN m = 6 THEN 5 WHEN m = 5 THEN 4
+                 WHEN m = 4 THEN CASE WHEN dmax = 3 THEN 3 ELSE 2 END
+                 ELSE CASE WHEN dmax = 3 THEN 1 ELSE 0 END END AS BIGINT)
+         AS clazz,
+       CASE WHEN m = 6 THEN 'k4' WHEN m = 5 THEN 'diamond'
+            WHEN m = 4 THEN CASE WHEN dmax = 3 THEN 'paw' ELSE 'cycle4' END
+            ELSE CASE WHEN dmax = 3 THEN 'star3' ELSE 'path4' END END
+         AS name
+FROM cls ORDER BY v1, v2, v3, v4"""
+
+
 def _sql_triad_census() -> str:
     return f"{_sql_census_body()}\nSELECT clazz, name, count FROM census ORDER BY clazz"
 
@@ -7811,6 +7879,7 @@ def queries() -> Dict[str, Callable]:
         "apsp_johnson": q_apsp_johnson,
         "layout_rt": q_layout_rt,
         "motif3_instances": q_motif3_instances,
+        "motif4_instances": q_motif4_instances,
         "graphdb_edges": q_graphdb_edges,
         "layout_graphopt": q_layout_graphopt,
         "layout_drl": q_layout_drl,
@@ -8590,6 +8659,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "apsp_johnson": _sql_apsp_johnson(),
         "layout_rt": _sql_layout_rt(),
         "motif3_instances": _sql_motif3_instances(),
+        "motif4_instances": _sql_motif4_instances(),
         "graphdb_edges": SQL_EDGES_A,
         "recent_degree_aging": _sql_recent_degree_aging(),
         "subiso_prism": _sql_subiso_pattern(SUBISO_PRISM),

@@ -289,3 +289,107 @@ class TestMotifCallback:
             assert a < b < c
             links = ((a, b) in adj) + ((a, c) in adj) + ((b, c) in adj)
             assert links >= 2
+
+
+def _motif4_brute_instances(n, src, dst):
+    """Every connected induced 4-subgraph with its class name, from
+    first principles (edge count + degree sequence within the quad) —
+    independent of MOTIF4_LOOKUP."""
+    adj = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = {}
+    for q in itertools.combinations(range(n), 4):
+        sub = {x: {y for y in adj[x] if y in q} for x in q}
+        # connectivity
+        seen = {q[0]}
+        stack = [q[0]]
+        while stack:
+            x = stack.pop()
+            for y in sub[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        if len(seen) < 4:
+            continue
+        e = sum(len(v) for v in sub.values()) // 2
+        degs = sorted(len(sub[x]) for x in q)
+        if e == 3:
+            name = "star3" if degs == [1, 1, 1, 3] else "path4"
+        elif e == 4:
+            name = "paw" if degs == [1, 2, 2, 3] else "cycle4"
+        elif e == 5:
+            name = "diamond"
+        else:
+            name = "k4"
+        out[q] = name
+    return out
+
+
+class TestMotif4Instances:
+    """Size-4 instance stream (motifs.c:165 randesu size=4, cut_prob=0):
+    every connected induced 4-subgraph exactly once with its class."""
+
+    def _g(self, seed, n, m):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        return Graph.from_numpy(src, dst, n=n), src, dst
+
+    @pytest.mark.parametrize("seed,n,m", [(1, 16, 40), (2, 20, 60),
+                                          (3, 14, 70)])
+    def test_instances_match_brute(self, ray_session, seed, n, m):
+        from igraph_ray.ops.census import motif4_instances
+
+        g, src, dst = self._g(seed, n, m)
+        rows = motif4_instances(g, num_partitions=3).take_all()
+        got = {(r["v1"], r["v2"], r["v3"], r["v4"]): r["name"]
+               for r in rows}
+        assert len(got) == len(rows)  # exactly-once
+        want = _motif4_brute_instances(n, src, dst)
+        assert got == want
+
+    def test_clazz_matches_motifs4_census(self, ray_session):
+        from igraph_ray.ops.census import motifs4, motif4_instances, \
+            _MOTIF4_NAMES
+
+        g, _, _ = self._g(7, 30, 140)
+        inst = motif4_instances(g, num_partitions=4)
+        counts = {r["clazz"]: r["count()"] for r in
+                  inst.groupby("clazz").count().take_all()}
+        census = motifs4(g, num_partitions=4)
+        for idx, nm in enumerate(_MOTIF4_NAMES):
+            assert counts.get(idx, 0) == census[nm][0].as_py()
+
+    def test_partition_invariance(self, ray_session):
+        from igraph_ray.ops.census import motif4_instances
+
+        g, _, _ = self._g(9, 18, 55)
+        a = sorted((r["v1"], r["v2"], r["v3"], r["v4"], r["clazz"])
+                   for r in motif4_instances(g, num_partitions=2).take_all())
+        b = sorted((r["v1"], r["v2"], r["v3"], r["v4"], r["clazz"])
+                   for r in motif4_instances(g, num_partitions=5).take_all())
+        assert a == b
+
+    def test_callback_size4(self, ray_session):
+        from igraph_ray.ops.census import motifs_randesu_callback, motifs4
+
+        g, _, _ = self._g(11, 24, 90)
+
+        def counting(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"name": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            u, c = np.unique(
+                b["name"].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"name": pa.array(u, pa.string()),
+                             "c": pa.array(c, pa.int64())})
+
+        out = motifs_randesu_callback(g, counting, size=4).groupby(
+            "name").sum("c")
+        got = {r["name"]: int(r["sum(c)"]) for r in out.take_all()}
+        census = motifs4(g)
+        for nm in census.column_names:
+            assert got.get(nm, 0) == census[nm][0].as_py()
