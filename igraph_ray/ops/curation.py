@@ -486,16 +486,21 @@ def curate(
     cont = ngram_contamination(docs, benchmark_mod=benchmark_mod,
                                n=n).materialize()
 
-    from igraph_ray.ops.dedup import exact_dedup
-    keepers = exact_dedup(docs)
+    from igraph_ray.ops.dedup import dedup_from_hashes, hash_docs
 
-    def _h(b: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest()
-              for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"],
-                         "text_md5": pa.array(hs, pa.string())})
+    # one md5 pass over the corpus feeds BOTH the keeper groupby and
+    # the per-doc dup join (hash_docs emits keep_id = doc_id per row)
+    per_doc = hash_docs(docs).materialize()
+    keepers = dedup_from_hashes(per_doc)
 
-    hashed = docs.map_batches(_h, batch_format="pyarrow", batch_size=None)
+    def _pd(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text_md5" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text_md5": pa.array([], pa.string())})
+        return pa.table({"doc_id": b["keep_id"], "text_md5": b["text_md5"]})
+
+    hashed = per_doc.map_batches(_pd, batch_format="pyarrow",
+                                 batch_size=None)
 
     def _k(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "text_md5" not in b.column_names:

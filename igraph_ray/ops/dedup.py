@@ -93,12 +93,12 @@ def _shingle_hashes_chain(wh: np.ndarray, k: int) -> np.ndarray:
     return acc
 
 
-def exact_dedup(
+def hash_docs(
     docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Keep the smallest id per exact text (md5(text) grouping):
-    (text_md5, keep_id, dup_count). Per-batch pre-combine (local min)
-    before the groupby shuffle."""
+    """Per-document (text_md5, keep_id, dup_count=1) rows — the shared
+    input of exact_dedup's groupby AND of any per-doc dup join (curate
+    reuses one materialized pass instead of re-hashing the corpus)."""
 
     def _h(b: pa.Table) -> pa.Table:
         hs = [hashlib.md5(t.encode()).hexdigest() for t in b[text_col].to_pylist()]
@@ -107,7 +107,20 @@ def exact_dedup(
              "dup_count": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64())}
         )
 
-    hashed = docs.map_batches(_h, batch_format="pyarrow", batch_size=None)
+    return docs.map_batches(_h, batch_format="pyarrow", batch_size=None)
+
+
+def exact_dedup(
+    docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the smallest id per exact text (md5(text) grouping):
+    (text_md5, keep_id, dup_count). Per-batch pre-combine (local min)
+    before the groupby shuffle."""
+    return dedup_from_hashes(hash_docs(docs, text_col, id_col))
+
+
+def dedup_from_hashes(hashed: ray.data.Dataset) -> ray.data.Dataset:
+    """exact_dedup's groupby over a pre-built hash_docs table."""
 
     def _local(b: pa.Table) -> pa.Table:
         g = b.group_by("text_md5").aggregate([("keep_id", "min"), ("dup_count", "sum")])
