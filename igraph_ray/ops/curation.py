@@ -352,31 +352,32 @@ def ngram_contamination(
 
     bench_ref = _assemble.remote(*refs)
 
-    class _Probe:
-        def __init__(self):
-            self.bench = None
+    from igraph_ray.util import _fetch_small
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0 or "doc_id" not in b.column_names:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "contaminated": pa.array([], pa.int64()),
-                                 "total_ngrams": pa.array([], pa.int64())})
-            if self.bench is None:
-                self.bench = _ray.get(bench_ref)
-            row_idx, sh = _shingle_strings(b, text_col, n)
-            total = np.zeros(b.num_rows, np.int64)
-            cont = np.zeros(b.num_rows, np.int64)
-            if len(row_idx):
-                np.add.at(total, row_idx, 1)
-                hits = pc.is_in(sh, value_set=self.bench).to_numpy(
-                    zero_copy_only=False)
-                np.add.at(cont, row_idx, hits.astype(np.int64))
-            return pa.table({"doc_id": b["doc_id"],
-                             "contaminated": pa.array(cont, pa.int64()),
-                             "total_ngrams": pa.array(total, pa.int64())})
+    def _probe(b: pa.Table) -> pa.Table:
+        """Plain task probe: the broadcast shingle set is fetched once
+        per worker process (zero-copy plasma get, _fetch_small cache) —
+        same amortization as an actor pool without the pool's startup
+        cost, and the stage fuses with its neighbors."""
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "contaminated": pa.array([], pa.int64()),
+                             "total_ngrams": pa.array([], pa.int64())})
+        bench = _fetch_small(bench_ref)
+        row_idx, sh = _shingle_strings(b, text_col, n)
+        total = np.zeros(b.num_rows, np.int64)
+        cont = np.zeros(b.num_rows, np.int64)
+        if len(row_idx):
+            np.add.at(total, row_idx, 1)
+            hits = pc.is_in(sh, value_set=bench).to_numpy(
+                zero_copy_only=False)
+            np.add.at(cont, row_idx, hits.astype(np.int64))
+        return pa.table({"doc_id": b["doc_id"],
+                         "contaminated": pa.array(cont, pa.int64()),
+                         "total_ngrams": pa.array(total, pa.int64())})
 
-    return docs.map_batches(_Probe, batch_format="pyarrow",
-                            concurrency=(1, 8), batch_size=None)
+    return docs.map_batches(_probe, batch_format="pyarrow",
+                            batch_size=None)
 
 
 # --------------------------------------------------------------------------
@@ -482,9 +483,13 @@ def curate(
     contamination probe is a broadcast membership test; the final
     assembly is two doc_id joins.
     """
-    qf = quality_filter(docs).materialize()
-    cont = ngram_contamination(docs, benchmark_mod=benchmark_mod,
-                               n=n).materialize()
+    # all sides stay LAZY map chains where the broadcast-join plan
+    # allows it (lazy_left skips the left sanitize materialize;
+    # right_map folds projections into the broadcast assembly task) —
+    # the whole decision chain then runs as ONE streaming execution
+    # instead of paying a fixed executor launch per stage boundary.
+    qf = quality_filter(docs)
+    cont = ngram_contamination(docs, benchmark_mod=benchmark_mod, n=n)
 
     from igraph_ray.ops.dedup import dedup_from_hashes, hash_docs
 
@@ -509,9 +514,9 @@ def curate(
         return pa.table({"text_md5": b["text_md5"], "keep_id": b["keep_id"]})
 
     dup = hash_join(
-        hashed,
-        keepers.map_batches(_k, batch_format="pyarrow", batch_size=None),
-        on="text_md5", num_partitions=num_partitions)
+        hashed, keepers,
+        on="text_md5", num_partitions=num_partitions,
+        lazy_left=True, right_map=_k)
 
     def _dbit(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "doc_id" not in b.column_names:
@@ -535,10 +540,10 @@ def curate(
 
     j = hash_join(
         qf.map_batches(_q, batch_format="pyarrow", batch_size=None),
-        dup, on="doc_id", num_partitions=num_partitions)
+        dup, on="doc_id", num_partitions=num_partitions, lazy_left=True)
     j = hash_join(
-        j, cont.map_batches(_c, batch_format="pyarrow", batch_size=None),
-        on="doc_id", num_partitions=num_partitions)
+        j, cont, on="doc_id", num_partitions=num_partitions,
+        lazy_left=True, right_map=_c)
 
     def _final(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "doc_id" not in b.column_names:
