@@ -5397,6 +5397,109 @@ def q_sessions(sf_dir: str):
     return win.sessionize(ev, gap_minutes=30)
 
 
+def _events_keyed(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+
+    def _p(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "value_e6": pc.cast(pc.round(pc.multiply(b["value"], 1e6)),
+                                pa.int64())})
+
+    return ev.map_batches(_p, batch_format="pyarrow", batch_size=None)
+
+
+def q_asof_prev_event(sf_dir: str):
+    """Self as-of join: each event matched to the same user's most
+    recent STRICTLY earlier event (ops.joins.asof_join, one
+    boundary-aligned range exchange + vectorized forward-fill)."""
+    from igraph_ray.ops.joins import asof_join
+
+    L = _events_keyed(sf_dir)
+
+    def _r(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "ts_us": b["ts_us"],
+                         "prev_event_id": b["event_id"],
+                         "prev_value_e6": b["value_e6"]})
+
+    R = _events_keyed(sf_dir).map_batches(
+        _r, batch_format="pyarrow", batch_size=None)
+    return asof_join(L, R, by="user_id", on="ts_us",
+                     left_cols=["event_id", "value_e6"],
+                     right_cols=["prev_event_id", "prev_value_e6"],
+                     strict=True)
+
+
+def q_asof_order(sf_dir: str):
+    """Backward as-of join events -> orders on the customer key: each
+    event picks the matching customer's latest order at or before the
+    event time. The right side is pre-aggregated per (custkey, date)
+    so the match is unique (the SQL ASOF determinism contract)."""
+    from ray.data.aggregate import Max, Sum
+
+    from igraph_ray.ops.joins import asof_join
+
+    L = _events_keyed(sf_dir).drop_columns(["value_e6"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+
+    def _o(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["o_custkey"],
+            "ts_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_orderkey": b["o_orderkey"],
+            "tp_e2": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                             pa.int64())})
+
+    g = (orders.map_batches(_o, batch_format="pyarrow", batch_size=None)
+         .groupby(["user_id", "ts_us"])
+         .aggregate(Max("o_orderkey"), Sum("tp_e2")))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "prev_orderkey": pa.array([], pa.int64()),
+                             "prev_total_e2": pa.array([], pa.int64())})
+        return pa.table({"user_id": b["user_id"], "ts_us": b["ts_us"],
+                         "prev_orderkey": b["max(o_orderkey)"],
+                         "prev_total_e2": b["sum(tp_e2)"]})
+
+    R = g.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+    return asof_join(L, R, by="user_id", on="ts_us",
+                     left_cols=["event_id"],
+                     right_cols=["prev_orderkey", "prev_total_e2"])
+
+
+def q_range_window_join(sf_dir: str):
+    """Range (interval) join: every pair of same-user events within a
+    forward one-hour window — each event's [ts, ts+1h) interval joined
+    against event points via bucket expansion + ONE equi-join
+    (ops.joins.range_join)."""
+    from igraph_ray.ops.joins import range_join
+
+    ev = _events_keyed(sf_dir).drop_columns(["value_e6"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "ts_us": b["ts_us"],
+                         "pid": b["event_id"]})
+
+    def _ivs(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "lo_us": b["ts_us"],
+                         "hi_us": pc.add(b["ts_us"], 3_600_000_000),
+                         "iid": b["event_id"]})
+
+    P = ev.map_batches(_pts, batch_format="pyarrow", batch_size=None)
+    I = ev.map_batches(_ivs, batch_format="pyarrow", batch_size=None)
+    return range_join(P, I, on="ts_us", lo="lo_us", hi="hi_us",
+                      by="user_id", point_cols=["pid"],
+                      interval_cols=["iid"])
+
+
 def _knn_common(sf_dir: str, fn):
     import pyarrow.parquet as pq
 
@@ -7751,6 +7854,9 @@ def queries() -> Dict[str, Callable]:
         "tumbling_window": q_tumbling,
         "hopping_window": q_hopping,
         "sessionize": q_sessions,
+        "asof_prev_event": q_asof_prev_event,
+        "asof_order": q_asof_order,
+        "range_window_join": q_range_window_join,
         "knn": q_knn,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
@@ -8484,6 +8590,27 @@ s AS (SELECT user_id, ts_us,
       FROM o)
 SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid""",
+        "asof_prev_event": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CAST(ROUND(value * 1e6) AS BIGINT) AS value_e6 FROM events)
+SELECT a.user_id, a.ts_us, a.event_id, a.value_e6,
+       b.event_id AS prev_event_id, b.value_e6 AS prev_value_e6
+FROM e a ASOF JOIN e b ON a.user_id = b.user_id AND a.ts_us > b.ts_us""",
+        "asof_order": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ots,
+             MAX(o_orderkey) AS prev_orderkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS prev_total_e2
+      FROM orders GROUP BY 1, 2)
+SELECT e.user_id, e.ts_us, e.event_id, o.prev_orderkey, o.prev_total_e2
+FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.ts_us >= o.ots""",
+        "range_window_join": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events)
+SELECT b.user_id, b.ts_us, b.event_id AS pid, a.ts_us AS lo_us,
+       a.ts_us + 3600000000 AS hi_us, a.event_id AS iid
+FROM e a JOIN e b ON a.user_id = b.user_id
+  AND b.ts_us >= a.ts_us AND b.ts_us < a.ts_us + 3600000000""",
         "knn": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}),
