@@ -5475,6 +5475,59 @@ def q_asof_order(sf_dir: str):
                      right_cols=["prev_orderkey", "prev_total_e2"])
 
 
+def q_doclen_quantiles(sf_dir: str):
+    """Exact discrete quantiles of the document-length column via the
+    histogram partial-aggregate (ops.stats.exact_quantiles — the full
+    column is never sorted, only the (value, count) histogram moves)."""
+    from igraph_ray.ops.stats import exact_quantiles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_quantiles(docs, "n_chars",
+                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def q_doclen_percentile_filter(sf_dir: str):
+    """Percentile-cutoff curation: keep documents at or above the 25th
+    length percentile (ops.stats.quantile_threshold_filter — exact
+    quantile from the histogram, then one broadcast-scalar filter)."""
+    from igraph_ray.ops.stats import quantile_threshold_filter
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return quantile_threshold_filter(docs, "n_chars", 0.25,
+                                     out_cols=["doc_id", "n_chars"])
+
+
+def q_jsonl_docs(sf_dir: str):
+    """documents routed through a JSONL write -> read round trip
+    (sources.jsonl over Ray Data's native JSON shards), then
+    md5-hashed — proves byte-identical text interchange against a
+    DuckDB md5 oracle over the original parquet."""
+    import tempfile
+
+    from igraph_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        write_jsonl(docs, td)
+        back = read_jsonl(td, columns=["doc_id", "text", "lang"],
+                          int_cols=["doc_id"])
+
+        import hashlib
+
+        def _h(b: pa.Table) -> pa.Table:
+            hs = [hashlib.md5(t.encode()).hexdigest()
+                  for t in b["text"].to_pylist()]
+            return pa.table({"doc_id": b["doc_id"],
+                             "text_md5": pa.array(hs, pa.string()),
+                             "lang": b["lang"]})
+
+        return back.map_batches(_h, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+
 def q_range_window_join(sf_dir: str):
     """Range (interval) join: every pair of same-user events within a
     forward one-hour window — each event's [ts, ts+1h) interval joined
@@ -7857,6 +7910,9 @@ def queries() -> Dict[str, Callable]:
         "asof_prev_event": q_asof_prev_event,
         "asof_order": q_asof_order,
         "range_window_join": q_range_window_join,
+        "doclen_quantiles": q_doclen_quantiles,
+        "doclen_percentile_filter": q_doclen_percentile_filter,
+        "jsonl_docs": q_jsonl_docs,
         "knn": q_knn,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
@@ -8611,6 +8667,23 @@ SELECT b.user_id, b.ts_us, b.event_id AS pid, a.ts_us AS lo_us,
        a.ts_us + 3600000000 AS hi_us, a.event_id AS iid
 FROM e a JOIN e b ON a.user_id = b.user_id
   AND b.ts_us >= a.ts_us AND b.ts_us < a.ts_us + 3600000000""",
+        "doclen_quantiles": """
+WITH s AS (SELECT n_chars AS v,
+                  ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS r,
+                  COUNT(*) OVER () AS n
+           FROM documents),
+q(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT CAST(q.q AS DOUBLE) AS q, CAST(s.v AS BIGINT) AS value
+FROM q JOIN s ON s.r = CAST(FLOOR(q.q * (s.n - 1)) AS BIGINT)""",
+        "doclen_percentile_filter": """
+WITH s AS (SELECT n_chars AS v,
+                  ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS r,
+                  COUNT(*) OVER () AS n
+           FROM documents),
+t AS (SELECT v FROM s WHERE r = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT))
+SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.v""",
+        "jsonl_docs": """
+SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
         "knn": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}),
