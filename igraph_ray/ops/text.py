@@ -178,3 +178,69 @@ def pii_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Datas
         return pa.table(cols)
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    size_chars: int = 512,
+    overlap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chunks: bool = False,
+) -> ray.data.Dataset:
+    """Context-window chunking: split every document into overlapping
+    character windows (the training-data tokenize/pack precursor).
+
+    Chunk i of a document covers code points
+    [i*step, i*step + size_chars), step = size_chars - overlap; a
+    document yields max(1, ceil(max(0, len - size)/step) + 1) chunks,
+    so every code point is covered and consecutive chunks share
+    ``overlap`` code points. Empty documents yield one empty chunk.
+
+    Vectorized shape: per batch, rows are repeated chunk-count times
+    (numpy repeat), then ONE pyarrow utf8_slice_codeunits kernel per
+    distinct chunk index slices the whole batch — per-kernel work is
+    O(batch), kernel count is the longest document's chunk count, and
+    no per-row Python string handling happens anywhere.
+
+    ``hash_chunks=True`` replaces chunk_text with chunk_md5 (compact
+    gate/aggregation output).
+    """
+    if overlap >= size_chars:
+        raise ValueError("overlap must be < size_chars")
+    step = size_chars - overlap
+
+    def _f(b: pa.Table) -> pa.Table:
+        val_field = "chunk_md5" if hash_chunks else "chunk_text"
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             val_field: pa.array([], pa.string())})
+        lens = pc.utf8_length(b[text_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # integer-exact: 1 + ceil(max(0, len - size)/step)
+        n = 1 + (np.maximum(0, lens - size_chars) + step - 1) // step
+        rows = np.repeat(np.arange(b.num_rows), n)
+        cid = (np.arange(len(rows))
+               - np.repeat(np.cumsum(n) - n, n)).astype(np.int64)
+        texts = pc.take(b[text_col], pa.array(rows, pa.int64()))
+        parts = []
+        kmax = int(n.max())
+        out = np.empty(len(rows), dtype=object)
+        for k in range(kmax):
+            sel = cid == k
+            if not sel.any():
+                continue
+            sliced = pc.utf8_slice_codeunits(
+                texts.filter(pa.array(sel)),
+                start=k * step, stop=k * step + size_chars)
+            out[sel] = np.asarray(sliced.to_pylist(), dtype=object)
+        if hash_chunks:
+            out = np.array([hashlib.md5(t.encode()).hexdigest()
+                            for t in out], dtype=object)
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(rows, pa.int64())),
+            "chunk_id": pa.array(cid),
+            val_field: pa.array(out.tolist(), pa.string())})
+
+    return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)

@@ -5528,6 +5528,17 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking of the corpus: overlapping 256-char
+    windows with a 64-char overlap, chunk text md5-compacted
+    (ops.text.chunk_documents — one arrow slice kernel per chunk
+    index over the whole batch, no per-row string Python)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tx.chunk_documents(docs, size_chars=256, overlap=64,
+                              hash_chunks=True)
+
+
 def q_range_window_join(sf_dir: str):
     """Range (interval) join: every pair of same-user events within a
     forward one-hour window — each event's [ts, ts+1h) interval joined
@@ -7910,6 +7921,7 @@ def queries() -> Dict[str, Callable]:
         "asof_prev_event": q_asof_prev_event,
         "asof_order": q_asof_order,
         "range_window_join": q_range_window_join,
+        "chunk_docs": q_chunk_docs,
         "doclen_quantiles": q_doclen_quantiles,
         "doclen_percentile_filter": q_doclen_percentile_filter,
         "jsonl_docs": q_jsonl_docs,
@@ -8684,6 +8696,19 @@ t AS (SELECT v FROM s WHERE r = CAST(FLOOR(0.25 * (n - 1)) AS BIGINT))
 SELECT doc_id, n_chars FROM documents, t WHERE n_chars >= t.v""",
         "jsonl_docs": """
 SELECT doc_id, md5(text) AS text_md5, lang FROM documents""",
+        "chunk_docs": """
+WITH d AS (SELECT doc_id, text,
+                  1 + CASE WHEN length(text) > 256
+                      THEN (length(text) - 256 + 191) // 192 ELSE 0 END
+                    AS nchunks
+           FROM documents),
+c AS (SELECT d.doc_id, u.k AS chunk_id,
+             substring(d.text, CAST(u.k * 192 + 1 AS BIGINT), 256)
+               AS chunk
+      FROM d, LATERAL unnest(generate_series(0, d.nchunks - 1)) u(k))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       md5(chunk) AS chunk_md5
+FROM c""",
         "knn": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}),

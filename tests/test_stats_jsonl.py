@@ -62,3 +62,45 @@ def test_jsonl_roundtrip_unicode(tmp_path):
     back = back.sort_values("doc_id").reset_index(drop=True)
     assert list(back["text"]) == texts
     assert back["doc_id"].dtype == np.int64
+
+
+def test_chunk_documents_vs_brute():
+    from igraph_ray.ops.text import chunk_documents
+
+    texts = ["", "short", "a" * 300, "x" * 1000,
+             ("émoji 🎉 中文 " * 40)]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+         "text": pa.array(texts, pa.string())})).repartition(2)
+    got = chunk_documents(ds, size_chars=100, overlap=30).to_pandas()
+    step = 70
+    for i, t in enumerate(texts):
+        n = 1 + max(0, (len(t) - 100 + step - 1)) // step if len(t) > 100 \
+            else 1
+        rows = got[got["doc_id"] == i].sort_values("chunk_id")
+        assert len(rows) == n
+        for k, chunk in zip(rows["chunk_id"], rows["chunk_text"]):
+            assert chunk == t[k * step:k * step + 100]
+    # coverage: concatenating chunks minus overlaps rebuilds the text
+    t = texts[3]
+    rows = got[got["doc_id"] == 3].sort_values("chunk_id")
+    rebuilt = rows["chunk_text"].iloc[0] + "".join(
+        c[30:] for c in rows["chunk_text"].iloc[1:])
+    assert rebuilt == t
+
+
+def test_chunk_documents_hash_mode_and_guard():
+    import hashlib
+
+    import pytest as _pytest
+
+    from igraph_ray.ops.text import chunk_documents
+
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([0], pa.int64()),
+         "text": pa.array(["hello world"], pa.string())}))
+    got = chunk_documents(ds, size_chars=8, overlap=2,
+                          hash_chunks=True).to_pandas()
+    assert got["chunk_md5"][0] == hashlib.md5(b"hello wo").hexdigest()
+    with _pytest.raises(ValueError):
+        chunk_documents(ds, size_chars=8, overlap=8)
