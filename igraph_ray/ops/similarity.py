@@ -564,3 +564,111 @@ def kmeans_clusters(
 
     return embeddings.map_batches(_assign, batch_format="pyarrow",
                                   batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# distributed second moments / PCA
+
+
+def _moment_partials(embeddings: ray.data.Dataset, col: str):
+    """Per-batch (n, Σx, XᵀX) partial rows — the one streaming pass
+    behind covariance and PCA. Each partial is a single row holding
+    d + d² doubles; the full matrix never leaves the workers."""
+
+    def _p(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.column_names:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        X = _to_matrix(b[col])
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(X.T @ X).ravel().tolist()],
+                           pa.list_(pa.float64()))})
+
+    return embeddings.map_batches(_p, batch_format="pyarrow",
+                                  batch_size=None)
+
+
+def _reduce_moments(partials: ray.data.Dataset):
+    """(n, mean, cov) from the partial rows — one small reduce task."""
+
+    @ray.remote
+    def _r(refs):
+        parts = [t for t in ray.get(list(refs))
+                 if t.num_rows > 0 and "n" in t.column_names]
+        if not parts:
+            return 0, None, None
+        t = pa.concat_tables(parts)
+        n = int(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+        s = np.sum(np.array(t["s"].to_pylist(), dtype=np.float64), axis=0)
+        ss = np.sum(np.array(t["ss"].to_pylist(), dtype=np.float64), axis=0)
+        d = len(s)
+        mu = s / n
+        cov = (ss.reshape(d, d) - n * np.outer(mu, mu)) / max(1, n - 1)
+        return n, mu, cov
+
+    return ray.get(_r.remote(partials.materialize().to_arrow_refs()))
+
+
+def embedding_covariance(
+    embeddings: ray.data.Dataset, col: str = "embedding"
+) -> pa.Table:
+    """Upper-triangle sample covariance of the embedding column,
+    integer-quantized e6: (i, j, cov_e6) rows, i <= j. ONE streaming
+    pass over the data (per-batch XᵀX partials), d×d algebra in a
+    single small task — the column is never materialized."""
+    n, mu, cov = _reduce_moments(_moment_partials(embeddings, col))
+    if cov is None:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "cov_e6": pa.array([], pa.int64())})
+    d = cov.shape[0]
+    iu, ju = np.triu_indices(d)
+    vals = np.round(cov[iu, ju] * 1e6).astype(np.int64)
+    return pa.table({"i": pa.array(iu.astype(np.int64)),
+                     "j": pa.array(ju.astype(np.int64)),
+                     "cov_e6": pa.array(vals)})
+
+
+def pca_project(
+    embeddings: ray.data.Dataset,
+    k: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Project every vector onto the top-k principal components.
+
+    The d×d covariance comes from the same one-pass partials; the
+    eigendecomposition is d×d driver algebra (d = embedding dim, tiny);
+    the k×d component matrix is captured in the projection closure
+    (broadcast once per worker) and the projection is one numpy matmul
+    per batch. Component signs are canonicalized (largest-|coeff|
+    entry positive) so output is deterministic."""
+    n, mu, cov = _reduce_moments(_moment_partials(embeddings, col))
+    if cov is None:
+        raise ValueError("empty embedding dataset")
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]  # d × k
+    for c in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    mu_b = mu.copy()
+
+    def _proj(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             **{f"pc{c}": pa.array([], pa.float64())
+                                for c in range(k)}})
+        X = _to_matrix(b[col]) - mu_b
+        P = X @ comps
+        return pa.table({id_col: b[id_col],
+                         **{f"pc{c}": pa.array(P[:, c], pa.float64())
+                            for c in range(k)}})
+
+    return embeddings.map_batches(_proj, batch_format="pyarrow",
+                                  batch_size=None)

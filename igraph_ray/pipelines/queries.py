@@ -5528,6 +5528,28 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Upper-triangle sample covariance of the embedding column, e6
+    integer-quantized — one streaming pass of per-batch XᵀX partials
+    (ops.similarity.embedding_covariance); d×d algebra in one task."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return sim.embedding_covariance(emb)
+
+
+def q_pca_project(sf_dir: str):
+    """Top-2 PCA projection of every embedding (sign-canonical
+    components from the one-pass covariance; projection is one matmul
+    per batch against the broadcast 64×2 component matrix). Iterative
+    eigensolve-free but eigenvector-based — rows-only by nature;
+    exactness vs numpy's full eigh is pytest-checked."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = sim.pca_project(emb, k=2)
+    return _scale_col(_scale_col(out, "pc0", "pc0_e6", 1e6),
+                      "pc1", "pc1_e6", 1e6)
+
+
 def q_chunk_docs(sf_dir: str):
     """Context-window chunking of the corpus: overlapping 256-char
     windows with a 64-char overlap, chunk text md5-compacted
@@ -7922,6 +7944,8 @@ def queries() -> Dict[str, Callable]:
         "asof_order": q_asof_order,
         "range_window_join": q_range_window_join,
         "chunk_docs": q_chunk_docs,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_project": q_pca_project,
         "doclen_quantiles": q_doclen_quantiles,
         "doclen_percentile_filter": q_doclen_percentile_filter,
         "jsonl_docs": q_jsonl_docs,
@@ -8709,6 +8733,13 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "embedding_covariance": """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i)
+SELECT i.i - 1 AS i, j.i - 1 AS j,
+       CAST(ROUND(COVAR_SAMP(e.v[i.i], e.v[j.i]) * 1e6) AS BIGINT)
+         AS cov_e6
+FROM e, idx i, idx j WHERE i.i <= j.i GROUP BY 1, 2""",
         "knn": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}),
