@@ -692,3 +692,52 @@ def cms_estimate(cms_rows, token: str) -> int:
         v = table.get((d, int(h[:8], 16) % _CMS_W), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+# --------------------------------------------------------------------------
+# negative sampling for pair/embedding training
+# --------------------------------------------------------------------------
+
+def negative_sample(
+    pairs: ray.data.Dataset,
+    num_items: int,
+    k: int = 4,
+    seed: int = 17,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> ray.data.Dataset:
+    """k uniform negative items per positive (user, item) pair — the
+    word2vec/two-tower training-data primitive. Draw j for a pair is
+    the indexed md5 fold ``md5(seed:user:item:j)[:15] % num_items``:
+    a pure function of the pair, so the sample is reproducible at any
+    parallelism and row order and replayable verbatim in SQL
+    (the engine's games.c draw scheme). Accidental positives are KEPT
+    (the standard word2vec contract — rejection would make draw j
+    depend on the global positive set and cost a join; callers who
+    need clean negatives anti-join the output once).
+
+    Embarrassingly parallel: one md5 per (pair, j), no shuffle; the
+    k-way expansion happens task-side."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or user_col not in b.column_names:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             item_col: pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "neg_item": pa.array([], pa.int64())})
+        u = b[user_col].to_numpy(zero_copy_only=False)
+        it = b[item_col].to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(b.num_rows), k)
+        js = np.tile(np.arange(k, dtype=np.int64), b.num_rows)
+        neg = np.fromiter(
+            (int(hashlib.md5(
+                f"{seed}:{int(u[r])}:{int(it[r])}:{int(j)}".encode())
+                .hexdigest()[:15], 16) % num_items
+             for r, j in zip(rows, js)),
+            dtype=np.int64, count=len(rows))
+        return pa.table({user_col: pa.array(u[rows].astype(np.int64)),
+                         item_col: pa.array(it[rows].astype(np.int64)),
+                         "j": pa.array(js),
+                         "neg_item": pa.array(neg)})
+
+    return pairs.map_batches(_f, batch_format="pyarrow", batch_size=None)

@@ -56,6 +56,16 @@ KNN_K = 5
 KNN_QUERIES = 4
 
 
+def _md5_fold15(h: str) -> str:
+    """SQL expression folding the first 15 hex chars of md5 column
+    ``h`` into a BIGINT — the engine's shared indexed-draw replay."""
+    f = "CAST(0 AS BIGINT)"
+    for k in range(1, 16):
+        f = (f"(({f}) * 16 + "
+             f"(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1))")
+    return f
+
+
 def _scale_col(ds: ray.data.Dataset, col: str, out: str, scale: float) -> ray.data.Dataset:
     def _f(b: pa.Table) -> pa.Table:
         v = np.round(b[col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
@@ -5528,6 +5538,29 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_negative_sample(sf_dir: str):
+    """k=4 uniform negatives per distinct (user, item%199) positive
+    pair from the event stream — the two-tower/word2vec training-data
+    primitive, indexed-md5 drawn so the sample is reproducible at any
+    parallelism and replayable verbatim in SQL
+    (ops.curation.negative_sample)."""
+    from igraph_ray.ops import curation as cu
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+
+    def _p(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"uid": b["user_id"],
+                         "item": pa.array((e % 199).astype(np.int64))})
+
+    pairs = (ev.map_batches(_p, batch_format="pyarrow", batch_size=None)
+             .groupby(["uid", "item"]).count()
+             .select_columns(["uid", "item"]))
+    return cu.negative_sample(pairs, num_items=199, k=4, seed=17,
+                              user_col="uid", item_col="item")
+
+
 def q_embedding_covariance(sf_dir: str):
     """Upper-triangle sample covariance of the embedding column, e6
     integer-quantized — one streaming pass of per-batch XᵀX partials
@@ -7944,6 +7977,7 @@ def queries() -> Dict[str, Callable]:
         "asof_order": q_asof_order,
         "range_window_join": q_range_window_join,
         "chunk_docs": q_chunk_docs,
+        "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
         "doclen_quantiles": q_doclen_quantiles,
@@ -8733,6 +8767,20 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "negative_sample": f"""
+WITH p AS (SELECT DISTINCT user_id AS uid, event_id % 199 AS item
+           FROM events),
+t AS (SELECT p.uid, p.item, u.j
+      FROM p, LATERAL unnest(generate_series(0, 3)) u(j)),
+h AS (SELECT uid, item, j,
+             md5('17:' || CAST(uid AS VARCHAR) || ':'
+                 || CAST(item AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR)) AS hh
+      FROM t)
+SELECT CAST(uid AS BIGINT) AS uid, CAST(item AS BIGINT) AS item,
+       CAST(j AS BIGINT) AS j,
+       CAST(({_md5_fold15('hh')}) % 199 AS BIGINT) AS neg_item
+FROM h""",
         "embedding_covariance": """
 WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 idx AS (SELECT unnest(generate_series(1, 64)) AS i)

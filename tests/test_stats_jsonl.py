@@ -104,3 +104,30 @@ def test_chunk_documents_hash_mode_and_guard():
     assert got["chunk_md5"][0] == hashlib.md5(b"hello wo").hexdigest()
     with _pytest.raises(ValueError):
         chunk_documents(ds, size_chars=8, overlap=8)
+
+
+def test_negative_sample_deterministic_and_uniform():
+    import hashlib
+
+    from igraph_ray.ops.curation import negative_sample
+
+    users = np.repeat(np.arange(20, dtype=np.int64), 5)
+    items = np.tile(np.arange(5, dtype=np.int64), 20)
+    t = pa.table({"u": pa.array(users), "i": pa.array(items)})
+    a = negative_sample(ray.data.from_arrow(t).repartition(1),
+                        num_items=50, k=3, seed=9,
+                        user_col="u", item_col="i").to_pandas()
+    b = negative_sample(ray.data.from_arrow(t).repartition(7),
+                        num_items=50, k=3, seed=9,
+                        user_col="u", item_col="i").to_pandas()
+    key = ["u", "i", "j"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["neg_item"] == b["neg_item"]).all()
+    assert len(a) == 300
+    # draw replay: md5(seed:u:i:j)[:15] % n
+    r = a.iloc[42]
+    want = int(hashlib.md5(
+        f"9:{r.u}:{r.i}:{r.j}".encode()).hexdigest()[:15], 16) % 50
+    assert int(r.neg_item) == want
+    assert a["neg_item"].nunique() > 25  # spread over the item space
