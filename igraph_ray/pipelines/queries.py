@@ -5538,6 +5538,64 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_prepare_corpus(sf_dir: str):
+    """Flagship end-to-end training-corpus preparation: the curate
+    decision (quality ∪ dup-keeper ∪ contamination bits) keeps a
+    document set, kept documents are context-window chunked
+    (256/64 overlap), and the output is the per-document packing
+    manifest (doc_id, n_chars, n_chunks). One streaming composition
+    of ops.curation.curate + ops.text.chunk_documents — the kept-id
+    set rides a broadcast semi-join, nothing materializes the corpus."""
+    from igraph_ray.util import hash_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dec = cu.curate(_docs(sf_dir))
+
+    def _kept(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table(
+            {"doc_id": b.filter(pc.equal(b["kept"], 1))["doc_id"]})
+
+    kept_docs = hash_join(docs, dec, on="doc_id",
+                          join_type="left_semi", right_map=_kept)
+    chunks = tx.chunk_documents(kept_docs, size_chars=256, overlap=64,
+                                hash_chunks=True)
+
+    def _len(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64())})
+
+    from ray.data.aggregate import Max, Sum
+
+    g = (chunks.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "one": pa.array(
+                                    np.ones(b.num_rows, np.int64))})
+            if b.num_rows and "doc_id" in b.column_names
+            else pa.table({"doc_id": pa.array([], pa.int64()),
+                           "one": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+         .groupby("doc_id").aggregate(Sum("one")))
+
+    lens = kept_docs.map_batches(_len, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chunks": pa.array([], pa.int64())})
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chunks": pc.cast(b["sum(one)"], pa.int64())})
+
+    return hash_join(lens, g, on="doc_id", lazy_left=True, right_map=_rn)
+
+
 def q_negative_sample(sf_dir: str):
     """k=4 uniform negatives per distinct (user, item%199) positive
     pair from the event stream — the two-tower/word2vec training-data
@@ -7977,6 +8035,7 @@ def queries() -> Dict[str, Callable]:
         "asof_order": q_asof_order,
         "range_window_join": q_range_window_join,
         "chunk_docs": q_chunk_docs,
+        "prepare_corpus": q_prepare_corpus,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -8119,6 +8178,68 @@ def queries() -> Dict[str, Callable]:
         "recent_degree_aging": q_recent_degree_aging,
         "subiso_prism": q_subiso_prism,
     }
+
+
+_CURATE_ORACLE = r"""
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           FROM documents),
+f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_tf
+        FROM f GROUP BY doc_id),
+ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(text)
+                   - length(regexp_replace(text, '[^\sA-Za-z0-9]', '', 'g'))
+                   AS BIGINT) AS n_punct
+       FROM documents),
+sig AS (SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
+                    ELSE (a.top_tf * 1000000) // a.n_words END AS rep,
+               CASE WHEN ch.n_chars = 0 THEN 0
+                    ELSE (ch.n_punct * 1000000) // ch.n_chars END AS punct
+        FROM documents d LEFT JOIN agg a USING (doc_id) JOIN ch USING (doc_id)),
+q AS (SELECT doc_id,
+             CASE WHEN n_words < 10 THEN 1 ELSE 0 END
+             + CASE WHEN n_words > 100000 THEN 2 ELSE 0 END
+             + CASE WHEN rep > 200000 THEN 4 ELSE 0 END
+             + CASE WHEN punct > 300000 THEN 8 ELSE 0 END AS qreasons
+      FROM sig),
+dup AS (SELECT doc_id,
+               CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 16 ELSE 0 END AS dbit
+        FROM documents),
+sh AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS s,
+              lead(tok, 4) OVER w IS NOT NULL AS valid
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+bench AS (SELECT DISTINCT s FROM sh WHERE valid AND doc_id % 10 = 0),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN s IN (SELECT s FROM bench)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cont
+        FROM sh WHERE valid GROUP BY doc_id),
+cb AS (SELECT d.doc_id,
+              CASE WHEN 2 * COALESCE(cnt.cont, 0) > COALESCE(cnt.total, 0)
+                   THEN 32 ELSE 0 END AS cbit
+       FROM documents d LEFT JOIN cnt USING (doc_id))
+SELECT q.doc_id,
+       CAST(q.qreasons + dup.dbit + cb.cbit AS BIGINT) AS reasons,
+       CAST(CASE WHEN q.qreasons + dup.dbit + cb.cbit = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM q JOIN dup USING (doc_id) JOIN cb USING (doc_id)"""
+
+
+_PREPARE_CORPUS_ORACLE = (
+    "WITH cur AS (" + _CURATE_ORACLE + """),
+keptd AS (SELECT d.doc_id, length(d.text) AS len
+          FROM documents d JOIN cur ON cur.doc_id = d.doc_id
+          WHERE cur.kept = 1)
+SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
+       CAST(1 + CASE WHEN len > 256 THEN (len - 256 + 191) // 192
+                ELSE 0 END AS BIGINT) AS n_chunks
+FROM keptd""")
 
 
 def oracle_sql() -> Dict[str, str]:
@@ -9163,55 +9284,8 @@ ru AS (SELECT g,
        FROM (SELECT g, h, (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 1 AS x FROM hh))
 SELECT g AS "group", CAST(MAX(CASE WHEN b = 0 THEN rho ELSE 0 END) AS BIGINT) AS r0, CAST(MAX(CASE WHEN b = 1 THEN rho ELSE 0 END) AS BIGINT) AS r1, CAST(MAX(CASE WHEN b = 2 THEN rho ELSE 0 END) AS BIGINT) AS r2, CAST(MAX(CASE WHEN b = 3 THEN rho ELSE 0 END) AS BIGINT) AS r3, CAST(MAX(CASE WHEN b = 4 THEN rho ELSE 0 END) AS BIGINT) AS r4, CAST(MAX(CASE WHEN b = 5 THEN rho ELSE 0 END) AS BIGINT) AS r5, CAST(MAX(CASE WHEN b = 6 THEN rho ELSE 0 END) AS BIGINT) AS r6, CAST(MAX(CASE WHEN b = 7 THEN rho ELSE 0 END) AS BIGINT) AS r7
 FROM ru GROUP BY g ORDER BY g""",
-        "curate": r"""
-WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
-                  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-           FROM documents),
-f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
-agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
-               CAST(MAX(c) AS BIGINT) AS top_tf
-        FROM f GROUP BY doc_id),
-ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-              CAST(length(text)
-                   - length(regexp_replace(text, '[^\sA-Za-z0-9]', '', 'g'))
-                   AS BIGINT) AS n_punct
-       FROM documents),
-sig AS (SELECT d.doc_id,
-               COALESCE(a.n_words, 0) AS n_words,
-               CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0
-                    ELSE (a.top_tf * 1000000) // a.n_words END AS rep,
-               CASE WHEN ch.n_chars = 0 THEN 0
-                    ELSE (ch.n_punct * 1000000) // ch.n_chars END AS punct
-        FROM documents d LEFT JOIN agg a USING (doc_id) JOIN ch USING (doc_id)),
-q AS (SELECT doc_id,
-             CASE WHEN n_words < 10 THEN 1 ELSE 0 END
-             + CASE WHEN n_words > 100000 THEN 2 ELSE 0 END
-             + CASE WHEN rep > 200000 THEN 4 ELSE 0 END
-             + CASE WHEN punct > 300000 THEN 8 ELSE 0 END AS qreasons
-      FROM sig),
-dup AS (SELECT doc_id,
-               CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
-                    THEN 16 ELSE 0 END AS dbit
-        FROM documents),
-sh AS (SELECT doc_id,
-              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS s,
-              lead(tok, 4) OVER w IS NOT NULL AS valid
-       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-bench AS (SELECT DISTINCT s FROM sh WHERE valid AND doc_id % 10 = 0),
-cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total,
-               CAST(SUM(CASE WHEN s IN (SELECT s FROM bench)
-                        THEN 1 ELSE 0 END) AS BIGINT) AS cont
-        FROM sh WHERE valid GROUP BY doc_id),
-cb AS (SELECT d.doc_id,
-              CASE WHEN 2 * COALESCE(cnt.cont, 0) > COALESCE(cnt.total, 0)
-                   THEN 32 ELSE 0 END AS cbit
-       FROM documents d LEFT JOIN cnt USING (doc_id))
-SELECT q.doc_id,
-       CAST(q.qreasons + dup.dbit + cb.cbit AS BIGINT) AS reasons,
-       CAST(CASE WHEN q.qreasons + dup.dbit + cb.cbit = 0
-            THEN 1 ELSE 0 END AS BIGINT) AS kept
-FROM q JOIN dup USING (doc_id) JOIN cb USING (doc_id)""",
+        "curate": _CURATE_ORACLE,
+        "prepare_corpus": _PREPARE_CORPUS_ORACLE,
         "quality_filter": r"""
 WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
            FROM documents),
