@@ -5538,6 +5538,18 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_power_law_fit(sf_dir: str):
+    """Clauset–Shalizi–Newman power-law fit of graph A's out-degree
+    distribution (igraph_power_law_fit, other.c:246): KS-optimal xmin
+    sweep + discrete-approximation MLE, all on the (degree, count)
+    histogram (algorithms.plfit — one groupby, the degree column never
+    leaves the workers unaggregated)."""
+    from igraph_ray.algorithms.plfit import power_law_fit
+
+    g = derive.graph_a(sf_dir)
+    return power_law_fit(g.out_degrees(), col="deg", discrete=True)
+
+
 def q_prepare_corpus(sf_dir: str):
     """Flagship end-to-end training-corpus preparation: the curate
     decision (quality ∪ dup-keeper ∪ contamination bits) keeps a
@@ -8036,6 +8048,7 @@ def queries() -> Dict[str, Callable]:
         "range_window_join": q_range_window_join,
         "chunk_docs": q_chunk_docs,
         "prepare_corpus": q_prepare_corpus,
+        "power_law_fit": q_power_law_fit,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -8888,6 +8901,37 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "power_law_fit": """
+WITH edges AS (SELECT DISTINCT (o_orderkey % 512) AS src,
+                      ((o_custkey * 7) % 512) AS dst
+               FROM orders
+               WHERE (o_orderkey % 512) != ((o_custkey * 7) % 512)),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+hist AS (SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS c FROM deg
+         WHERE d > 0 GROUP BY d),
+suff AS (SELECT h1.v AS xm, SUM(h2.c) AS n,
+                SUM(h2.c * LN(h2.v)) AS slog
+         FROM hist h1 JOIN hist h2 ON h2.v >= h1.v GROUP BY h1.v),
+cand AS (SELECT xm, n,
+                1.0 + n / (slog - n * LN(xm - 0.5)) AS alpha
+         FROM suff
+         WHERE n >= 2 AND (slog - n * LN(xm - 0.5)) > 0),
+tail AS (SELECT ca.xm, ca.alpha, ca.n, h.v, h.c,
+                SUM(h.c) OVER (PARTITION BY ca.xm ORDER BY h.v)
+                  AS cum_le
+         FROM cand ca JOIN hist h ON h.v >= ca.xm),
+dev AS (SELECT xm, alpha, n,
+               GREATEST(ABS(cum_le / n - fit),
+                        ABS((cum_le - c) / n - fit)) AS dv
+        FROM (SELECT xm, alpha, n, v, c, cum_le,
+                     1.0 - POWER(v / (xm - 0.5), 1.0 - alpha) AS fit
+              FROM tail)),
+ks AS (SELECT xm, alpha, CAST(n AS BIGINT) AS n_tail,
+              CAST(ROUND(MAX(dv) * 1e9) AS BIGINT) AS ks_e9
+       FROM dev GROUP BY xm, alpha, n)
+SELECT CAST(xm AS BIGINT) AS xmin,
+       CAST(ROUND(alpha * 1e6) AS BIGINT) AS alpha_e6, ks_e9, n_tail
+FROM ks ORDER BY ks_e9, xm LIMIT 1""",
         "negative_sample": f"""
 WITH p AS (SELECT DISTINCT user_id AS uid, event_id % 199 AS item
            FROM events),
