@@ -741,3 +741,89 @@ def negative_sample(
                          "neg_item": pa.array(neg)})
 
     return pairs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# per-group caps (grouped deterministic top-n)
+# --------------------------------------------------------------------------
+
+def cap_per_group(
+    docs: ray.data.Dataset,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Keep at most ``n`` documents per group, deterministically — the
+    "cap every domain at N pages" curation primitive. The kept set is
+    the n smallest (md5(id) fold, id) keys within each group: a pure
+    function of ids, so the answer is identical at any parallelism
+    and row order (same rationale as stratified_sample) and replayable
+    in SQL as ROW_NUMBER() over the same key.
+
+    Distributed shape — grouped top-k with a combiner: every batch
+    first prunes itself to <= n rows per group (vectorized lexsort +
+    run-length head), so at most n x num_blocks rows per group enter
+    the ONE boundary-aligned range exchange on the group key (string
+    groups ride a deterministic int64 hash, like asof_join); the
+    per-block head-n scan then needs no cross-block repair because a
+    group never straddles sorted blocks."""
+
+    def _key(ids) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+
+    import pandas as pd
+
+    def _prune(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string()),
+                             "__k": pa.array([], pa.int64()),
+                             "__gh": pa.array([], pa.int64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        grp = b[group_col].to_numpy(zero_copy_only=False)
+        gh = (pd.util.hash_array(grp)
+              & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        # exact within-batch group identity (hash collisions must not
+        # merge rank spaces): factorized codes, not the hash
+        codes = pd.factorize(grp)[0]
+        key = _key(ids)
+        order = np.lexsort((ids, key, codes))
+        cs = codes[order]
+        newg = np.r_[True, cs[1:] != cs[:-1]]
+        # rank within group = position - group start
+        pos = np.arange(len(cs))
+        start = np.maximum.accumulate(np.where(newg, pos, -1))
+        keep = (pos - start) < n
+        sel = pa.array(order[keep], pa.int64())
+        return pa.table({id_col: pc.take(b[id_col], sel),
+                         group_col: pc.take(b[group_col], sel),
+                         "__k": pa.array(key[order][keep]),
+                         "__gh": pa.array(gh[order][keep])})
+
+    pruned = docs.map_batches(_prune, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    from igraph_ray.csr import compute_boundaries
+
+    bnds = compute_boundaries(pruned, num_partitions=num_partitions,
+                              col="__gh")
+    s = (pruned.sort(["__gh", group_col, "__k", id_col], boundaries=bnds)
+         if bnds else pruned.sort(["__gh", group_col, "__k", id_col]))
+
+    def _head(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             group_col: pa.array([], pa.string())})
+        grp = b[group_col].to_numpy(zero_copy_only=False)
+        newg = np.r_[True, grp[1:] != grp[:-1]]
+        pos = np.arange(len(grp))
+        start = np.maximum.accumulate(np.where(newg, pos, -1))
+        keep = (pos - start) < n
+        sel = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({id_col: pc.take(b[id_col], sel),
+                         group_col: pc.take(b[group_col], sel)})
+
+    return s.map_batches(_head, batch_format="pyarrow", batch_size=None)

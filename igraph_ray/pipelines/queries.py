@@ -5538,6 +5538,19 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_cap_per_source(sf_dir: str):
+    """Cap every source at 10 documents, deterministically (the
+    "at most N pages per domain" curation rule): kept set = the 10
+    smallest (md5-fold(doc_id), doc_id) keys per source — grouped
+    top-k with a per-batch combiner + one boundary-aligned exchange
+    (ops.curation.cap_per_group)."""
+    from igraph_ray.ops import curation as cu2
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return cu2.cap_per_group(docs, n=10, group_col="source")
+
+
 def q_power_law_fit(sf_dir: str):
     """Clauset–Shalizi–Newman power-law fit of graph A's out-degree
     distribution (igraph_power_law_fit, other.c:246): KS-optimal xmin
@@ -8049,6 +8062,7 @@ def queries() -> Dict[str, Callable]:
         "chunk_docs": q_chunk_docs,
         "prepare_corpus": q_prepare_corpus,
         "power_law_fit": q_power_law_fit,
+        "cap_per_source": q_cap_per_source,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -8901,6 +8915,15 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "cap_per_source": f"""
+WITH k AS (SELECT doc_id, source,
+                  md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ({_md5_fold15('hh')}), doc_id)
+               AS rn
+      FROM k)
+SELECT doc_id, source FROM r WHERE rn <= 10""",
         "power_law_fit": """
 WITH edges AS (SELECT DISTINCT (o_orderkey % 512) AS src,
                       ((o_custkey * 7) % 512) AS dst

@@ -131,3 +131,34 @@ def test_negative_sample_deterministic_and_uniform():
         f"9:{r.u}:{r.i}:{r.j}".encode()).hexdigest()[:15], 16) % 50
     assert int(r.neg_item) == want
     assert a["neg_item"].nunique() > 25  # spread over the item space
+
+
+def test_cap_per_group_vs_brute_and_invariance():
+    import hashlib
+
+    from igraph_ray.ops.curation import cap_per_group
+
+    rng = np.random.RandomState(13)
+    nd = 400
+    ids = rng.permutation(10000)[:nd].astype(np.int64)
+    grp = np.array([f"g{v}" for v in rng.randint(0, 7, nd)], object)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "source": pa.array(grp.tolist(), pa.string())})
+
+    def brute(nkeep):
+        keep = set()
+        for g in set(grp.tolist()):
+            members = [(int(hashlib.md5(str(int(i)).encode())
+                            .hexdigest()[:15], 16), int(i))
+                       for i in ids[grp == g]]
+            for _, i in sorted(members)[:nkeep]:
+                keep.add(i)
+        return keep
+
+    for parts in (1, 6):
+        got = cap_per_group(
+            ray.data.from_arrow(t).repartition(parts), n=15).to_pandas()
+        assert set(got["doc_id"].astype(int)) == brute(15)
+    # n larger than every group: everything kept
+    allkept = cap_per_group(ray.data.from_arrow(t), n=1000).to_pandas()
+    assert len(allkept) == nd
