@@ -244,3 +244,87 @@ def chunk_documents(
             val_field: pa.array(out.tolist(), pa.string())})
 
     return docs.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def token_vocabulary(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """(token, token_id) — the corpus vocabulary with dense
+    lexicographic ids, the documents-table sibling of
+    sources.corpus.build_vocabulary (same dense_rank_map distributed
+    zip-with-index; ids contiguous from 0)."""
+    from igraph_ray.ops.curation import _token_table
+    from igraph_ray.util import dense_rank_map
+
+    def _toks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table({"token": pa.array([], pa.string())})
+        _, toks = _token_table(b, text_col)
+        # per-batch dedup before the distinct groupby (combiner)
+        return pa.table({"token": pc.unique(toks)})
+
+    t = docs.map_batches(_toks, batch_format="pyarrow", batch_size=None)
+    ranked = dense_rank_map(t, "token")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "token" not in b.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "token_id": pa.array([], pa.int64())})
+        return pa.table({"token": b["token"], "token_id": b["rank"]})
+
+    return ranked.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def tokenize_to_ids(
+    docs: ray.data.Dataset,
+    vocab: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+    keep_oov: bool = False,
+) -> ray.data.Dataset:
+    """(doc_id, pos, token_id) — every document tokenized against the
+    vocabulary, the tokenize step of a training pipeline. Tokens flow
+    through the shared Arrow kernel chain (ops.curation._token_table),
+    positions are 0-based over the kept tokens, and the id lookup is
+    ONE hash_join on the token string (broadcast when the vocabulary
+    is small, partitioned otherwise). Out-of-vocabulary tokens are
+    dropped by default; ``keep_oov=True`` emits them as ``oov_id``."""
+    from igraph_ray.ops.curation import _token_table
+    from igraph_ray.util import hash_join
+
+    def _toks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string())})
+        row_idx, toks = _token_table(b, text_col)
+        n = len(row_idx)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string())})
+        pos = np.arange(n, dtype=np.int64)
+        newd = np.r_[True, row_idx[1:] != row_idx[:-1]]
+        start = np.maximum.accumulate(np.where(newd, pos, -1))
+        return pa.table({
+            id_col: pc.take(b[id_col], pa.array(row_idx, pa.int64())),
+            "pos": pa.array(pos - start),
+            "token": toks})
+
+    t = docs.map_batches(_toks, batch_format="pyarrow", batch_size=None)
+    jt = "left_outer" if keep_oov else "inner"
+    j = hash_join(t, vocab, on="token", join_type=jt)
+
+    def _out(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or id_col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token_id": pa.array([], pa.int64())})
+        tid = b["token_id"]
+        if keep_oov:
+            tid = pc.fill_null(pc.cast(tid, pa.int64()), oov_id)
+        return pa.table({id_col: b[id_col], "pos": b["pos"],
+                         "token_id": pc.cast(tid, pa.int64())})
+
+    return j.map_batches(_out, batch_format="pyarrow", batch_size=None)

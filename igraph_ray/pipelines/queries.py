@@ -5538,6 +5538,18 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_tokenize_ids(sf_dir: str):
+    """Tokenize every document against the corpus vocabulary:
+    (doc_id, pos, token_id) with dense lexicographic ids — the
+    vocabulary is the distributed zip-with-index (dense_rank_map), the
+    lookup is one broadcast hash join (ops.text.token_vocabulary +
+    tokenize_to_ids)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vocab = tx.token_vocabulary(docs)
+    return tx.tokenize_to_ids(docs, vocab)
+
+
 def q_cap_per_source(sf_dir: str):
     """Cap every source at 10 documents, deterministically (the
     "at most N pages per domain" curation rule): kept set = the 10
@@ -8063,6 +8075,7 @@ def queries() -> Dict[str, Callable]:
         "prepare_corpus": q_prepare_corpus,
         "power_law_fit": q_power_law_fit,
         "cap_per_source": q_cap_per_source,
+        "tokenize_ids": q_tokenize_ids,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -8915,6 +8928,19 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "tokenize_ids": """
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                    AS tok,
+                  generate_subscripts(
+                    regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                    AS pos
+           FROM documents),
+v AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) - 1 AS tid
+      FROM (SELECT DISTINCT tok FROM t))
+SELECT t.doc_id, CAST(t.pos - 1 AS BIGINT) AS pos,
+       CAST(v.tid AS BIGINT) AS token_id
+FROM t JOIN v USING (tok)""",
         "cap_per_source": f"""
 WITH k AS (SELECT doc_id, source,
                   md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),

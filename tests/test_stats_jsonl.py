@@ -162,3 +162,29 @@ def test_cap_per_group_vs_brute_and_invariance():
     # n larger than every group: everything kept
     allkept = cap_per_group(ray.data.from_arrow(t), n=1000).to_pandas()
     assert len(allkept) == nd
+
+
+def test_tokenize_to_ids_oov_and_positions():
+    from igraph_ray.ops.text import token_vocabulary, tokenize_to_ids
+
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["Beta alpha beta!", "gamma zz beta"],
+                          pa.string())}))
+    vocab = ray.data.from_arrow(pa.table(
+        {"token": pa.array(["alpha", "beta", "gamma"], pa.string()),
+         "token_id": pa.array([0, 1, 2], pa.int64())}))
+    inner = tokenize_to_ids(docs, vocab).to_pandas().sort_values(
+        ["doc_id", "pos"]).reset_index(drop=True)
+    # doc0: beta(1) alpha(0) beta(1); doc1: gamma(2) [zz oov] beta(1)
+    assert list(inner[inner.doc_id == 0]["token_id"]) == [1, 0, 1]
+    assert list(inner[inner.doc_id == 0]["pos"]) == [0, 1, 2]
+    assert list(inner[inner.doc_id == 1]["token_id"]) == [2, 1]
+    keep = tokenize_to_ids(docs, vocab, keep_oov=True).to_pandas()
+    d1 = keep[keep.doc_id == 1].sort_values("pos")
+    assert list(d1["token_id"]) == [2, -1, 1]
+    assert list(d1["pos"]) == [0, 1, 2]
+    # full vocabulary round trip: ids dense lexicographic
+    v = token_vocabulary(docs).to_pandas().sort_values("token_id")
+    assert list(v["token"]) == ["alpha", "beta", "gamma", "zz"]
+    assert list(v["token_id"]) == [0, 1, 2, 3]
