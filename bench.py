@@ -280,6 +280,41 @@ def bench_community(num_cpus: int) -> dict:
     return d
 
 
+def bench_training_ops(sf_dir: str) -> dict:
+    """Session-4 training-pipeline additions at sf0.1, reported OUTSIDE
+    the pinned 13-key headline: the curate→chunk flagship, the
+    tokenizer, the as-of join and the degree power-law fit. Walls
+    guard the new operators at 10× gate scale."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from igraph_ray.algorithms.plfit import power_law_fit
+    from igraph_ray.ops import text as _tx
+    from igraph_ray.ops.joins import asof_join
+    from igraph_ray.pipelines import queries as _q
+
+    d: dict = {}
+    t = time.perf_counter()
+    _q.q_prepare_corpus(sf_dir).count()
+    d["prepare_corpus_s"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    _tx.tokenize_to_ids(docs, _tx.token_vocabulary(docs)).count()
+    d["tokenize_ids_s"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    _q.q_asof_prev_event(sf_dir).count()
+    d["asof_prev_event_s"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    from igraph_ray.pipelines import derive as _derive
+    power_law_fit(_derive.graph_a(sf_dir).out_degrees(), col="deg")
+    d["power_law_fit_s"] = round(time.perf_counter() - t, 3)
+    return d
+
+
 def _scaling_child(num_cpus: int) -> dict:
     """Executed in a fresh subprocess: one PageRank bench at num_cpus.
 
@@ -353,6 +388,7 @@ def main() -> None:
         # community walls ride OUTSIDE the timed headline (pinned
         # 13-key cross-round set) but inside the same session
         res["details"].update(bench_community(num_cpus))
+        res["details"].update(bench_training_ops(sf_dir))
         print(json.dumps({
             "metric": "igraph_ray_headline_suite_sec",
             "value": round(total, 3),
