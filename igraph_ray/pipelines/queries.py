@@ -5538,6 +5538,82 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_full_citation(sf_dir: str):
+    """igraph_full_citation (structure_generators.c:1078): directed
+    i → j for every j < i, closed form per vertex."""
+    from igraph_ray.sources.structures import full_citation
+
+    return full_citation(40).materialize()
+
+
+def q_chordal_ring(sf_dir: str):
+    """igraph_extended_chordal_ring (structure_generators.c:1188):
+    15-ring + per-vertex chords from the 3×3 offset matrix (period 3,
+    non-wrapping rule), emitted in the reference's construction
+    order."""
+    from igraph_ray.sources.structures import extended_chordal_ring
+
+    return extended_chordal_ring(
+        15, [[3, 5, 7], [4, 6, 8], [5, 7, 9]]).materialize()
+
+
+def q_kautz(sf_dir: str):
+    """igraph_kautz (structure_generators.c:1478): K(2,2) — 12
+    no-repeat strings of length 3 over 3 symbols, ids by lexicographic
+    rank, arcs u → shift(u)·c for c != last(u); pure digit algebra per
+    vertex against a definitional string-enumeration SQL oracle."""
+    from igraph_ray.sources.structures import kautz
+
+    return kautz(2, 2).materialize()
+
+
+def q_running_mean(sf_dir: str):
+    """igraph_running_mean (other.c:38): width-5 sliding mean of the
+    event value vector in event_id order. Distributed shape: the dense
+    index comes from dense_rank_map, each element expands task-side
+    into the 5 windows it belongs to (the hopping-window trick), ONE
+    groupby sums them, and full windows emit mean_e6 = sum_e6 // 5
+    (integer-exact on both sides)."""
+    from ray.data.aggregate import Count, Sum
+
+    from igraph_ray.util import dense_rank_map, hash_join
+
+    W = 5
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ranked = dense_rank_map(ev.select_columns(["event_id"]), "event_id")
+    j = hash_join(ev, ranked, on="event_id")
+
+    def _expand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "rank" not in b.column_names:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "v6": pa.array([], pa.int64())})
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        v6 = np.round(b["value"].to_numpy(zero_copy_only=False)
+                      * 1e6).astype(np.int64)
+        rows = np.repeat(np.arange(b.num_rows), W)
+        off = np.tile(np.arange(W, dtype=np.int64), b.num_rows)
+        starts = r[rows] - off
+        keep = starts >= 0
+        return pa.table({"idx": pa.array(starts[keep]),
+                         "v6": pa.array(v6[rows][keep])})
+
+    g = (j.map_batches(_expand, batch_format="pyarrow", batch_size=None)
+         .groupby("idx").aggregate(Sum("v6"), Count()))
+
+    def _fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "idx" not in b.column_names:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "mean_e6": pa.array([], pa.int64())})
+        full = pc.equal(b["count()"], W)
+        t = b.filter(full)
+        s = t["sum(v6)"].to_numpy(zero_copy_only=False)
+        return pa.table({"idx": t["idx"],
+                         "mean_e6": pa.array(s // W)})
+
+    return g.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
 def q_tokenize_ids(sf_dir: str):
     """Tokenize every document against the corpus vocabulary:
     (doc_id, pos, token_id) with dense lexicographic ids — the
@@ -8076,6 +8152,10 @@ def queries() -> Dict[str, Callable]:
         "power_law_fit": q_power_law_fit,
         "cap_per_source": q_cap_per_source,
         "tokenize_ids": q_tokenize_ids,
+        "running_mean": q_running_mean,
+        "full_citation": q_full_citation,
+        "chordal_ring": q_chordal_ring,
+        "kautz": q_kautz,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -8928,6 +9008,44 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "full_citation": """
+WITH v AS (SELECT unnest(generate_series(1, 39)) AS i)
+SELECT CAST(v.i AS BIGINT) AS src, CAST(u.j AS BIGINT) AS dst
+FROM v, LATERAL unnest(generate_series(0, v.i - 1)) u(j)""",
+        "chordal_ring": """
+WITH v AS (SELECT unnest(generate_series(0, 14)) AS i),
+ring AS (SELECT i AS src, i + 1 AS dst FROM v WHERE i < 14
+         UNION ALL SELECT 0, 14),
+offs(j, p, o) AS (VALUES (0,0,3),(0,1,5),(0,2,7),
+                         (1,0,4),(1,1,6),(1,2,8),
+                         (2,0,5),(2,1,7),(2,2,9)),
+chords AS (SELECT v.i AS src, v.i + offs.o AS dst
+           FROM v JOIN offs ON offs.p = v.i % 3
+           WHERE v.i + offs.o < 15)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ring
+UNION ALL
+SELECT CAST(src AS BIGINT), CAST(dst AS BIGINT) FROM chords""",
+        "kautz": """
+WITH d AS (SELECT unnest(generate_series(0, 2)) AS x),
+s AS (SELECT a.x AS d0, b.x AS d1, c.x AS d2
+      FROM d a, d b, d c WHERE b.x != a.x AND c.x != b.x),
+v AS (SELECT d0, d1, d2,
+             ROW_NUMBER() OVER (ORDER BY d0, d1, d2) - 1 AS id
+      FROM s)
+SELECT CAST(u.id AS BIGINT) AS src, CAST(w.id AS BIGINT) AS dst
+FROM v u JOIN v w ON w.d0 = u.d1 AND w.d1 = u.d2""",
+        "running_mean": """
+WITH e AS (SELECT CAST(ROUND(value * 1e6) AS BIGINT) AS v6,
+                  ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS r
+           FROM events),
+w AS (SELECT r AS idx,
+             SUM(v6) OVER (ORDER BY r
+                           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s,
+             COUNT(*) OVER (ORDER BY r
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS c
+      FROM e)
+SELECT CAST(idx AS BIGINT) AS idx, CAST(s // 5 AS BIGINT) AS mean_e6
+FROM w WHERE c = 5""",
         "tokenize_ids": """
 WITH t AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))

@@ -264,3 +264,103 @@ def _zachary():
 
 
 FAMOUS["zachary"] = _zachary
+
+
+def full_citation(n: int) -> ray.data.Dataset:
+    """Full citation graph (igraph_full_citation,
+    structure_generators.c:1078): directed i → j for every j < i."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = _ids(b)
+        src = np.repeat(v, v)  # vertex i emits i arcs
+        dst = np.arange(len(src), dtype=np.int64) - np.repeat(
+            np.cumsum(v) - v, v)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return ray.data.range(n).map_batches(_f, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def extended_chordal_ring(nodes: int, w) -> ray.data.Dataset:
+    """Extended chordal ring (igraph_extended_chordal_ring,
+    structure_generators.c:1188): the n-ring plus, for every vertex i,
+    a chord to i + W[j][i mod period] for each row j whenever the
+    target stays < nodes (the reference's non-wrapping rule). Edges
+    are emitted (from, to) in construction order like the reference;
+    undirected semantics."""
+    W = np.asarray(w, dtype=np.int64)
+    period = W.shape[1]
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = _ids(b)
+        # ring edges owned by their lower endpoint; the wrap edge
+        # (0, nodes-1) is owned by vertex 0
+        srcs = [v[v < nodes - 1]]
+        dsts = [v[v < nodes - 1] + 1]
+        if (v == 0).any():
+            srcs.append(np.array([0], np.int64))
+            dsts.append(np.array([nodes - 1], np.int64))
+        for j in range(W.shape[0]):
+            off = W[j, v % period]
+            ok = v + off < nodes
+            srcs.append(v[ok])
+            dsts.append(v[ok] + off[ok])
+        return pa.table({"src": pa.array(np.concatenate(srcs)),
+                         "dst": pa.array(np.concatenate(dsts))})
+
+    return ray.data.range(nodes).map_batches(_f, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+def kautz(m: int, n: int) -> ray.data.Dataset:
+    """Kautz graph K(m, n) (igraph_kautz,
+    structure_generators.c:1478): vertices are the (m+1)·m^n strings
+    of length n+1 over m+1 symbols with no two equal consecutive
+    symbols, numbered by LEXICOGRAPHIC rank (the reference assigns ids
+    by scanning all (m+1)^(n+1) strings in increasing value and
+    indexing the valid ones); arcs u → shift(u)·c for the m symbols
+    c != last(u). Everything is closed-form digit algebra per vertex
+    id — decode the mixed-radix digits, re-rank the m shifted
+    continuations."""
+    if m <= 0:
+        return ray.data.range(0).map_batches(
+            lambda b: pa.table({"src": pa.array([], pa.int64()),
+                                "dst": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+    nv = (m + 1) * (m ** n)
+
+    def _rank(digits: np.ndarray) -> np.ndarray:
+        """Lexicographic rank among valid strings: first digit free,
+        every later digit has m choices (skip the predecessor)."""
+        k = digits.shape[1]
+        r = digits[:, 0] * (m ** (k - 1))
+        for i in range(1, k):
+            adj = digits[:, i] - (digits[:, i] > digits[:, i - 1])
+            r = r + adj * (m ** (k - 1 - i))
+        return r
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = _ids(b)
+        k = n + 1
+        # decode: inverse of _rank
+        digits = np.empty((len(v), k), dtype=np.int64)
+        r = v.copy()
+        digits[:, 0] = r // (m ** (k - 1))
+        r = r % (m ** (k - 1))
+        for i in range(1, k):
+            adj = r // (m ** (k - 1 - i))
+            r = r % (m ** (k - 1 - i))
+            digits[:, i] = adj + (adj >= digits[:, i - 1])
+        # m continuations c != last digit
+        src = np.repeat(v, m)
+        cs = np.tile(np.arange(m, dtype=np.int64), len(v))
+        last = np.repeat(digits[:, -1], m)
+        c = cs + (cs >= last)
+        nxt = np.empty((len(src), k), dtype=np.int64)
+        nxt[:, : k - 1] = np.repeat(digits[:, 1:], m, axis=0)
+        nxt[:, -1] = c
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array(_rank(nxt))})
+
+    return ray.data.range(nv).map_batches(_f, batch_format="pyarrow",
+                                          batch_size=None)
