@@ -5538,6 +5538,37 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_growing_random(sf_dir: str):
+    """igraph_growing_random_game (games.c:1318), non-citation mode:
+    step i adds m=2 edges (U(0,i), 1+U(0,i-1)) — indexed md5 draws,
+    embarrassingly parallel, full SQL replay."""
+    from igraph_ray.sources.games import growing_random_game
+
+    return growing_random_game(60, m=2, citation=False,
+                               seed=23).materialize()
+
+
+def q_islands(sf_dir: str):
+    """igraph_simple_interconnected_islands_game (games.c:3345): four
+    12-vertex G(n, 0.3) islands + 2 md5-drawn inter edges per island
+    pair (independent-Bernoulli deviation documented in
+    sources/games.py)."""
+    from igraph_ray.sources.games import islands_game
+
+    return islands_game(4, 12, pin_e6=300_000, n_inter=2,
+                        seed=29).materialize()
+
+
+def q_grg(sf_dir: str):
+    """igraph_grg_game (geometric random graph): 300 md5-placed points
+    on the 2^20 integer grid, connected iff dx²+dy² < R² — found by
+    the grid-cell spatial join (3×3 probe neighborhood + one
+    equi-join), never all pairs (sources.games.grg_game)."""
+    from igraph_ray.sources.games import grg_game
+
+    return grg_game(300, radius_e6=80_000, seed=31).materialize()
+
+
 def q_full_citation(sf_dir: str):
     """igraph_full_citation (structure_generators.c:1078): directed
     i → j for every j < i, closed form per vertex."""
@@ -8156,6 +8187,9 @@ def queries() -> Dict[str, Callable]:
         "full_citation": q_full_citation,
         "chordal_ring": q_chordal_ring,
         "kautz": q_kautz,
+        "growing_random": q_growing_random,
+        "islands": q_islands,
+        "grg": q_grg,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -9008,6 +9042,55 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "growing_random": f"""
+WITH steps AS (SELECT unnest(generate_series(1, 59)) AS i),
+t AS (SELECT i, u.j FROM steps,
+      LATERAL unnest(generate_series(0, 1)) u(j)),
+h AS (SELECT i, j,
+             md5('23:f:' || CAST(i AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR)) AS hf,
+             md5('23:t:' || CAST(i AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR)) AS ht
+      FROM t)
+SELECT CAST(({_md5_fold15('hf')}) % (i + 1) AS BIGINT) AS src,
+       CAST(1 + ({_md5_fold15('ht')}) % i AS BIGINT) AS dst
+FROM h""",
+        "islands": f"""
+WITH v AS (SELECT unnest(generate_series(0, 47)) AS i),
+ih AS (SELECT a.i AS src, b.i AS dst,
+              md5('29:p:' || CAST(a.i AS VARCHAR) || ':'
+                  || CAST(b.i AS VARCHAR)) AS hh
+       FROM v a JOIN v b ON b.i > a.i AND a.i // 12 = b.i // 12),
+intra AS (SELECT src, dst FROM ih
+          WHERE ({_md5_fold15('hh')}) < {300_000 * 16**15 // 1_000_000}),
+g AS (SELECT DISTINCT i // 12 AS g FROM v),
+ph AS (SELECT a.g AS ga, b.g AS gb, k.j AS k,
+              md5('29:u:' || CAST(a.g AS VARCHAR) || ':'
+                  || CAST(b.g AS VARCHAR) || ':'
+                  || CAST(k.j AS VARCHAR)) AS hu,
+              md5('29:v:' || CAST(a.g AS VARCHAR) || ':'
+                  || CAST(b.g AS VARCHAR) || ':'
+                  || CAST(k.j AS VARCHAR)) AS hv
+       FROM g a JOIN g b ON b.g > a.g,
+            LATERAL unnest(generate_series(0, 1)) k(j)),
+inter AS (SELECT ga * 12 + ({_md5_fold15('hu')}) % 12 AS src,
+                 gb * 12 + ({_md5_fold15('hv')}) % 12 AS dst
+          FROM ph)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM intra
+UNION ALL
+SELECT CAST(src AS BIGINT), CAST(dst AS BIGINT) FROM inter""",
+        "grg": f"""
+WITH v AS (SELECT unnest(generate_series(0, 299)) AS i),
+h AS (SELECT i, md5('31:x:' || CAST(i AS VARCHAR)) AS hx,
+             md5('31:y:' || CAST(i AS VARCHAR)) AS hy
+      FROM v),
+c AS (SELECT i, ({_md5_fold15('hx')}) % 1048576 AS x,
+             ({_md5_fold15('hy')}) % 1048576 AS y
+      FROM h)
+SELECT CAST(a.i AS BIGINT) AS src, CAST(b.i AS BIGINT) AS dst
+FROM c a JOIN c b ON b.i > a.i
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      < {83886 * 83886}""",
         "full_citation": """
 WITH v AS (SELECT unnest(generate_series(1, 39)) AS i)
 SELECT CAST(v.i AS BIGINT) AS src, CAST(u.j AS BIGINT) AS dst

@@ -28,6 +28,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1293,3 +1294,204 @@ def recent_degree_aging_game(
     t = pa.table({"src": pa.array(src_out, pa.int64()),
                   "dst": pa.array(dst_out, pa.int64())})
     return ray.data.from_arrow(t)
+
+
+def growing_random_game(
+    n: int,
+    m: int = 1,
+    citation: bool = False,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """Growing random graph (igraph_growing_random_game,
+    /root/reference/src/games.c:1318): at step i = 1..n-1, add m
+    edges — citation mode draws (i, U(0, i-1)); otherwise
+    (U(0, i), 1 + U(0, i-1)). The sequential RNG is replaced by the
+    engine's indexed md5 draws (one per (i, j, endpoint)), so every
+    step is independent, embarrassingly parallel, and SQL-replayable
+    (the callaway/establishment contract)."""
+    import hashlib
+
+    def _gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids >= 1]
+        src, dst = [], []
+        for i in ids:
+            i = int(i)
+            for j in range(m):
+                if citation:
+                    to = int(hashlib.md5(f"{seed}:t:{i}:{j}".encode())
+                             .hexdigest()[:15], 16) % i
+                    src.append(i)
+                    dst.append(to)
+                else:
+                    fr = int(hashlib.md5(f"{seed}:f:{i}:{j}".encode())
+                             .hexdigest()[:15], 16) % (i + 1)
+                    to = 1 + int(hashlib.md5(f"{seed}:t:{i}:{j}".encode())
+                                 .hexdigest()[:15], 16) % i
+                    src.append(fr)
+                    dst.append(to)
+        return pa.table({"src": pa.array(np.array(src, np.int64)),
+                         "dst": pa.array(np.array(dst, np.int64))})
+
+    return ray.data.range(n).map_batches(_gen, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def islands_game(
+    islands_n: int,
+    islands_size: int,
+    pin_e6: int,
+    n_inter: int,
+    seed: int = 29,
+) -> ray.data.Dataset:
+    """Interconnected islands (igraph_simple_interconnected_islands_game,
+    /root/reference/src/games.c:3345): islands_n G(size, pin) islands
+    plus n_inter random vertex pairs between every island pair. Intra
+    edges are independent md5 Bernoulli per pair (the engine's sbm
+    deviation from the reference's sequential geometric jumps); inter
+    endpoints are indexed md5 draws per (a, b, k). Pure function of
+    the parameters, identical at any parallelism."""
+    import hashlib
+
+    HEX15 = 16 ** 15
+    thr = pin_e6 * HEX15 // 1_000_000
+    n = islands_n * islands_size
+
+    def _gen(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False):
+            i = int(i)
+            isl = i // islands_size
+            hi = (isl + 1) * islands_size
+            for j in range(i + 1, hi):
+                d = int(hashlib.md5(f"{seed}:p:{i}:{j}".encode())
+                        .hexdigest()[:15], 16)
+                if d < thr:
+                    src.append(i)
+                    dst.append(j)
+            # vertex i == first of island a owns the inter edges (a, b)
+            if i % islands_size == 0:
+                for bisl in range(isl + 1, islands_n):
+                    for k in range(n_inter):
+                        u = isl * islands_size + int(
+                            hashlib.md5(f"{seed}:u:{isl}:{bisl}:{k}"
+                                        .encode()).hexdigest()[:15],
+                            16) % islands_size
+                        v = bisl * islands_size + int(
+                            hashlib.md5(f"{seed}:v:{isl}:{bisl}:{k}"
+                                        .encode()).hexdigest()[:15],
+                            16) % islands_size
+                        src.append(u)
+                        dst.append(v)
+        return pa.table({"src": pa.array(np.array(src, np.int64)),
+                         "dst": pa.array(np.array(dst, np.int64))})
+
+    return ray.data.range(n).map_batches(_gen, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+GRG_BITS = 20  # coordinate grid: 2^20 cells per axis, integer geometry
+
+
+def grg_game(
+    n: int,
+    radius_e6: int,
+    seed: int = 31,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Geometric random graph (igraph_grg_game,
+    /root/reference/src/games.c — unit square, connect iff
+    dist < radius). Coordinates are md5-indexed integers on a 2^20
+    grid (x_i = md5(seed:x:i) % 2^20), so the whole construction is
+    integer geometry: edge iff dx² + dy² < R², R = radius·2^20/1e6
+    floor — exact, parallelism-independent, SQL-replayable.
+
+    Distributed shape — the grid-cell spatial join: each point lands
+    in cell (x//R, y//R) and PROBES its 3×3 cell neighborhood; one
+    equi-join of probes against cell owners + the integer distance
+    filter finds every pair exactly once (pairs are kept as
+    probe.id < owner.id, and an owner's cell is unique). Candidate
+    work is bounded by cell occupancy — no all-pairs pass anywhere."""
+    import hashlib
+
+    from igraph_ray.util import hash_join
+
+    scale = 1 << GRG_BITS
+    R = radius_e6 * scale // 1_000_000
+    if R <= 0:
+        raise ValueError("radius too small for the coordinate grid")
+
+    def _coords(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        x = np.fromiter(
+            (int(hashlib.md5(f"{seed}:x:{int(i)}".encode())
+                 .hexdigest()[:15], 16) % scale for i in ids),
+            dtype=np.int64, count=len(ids))
+        y = np.fromiter(
+            (int(hashlib.md5(f"{seed}:y:{int(i)}".encode())
+                 .hexdigest()[:15], 16) % scale for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({"vid": pa.array(ids.astype(np.int64)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ray.data.range(n).map_batches(_coords, batch_format="pyarrow",
+                                        batch_size=None).materialize()
+
+    def _owners(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vid" not in b.column_names:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "vid": b["vid"] if "vid" in b.column_names
+                             else pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        cell = (x // R) * (scale // R + 2) + (y // R)
+        return pa.table({"cell": pa.array(cell), "vid": b["vid"],
+                         "x": b["x"], "y": b["y"]})
+
+    def _probes(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vid" not in b.column_names:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "pvid": pa.array([], pa.int64()),
+                             "px": pa.array([], pa.int64()),
+                             "py": pa.array([], pa.int64())})
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        cx, cy = x // R, y // R
+        rows = np.repeat(np.arange(b.num_rows), 9)
+        dx = np.tile(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1],
+                              np.int64), b.num_rows)
+        dy = np.tile(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1],
+                              np.int64), b.num_rows)
+        ncx, ncy = cx[rows] + dx, cy[rows] + dy
+        ok = (ncx >= 0) & (ncy >= 0)
+        rows, ncx, ncy = rows[ok], ncx[ok], ncy[ok]
+        ri = pa.array(rows, pa.int64())
+        return pa.table({
+            "cell": pa.array(ncx * (scale // R + 2) + ncy),
+            "pvid": pc.take(b["vid"], ri),
+            "px": pc.take(b["x"], ri), "py": pc.take(b["y"], ri)})
+
+    owners = pts.map_batches(_owners, batch_format="pyarrow",
+                             batch_size=None)
+    probes = pts.map_batches(_probes, batch_format="pyarrow",
+                             batch_size=None)
+    j = hash_join(probes, owners, on="cell",
+                  num_partitions=num_partitions)
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "pvid" not in b.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        pv = b["pvid"].to_numpy(zero_copy_only=False)
+        ov = b["vid"].to_numpy(zero_copy_only=False)
+        dx = (b["px"].to_numpy(zero_copy_only=False)
+              - b["x"].to_numpy(zero_copy_only=False))
+        dy = (b["py"].to_numpy(zero_copy_only=False)
+              - b["y"].to_numpy(zero_copy_only=False))
+        keep = (pv < ov) & (dx * dx + dy * dy < R * R)
+        return pa.table({"src": pa.array(pv[keep]),
+                         "dst": pa.array(ov[keep])})
+
+    return j.map_batches(_pairs, batch_format="pyarrow", batch_size=None)

@@ -50,3 +50,40 @@ def test_chordal_ring_reference_rules():
             if i + off < 12:
                 want.append((i, i + off))
     assert sorted(pairs) == sorted(want)
+
+
+def test_grg_matches_brute_force():
+    import hashlib
+
+    import ray.data  # noqa: F401
+
+    from igraph_ray.sources.games import GRG_BITS, grg_game
+
+    n, radius_e6, seed = 120, 120_000, 7
+    scale = 1 << GRG_BITS
+    R = radius_e6 * scale // 1_000_000
+    xs = [int(hashlib.md5(f"{seed}:x:{i}".encode()).hexdigest()[:15],
+              16) % scale for i in range(n)]
+    ys = [int(hashlib.md5(f"{seed}:y:{i}".encode()).hexdigest()[:15],
+              16) % scale for i in range(n)]
+    want = {(i, j) for i in range(n) for j in range(i + 1, n)
+            if (xs[i] - xs[j]) ** 2 + (ys[i] - ys[j]) ** 2 < R * R}
+    got = grg_game(n, radius_e6, seed=seed).to_pandas()
+    pairs = set(zip(got["src"].astype(int), got["dst"].astype(int)))
+    assert pairs == want
+    assert len(got) == len(pairs)  # exactly-once
+
+
+def test_islands_and_growing_random_shape():
+    from igraph_ray.sources.games import growing_random_game, islands_game
+
+    g = growing_random_game(30, m=3, citation=True, seed=5).to_pandas()
+    assert len(g) == 29 * 3
+    assert (g["dst"] < g["src"]).all()  # citation: i -> earlier vertex
+
+    isl = islands_game(3, 8, pin_e6=500_000, n_inter=1,
+                       seed=11).to_pandas()
+    intra = isl[isl["src"] // 8 == isl["dst"] // 8]
+    inter = isl[isl["src"] // 8 != isl["dst"] // 8]
+    assert len(inter) == 3  # one per island pair
+    assert (intra["src"] < intra["dst"]).all()
