@@ -5538,6 +5538,28 @@ def q_jsonl_docs(sf_dir: str):
                                 batch_size=None).materialize()
 
 
+def q_modularity_matrix(sf_dir: str):
+    """igraph_modularity_matrix (community.c:947): exact-integer
+    upper-triangle export b_num = A_ij·2m − k_i·k_j over graph A's
+    undirected simplification (algorithms.modularity.modularity_matrix
+    — broadcast degree/edge-key vectors, O(n²) row space streamed;
+    dense by nature, guarded)."""
+    from igraph_ray.algorithms.modularity import modularity_matrix
+
+    return modularity_matrix(derive.edges_a(sf_dir), n=512)
+
+
+def q_correlated_pair(sf_dir: str):
+    """igraph_correlated_game (games.c:3905): the correlated-G(n,p)
+    second graph over a 50-vertex md5 base draw — keep prob q, add
+    prob (1−q)p/(1−p), exact e6 rational thresholds, full SQL
+    replay."""
+    from igraph_ray.sources.games import correlated_game
+
+    return correlated_game(50, p_e6=200_000, corr_e6=500_000,
+                           seed=37).materialize()
+
+
 def q_growing_random(sf_dir: str):
     """igraph_growing_random_game (games.c:1318), non-citation mode:
     step i adds m=2 edges (U(0,i), 1+U(0,i-1)) — indexed md5 draws,
@@ -8190,6 +8212,8 @@ def queries() -> Dict[str, Callable]:
         "growing_random": q_growing_random,
         "islands": q_islands,
         "grg": q_grg,
+        "modularity_matrix": q_modularity_matrix,
+        "correlated_pair": q_correlated_pair,
         "negative_sample": q_negative_sample,
         "embedding_covariance": q_embedding_covariance,
         "pca_project": q_pca_project,
@@ -9042,6 +9066,44 @@ c AS (SELECT d.doc_id, u.k AS chunk_id,
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(chunk) AS chunk_md5
 FROM c""",
+        "modularity_matrix": """
+WITH edges AS (SELECT DISTINCT (o_orderkey % 512) AS src,
+                      ((o_custkey * 7) % 512) AS dst
+               FROM orders
+               WHERE (o_orderkey % 512) != ((o_custkey * 7) % 512)),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+        FROM edges),
+vs AS (SELECT unnest(generate_series(0, 511)) AS v),
+deg AS (SELECT vs.v, CAST(COALESCE(d.n, 0) AS BIGINT) AS k
+        FROM vs LEFT JOIN (
+          SELECT v, COUNT(*) AS n FROM (
+            SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+          GROUP BY v) d ON d.v = vs.v),
+m AS (SELECT COUNT(*) AS m FROM und)
+SELECT CAST(a.v AS BIGINT) AS i, CAST(b.v AS BIGINT) AS j,
+       CAST(CASE WHEN u.lo IS NOT NULL THEN 2 * m.m ELSE 0 END
+            - da.k * db.k AS BIGINT) AS b_num
+FROM vs a JOIN vs b ON b.v >= a.v
+JOIN deg da ON da.v = a.v JOIN deg db ON db.v = b.v
+LEFT JOIN und u ON u.lo = a.v AND u.hi = b.v
+CROSS JOIN m""",
+        "correlated_pair": f"""
+WITH v AS (SELECT unnest(generate_series(0, 49)) AS i),
+pr AS (SELECT a.i AS i, b.i AS j,
+              md5('37:b:' || CAST(a.i AS VARCHAR) || ':'
+                  || CAST(b.i AS VARCHAR)) AS hb,
+              md5('37:c:' || CAST(a.i AS VARCHAR) || ':'
+                  || CAST(b.i AS VARCHAR)) AS hc
+       FROM v a JOIN v b ON b.i > a.i),
+d AS (SELECT i, j, ({_md5_fold15('hb')}) AS rb,
+             ({_md5_fold15('hc')}) AS rc
+      FROM pr)
+SELECT CAST(i AS BIGINT) AS src, CAST(j AS BIGINT) AS dst
+FROM d
+WHERE (rb < {200_000 * 16**15 // 1_000_000}
+       AND rc < {600_000 * 16**15 // 1_000_000})
+   OR (rb >= {200_000 * 16**15 // 1_000_000}
+       AND rc < {100_000 * 16**15 // 1_000_000})""",
         "growing_random": f"""
 WITH steps AS (SELECT unnest(generate_series(1, 59)) AS i),
 t AS (SELECT i, u.j FROM steps,

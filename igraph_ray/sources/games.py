@@ -1495,3 +1495,53 @@ def grg_game(
                          "dst": pa.array(ov[keep])})
 
     return j.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+
+
+def correlated_game(
+    n: int,
+    p_e6: int,
+    corr_e6: int,
+    seed: int = 37,
+) -> ray.data.Dataset:
+    """Correlated G(n,p) pair (igraph_correlated_game,
+    /root/reference/src/games.c:3905): given base graph G ~ G(n,p),
+    the new graph keeps each existing edge with probability
+    q = p + corr·(1−p) and adds each missing pair with probability
+    (1−q)·p/(1−p), so the result is again G(n,p) marginally with edge
+    correlation ``corr``. Both the base membership and the second
+    draw are independent md5 Bernoulli per pair (the engine's sbm
+    deviation) — the pair of graphs is a pure function of
+    (n, p, corr, seed). Returns the NEW graph's (src < dst) edges;
+    the base graph is pair-recomputable with the ``:b:`` tag.
+
+    Thresholds are integer-exact in the 16^15 draw space; q and p_add
+    are computed in exact rational arithmetic over e6 integers:
+    q_e6 = p_e6 + corr_e6·(1e6−p_e6)/1e6 (floor), p_add drawn as
+    (1e6−q_e6)·p_e6 // (1e6−p_e6)."""
+    import hashlib
+
+    HEX15 = 16 ** 15
+    M = 1_000_000
+    q_e6 = p_e6 + corr_e6 * (M - p_e6) // M
+    add_e6 = (M - q_e6) * p_e6 // (M - p_e6)
+    thr_p = p_e6 * HEX15 // M
+    thr_q = q_e6 * HEX15 // M
+    thr_add = add_e6 * HEX15 // M
+
+    def _gen(b: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False):
+            i = int(i)
+            for j in range(i + 1, n):
+                base = int(hashlib.md5(f"{seed}:b:{i}:{j}".encode())
+                           .hexdigest()[:15], 16) < thr_p
+                d = int(hashlib.md5(f"{seed}:c:{i}:{j}".encode())
+                        .hexdigest()[:15], 16)
+                if (base and d < thr_q) or (not base and d < thr_add):
+                    src.append(i)
+                    dst.append(j)
+        return pa.table({"src": pa.array(np.array(src, np.int64)),
+                         "dst": pa.array(np.array(dst, np.int64))})
+
+    return ray.data.range(n).map_batches(_gen, batch_format="pyarrow",
+                                         batch_size=None)

@@ -87,3 +87,50 @@ def test_islands_and_growing_random_shape():
     inter = isl[isl["src"] // 8 != isl["dst"] // 8]
     assert len(inter) == 3  # one per island pair
     assert (intra["src"] < intra["dst"]).all()
+
+
+def test_modularity_matrix_row_sums_zero():
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.modularity import modularity_matrix
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3, 0, 1], pa.int64()),
+        "dst": pa.array([1, 2, 3, 0, 2, 0], pa.int64())}))
+    got = modularity_matrix(edges, n=5).to_pandas()
+    # rebuild the full matrix from the upper triangle
+    B = np.zeros((5, 5), np.int64)
+    for r in got.itertuples():
+        B[r.i, r.j] = r.b_num
+        B[r.j, r.i] = r.b_num
+    assert (B.sum(axis=1) == 0).all()  # B rows sum to zero exactly
+    # vertex 4 is isolated: its row is all zeros
+    assert (B[4] == 0).all()
+
+
+def test_correlated_game_replay_and_marginal():
+    import hashlib
+
+    from igraph_ray.sources.games import correlated_game
+
+    got = correlated_game(40, p_e6=300_000, corr_e6=400_000,
+                          seed=3).to_pandas()
+    HEX15 = 16 ** 15
+    q = 300_000 + 400_000 * 700_000 // 1_000_000
+    add = (1_000_000 - q) * 300_000 // 700_000
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            rb = int(hashlib.md5(f"3:b:{i}:{j}".encode())
+                     .hexdigest()[:15], 16)
+            rc = int(hashlib.md5(f"3:c:{i}:{j}".encode())
+                     .hexdigest()[:15], 16)
+            base = rb < 300_000 * HEX15 // 1_000_000
+            if (base and rc < q * HEX15 // 1_000_000) or (
+                    not base and rc < add * HEX15 // 1_000_000):
+                want.add((i, j))
+    assert set(zip(got["src"].astype(int),
+                   got["dst"].astype(int))) == want
+    # marginal stays ~ p (780 pairs * 0.3 ≈ 234)
+    assert 150 < len(got) < 320
