@@ -8082,6 +8082,152 @@ FROM sc ORDER BY doc_id
 """
 
 
+K_REGULAR_PARAMS = dict(n=40, k=3, seed=41)
+STATIC_FITNESS_PARAMS = dict(n=30, m=80, seed=43)
+ASYM_PREF_PARAMS = dict(
+    n=36, type_dist=[[0.3, 0.2], [0.1, 0.4]],
+    pref_e6=[[400_000, 100_000], [50_000, 300_000]], seed=47)
+NONLINEAR_BARABASI_PARAMS = dict(n=48, m=2, power=2, zero_appeal=1,
+                                 seed=53)
+
+
+def q_k_regular(sf_dir: str):
+    """igraph_k_regular_game (games.c:3828): 40 vertices, degree 3 —
+    n*k stubs ranked by md5 digest, consecutive rank pairs become
+    edges (distributed configuration pairing, full SQL replay)."""
+    from igraph_ray.sources.games import k_regular_game
+
+    p = K_REGULAR_PARAMS
+    return k_regular_game(p["n"], p["k"], seed=p["seed"]).sort(
+        ["src", "dst"])
+
+
+def q_static_fitness(sf_dir: str):
+    """igraph_static_fitness_game (games.c:3468): 80 directed edges,
+    src ∝ out-fitness 1+(v%7), dst ∝ in-fitness 1+(v²%5) — indexed
+    md5 roulettes, full SQL replay."""
+    from igraph_ray.sources.games import static_fitness_game
+
+    p = STATIC_FITNESS_PARAMS
+    n = p["n"]
+    fo = [1 + v % 7 for v in range(n)]
+    fi = [1 + (v * v) % 5 for v in range(n)]
+    return static_fitness_game(p["m"], fo, fi, seed=p["seed"]).sort(
+        ["src", "dst"])
+
+
+def q_asymmetric_preference(sf_dir: str):
+    """igraph_asymmetric_preference_game (games.c:2428): 36 vertices,
+    2 types, joint (in,out)-type blocks in floor proportions, per-pair
+    md5 Bernoulli with pref[out(u)][in(v)] e6 thresholds — full SQL
+    replay."""
+    from igraph_ray.sources.games import asymmetric_preference_game
+
+    p = ASYM_PREF_PARAMS
+    edges, _ = asymmetric_preference_game(
+        p["n"], p["type_dist"], p["pref_e6"], seed=p["seed"])
+    return edges.sort(["src", "dst"])
+
+
+def q_nonlinear_barabasi(sf_dir: str):
+    """igraph_barabasi_game psumtree path with power=2
+    (games.c:297,558): step i cites m=2 targets ∝ indeg² + 1 —
+    integer-exact sequential replay (the recent_degree contract)."""
+    from igraph_ray.sources.games import nonlinear_barabasi_game
+
+    p = NONLINEAR_BARABASI_PARAMS
+    return nonlinear_barabasi_game(
+        p["n"], p["m"], power=p["power"], zero_appeal=p["zero_appeal"],
+        seed=p["seed"]).sort(["src", "dst"])
+
+
+def _sql_k_regular() -> str:
+    p = K_REGULAR_PARAMS
+    n, k, seed = p["n"], p["k"], p["seed"]
+    return f"""
+WITH st AS (SELECT a.i AS v, u.j AS s,
+                   md5('{seed}:kr:' || CAST(a.i AS VARCHAR) || ':'
+                       || CAST(u.j AS VARCHAR)) AS h
+            FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) a,
+                 LATERAL unnest(generate_series(0, {k - 1})) u(j)),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY h, v, s) - 1 AS rk FROM st)
+SELECT CAST(SUM(v * (1 - rk % 2)) AS BIGINT) AS src,
+       CAST(SUM(v * (rk % 2)) AS BIGINT) AS dst
+FROM r GROUP BY rk // 2"""
+
+
+def _sql_static_fitness() -> str:
+    from igraph_ray.sources.games import _draw32
+
+    p = STATIC_FITNESS_PARAMS
+    n, m, seed = p["n"], p["m"], p["seed"]
+    rows = ", ".join(
+        f"({e}, {_draw32(seed, 'sfs', e, 0)}, {_draw32(seed, 'sft', e, 0)})"
+        for e in range(m))
+    return f"""
+WITH fo AS (SELECT r.range AS v, 1 + r.range % 7 AS w FROM range({n}) r),
+co AS (SELECT v, SUM(w) OVER (ORDER BY v) AS c, SUM(w) OVER () AS s1
+       FROM fo),
+fi AS (SELECT r.range AS v, 1 + (r.range * r.range) % 5 AS w
+       FROM range({n}) r),
+ci AS (SELECT v, SUM(w) OVER (ORDER BY v) AS c, SUM(w) OVER () AS s1
+       FROM fi),
+d(e, ds, dt) AS (VALUES {rows})
+SELECT CAST((SELECT MIN(v) FROM co
+             WHERE CAST(d.ds AS BIGINT) * s1 <= 4294967296 * c)
+            AS BIGINT) AS src,
+       CAST((SELECT MIN(v) FROM ci
+             WHERE CAST(d.dt AS BIGINT) * s1 <= 4294967296 * c)
+            AS BIGINT) AS dst
+FROM d"""
+
+
+def _sql_asymmetric_preference() -> str:
+    import numpy as _np
+
+    p = ASYM_PREF_PARAMS
+    n, seed = p["n"], p["seed"]
+    td = _np.asarray(p["type_dist"], dtype=_np.float64)
+    kt = td.shape[0]
+    td = td / td.sum()
+    sizes = _np.floor(td.reshape(-1) * n).astype(_np.int64)
+    rem = n - int(sizes.sum())
+    sizes[:rem] += 1
+    blo = _np.cumsum(sizes)
+    jid_case = "CASE " + " ".join(
+        f"WHEN r.range < {int(blo[q])} THEN {q}"
+        for q in range(kt * kt)) + " END"
+    HEX15 = 16 ** 15
+    thr_case = "CASE a.ot * 2 + b.it " + " ".join(
+        f"WHEN {o * kt + i} THEN {p['pref_e6'][o][i] * HEX15 // 1_000_000}"
+        for o in range(kt) for i in range(kt)) + " END"
+    return f"""
+WITH v AS (SELECT r.range AS i, {jid_case} AS jid FROM range({n}) r),
+t AS (SELECT i, jid // {kt} AS it, jid % {kt} AS ot FROM v),
+pr AS (SELECT a.i AS u, b.i AS w, a.ot, b.it,
+              md5('{seed}:ap:' || CAST(a.i AS VARCHAR) || ':'
+                  || CAST(b.i AS VARCHAR)) AS h,
+              {thr_case} AS thr
+       FROM t a JOIN t b ON a.i != b.i)
+SELECT CAST(u AS BIGINT) AS src, CAST(w AS BIGINT) AS dst
+FROM pr WHERE ({_md5_fold15('h')}) < thr"""
+
+
+def _sql_nonlinear_barabasi() -> str:
+    p = NONLINEAR_BARABASI_PARAMS
+    n, m, power, za = p["n"], p["m"], p["power"], p["zero_appeal"]
+    draws = _seq_game_draws(p["seed"], "nb", n, m)
+    dd = " * ".join(["COALESCE(st.deg, 0)"] * power)
+
+    def w_expr(i: int) -> str:
+        return (f"SELECT r.range AS v, {za} + COALESCE({dd}, 0) AS w "
+                f"FROM range({i}) r LEFT JOIN "
+                f"(SELECT d, COUNT(*) AS deg FROM e{i - 1} GROUP BY d) st "
+                f"ON st.d = r.range")
+
+    return _seq_game_sql(n, m, w_expr, draws)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -8355,6 +8501,10 @@ def queries() -> Dict[str, Callable]:
         "layout_mds": q_layout_mds,
         "recent_degree_aging": q_recent_degree_aging,
         "subiso_prism": q_subiso_prism,
+        "k_regular": q_k_regular,
+        "static_fitness": q_static_fitness,
+        "asymmetric_preference": q_asymmetric_preference,
+        "nonlinear_barabasi": q_nonlinear_barabasi,
     }
 
 
@@ -9711,4 +9861,8 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
     WHEN 'de' THEN '{(SAMPLE_RATES["de"] << 32) // 1000:08x}'
     ELSE '{(SAMPLE_DEFAULT << 32) // 1000:08x}'
   END""",
+        "k_regular": _sql_k_regular(),
+        "static_fitness": _sql_static_fitness(),
+        "asymmetric_preference": _sql_asymmetric_preference(),
+        "nonlinear_barabasi": _sql_nonlinear_barabasi(),
     }

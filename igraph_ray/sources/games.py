@@ -1545,3 +1545,198 @@ def correlated_game(
 
     return ray.data.range(n).map_batches(_gen, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def k_regular_game(n: int, k: int, seed: int = 41) -> ray.data.Dataset:
+    """igraph_k_regular_game (games.c:3828): every vertex gets degree k
+    (the reference delegates to igraph_degree_sequence_game on the
+    constant-k sequence). Engine contract: the n*k stubs (v, s) are
+    ranked ascending by the md5 digest of (seed:kr:v:s) — ties by
+    (v, s), unreachable in practice — and consecutive rank pairs
+    (2r, 2r+1) become edges, the even-rank owner as src. A distributed
+    rank replaces the reference's sequential Fisher–Yates pairing;
+    loops/multi-edges remain possible exactly as in the reference's
+    non-simple methods. n*k must be even."""
+    import hashlib
+
+    if (n * k) % 2 != 0:
+        raise ValueError("n*k must be even for a k-regular pairing")
+    from igraph_ray.util import dense_rank_map
+
+    def _stubs(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        v = ids // k
+        s = ids % k
+        key = [hashlib.md5(f"{seed}:kr:{int(a)}:{int(c)}".encode())
+               .hexdigest() + f":{int(a):012d}:{int(c):06d}"
+               for a, c in zip(v, s)]
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "v": pa.array(v, pa.int64())})
+
+    stubs = ray.data.range(n * k).map_batches(
+        _stubs, batch_format="pyarrow", batch_size=None)
+    ranked = dense_rank_map(stubs.select_columns(["key"]), "key")
+    from igraph_ray.util import hash_join
+
+    j = hash_join(stubs, ranked, on="key")
+
+    def _split(b: pa.Table) -> pa.Table:
+        rk = b["rank"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        pos = rk % 2
+        return pa.table({"pair": pa.array(rk // 2, pa.int64()),
+                         "v0": pa.array(v * (1 - pos), pa.int64()),
+                         "v1": pa.array(v * pos, pa.int64())})
+
+    g = j.map_batches(_split, batch_format="pyarrow", batch_size=None) \
+        .groupby("pair").sum(["v0", "v1"])
+    return g.map_batches(
+        lambda b: pa.table({"src": b["sum(v0)"], "dst": b["sum(v1)"]}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def static_fitness_game(
+    m: int, fitness_out: List[int], fitness_in: Optional[List[int]] = None,
+    seed: int = 43,
+) -> ray.data.Dataset:
+    """igraph_static_fitness_game (games.c:3468, Goh–Kahng–Kim): m
+    edges, src drawn ∝ fitness_out and dst ∝ fitness_in (out vector
+    reused when fitness_in is None — the undirected form). Engine
+    contract: integer fitnesses, the 2m draws are indexed md5
+    roulettes (seed:sfs/sft:e) — independent, embarrassingly
+    parallel, SQL-replayable; loops/multiple edges stay (documented
+    deviation from the reference's rejection loop, the
+    static_power_law contract)."""
+    fo = np.asarray(fitness_out, dtype=np.int64)
+    fi = np.asarray(fitness_in if fitness_in is not None else fitness_out,
+                    dtype=np.int64)
+    if fo.min() < 0 or fi.min() < 0:
+        raise ValueError("fitness scores must be non-negative")
+    cum_o = np.cumsum(fo, dtype=np.int64) * np.int64(4294967296)
+    cum_i = np.cumsum(fi, dtype=np.int64) * np.int64(4294967296)
+    s_o = int(np.sum(fo))
+    s_i = int(np.sum(fi))
+    if s_o <= 0 or s_i <= 0:
+        raise ValueError("total fitness must be positive")
+
+    def _gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        ds = np.array([_draw32(seed, "sfs", int(e), 0) for e in ids],
+                      dtype=np.int64)
+        dt = np.array([_draw32(seed, "sft", int(e), 0) for e in ids],
+                      dtype=np.int64)
+        src = np.searchsorted(cum_o, ds * s_o, side="left")
+        dst = np.searchsorted(cum_i, dt * s_i, side="left")
+        return pa.table({"src": pa.array(src.astype(np.int64)),
+                         "dst": pa.array(dst.astype(np.int64))})
+
+    return ray.data.range(m).map_batches(_gen, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def asymmetric_preference_game(
+    n: int,
+    type_dist_matrix: List[List[float]],
+    pref_matrix_e6: List[List[int]],
+    seed: int = 47,
+) -> Tuple[ray.data.Dataset, ray.data.Dataset]:
+    """igraph_asymmetric_preference_game (games.c:2428): every vertex
+    gets a JOINT (in-type, out-type) pair from type_dist_matrix (row =
+    in-type, column = out-type, the reference's k = i*types+j
+    unpacking), then each ordered pair (u, v), u != v, gains an edge
+    with probability pref_matrix[out(u)][in(v)]. Engine contract:
+    joint types are assigned in contiguous vertex blocks of the exact
+    floor proportions (row-major joint order, remainders to the lowest
+    joint ids — the preference_game fixed-sizes deviation) and every
+    pair is an independent md5 Bernoulli with integer-e6 thresholds,
+    so the draw set is identical at any parallelism and SQL-replayable.
+
+    Returns (edges, types) where types = (vertex, in_type, out_type)."""
+    import hashlib
+
+    td = np.asarray(type_dist_matrix, dtype=np.float64)
+    kt = td.shape[0]
+    td = td / td.sum()
+    sizes = np.floor(td.reshape(-1) * n).astype(np.int64)
+    rem = n - int(sizes.sum())
+    sizes[:rem] += 1
+    blo = np.zeros(kt * kt + 1, np.int64)
+    np.cumsum(sizes, out=blo[1:])
+    HEX15 = 16 ** 15
+    # [out][in] integer thresholds — python ints (16^15 scaling
+    # overflows int64, so this table must never become a numpy array)
+    thr = [[int(p) * HEX15 // 1_000_000 for p in row]
+           for row in pref_matrix_e6]
+
+    def _joint(v: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        jid = np.searchsorted(blo[1:], v, side="right")
+        return jid // kt, jid % kt  # (in_type, out_type)
+
+    def _types(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        it, ot = _joint(v)
+        return pa.table({"vertex": pa.array(v),
+                         "in_type": pa.array(it.astype(np.int64)),
+                         "out_type": pa.array(ot.astype(np.int64))})
+
+    types = ray.data.range(n).map_batches(_types, batch_format="pyarrow",
+                                          batch_size=None)
+
+    all_in, all_out = _joint(np.arange(n, dtype=np.int64))
+
+    def _gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        src, dst = [], []
+        for u in ids:
+            u = int(u)
+            t_row = thr[int(all_out[u])]
+            for v in range(n):
+                if v == u:
+                    continue
+                d = int(hashlib.md5(f"{seed}:ap:{u}:{v}".encode())
+                        .hexdigest()[:15], 16)
+                if d < t_row[int(all_in[v])]:
+                    src.append(u)
+                    dst.append(v)
+        return pa.table({"src": pa.array(np.array(src, np.int64)),
+                         "dst": pa.array(np.array(dst, np.int64))})
+
+    edges = ray.data.range(n).map_batches(_gen, batch_format="pyarrow",
+                                          batch_size=None)
+    return edges, types
+
+
+def nonlinear_barabasi_game(
+    n: int, m: int = 1, power: int = 2, zero_appeal: int = 1,
+    seed: int = 53,
+) -> ray.data.Dataset:
+    """igraph_barabasi_game with power != 1 — the psumtree path
+    (games.c:297,558): vertex i cites m targets drawn with probability
+    ∝ indeg^power + zero_appeal. Integer power keeps the roulette
+    integer-exact on both sides. The m draws of one step share the
+    pre-step weight table (the engine's sequential-growth contract,
+    cf. recent_degree_game; the reference's psumtree updates inside
+    the step — documented deviation)."""
+    if power < 1 or int(power) != power:
+        raise NotImplementedError("integer-exact replay needs integer power >= 1")
+    if zero_appeal < 1 or int(zero_appeal) != zero_appeal:
+        raise NotImplementedError(
+            "integer-exact replay needs integer zero_appeal >= 1")
+    if n > _SEQ_GAME_MAX_N:
+        raise NotImplementedError(
+            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    n, m, power, za = int(n), int(m), int(power), int(zero_appeal)
+    indeg = np.zeros(n, dtype=np.int64)
+    src_out, dst_out = [], []
+    for i in range(1, n):
+        w = indeg[:i] ** power + za
+        picks = [
+            _roulette(w, _draw32(seed, "nb", i, j)) for j in range(m)
+        ]
+        for to in picks:
+            src_out.append(i)
+            dst_out.append(to)
+            indeg[to] += 1
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)

@@ -616,3 +616,74 @@ class TestRecentDegreeAging:
                 seed=seed).to_pandas()
             assert sorted(zip(got.src, got.dst)) == sorted(edges), \
                 (aging_exp, outpref)
+
+
+def test_k_regular_degrees_and_determinism():
+    n, k = 40, 3
+    a = _pairs(games.k_regular_game(n, k, seed=41))
+    b = _pairs(games.k_regular_game(n, k, seed=41))
+    assert sorted(a) == sorted(b)
+    assert len(a) == n * k // 2
+    deg = np.zeros(n, dtype=int)
+    for s, d in a:
+        deg[s] += 1
+        deg[d] += 1
+    assert (deg == k).all()  # loops count 2: stub conservation holds
+    with pytest.raises(ValueError):
+        games.k_regular_game(5, 3)  # odd stub count
+
+
+def test_static_fitness_counts_and_bias():
+    n, m = 30, 600
+    fo = [1 + v % 7 for v in range(n)]
+    fi = [1 + (v * v) % 5 for v in range(n)]
+    a = _pairs(games.static_fitness_game(m, fo, fi, seed=43))
+    assert len(a) == m
+    b = _pairs(games.static_fitness_game(m, fo, fi, seed=43))
+    assert sorted(a) == sorted(b)
+    # expected out-degree proportional to out-fitness: compare the
+    # highest-fitness vertex class against the lowest, 600 draws
+    so = sum(fo)
+    outdeg = np.zeros(n, dtype=int)
+    for s, _ in a:
+        outdeg[s] += 1
+    hi = [v for v in range(n) if fo[v] == 7]
+    lo = [v for v in range(n) if fo[v] == 1]
+    exp_hi = m * 7 / so
+    assert abs(np.mean([outdeg[v] for v in hi]) - exp_hi) < 4 * np.sqrt(exp_hi)
+    assert np.mean([outdeg[v] for v in hi]) > np.mean(
+        [outdeg[v] for v in lo])
+
+
+def test_asymmetric_preference_respects_types():
+    n = 36
+    td = [[0.3, 0.2], [0.1, 0.4]]
+    # forbid any edge whose (out(u), in(v)) is (0, 1): thr 0
+    pref = [[500_000, 0], [300_000, 200_000]]
+    edges, types = games.asymmetric_preference_game(n, td, pref, seed=47)
+    tp = types.to_pandas().set_index("vertex")
+    for s, d in _pairs(edges):
+        assert s != d
+        assert not (tp.loc[s, "out_type"] == 0 and tp.loc[d, "in_type"] == 1)
+    # joint block sizes are the floor proportions
+    import collections
+
+    cnt = collections.Counter(
+        (int(r.in_type), int(r.out_type)) for r in tp.itertuples())
+    assert sum(cnt.values()) == n
+    assert cnt[(1, 1)] >= cnt[(1, 0)]  # 0.4 block at least as big as 0.1
+
+
+def test_nonlinear_barabasi_rich_get_richer():
+    n, m = 48, 2
+    a = _pairs(games.nonlinear_barabasi_game(n, m, power=2, seed=53))
+    assert len(a) == (n - 1) * m
+    assert all(d < s for s, d in a)  # cites only older vertices
+    b = _pairs(games.nonlinear_barabasi_game(n, m, power=2, seed=53))
+    assert a == b
+    # super-linear PA concentrates: the max in-degree should exceed the
+    # uniform-attachment expectation by a wide margin
+    indeg = np.zeros(n, dtype=int)
+    for _, d in a:
+        indeg[d] += 1
+    assert indeg.max() >= 8
