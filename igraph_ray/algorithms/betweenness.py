@@ -101,12 +101,17 @@ def betweenness(
     num_partitions: Optional[int] = None,
     chunk: int = 64,
     engine: str = "tasks",
+    cutoff: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Directed vertex betweenness. ``sources=None`` = exact (every
     vertex a source); pass a sample of sources for the estimated variant
     at scale (igraph_betweenness_estimate analogue — scale results by
-    |V|/|sources| yourself). Returns (vertex, bc) float64 over the full
-    universe (zeros included)."""
+    |V|/|sources| yourself). ``cutoff`` (hops) truncates every forward
+    BFS at that level — only geodesics of length <= cutoff contribute,
+    the igraph_betweenness_estimate cutoff contract (centrality.c:1909:
+    nodes at 1-based distance cutoff+1 are discovered, counted as
+    targets, never expanded). Returns (vertex, bc) float64 over the
+    full universe (zeros included)."""
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
@@ -128,7 +133,7 @@ def betweenness(
     for lo in range(0, len(sources), chunk):
         part = _chunk_betweenness(
             graph, csr_out, out_blocks, rev_blocks,
-            sources[lo : lo + chunk], engine,
+            sources[lo : lo + chunk], engine, cutoff=cutoff,
         )
         partials.append(part)
 
@@ -152,6 +157,7 @@ def edge_betweenness(
     num_partitions: Optional[int] = None,
     chunk: int = 64,
     engine: str = "tasks",
+    cutoff: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Directed edge betweenness over the distinct-edge view
     (``igraph_edge_betweenness``, /root/reference/src/centrality.c —
@@ -195,7 +201,8 @@ def edge_betweenness(
         cs = sources[lo : lo + chunk]
         K = len(cs)
         final_state, _ = _chunk_brandes_state(
-            graph, csr_out, out_blocks, rev_blocks, cs, engine)
+            graph, csr_out, out_blocks, rev_blocks, cs, engine,
+            cutoff=cutoff)
         dcols = [f"d{k}" for k in range(K)]
         scols = [f"s{k}" for k in range(K)]
         ecols = [f"e{k}" for k in range(K)]
@@ -264,9 +271,11 @@ def edge_betweenness(
     return agg.map_batches(_rn, batch_format="pyarrow", batch_size=None)
 
 
-def _chunk_betweenness(graph, csr_out, out_blocks, rev_blocks, sources, engine):
+def _chunk_betweenness(graph, csr_out, out_blocks, rev_blocks, sources,
+                       engine, cutoff=None):
     final_state, src_arr = _chunk_brandes_state(
-        graph, csr_out, out_blocks, rev_blocks, sources, engine)
+        graph, csr_out, out_blocks, rev_blocks, sources, engine,
+        cutoff=cutoff)
     K = len(sources)
     ecols = [f"e{k}" for k in range(K)]
 
@@ -290,7 +299,7 @@ def _chunk_betweenness(graph, csr_out, out_blocks, rev_blocks, sources, engine):
 
 
 def _chunk_brandes_state(graph, csr_out, out_blocks, rev_blocks, sources,
-                         engine):
+                         engine, cutoff=None):
     K = len(sources)
     src_arr = np.asarray(sources, dtype=np.int64)
     dcols = [f"d{k}" for k in range(K)]
@@ -348,11 +357,14 @@ def _chunk_brandes_state(graph, csr_out, out_blocks, rev_blocks, sources,
         scalars={"changed": 1.0},
         make_scalars=lambda s, it: {"changed": s.get("changed", 0.0)},
         converged=lambda s, it: s.get("changed", 1.0) == 0.0,
-        max_iter=10_000,
+        max_iter=10_000 if cutoff is None else int(cutoff),
         state_columns=["vertex", "t"] + dcols + scols,
         engine=engine,
     )
-    maxdist = fwd.iterations - 1  # the last superstep discovered nothing
+    # natural convergence: the last superstep discovered nothing; a
+    # cutoff-capped loop's last superstep may still have discovered
+    # level-`cutoff` frontier vertices (targets, never expanded)
+    maxdist = fwd.iterations - 1 if fwd.converged else fwd.iterations
 
     # ---------------- backward: dependency sweep ------------------------
     @ray.remote

@@ -467,6 +467,7 @@ def distance_profile(
     variant: str = "out",
     num_partitions: Optional[int] = None,
     chunk: int = 128,
+    max_hops: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Per-source histogram of hop distances: Dataset (source, dist,
     count) over ordered reachable pairs, self-pairs excluded. The shared
@@ -480,7 +481,8 @@ def distance_profile(
     outs: List[ray.data.Dataset] = []
     for lo in range(0, len(sources), chunk):
         ds = _k_column_hops(graph, sources[lo : lo + chunk], num_partitions,
-                            10_000, variant)
+                            10_000 if max_hops is None else int(max_hops),
+                            variant)
 
         def _h(b: pa.Table) -> pa.Table:
             s = b["source"].to_numpy(zero_copy_only=False)
@@ -538,13 +540,20 @@ def closeness_centrality(
     variant: str = "out",
     num_partitions: Optional[int] = None,
     chunk: int = 128,
+    cutoff: Optional[int] = None,
 ) -> ray.data.Dataset:
     """igraph closeness (structural_properties.c, igraph_closeness):
     reached / Σ distance over reachable vertices (self excluded),
-    restricted to the given ``variant`` direction. Vertices that reach
-    nothing are omitted (igraph reports NaN). Returns (vertex,
-    closeness) float64."""
-    prof = distance_profile(graph, sources, variant, num_partitions, chunk)
+    restricted to the given ``variant`` direction. ``cutoff`` truncates
+    every BFS at that hop level — only targets within cutoff hops
+    count, the igraph_closeness_estimate cutoff contract
+    (centrality.c:2720; the engine keeps its own reached/Σd convention
+    rather than the 0.7 estimate's unreachable-distance-n penalty —
+    documented deviation, consistent with the exact query). Vertices
+    that reach nothing are omitted (igraph reports NaN). Returns
+    (vertex, closeness) float64."""
+    prof = distance_profile(graph, sources, variant, num_partitions, chunk,
+                            max_hops=cutoff)
 
     def _vals(s, d, c):
         return pa.table({"vertex": pa.array(s, pa.int64()),

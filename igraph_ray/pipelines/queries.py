@@ -8228,6 +8228,133 @@ def _sql_nonlinear_barabasi() -> str:
     return _seq_game_sql(n, m, w_expr, draws)
 
 
+BETWEENNESS_CUTOFF = 3
+CLOSENESS_CUTOFF = 2
+EBC_CUTOFF = 4
+
+
+def q_betweenness_cutoff(sf_dir: str):
+    """igraph_betweenness_estimate with a path-length cutoff
+    (centrality.c:1746,1909): only geodesics of length <= 3 contribute
+    — the forward BFS of every Brandes chunk is truncated at level 3.
+    Oracle: the exact σ pair formula restricted to d(s,t) <= 3."""
+    from igraph_ray.algorithms.betweenness import betweenness
+
+    g = derive.graph_a(sf_dir)
+    bc = betweenness(g, num_partitions=8, chunk=64,
+                     cutoff=BETWEENNESS_CUTOFF)
+    return _scale_col(bc, "bc", "bcc_e6", 1e6)
+
+
+def q_edge_betweenness_cutoff(sf_dir: str):
+    """igraph_edge_betweenness_estimate cutoff semantics
+    (centrality.c:2219; the engine uses the consistent
+    length <= cutoff rule for edges too — the 0.7 edge variant's
+    off-by-one at centrality.c:2336 was fixed upstream) on the
+    very-sparse view with cutoff 4."""
+    from igraph_ray.algorithms.betweenness import edge_betweenness
+
+    g = derive.graph_vsparse(sf_dir)
+    ebc = edge_betweenness(g, num_partitions=8, chunk=64,
+                           cutoff=EBC_CUTOFF)
+    return _scale_col(ebc, "ebc", "ebcc_e6", 1e6)
+
+
+def q_closeness_cutoff(sf_dir: str):
+    """igraph_closeness_estimate cutoff semantics (centrality.c:2720):
+    closeness over targets within 2 hops only — every BFS stops after
+    2 supersteps (the scale path: bounded frontier work per source)."""
+    from igraph_ray.algorithms.paths import closeness_centrality
+
+    g = derive.graph_a(sf_dir)
+    out = closeness_centrality(g, variant="out", num_partitions=8,
+                               cutoff=CLOSENESS_CUTOFF)
+    return _scale_col(out, "closeness", "closenessc_e8", 1e8)
+
+
+def _sql_betweenness_cutoff(iters: int = _BC_ITERS) -> str:
+    c = BETWEENNESS_CUTOFF
+    parts = [
+        f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
+        f"verts AS MATERIALIZED ({SQL_VERTS_A})",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, 0 AS d, CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        pp = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {pp} UNION ALL "
+            f"SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, {k} AS d, SUM(p.sig) AS sig "
+            f"FROM {pp} p JOIN edges e ON e.src = p.t WHERE p.d = {k-1} "
+            f"GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {pp} o WHERE o.s = n.s AND o.t = n.t))"
+        )
+    q = f"q{iters}"
+    parts.append(
+        f"bc AS (SELECT p1.t AS v, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM {q} p1 JOIN {q} p2 ON p2.s = p1.t "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t AND p3.d = p1.d + p2.d "
+        f"WHERE p1.s != p1.t AND p2.s != p2.t AND p1.s != p2.t "
+        f"AND p1.d + p2.d <= {c} GROUP BY p1.t)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT verts.v AS vertex, "
+        f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) AS bcc_e6 "
+        f"FROM verts LEFT JOIN bc b ON b.v = verts.v ORDER BY vertex"
+    )
+
+
+def _sql_edge_betweenness_cutoff(iters: int = _EBC_ITERS) -> str:
+    c = EBC_CUTOFF
+    parts = [
+        f"WITH edges AS MATERIALIZED ({derive.SQL_EDGES_VSPARSE})",
+        "verts AS MATERIALIZED (SELECT src AS v FROM edges UNION SELECT dst FROM edges)",
+        "q0 AS MATERIALIZED (SELECT v AS s, v AS t, 0 AS d, CAST(1 AS DOUBLE) AS sig FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        pp = f"q{k-1}"
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT s, t, d, sig FROM {pp} UNION ALL "
+            f"SELECT n.s, n.t, n.d, n.sig FROM ("
+            f"SELECT p.s, e.dst AS t, {k} AS d, SUM(p.sig) AS sig "
+            f"FROM {pp} p JOIN edges e ON e.src = p.t WHERE p.d = {k-1} "
+            f"GROUP BY p.s, e.dst) n "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {pp} o WHERE o.s = n.s AND o.t = n.t))"
+        )
+    q = f"q{iters}"
+    parts.append(
+        f"ebc AS (SELECT e.src, e.dst, SUM(p1.sig * p2.sig / p3.sig) AS b "
+        f"FROM edges e "
+        f"JOIN {q} p1 ON p1.t = e.src "
+        f"JOIN {q} p2 ON p2.s = e.dst "
+        f"JOIN {q} p3 ON p3.s = p1.s AND p3.t = p2.t "
+        f"AND p3.d = p1.d + 1 + p2.d "
+        f"WHERE p1.d + 1 + p2.d <= {c} "
+        f"GROUP BY e.src, e.dst)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT e.src, e.dst, "
+        f"CAST(round_even(COALESCE(b.b, 0)*1e6, 0) AS BIGINT) AS ebcc_e6 "
+        f"FROM edges e LEFT JOIN ebc b ON b.src = e.src AND b.dst = e.dst "
+        f"ORDER BY e.src, e.dst"
+    )
+
+
+def _sql_closeness_cutoff(iters: int = _SSSP_ITERS) -> str:
+    c = CLOSENESS_CUTOFF
+    return (
+        f"{_sql_allpairs_body(iters)}\n"
+        f"SELECT s AS vertex, "
+        f"CAST(round_even(CAST(cnt AS DOUBLE)/sumd*1e8, 0) AS BIGINT) AS closenessc_e8 "
+        f"FROM (SELECT s, COUNT(*) AS cnt, SUM(d) AS sumd FROM p{iters} "
+        f"WHERE s != t AND d <= {c} GROUP BY s) q WHERE sumd > 0 ORDER BY vertex"
+    )
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -8505,6 +8632,9 @@ def queries() -> Dict[str, Callable]:
         "static_fitness": q_static_fitness,
         "asymmetric_preference": q_asymmetric_preference,
         "nonlinear_barabasi": q_nonlinear_barabasi,
+        "betweenness_cutoff": q_betweenness_cutoff,
+        "edge_betweenness_cutoff": q_edge_betweenness_cutoff,
+        "closeness_cutoff": q_closeness_cutoff,
     }
 
 
@@ -9865,4 +9995,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "static_fitness": _sql_static_fitness(),
         "asymmetric_preference": _sql_asymmetric_preference(),
         "nonlinear_barabasi": _sql_nonlinear_barabasi(),
+        "betweenness_cutoff": _sql_betweenness_cutoff(),
+        "edge_betweenness_cutoff": _sql_edge_betweenness_cutoff(),
+        "closeness_cutoff": _sql_closeness_cutoff(),
     }

@@ -170,3 +170,76 @@ class TestWeightedBetweenness:
         got = betweenness_weighted(g).to_pandas()
         for r in got.itertuples():
             assert abs(ref[r.vertex] - r.bc) < 1e-12, r
+
+
+def _brandes_cutoff_ref(n, adj, cutoff):
+    """Truncated Brandes: only geodesics of length <= cutoff count —
+    the igraph_betweenness_estimate contract (centrality.c:1909)."""
+    bc = np.zeros(n)
+    for s in range(n):
+        S = []
+        P = collections.defaultdict(list)
+        sigma = np.zeros(n)
+        sigma[s] = 1
+        dist = np.full(n, -1)
+        dist[s] = 0
+        Q = collections.deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            if dist[v] >= cutoff:
+                continue  # discovered as a target, never expanded
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    Q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = np.zeros(n)
+        for w in reversed(S):
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_cutoff_matches_truncated_brandes():
+    g, adj, n = _graph(11, 60, 240)
+    for cutoff in (1, 2, 3):
+        got = betweenness(g, num_partitions=4, chunk=16, cutoff=cutoff) \
+            .to_pandas().set_index("vertex")["bc"]
+        ref = _brandes_cutoff_ref(n, adj, cutoff)
+        for v in range(n):
+            assert abs(got.get(v, 0.0) - ref[v]) < 1e-9, (cutoff, v)
+    # a cutoff >= diameter reproduces the exact scores
+    exact = _brandes_ref(n, adj)
+    got = betweenness(g, num_partitions=4, chunk=16, cutoff=n) \
+        .to_pandas().set_index("vertex")["bc"]
+    for v in range(n):
+        assert abs(got.get(v, 0.0) - exact[v]) < 1e-9
+
+
+def test_closeness_cutoff_counts_only_near_targets():
+    import igraph_ray.algorithms.paths as paths
+
+    g, adj, n = _graph(13, 40, 150)
+    got = paths.closeness_centrality(g, variant="out", num_partitions=4,
+                                     cutoff=2).to_pandas() \
+        .set_index("vertex")["closeness"]
+    # brute: BFS per source, keep d <= 2
+    for s in range(n):
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        near = [d for v, d in dist.items() if v != s and d <= 2]
+        if near:
+            assert abs(got[s] - len(near) / sum(near)) < 1e-12
+        else:
+            assert s not in got.index
