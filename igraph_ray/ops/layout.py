@@ -1167,3 +1167,118 @@ def layout_mds(
 
     return pos_all.map_batches(_fill, batch_format="pyarrow",
                                batch_size=None)
+
+
+def layout_random(n: int, seed: int = 7, dims: int = 2) -> ray.data.Dataset:
+    """igraph_layout_random / _3d (layout.c:76,110): every coordinate
+    uniform on [-1, 1]. Engine contract: indexed md5 draws
+    (seed:r{axis}:v → 12-hex fold / 16^12), embarrassingly parallel
+    and SQL-replayable."""
+    axes = "xyz"[:dims]
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"vertex": pa.array(v)}
+        for ax in axes:
+            u = _md5_unit([f"{seed}:r{ax}:{int(i)}" for i in v])
+            out[ax] = pa.array(2.0 * u - 1.0, pa.float64())
+        return pa.table(out)
+
+    return ray.data.range(n).map_batches(_f, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def layout_grid_3d(n: int, width: int = 0, height: int = 0
+                   ) -> ray.data.Dataset:
+    """igraph_layout_grid_3d (layout.c:339): row-major integer lattice,
+    x = i % w, y = (i // w) % h, z = i // (w·h); default w = h =
+    ceil(n^(1/3))."""
+    w = width if width > 0 else int(np.ceil(n ** (1.0 / 3.0)))
+    h = height if height > 0 else w
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vertex": pa.array(v),
+                         "x": pa.array((v % w).astype(np.float64)),
+                         "y": pa.array(((v // w) % h).astype(np.float64)),
+                         "z": pa.array((v // (w * h)).astype(np.float64))})
+
+    return ray.data.range(n).map_batches(_f, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def layout_sphere(n: int) -> ray.data.Dataset:
+    """igraph_layout_sphere (layout.c:246): the spherical spiral —
+    theta_i = acos(-1 + 2i/(n-1)), phi advances by 3.6/sqrt(n(1-h²))
+    per step; poles pinned (row 0: theta=π, row n-1: theta=0, phi=0).
+    Engine deviation (documented): the phi increments are e6-quantized
+    BEFORE summation, so the prefix sum is an exact integer — any task
+    recomputes it for its id range independently of partitioning
+    (the reference's running fmod changes only ulps; the quantized φ
+    is within 1e-6 of it). O(max_id) vectorized work per block —
+    layouts are for visualizable graphs; fine by construction."""
+    if n < 1:
+        return ray.data.from_arrow(pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             "x": pa.array([], pa.float64()),
+             "y": pa.array([], pa.float64()),
+             "z": pa.array([], pa.float64())}))
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = int(v.max()) if len(v) else 0
+        j = np.arange(1, max(hi, 1) + 1, dtype=np.float64)
+        hh = -1.0 + 2.0 * j / (n - 1) if n > 1 else np.zeros_like(j)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inc = 3.6 / np.sqrt(n * (1.0 - hh * hh))
+        inc_e6 = np.round(inc * 1e6)
+        inc_e6[~np.isfinite(inc_e6)] = 0.0
+        pe = np.concatenate([[0.0], np.cumsum(inc_e6)])  # index by i
+        h_of = np.where(v == 0, -1.0,
+                        np.where(v == n - 1, 1.0,
+                                 -1.0 + 2.0 * v / (n - 1) if n > 1 else 0.0))
+        theta = np.arccos(np.clip(h_of, -1.0, 1.0))
+        theta = np.where(v == 0, np.pi, np.where(v == n - 1, 0.0, theta))
+        phi = np.where((v == 0) | (v == n - 1), 0.0, pe[v] / 1e6)
+        x = np.cos(phi) * np.sin(theta)
+        y = np.sin(phi) * np.sin(theta)
+        z = np.cos(theta)
+        return pa.table({"vertex": pa.array(v),
+                         "x": pa.array(x, pa.float64()),
+                         "y": pa.array(y, pa.float64()),
+                         "z": pa.array(z, pa.float64())})
+
+    return ray.data.range(n).map_batches(_f, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def layout_reingold_tilford_circular(
+    graph: Graph, num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """igraph_layout_reingold_tilford_circular (layout.c:1226): the RT
+    layout mapped to polar coordinates — phi = (x - minx) ·
+    (2π(n-1)/n) / (maxx - minx), r = the RT depth, output
+    (r·cosφ, r·sinφ). The RT pass and the min/max are streaming; only
+    the two scalars reach the driver."""
+    from ray.data.aggregate import Count, Max, Min
+
+    pos = layout_reingold_tilford(graph, num_partitions=num_partitions) \
+        .materialize()
+    stats = pos.aggregate(Min("x"), Max("x"), Count())
+    minx = float(stats["min(x)"])
+    maxx = float(stats["max(x)"])
+    nn = int(stats["count()"])
+    if nn == 0:
+        return pos
+    span = maxx - minx
+    ratio = (2.0 * np.pi * (nn - 1.0) / nn) / span if span > 0 else 0.0
+
+    def _f(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        r = b["y"].to_numpy(zero_copy_only=False)
+        phi = (x - minx) * ratio
+        return pa.table({"vertex": b["vertex"],
+                         "x": pa.array(r * np.cos(phi), pa.float64()),
+                         "y": pa.array(r * np.sin(phi), pa.float64())})
+
+    return pos.map_batches(_f, batch_format="pyarrow", batch_size=None)

@@ -8355,6 +8355,162 @@ def _sql_closeness_cutoff(iters: int = _SSSP_ITERS) -> str:
     )
 
 
+def _md5_fold(h: str, k: int) -> str:
+    """SQL expression folding the first ``k`` hex chars of md5 column
+    ``h`` into a BIGINT (generalizes _md5_fold15)."""
+    f = "CAST(0 AS BIGINT)"
+    for i in range(1, k + 1):
+        f = (f"(({f}) * 16 + "
+             f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1))")
+    return f
+
+
+LAYOUT_RANDOM_SEED = 7
+
+
+def q_layout_random(sf_dir: str):
+    """igraph_layout_random (layout.c:76): every coordinate uniform on
+    [-1,1] — indexed md5 draws (12-hex fold / 16^12), SQL-replayed
+    exactly."""
+    from igraph_ray.ops.layout import layout_random
+
+    pos = layout_random(derive.V, seed=LAYOUT_RANDOM_SEED, dims=2)
+
+    def _ints(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "x_e6": pa.array(np.round(b["x"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+            "y_e6": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+        })
+
+    return pos.map_batches(_ints, batch_format="pyarrow", batch_size=None)
+
+
+def q_layout_grid3d(sf_dir: str):
+    """igraph_layout_grid_3d (layout.c:339): row-major integer lattice
+    with default w = h = ceil(n^(1/3))."""
+    from igraph_ray.ops.layout import layout_grid_3d
+
+    pos = layout_grid_3d(derive.V)
+
+    def _ints(b: pa.Table) -> pa.Table:
+        out = {"vertex": b["vertex"]}
+        for c in ("x", "y", "z"):
+            out[f"g{c}"] = pa.array(b[c].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        return pa.table(out)
+
+    return pos.map_batches(_ints, batch_format="pyarrow", batch_size=None)
+
+
+def q_layout_sphere(sf_dir: str):
+    """igraph_layout_sphere (layout.c:246): the spherical spiral with
+    e6-quantized phi increments (exact integer prefix sum — the
+    partitioning-independent contract; within 1e-6 of the reference's
+    running-fmod phi)."""
+    from igraph_ray.ops.layout import layout_sphere
+
+    pos = layout_sphere(derive.V)
+
+    def _ints(b: pa.Table) -> pa.Table:
+        out = {"vertex": b["vertex"]}
+        for c in ("x", "y", "z"):
+            out[f"{c}_e6"] = pa.array(np.round(b[c].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64))
+        return pa.table(out)
+
+    return pos.map_batches(_ints, batch_format="pyarrow", batch_size=None)
+
+
+def q_layout_rt_circular(sf_dir: str):
+    """igraph_layout_reingold_tilford_circular (layout.c:1226): the RT
+    forest fixture mapped to polar coordinates — phi spans 2π(n-1)/n
+    over the RT x range, radius = depth."""
+    from igraph_ray.ops.layout import layout_reingold_tilford_circular
+
+    g = Graph(ray.data.from_arrow(_rt_forest_table()), n=None)
+    pos = layout_reingold_tilford_circular(g, num_partitions=8)
+
+    def _ints(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "xc_e6": pa.array(np.round(b["x"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+            "yc_e6": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+        })
+
+    return pos.map_batches(_ints, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+
+def _sql_layout_random() -> str:
+    s = LAYOUT_RANDOM_SEED
+    fx = _md5_fold(f"md5('{s}:rx:' || CAST(range AS VARCHAR))", 12)
+    fy = _md5_fold(f"md5('{s}:ry:' || CAST(range AS VARCHAR))", 12)
+    H = 16 ** 12
+    return f"""
+SELECT range AS vertex,
+  CAST(round_even((2.0 * (CAST({fx} AS DOUBLE) / {H}) - 1.0) * 1e6, 0)
+       AS BIGINT) AS x_e6,
+  CAST(round_even((2.0 * (CAST({fy} AS DOUBLE) / {H}) - 1.0) * 1e6, 0)
+       AS BIGINT) AS y_e6
+FROM range({derive.V})"""
+
+
+def _sql_layout_grid3d() -> str:
+    import math as _m
+
+    w = int(_m.ceil(derive.V ** (1.0 / 3.0)))
+    return f"""
+SELECT range AS vertex,
+  CAST(range % {w} AS BIGINT) AS gx,
+  CAST((range // {w}) % {w} AS BIGINT) AS gy,
+  CAST(range // {w * w} AS BIGINT) AS gz
+FROM range({derive.V})"""
+
+
+def _sql_layout_sphere() -> str:
+    n = derive.V
+    return f"""
+WITH inc AS (SELECT j, CAST(round_even(
+        3.6 / sqrt({n} * (1.0 - h * h)) * 1e6, 0) AS BIGINT) AS e
+    FROM (SELECT j, -1.0 + 2.0 * j / CAST({n} - 1 AS DOUBLE) AS h
+          FROM range(1, {n} - 1) t(j))),
+ph AS (SELECT j, SUM(e) OVER (ORDER BY j) AS pe FROM inc),
+co AS (SELECT range AS v,
+        CASE WHEN range = 0 THEN pi()
+             WHEN range = {n} - 1 THEN 0.0
+             ELSE acos(-1.0 + 2.0 * range / CAST({n} - 1 AS DOUBLE)) END
+        AS theta,
+        CASE WHEN range = 0 OR range = {n} - 1 THEN 0.0
+             ELSE (SELECT CAST(pe AS DOUBLE) / 1e6 FROM ph
+                   WHERE ph.j = range) END AS phi
+    FROM range({n}))
+SELECT v AS vertex,
+  CAST(round_even(cos(phi) * sin(theta) * 1e6, 0) AS BIGINT) AS x_e6,
+  CAST(round_even(sin(phi) * sin(theta) * 1e6, 0) AS BIGINT) AS y_e6,
+  CAST(round_even(cos(theta) * 1e6, 0) AS BIGINT) AS z_e6
+FROM co"""
+
+
+def _sql_layout_rt_circular() -> str:
+    rt = _sql_layout_rt()
+    return f"""
+WITH rt AS MATERIALIZED ({rt}),
+st AS (SELECT MIN(x2) AS mn, MAX(x2) AS mx, COUNT(*) AS n FROM rt)
+SELECT rt.vertex,
+  CAST(round_even(rt.y * cos((rt.x2 - st.mn) / 2.0 *
+        (((2 * pi() * (st.n - 1)) / st.n) / ((st.mx - st.mn) / 2.0)))
+        * 1e6, 0) AS BIGINT) AS xc_e6,
+  CAST(round_even(rt.y * sin((rt.x2 - st.mn) / 2.0 *
+        (((2 * pi() * (st.n - 1)) / st.n) / ((st.mx - st.mn) / 2.0)))
+        * 1e6, 0) AS BIGINT) AS yc_e6
+FROM rt, st"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -8635,6 +8791,10 @@ def queries() -> Dict[str, Callable]:
         "betweenness_cutoff": q_betweenness_cutoff,
         "edge_betweenness_cutoff": q_edge_betweenness_cutoff,
         "closeness_cutoff": q_closeness_cutoff,
+        "layout_random": q_layout_random,
+        "layout_grid3d": q_layout_grid3d,
+        "layout_sphere": q_layout_sphere,
+        "layout_rt_circular": q_layout_rt_circular,
     }
 
 
@@ -9998,4 +10158,8 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "betweenness_cutoff": _sql_betweenness_cutoff(),
         "edge_betweenness_cutoff": _sql_edge_betweenness_cutoff(),
         "closeness_cutoff": _sql_closeness_cutoff(),
+        "layout_random": _sql_layout_random(),
+        "layout_grid3d": _sql_layout_grid3d(),
+        "layout_sphere": _sql_layout_sphere(),
+        "layout_rt_circular": _sql_layout_rt_circular(),
     }

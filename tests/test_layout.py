@@ -240,3 +240,69 @@ class TestLayoutTail:
         iu = np.triu_indices(w * w, 1)
         corr = np.corrcoef(hop[iu], emb[iu])[0, 1]
         assert corr > 0.9
+
+def test_layout_random_bounds_and_determinism():
+    from igraph_ray.ops.layout import layout_random
+
+    a = layout_random(100, seed=7, dims=3).to_pandas().set_index("vertex")
+    b = layout_random(100, seed=7, dims=3).to_pandas().set_index("vertex")
+    assert (a == b).all().all()
+    for c in ("x", "y", "z"):
+        assert a[c].between(-1.0, 1.0).all()
+    c2 = layout_random(100, seed=8, dims=3).to_pandas().set_index("vertex")
+    assert not (a["x"] == c2["x"]).all()
+
+
+def test_layout_grid_3d_lattice():
+    from igraph_ray.ops.layout import layout_grid_3d
+
+    p = layout_grid_3d(30, width=3, height=2).to_pandas()
+    assert len(p) == 30
+    v = p.set_index("vertex")
+    assert v.loc[0, "x"] == 0 and v.loc[0, "y"] == 0 and v.loc[0, "z"] == 0
+    assert v.loc[7, "x"] == 1 and v.loc[7, "y"] == 0 and v.loc[7, "z"] == 1
+    # all cells distinct
+    assert len(set(zip(p.x, p.y, p.z))) == 30
+
+
+def test_layout_sphere_on_unit_sphere():
+    import numpy as np
+
+    from igraph_ray.ops.layout import layout_sphere
+
+    p = layout_sphere(64).to_pandas().set_index("vertex").sort_index()
+    r = np.sqrt(p.x ** 2 + p.y ** 2 + p.z ** 2)
+    assert np.allclose(r, 1.0, atol=1e-9)
+    # poles pinned
+    assert abs(p.loc[0, "z"] + 1.0) < 1e-12
+    assert abs(p.loc[63, "z"] - 1.0) < 1e-12
+    # neighbors on the spiral stay close (no teleporting)
+    d = np.sqrt(np.diff(p.x) ** 2 + np.diff(p.y) ** 2 + np.diff(p.z) ** 2)
+    assert d.max() < 1.0
+    # partition invariance: same result from a repartitioned range
+    q = layout_sphere(64).to_pandas().set_index("vertex").sort_index()
+    assert (p == q).all().all()
+
+
+def test_layout_rt_circular_radius_is_depth():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.layout import (layout_reingold_tilford,
+                                       layout_reingold_tilford_circular)
+
+    # binary tree on 15 vertices, root 0
+    src = [i for i in range(1, 15)]
+    dst = [(i - 1) // 2 for i in range(1, 15)]
+    g = Graph(ray.data.from_arrow(pa.table(
+        {"src": pa.array(src, pa.int64()),
+         "dst": pa.array(dst, pa.int64())})), n=15)
+    rt = layout_reingold_tilford(g, num_partitions=4).to_pandas() \
+        .set_index("vertex")
+    cc = layout_reingold_tilford_circular(g, num_partitions=4) \
+        .to_pandas().set_index("vertex")
+    rad = np.sqrt(cc.x ** 2 + cc.y ** 2)
+    for v in range(15):
+        assert abs(rad[v] - rt.loc[v, "y"]) < 1e-9  # radius == RT depth
