@@ -62,10 +62,17 @@ def count_sub_isomorphisms(
     pattern_dst: Sequence[int],
     directed: bool = False,
     num_partitions: int = 8,
-) -> int:
+    return_bindings: bool = False,
+):
     """Number of injective maps pattern → graph preserving pattern edges
     (non-induced). Undirected mode matches over the symmetrized simple
-    view (each pattern edge may map to either direction)."""
+    view (each pattern edge may map to either direction).
+
+    ``return_bindings=True`` returns (bindings, colmap) instead of the
+    count: the full embedding stream as a Dataset whose column
+    colmap[v] holds the image of pattern vertex v in each row — the
+    building block for the fork's FSM support measures
+    (fsm.c:745/890/959 mib/ego/shallow)."""
     pedges = [(int(a), int(b)) for a, b in zip(pattern_src, pattern_dst)
               if int(a) != int(b)]
     if not pedges:
@@ -89,7 +96,12 @@ def count_sub_isomorphisms(
                                  batch_size=None)
          .groupby(["a", "b"]).count().select_columns(["a", "b"])
          .materialize())
+    colmap = {v: f"c{pos[v]}" for v in range(p)}
     if E.count() == 0:
+        if return_bindings:
+            empty = ray.data.from_arrow(pa.table(
+                {f"c{k}": pa.array([], pa.int64()) for k in range(p)}))
+            return empty, colmap
         return 0
 
     def _has_edge(u: int, v: int) -> Optional[bool]:
@@ -174,7 +186,7 @@ def count_sub_isomorphisms(
 
         state = joined.map_batches(_bind, batch_format="pyarrow",
                                    batch_size=None).materialize()
-        if state.count() == 0:
+        if state.count() == 0 and not return_bindings:
             return 0
         # remaining pattern edges between vi and other bound vertices
         checks = []
@@ -196,6 +208,8 @@ def count_sub_isomorphisms(
         state = _check_edges(state, checks)
         bound.append(vi)
 
+    if return_bindings:
+        return state, colmap
     return int(state.count())
 
 

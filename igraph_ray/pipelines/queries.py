@@ -8511,6 +8511,106 @@ SELECT rt.vertex,
 FROM rt, st"""
 
 
+def q_fsm_support(sf_dir: str):
+    """The fork's FSM support measures (fsm.c shallow:959 / mib:745 /
+    egobased:890) for the wedge pattern u–c–w over the per-6h-window
+    event snapshot database (the q_frequent_subgraphs fixture): one
+    packed binding-stream pass, grouped distinct-image aggregates,
+    ego anchored on the wedge center."""
+    from igraph_ray.ops.fsm_support import pattern_support
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"])
+
+    def _snap(b):
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (ts // 1_000_000) // 21600
+        src = (b["user_id"].to_numpy(zero_copy_only=False) % 512)
+        dst = (b["event_id"].to_numpy(zero_copy_only=False) % 97)
+        return pa.table({"gid": pa.array(g),
+                         "src": pa.array(src.astype("int64")),
+                         "dst": pa.array(dst.astype("int64"))})
+
+    db = events.map_batches(_snap, batch_format="pyarrow",
+                            batch_size=None)
+    return pattern_support(db, [0, 1], [1, 2], directed=False,
+                           stride=1024, ego_vertex=1,
+                           num_partitions=8).sort("gid")
+
+
+SQL_FSM_SUPPORT = """
+WITH ev AS (SELECT (epoch_us(ts) // 1000000) // 21600 AS g,
+                   user_id % 512 AS src, event_id % 97 AS dst
+            FROM events),
+e AS (SELECT DISTINCT g, src AS a, dst AS b FROM ev WHERE src != dst),
+sym AS (SELECT g, a, b FROM e UNION SELECT g, b AS a, a AS b FROM e),
+w AS (SELECT s1.g, s1.a AS u, s1.b AS c, s2.b AS w2
+      FROM sym s1 JOIN sym s2
+      ON s2.g = s1.g AND s2.a = s1.b AND s2.b != s1.a),
+m AS (SELECT g, COUNT(DISTINCT c) AS nc, COUNT(DISTINCT u) AS nu,
+             COUNT(DISTINCT w2) AS nw FROM w GROUP BY g),
+gids AS (SELECT DISTINCT g FROM ev)
+SELECT CAST(gids.g AS BIGINT) AS gid,
+  CAST(CASE WHEN m.g IS NULL THEN 0 ELSE 1 END AS BIGINT) AS shallow,
+  CAST(COALESCE(LEAST(m.nc, m.nu, m.nw), 0) AS BIGINT) AS mib,
+  CAST(COALESCE(m.nc, 0) AS BIGINT) AS ego
+FROM gids LEFT JOIN m ON m.g = gids.g ORDER BY gid"""
+
+
+def q_velist_edges(sf_dir: str):
+    """The fork's gSpan transaction "velist" format
+    (igraph_read_transactions_velist, dynamic.c:74) proved by a
+    write → read round trip: the edge_table split into 4 transactions
+    by src mod 4, per-edge etime = (src + dst) mod 7, vertex colors
+    v mod 16. Oracle regenerates (gid, src, dst, etime) in SQL."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.velist import read_velist, write_velist
+
+    e = derive.edges_a(sf_dir)
+
+    def _tx(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"gid": pa.array(s % 4),
+                         "src": pa.array(s), "dst": pa.array(d),
+                         "etime": pa.array((s + d) % 7)})
+
+    edges = e.map_batches(_tx, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def _vx(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        g = np.concatenate([s % 4, s % 4])
+        v = np.concatenate([s, d])
+        t = pa.table({"gid": pa.array(g), "vertex": pa.array(v)})
+        t = t.group_by(["gid", "vertex"]).aggregate([])
+        vc = t["vertex"].to_numpy(zero_copy_only=False) % 16
+        return t.append_column("vcolor", pa.array(vc))
+
+    verts = (e.map_batches(_vx, batch_format="pyarrow", batch_size=None)
+             .groupby(["gid", "vertex"]).max("vcolor"))
+    verts = verts.map_batches(
+        lambda b: pa.table({"gid": b["gid"], "vertex": b["vertex"],
+                            "vcolor": b["max(vcolor)"]}),
+        batch_format="pyarrow", batch_size=None)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        pth = os.path.join(td, "a.velist")
+        write_velist(edges, verts, pth)
+        rd, _v, _h = read_velist(pth, has_vcolors=True, has_etimes=True)
+        return rd.materialize()
+
+
+SQL_VELIST_EDGES_TMPL = """
+WITH e AS ({edges})
+SELECT CAST(src % 4 AS BIGINT) AS gid, src, dst,
+       CAST((src + dst) % 7 AS BIGINT) AS etime
+FROM e"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -8795,6 +8895,8 @@ def queries() -> Dict[str, Callable]:
         "layout_grid3d": q_layout_grid3d,
         "layout_sphere": q_layout_sphere,
         "layout_rt_circular": q_layout_rt_circular,
+        "fsm_support": q_fsm_support,
+        "velist_edges": q_velist_edges,
     }
 
 
@@ -10162,4 +10264,6 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "layout_grid3d": _sql_layout_grid3d(),
         "layout_sphere": _sql_layout_sphere(),
         "layout_rt_circular": _sql_layout_rt_circular(),
+        "fsm_support": SQL_FSM_SUPPORT,
+        "velist_edges": SQL_VELIST_EDGES_TMPL.format(edges=SQL_EDGES_A),
     }
