@@ -8611,6 +8611,155 @@ SELECT CAST(src % 4 AS BIGINT) AS gid, src, dst,
 FROM e"""
 
 
+def q_dynamic_snapshots(sf_dir: str):
+    """The fork's DYNAMIC velist reader
+    (igraph_read_and_project_dynamic_velist, dynamic.c:75) proved by a
+    write → read → snapshot-expansion round trip: edge_table with
+    ctime = (src+dst) % 5, dtime = -1 (never deleted) when src % 3 = 0
+    else ctime + 1 + dst % 3; a snapshot per distinct insertion
+    timestamp, edge present iff ctime <= w < dtime."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.velist import (dynamic_snapshots,
+                                           read_dynamic_velist,
+                                           write_dynamic_velist)
+
+    e = derive.edges_a(sf_dir)
+
+    def _dyn(b: pa.Table) -> pa.Table:
+        t = pa.table({"src": b["src"], "dst": b["dst"]})
+        t = t.group_by(["src", "dst"]).aggregate([])
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        c = (s + d) % 5
+        dl = np.where(s % 3 == 0, -1, c + 1 + d % 3)
+        return pa.table({"src": pa.array(s), "dst": pa.array(d),
+                         "ctime": pa.array(c.astype("int64")),
+                         "dtime": pa.array(dl.astype("int64"))})
+
+    dyn = (e.map_batches(_dyn, batch_format="pyarrow", batch_size=None)
+           .groupby(["src", "dst"]).max("ctime"))
+    dyn = dyn.map_batches(
+        lambda b: pa.table({
+            "src": b["src"], "dst": b["dst"],
+            "ctime": b["max(ctime)"],
+            "dtime": pa.array(np.where(
+                b["src"].to_numpy(zero_copy_only=False) % 3 == 0, -1,
+                b["max(ctime)"].to_numpy(zero_copy_only=False) + 1
+                + b["dst"].to_numpy(zero_copy_only=False) % 3)
+                .astype("int64"))}),
+        batch_format="pyarrow", batch_size=None)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        pth = os.path.join(td, "a.dvelist")
+        write_dynamic_velist(dyn, None, pth)
+        rd, _v = read_dynamic_velist(pth)
+        return dynamic_snapshots(rd).sort(["w", "src", "dst"]).materialize()
+
+
+SQL_DYNAMIC_SNAPSHOTS_TMPL = """
+WITH e AS ({edges}),
+d AS (SELECT DISTINCT src, dst, (src + dst) % 5 AS ctime,
+             CASE WHEN src % 3 = 0 THEN -1
+                  ELSE (src + dst) % 5 + 1 + dst % 3 END AS dtime
+      FROM e),
+ws AS (SELECT DISTINCT ctime AS w FROM d)
+SELECT CAST(ws.w AS BIGINT) AS w, d.src, d.dst
+FROM ws JOIN d ON d.ctime <= ws.w AND (d.dtime = -1 OR d.dtime > ws.w)
+ORDER BY w, src, dst"""
+
+
+def q_dynamic_proj_neighbors(sf_dir: str):
+    """IGRAPH_PROJECTION_NEIGHBORS over the 6h-window event snapshot
+    database (dynamic.c:751): per consecutive pair, the union graph
+    restricted to the joint 1-hop neighborhood of the changed
+    vertices, with selector-local vertex ids (the reference's bw_index
+    relabeling, dynamic.c:608)."""
+    from igraph_ray.ops.temporal import (projection_neighbors,
+                                         snapshots_from_events)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"])
+    snap = snapshots_from_events(events)
+    return projection_neighbors(snap).sort(["w", "src", "dst"])
+
+
+_SQL_UE_CORE = """
+ev AS (
+  SELECT (epoch_us(ts) // 1000000) // 21600 AS w,
+         user_id % 512 AS src, event_id % 97 AS dst FROM events),
+dedup AS MATERIALIZED (SELECT DISTINCT w, src, dst FROM ev),
+bounds AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM dedup),
+expanded AS (
+  SELECT w AS pair, src, dst, 2 AS bit FROM dedup
+  UNION ALL SELECT w - 1, src, dst, 1 FROM dedup),
+ue AS MATERIALIZED (
+  SELECT pair AS w, src, dst, SUM(bit) AS color
+  FROM expanded, bounds
+  WHERE pair >= wmin AND pair <= wmax - 1
+  GROUP BY pair, src, dst),
+sym AS (SELECT w, src AS a, dst AS b FROM ue
+        UNION ALL SELECT w, dst AS a, src AS b FROM ue)"""
+
+
+SQL_DYNAMIC_PROJ_NEIGHBORS = (
+    "WITH " + _SQL_UE_CORE + """,
+changed AS (SELECT DISTINCT w, v FROM (
+  SELECT w, src AS v FROM ue WHERE color != 3
+  UNION ALL SELECT w, dst AS v FROM ue WHERE color != 3)),
+neigh AS (SELECT DISTINCT s.w, s.b AS v
+          FROM sym s JOIN changed c ON c.w = s.w AND c.v = s.a),
+sel AS (SELECT DISTINCT w, v FROM (
+  SELECT * FROM changed UNION ALL SELECT * FROM neigh)),
+ranked AS (SELECT w, v,
+                  ROW_NUMBER() OVER (PARTITION BY w ORDER BY v) - 1
+                  AS loc FROM sel)
+SELECT CAST(ue.w AS BIGINT) AS w, CAST(ue.src AS BIGINT) AS src,
+       CAST(ue.dst AS BIGINT) AS dst, CAST(ue.color AS BIGINT) AS color,
+       CAST(rs.loc AS BIGINT) AS src_local,
+       CAST(rd.loc AS BIGINT) AS dst_local
+FROM ue JOIN ranked rs ON rs.w = ue.w AND rs.v = ue.src
+        JOIN ranked rd ON rd.w = ue.w AND rd.v = ue.dst
+ORDER BY w, src, dst""")
+
+
+def q_dynamic_proj_event(sf_dir: str):
+    """IGRAPH_PROJECTION_EVENT over the 6h-window event snapshot
+    database (dynamic.c:826): one union graph per changed edge,
+    restricted to the joint 1-hop neighborhood of the event's
+    endpoints (documented deviation: one event per changed edge —
+    see ops/temporal.projection_event)."""
+    from igraph_ray.ops.temporal import (projection_event,
+                                         snapshots_from_events)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"])
+    snap = snapshots_from_events(events)
+    return projection_event(snap).sort(
+        ["w", "ea", "eb", "src", "dst"])
+
+
+SQL_DYNAMIC_PROJ_EVENT = (
+    "WITH " + _SQL_UE_CORE + """,
+evs AS (SELECT w, src AS ea, dst AS eb FROM ue WHERE color != 3),
+evends AS (SELECT w, ea, eb, ea AS a FROM evs
+           UNION ALL SELECT w, ea, eb, eb AS a FROM evs),
+nb AS (SELECT DISTINCT e.w, e.ea, e.eb, s.b AS v
+       FROM evends e JOIN sym s ON s.w = e.w AND s.a = e.a),
+sel AS (SELECT DISTINCT w, ea, eb, v FROM (
+  SELECT w, ea, eb, v FROM nb
+  UNION ALL SELECT w, ea, eb, a AS v FROM evends))
+SELECT CAST(u.w AS BIGINT) AS w, CAST(s1.ea AS BIGINT) AS ea,
+       CAST(s1.eb AS BIGINT) AS eb, CAST(u.src AS BIGINT) AS src,
+       CAST(u.dst AS BIGINT) AS dst, CAST(u.color AS BIGINT) AS color
+FROM ue u JOIN sel s1 ON s1.w = u.w AND s1.v = u.src
+          JOIN sel s2 ON s2.w = u.w AND s2.ea = s1.ea
+                     AND s2.eb = s1.eb AND s2.v = u.dst
+ORDER BY w, ea, eb, src, dst""")
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -8897,6 +9046,9 @@ def queries() -> Dict[str, Callable]:
         "layout_rt_circular": q_layout_rt_circular,
         "fsm_support": q_fsm_support,
         "velist_edges": q_velist_edges,
+        "dynamic_snapshots": q_dynamic_snapshots,
+        "dynamic_proj_neighbors": q_dynamic_proj_neighbors,
+        "dynamic_proj_event": q_dynamic_proj_event,
     }
 
 
@@ -10266,4 +10418,8 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "layout_rt_circular": _sql_layout_rt_circular(),
         "fsm_support": SQL_FSM_SUPPORT,
         "velist_edges": SQL_VELIST_EDGES_TMPL.format(edges=SQL_EDGES_A),
+        "dynamic_snapshots": SQL_DYNAMIC_SNAPSHOTS_TMPL.format(
+            edges=SQL_EDGES_A),
+        "dynamic_proj_neighbors": SQL_DYNAMIC_PROJ_NEIGHBORS,
+        "dynamic_proj_event": SQL_DYNAMIC_PROJ_EVENT,
     }

@@ -154,3 +154,127 @@ def write_velist(
                 if "etime" in ed.columns:
                     fields.append(str(int(r.etime)))
                 f.write(" ".join(fields) + "\n")
+
+
+def read_dynamic_velist(
+    path: str,
+    has_vcolors: bool = False,
+    has_etimesdel: bool = True,
+) -> Tuple[ray.data.Dataset, ray.data.Dataset]:
+    """The fork's DYNAMIC velist format
+    (igraph_read_and_project_dynamic_velist, dynamic.c:75):
+
+        v <vid> [vcolor]
+        e <src> <dst> <ctime> [<dtime>]
+
+    with dtime = -1 meaning "never deleted". Unlike the transaction
+    format there are no ``t #`` headers — every line is
+    self-describing — so blocks parse fully independently (no offset
+    scan needed). Returns (edges, vertices): edges =
+    (src, dst, ctime, dtime), vertices = (vertex[, vcolor]). The
+    reference's ecolors+deletions combination is unimplemented there
+    too (dynamic.c:98)."""
+    ds = ray.data.read_text(path)
+
+    def _parse(t: pa.Table) -> pa.Table:
+        se, de, ce, te = [], [], [], []
+        vv, cv = [], []
+        for ln in (t["text"].to_pylist() if t.num_rows else []):
+            parts = ln.split()
+            if len(parts) < 2:
+                continue
+            if parts[0] == "v":
+                vv.append(int(parts[1]))
+                cv.append(int(parts[2]) if has_vcolors and len(parts) > 2
+                          else 0)
+            elif parts[0] == "e" and len(parts) >= 4:
+                se.append(int(parts[1]))
+                de.append(int(parts[2]))
+                ce.append(int(parts[3]))
+                te.append(int(parts[4]) if has_etimesdel and len(parts) > 4
+                          else -1)
+        # tag rows so one pass yields both tables
+        n_e, n_v = len(se), len(vv)
+        return pa.table({
+            "kind": pa.array([0] * n_e + [1] * n_v, pa.int64()),
+            "a": pa.array(se + vv, pa.int64()),
+            "b": pa.array(de + cv, pa.int64()),
+            "ctime": pa.array(ce + [0] * n_v, pa.int64()),
+            "dtime": pa.array(te + [0] * n_v, pa.int64())})
+
+    parsed = ds.map_batches(_parse, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    edges = parsed.filter(expr="kind == 0").map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"],
+                            "ctime": b["ctime"], "dtime": b["dtime"]}),
+        batch_format="pyarrow", batch_size=None)
+    verts = parsed.filter(expr="kind == 1").map_batches(
+        lambda b: pa.table({"vertex": b["a"], "vcolor": b["b"]}),
+        batch_format="pyarrow", batch_size=None)
+    return edges, verts
+
+
+def write_dynamic_velist(
+    edges: ray.data.Dataset,
+    vertices: Optional[ray.data.Dataset],
+    path: str,
+) -> None:
+    """Serialize a dynamic edge stream back to dynamic velist text.
+    The reference requires edges sorted by creation time
+    (dynamic.c:67); the writer enforces (ctime, src, dst) order.
+    Small-file dev writer like :func:`write_velist`."""
+    ed = edges.to_pandas().sort_values(["ctime", "src", "dst"])
+    with open(path, "w") as f:
+        if vertices is not None:
+            vd = vertices.to_pandas().sort_values("vertex")
+            for r in vd.itertuples():
+                f.write(f"v {int(r.vertex)}\n")
+        for r in ed.itertuples():
+            f.write(f"e {int(r.src)} {int(r.dst)} {int(r.ctime)}"
+                    f" {int(r.dtime)}\n")
+
+
+def dynamic_snapshots(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Expand a dynamic edge stream (src, dst, ctime, dtime) into the
+    snapshot database (w, src, dst): one snapshot per DISTINCT
+    insertion timestamp, edge present in snapshot w iff
+    ctime <= w < dtime (dtime = -1 = forever) — the reference reader's
+    contract (dynamic.c:193-283: deletions with del_time <= T are
+    applied when the graph for timestamp T is constructed, and
+    snapshots exist only at insertion timestamps). Vectorized
+    searchsorted expansion against the broadcast timestamp list (the
+    number of distinct timestamps is small by nature — it is the
+    number of output graphs)."""
+    edges = edges.materialize()
+    ts_rows = (edges.groupby("ctime").count()
+               .select_columns(["ctime"]).take_all())
+    W = np.sort(np.array([r["ctime"] for r in ts_rows], dtype=np.int64))
+
+    def _expand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        c = b["ctime"].to_numpy(zero_copy_only=False)
+        d = b["dtime"].to_numpy(zero_copy_only=False)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        t = b["dst"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(W, c, side="left")
+        d_eff = np.where(d < 0, W[-1] + 1, d)
+        hi = np.searchsorted(W, d_eff, side="left")
+        hi = np.maximum(hi, lo)
+        cnt = hi - lo
+        idx = np.repeat(np.arange(len(c)), cnt)
+        # window index within each edge's [lo, hi) run
+        runs = np.arange(int(cnt.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        w = W[lo[idx] + runs]
+        out = pa.table({"w": pa.array(w), "src": pa.array(s[idx]),
+                        "dst": pa.array(t[idx])})
+        return out.group_by(["w", "src", "dst"]).aggregate([]).\
+            rename_columns(["w", "src", "dst"])
+
+    return (edges.map_batches(_expand, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby(["w", "src", "dst"]).count()
+            .select_columns(["w", "src", "dst"]))
