@@ -8760,6 +8760,104 @@ FROM ue u JOIN sel s1 ON s1.w = u.w AND s1.v = u.src
 ORDER BY w, ea, eb, src, dst""")
 
 
+AVM_N = 24
+AVM_STEPS = 12
+AVM_P = 0.4
+AVM_PRIOR = 0.5
+AVM_ATTEMPTS = 16
+
+
+def q_avm(sf_dir: str):
+    """Adaptive voter model stream (igraph_write_avm_collected,
+    dynamic.c:1506) on the 24-vertex {1,5}-circulant: 12 deterministic
+    md5-draw steps of discordant-edge rewiring/adoption; output is the
+    full per-timestep colored-graph stream (t, kind, a, b) — kind 0 =
+    edge rows, kind 1 = opinion rows. The reference seeds rand() with
+    time(NULL); the engine's draw contract is documented in
+    algorithms/avm.py and replayed verbatim by the oracle."""
+    from igraph_ray.algorithms.avm import avm_stream
+
+    edges = set()
+    for i in range(AVM_N):
+        for d in (1, 5):
+            a, b = i, (i + d) % AVM_N
+            edges.add((min(a, b), max(a, b)))
+    return avm_stream(sorted(edges), AVM_N, steps=AVM_STEPS,
+                      rewiring_p=AVM_P, opinion_prior=AVM_PRIOR,
+                      attempts=AVM_ATTEMPTS)
+
+
+def _sql_avm() -> str:
+    from igraph_ray.algorithms.avm import HEX15
+
+    N, T, K = AVM_N, AVM_STEPS, AVM_ATTEMPTS
+    p_thr = int(AVM_P * HEX15)
+    prior_thr = int(AVM_PRIOR * HEX15)
+
+    def fold(expr: str) -> str:
+        return _md5_fold15(f"md5({expr})")
+
+    parts = [f"""WITH ks AS (SELECT range AS k FROM range({K})),
+o0 AS MATERIALIZED (SELECT range AS v,
+       CASE WHEN ({fold("'avm:op:' || CAST(range AS VARCHAR)")})
+            < {prior_thr} THEN 2 ELSE 1 END AS op FROM range({N})),
+e0 AS MATERIALIZED (SELECT LEAST(range, (range+1) % {N}) AS lo,
+              GREATEST(range, (range+1) % {N}) AS hi FROM range({N})
+       UNION
+       SELECT LEAST(range, (range+5) % {N}),
+              GREATEST(range, (range+5) % {N}) FROM range({N}))"""]
+    for t in range(T):
+        et, ot = f"e{t}", f"o{t}"
+        parts.append(f""",
+a{t} AS MATERIALIZED (SELECT lo, hi FROM (
+  SELECT r.lo, r.hi, ROW_NUMBER() OVER (ORDER BY ks.k) AS rn
+  FROM ks
+  JOIN (SELECT lo, hi, ROW_NUMBER() OVER (ORDER BY lo, hi) - 1 AS rk,
+               COUNT(*) OVER () AS m FROM {et}) r
+    ON r.rk = ({fold(f"'avm:t{t}:e' || CAST(ks.k AS VARCHAR)")}) % r.m
+  JOIN {ot} ol ON ol.v = r.lo JOIN {ot} oh ON oh.v = r.hi
+  WHERE ol.op != oh.op) WHERE rn = 1),
+c{t} AS MATERIALIZED (SELECT lo, hi,
+  CASE WHEN ({fold(f"'avm:t{t}:r'")}) % 2 = 0 THEN lo ELSE hi END
+    AS resolver,
+  CASE WHEN ({fold(f"'avm:t{t}:r'")}) % 2 = 0 THEN hi ELSE lo END
+    AS other,
+  CASE WHEN ({fold(f"'avm:t{t}:a'")}) < {p_thr} THEN 1 ELSE 0 END
+    AS rew
+  FROM a{t}),
+w{t} AS MATERIALIZED (SELECT lo, hi, resolver, w FROM (
+  SELECT c.lo, c.hi, c.resolver, j.w,
+         ROW_NUMBER() OVER (ORDER BY j.k) AS rn
+  FROM c{t} c
+  JOIN (SELECT k, ({fold(f"'avm:t{t}:w' || CAST(k AS VARCHAR)")})
+               % {N} AS w FROM ks) j ON TRUE
+  JOIN {ot} ow ON ow.v = j.w
+  JOIN {ot} orr ON orr.v = c.resolver
+  WHERE c.rew = 1 AND j.w != c.resolver AND ow.op = orr.op
+    AND NOT EXISTS (SELECT 1 FROM {et} ee
+        WHERE ee.lo = LEAST(c.resolver, j.w)
+          AND ee.hi = GREATEST(c.resolver, j.w))
+  ) WHERE rn = 1),
+e{t + 1} AS MATERIALIZED (SELECT e.lo, e.hi FROM {et} e
+  WHERE NOT EXISTS (SELECT 1 FROM w{t} x
+                    WHERE x.lo = e.lo AND x.hi = e.hi)
+  UNION ALL
+  SELECT LEAST(resolver, w), GREATEST(resolver, w) FROM w{t}),
+o{t + 1} AS MATERIALIZED (SELECT o.v, COALESCE(
+    (SELECT o2.op FROM c{t} c JOIN {ot} o2 ON o2.v = c.other
+     WHERE c.rew = 0 AND c.resolver = o.v), o.op) AS op
+  FROM {ot} o)""")
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS t, 0 AS kind, lo AS a, hi AS b FROM e{t} "
+        f"UNION ALL SELECT {t}, 1, v, op FROM o{t}"
+        for t in range(T + 1))
+    parts.append(
+        f" SELECT CAST(t AS BIGINT) AS t, CAST(kind AS BIGINT) AS kind,"
+        f" CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b"
+        f" FROM ({rows}) ORDER BY t, kind, a, b")
+    return "".join(parts)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9049,6 +9147,7 @@ def queries() -> Dict[str, Callable]:
         "dynamic_snapshots": q_dynamic_snapshots,
         "dynamic_proj_neighbors": q_dynamic_proj_neighbors,
         "dynamic_proj_event": q_dynamic_proj_event,
+        "avm": q_avm,
     }
 
 
@@ -10422,4 +10521,5 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
             edges=SQL_EDGES_A),
         "dynamic_proj_neighbors": SQL_DYNAMIC_PROJ_NEIGHBORS,
         "dynamic_proj_event": SQL_DYNAMIC_PROJ_EVENT,
+        "avm": _sql_avm(),
     }
