@@ -8858,6 +8858,156 @@ o{t + 1} AS MATERIALIZED (SELECT o.v, COALESCE(
     return "".join(parts)
 
 
+def q_even_tarjan(sf_dir: str):
+    """Even–Tarjan vertex-splitting reduction
+    (igraph_even_tarjan_reduction, st-cuts.c:51) of edges_a: vertex i
+    → (i, i+V) unit splitter arc; edge (f,t) → arcs (f+V, t) and
+    (t+V, f) with capacity V."""
+    from igraph_ray.ops.flowutil import even_tarjan_reduction
+
+    out = even_tarjan_reduction(derive.edges_a(sf_dir), V)
+    return out.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                            "capacity": b["capacity"].cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None).sort(
+            ["src", "dst", "capacity"])
+
+
+SQL_EVEN_TARJAN_TMPL = """
+WITH e AS ({edges})
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(capacity AS BIGINT) AS capacity FROM (
+  SELECT range AS src, range + {v} AS dst, 1 AS capacity FROM range({v})
+  UNION ALL SELECT src + {v}, dst, {v} FROM e
+  UNION ALL SELECT dst + {v}, src, {v} FROM e)
+ORDER BY src, dst, capacity"""
+
+
+def q_residual_graph(sf_dir: str):
+    """Residual graph (igraph_residual_graph, st-cuts.c:104,148) of
+    edges_a under the deterministic pseudo-flow
+    flow = LEAST(cap, (src+dst) % 4), cap = (src*7+dst*13) % 9 + 1:
+    arcs with cap − flow > 0, reported with the ORIGINAL capacity
+    (the reference's literal behavior, st-cuts.c:131-136)."""
+    from igraph_ray.ops.flowutil import residual_graph
+
+    e = derive.edges_a(sf_dir)
+
+    def _cf(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        cap = ((s * 7 + d * 13) % 9 + 1).astype(np.float64)
+        fl = np.minimum(cap, ((s + d) % 4).astype(np.float64))
+        t = b.append_column("capacity", pa.array(cap))
+        return t.append_column("flow", pa.array(fl))
+
+    out = residual_graph(e.map_batches(_cf, batch_format="pyarrow",
+                                       batch_size=None))
+    return out.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                            "capacity": b["capacity"].cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None).sort(["src", "dst"])
+
+
+SQL_RESIDUAL_TMPL = """
+WITH e AS ({edges}),
+cf AS (SELECT src, dst, (src*7 + dst*13) % 9 + 1 AS cap,
+              LEAST((src*7 + dst*13) % 9 + 1, (src + dst) % 4) AS fl
+       FROM e)
+SELECT src, dst, CAST(cap AS BIGINT) AS capacity
+FROM cf WHERE cap - fl > 0 ORDER BY src, dst"""
+
+
+def q_reverse_residual(sf_dir: str):
+    """Reverse residual graph (igraph_reverse_residual_graph,
+    st-cuts.c:177,218) of the q_residual_graph fixture: arc (f,t) iff
+    flow > 0, arc (t,f) iff flow < capacity."""
+    from igraph_ray.ops.flowutil import reverse_residual_graph
+
+    e = derive.edges_a(sf_dir)
+
+    def _cf(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        cap = ((s * 7 + d * 13) % 9 + 1).astype(np.float64)
+        fl = np.minimum(cap, ((s + d) % 4).astype(np.float64))
+        t = b.append_column("capacity", pa.array(cap))
+        return t.append_column("flow", pa.array(fl))
+
+    return reverse_residual_graph(
+        e.map_batches(_cf, batch_format="pyarrow", batch_size=None)
+    ).sort(["src", "dst"])
+
+
+SQL_REVERSE_RESIDUAL_TMPL = """
+WITH e AS ({edges}),
+cf AS (SELECT src, dst, (src*7 + dst*13) % 9 + 1 AS cap,
+              LEAST((src*7 + dst*13) % 9 + 1, (src + dst) % 4) AS fl
+       FROM e)
+SELECT src, dst FROM (
+  SELECT src, dst FROM cf WHERE fl > 0
+  UNION ALL SELECT dst AS src, src AS dst FROM cf WHERE fl < cap)
+ORDER BY src, dst"""
+
+
+def q_disjoint_paths(sf_dir: str):
+    """Edge- and vertex-disjoint path counts s=0 → t=V-1 on edges_a
+    (igraph_edge_disjoint_paths flow.c:2177,
+    igraph_vertex_disjoint_paths flow.c:2218). Rows-only by nature
+    (flow values); Menger brute-force parity on small graphs in
+    tests/test_flowutil.py."""
+    from igraph_ray.ops.flowutil import (edge_disjoint_paths,
+                                         vertex_disjoint_paths)
+
+    e = derive.edges_a(sf_dir).materialize()
+    edp = edge_disjoint_paths(e, 0, V - 1, n=V)
+    vdp = vertex_disjoint_paths(e, 0, V - 1, n=V)
+    return pa.table({"edp": pa.array([edp], pa.int64()),
+                     "vdp": pa.array([vdp], pa.int64())})
+
+
+def q_minimal_separators(sf_dir: str):
+    """All minimal (s,t) vertex separators of the very-sparse derived
+    graph (igraph_all_minimal_st_separators, separators.c:421;
+    Berry–Bordat–Cogis generation). Output (sep, vertex) with sep =
+    rank of the sorted member tuple. Rows-only (output-polynomial
+    enumeration); brute-force subset parity in
+    tests/test_min_separators.py."""
+    from igraph_ray.algorithms.min_separators import all_minimal_separators
+
+    g = derive.graph_vsparse(sf_dir)
+    seps = all_minimal_separators(g)
+    sid, vs = [], []
+    for i, s in enumerate(seps):
+        for v in s:
+            sid.append(i)
+            vs.append(int(v))
+    return pa.table({"sep": pa.array(sid, pa.int64()),
+                     "vertex": pa.array(vs, pa.int64())})
+
+
+def q_min_size_separators(sf_dir: str):
+    """All minimum-size separators of the Petersen graph
+    (igraph_minimum_size_separators, separators.c:643) — κ = 3 and
+    every minimum cut-set listed. Rows-only; brute-force parity and
+    κ-slice equivalence pytests."""
+    from igraph_ray.algorithms.min_separators import minimum_size_separators
+    from igraph_ray.sources.structures import FAMOUS
+
+    n, edges = FAMOUS["petersen"]()
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())})), n=n)
+    seps = minimum_size_separators(g, n=n)
+    sid, vs = [], []
+    for i, s in enumerate(seps):
+        for v in s:
+            sid.append(i)
+            vs.append(int(v))
+    return pa.table({"sep": pa.array(sid, pa.int64()),
+                     "vertex": pa.array(vs, pa.int64())})
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9148,6 +9298,12 @@ def queries() -> Dict[str, Callable]:
         "dynamic_proj_neighbors": q_dynamic_proj_neighbors,
         "dynamic_proj_event": q_dynamic_proj_event,
         "avm": q_avm,
+        "even_tarjan": q_even_tarjan,
+        "residual_graph": q_residual_graph,
+        "reverse_residual": q_reverse_residual,
+        "disjoint_paths": q_disjoint_paths,
+        "minimal_separators": q_minimal_separators,
+        "min_size_separators": q_min_size_separators,
     }
 
 
@@ -10522,4 +10678,9 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "dynamic_proj_neighbors": SQL_DYNAMIC_PROJ_NEIGHBORS,
         "dynamic_proj_event": SQL_DYNAMIC_PROJ_EVENT,
         "avm": _sql_avm(),
+        "even_tarjan": SQL_EVEN_TARJAN_TMPL.format(edges=SQL_EDGES_A,
+                                                   v=derive.V),
+        "residual_graph": SQL_RESIDUAL_TMPL.format(edges=SQL_EDGES_A),
+        "reverse_residual": SQL_REVERSE_RESIDUAL_TMPL.format(
+            edges=SQL_EDGES_A),
     }
