@@ -211,6 +211,7 @@ def layout_kamada_kawai(
     iterations: int = 50,
     n: Optional[int] = None,
     max_vertices: int = 2048,
+    dims: int = 2,
 ) -> ray.data.Dataset:
     """Kamada–Kawai layout (igraph_layout_kamada_kawai, layout_kk.c;
     KK '89) as deterministic SMACOF stress majorization: minimize
@@ -261,7 +262,17 @@ def layout_kamada_kawai(
         # seed (layout_kk.c uses the circular start) — random starts
         # fall into collinear local minima of the stress
         theta = 2.0 * np.pi * np.arange(n) / max(n, 1)
-        X = np.stack([np.cos(theta), np.sin(theta)], 1) * np.sqrt(n)
+        if dims == 3:
+            # spherical-spiral seed (the 3-D analogue of the circle;
+            # igraph_layout_kamada_kawai_3d starts from layout_sphere)
+            h = (-1.0 + 2.0 * np.arange(n) / max(n - 1, 1)
+                 if n > 1 else np.zeros(1))
+            phi = np.arccos(np.clip(h, -1.0, 1.0))
+            X = np.stack([np.sin(phi) * np.cos(theta * 2.0),
+                          np.sin(phi) * np.sin(theta * 2.0),
+                          np.cos(phi)], 1) * np.sqrt(n)
+        else:
+            X = np.stack([np.cos(theta), np.sin(theta)], 1) * np.sqrt(n)
         W = 1.0 / np.maximum(D, 1e-9) ** 2
         np.fill_diagonal(W, 0.0)
         wsum = W.sum(1)
@@ -276,10 +287,11 @@ def layout_kamada_kawai(
         return X
 
     X = ray.get(_kk.remote(arrays))
-    return ray.data.from_arrow(pa.table({
-        "vertex": pa.array(np.arange(n, dtype=np.int64)),
-        "x": pa.array(X[:, 0]),
-        "y": pa.array(X[:, 1])}))
+    cols = {"vertex": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(X[:, 0]), "y": pa.array(X[:, 1])}
+    if dims == 3:
+        cols["z"] = pa.array(X[:, 2])
+    return ray.data.from_arrow(pa.table(cols))
 
 
 # --------------------------------------------------------------- Sugiyama
@@ -1282,3 +1294,429 @@ def layout_reingold_tilford_circular(
                          "y": pa.array(r * np.sin(phi), pa.float64())})
 
     return pos.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------ N-dimensional engine
+
+_AXES = ("x", "y", "z")
+
+
+def _force_directed_nd(
+    graph: Graph,
+    n: int,
+    iterations: int,
+    num_partitions: int,
+    att_mul,
+    rep_mul,
+    temp_fn,
+    k: float,
+    dims: int = 3,
+    gravity: float = 0.0,
+) -> ray.data.Dataset:
+    """Dimension-generic variant of :func:`_force_directed` (2 or 3
+    dims): same grid-cell centroid repulsion (the DRL density grid in
+    d dimensions), per-edge attraction via two hash joins, optional
+    GEM-style gravitation toward the global centroid (``gravity`` ×
+    temp per iteration). Unit-cube coordinates, md5 init."""
+    axes = _AXES[:dims]
+    cell = min(2.0 * k, 0.25)
+    ncell = max(1, int(np.ceil(1.0 / cell)))
+    und = graph.canonical_undirected().materialize()
+
+    def _init(b: pa.Table) -> pa.Table:
+        v = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"vertex": pa.array(v)}
+        for a in axes:
+            cols[a] = pa.array(_md5_unit([f"{a}:{i}" for i in v.tolist()]))
+        return pa.table(cols)
+
+    pos = ray.data.range(n).map_batches(
+        _init, batch_format="pyarrow", batch_size=None).materialize()
+
+    for it in range(iterations):
+        temp = temp_fn(it, iterations)
+
+        def _cells(b: pa.Table) -> pa.Table:
+            cid = np.zeros(b.num_rows, np.int64)
+            cols = {}
+            for a in axes:
+                v = b[a].to_numpy(zero_copy_only=False)
+                cid = cid * ncell + np.clip(
+                    (v / cell).astype(np.int64), 0, ncell - 1)
+                cols[a] = b[a]
+            t = pa.table({"cid": pa.array(cid), **cols,
+                          "cnt": pa.array(np.ones(b.num_rows))})
+            return t.group_by("cid").aggregate(
+                [(a, "sum") for a in axes] + [("cnt", "sum")])
+
+        cells = (pos.map_batches(_cells, batch_format="pyarrow",
+                                 batch_size=None)
+                 .groupby("cid").sum([f"{a}_sum" for a in axes]
+                                     + ["cnt_sum"]))
+        cells_ref = _concat_tables.remote(cells.to_arrow_refs())
+
+        ps = pos.map_batches(lambda b: pa.table(
+            {"lo": b["vertex"], **{f"{a}s": b[a] for a in axes}}),
+            batch_format="pyarrow", batch_size=None)
+        pd_ = pos.map_batches(lambda b: pa.table(
+            {"hi": b["vertex"], **{f"{a}d": b[a] for a in axes}}),
+            batch_format="pyarrow", batch_size=None)
+        j = hash_join(und, ps, on="lo", num_partitions=num_partitions)
+        j = hash_join(j, pd_, on="hi", num_partitions=num_partitions)
+
+        def _att(b: pa.Table, it=it) -> pa.Table:
+            dv = [b[f"{a}d"].to_numpy(zero_copy_only=False)
+                  - b[f"{a}s"].to_numpy(zero_copy_only=False)
+                  for a in axes]
+            d = np.sqrt(sum(x * x for x in dv)) + 1e-9
+            f = att_mul(d, it)
+            lo = b["lo"].to_numpy(zero_copy_only=False)
+            hi = b["hi"].to_numpy(zero_copy_only=False)
+            cols = {"vertex": pa.array(np.concatenate([lo, hi]))}
+            for a, x in zip(axes, dv):
+                cols[f"f{a}"] = pa.array(np.concatenate([x * f, -x * f]))
+            t = pa.table(cols)
+            return t.group_by("vertex").aggregate(
+                [(f"f{a}", "sum") for a in axes])
+
+        att = (j.map_batches(_att, batch_format="pyarrow",
+                             batch_size=None)
+               .groupby("vertex").sum([f"f{a}_sum" for a in axes])
+               .materialize())
+
+        def _move(b: pa.Table, temp=temp, it=it) -> pa.Table:
+            ct = ray.get(cells_ref)
+            ccnt = ct["sum(cnt_sum)"].to_numpy(zero_copy_only=False)
+            cc = [ct[f"sum({a}_sum)"].to_numpy(zero_copy_only=False)
+                  / np.maximum(ccnt, 1.0) for a in axes]
+            x = [b[a].to_numpy(zero_copy_only=False).copy()
+                 for a in axes]
+            dd = [xi[:, None] - ci[None, :] for xi, ci in zip(x, cc)]
+            d2 = sum(d * d for d in dd) + 1e-12
+            f = rep_mul(d2, ccnt[None, :], it)
+            fs = [(d * f).sum(axis=1) for d in dd]
+            if f"sum(f{axes[0]}_sum)" in b.column_names:
+                for i, a in enumerate(axes):
+                    fs[i] += np.nan_to_num(
+                        b[f"sum(f{a}_sum)"].to_numpy(
+                            zero_copy_only=False).astype(np.float64))
+            if gravity:
+                total = ccnt.sum()
+                gc = [(ci * ccnt).sum() / max(total, 1.0) for ci in cc]
+                for i in range(len(axes)):
+                    fs[i] += gravity * (gc[i] - x[i])
+            norm = np.sqrt(sum(g * g for g in fs)) + 1e-12
+            step = np.minimum(norm, temp)
+            out = {"vertex": b["vertex"]}
+            for a, xi, g in zip(axes, x, fs):
+                out[a] = pa.array(np.clip(xi + g / norm * step, 0.0, 1.0))
+            return pa.table(out)
+
+        pos = (hash_join(pos, att, on="vertex",
+                         num_partitions=num_partitions,
+                         join_type="left_outer")
+               .map_batches(_move, batch_format="pyarrow",
+                            batch_size=None)
+               .repartition(num_partitions).materialize())
+    return pos
+
+
+def layout_fruchterman_reingold_3d(
+    graph: Graph,
+    iterations: int = 10,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """igraph_layout_fruchterman_reingold_3d (layout.c FR-3D): the FR
+    force laws in the unit cube — (vertex, x, y, z)."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             **{a: pa.array([], pa.float64()) for a in _AXES}}))
+    k = float((1.0 / n) ** (1.0 / 3.0))
+    return _force_directed_nd(
+        graph, n, iterations, num_partitions,
+        att_mul=lambda d, it: d / k,
+        rep_mul=lambda d2, cnt, it: k * k / d2 * cnt,
+        temp_fn=lambda it, iters: 0.15 * (1.0 - it / iters),
+        k=k, dims=3)
+
+
+def layout_drl_3d(
+    graph: Graph,
+    iterations: int = 20,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """igraph_layout_drl_3d (src/drl_3d/): the DRL default annealing
+    schedule over the 3-D density grid."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             **{a: pa.array([], pa.float64()) for a in _AXES}}))
+    k = float((1.0 / n) ** (1.0 / 3.0))
+    bounds = np.cumsum([f for f, _, _ in _DRL_PHASES])
+
+    def _phase(it, iters):
+        frac = (it + 0.5) / iters
+        idx = int(np.searchsorted(bounds, frac))
+        return _DRL_PHASES[min(idx, len(_DRL_PHASES) - 1)]
+
+    return _force_directed_nd(
+        graph, n, iterations, num_partitions,
+        att_mul=lambda d, it: _phase(it, iterations)[2] * d / k,
+        rep_mul=lambda d2, cnt, it: k * k / d2 * cnt,
+        temp_fn=lambda it, iters: 0.075 * _phase(it, iters)[1]
+        * (1.0 - 0.5 * it / iters),
+        k=k, dims=3)
+
+
+def layout_gem(
+    graph: Graph,
+    iterations: int = 15,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+    gravity: float = 0.0625,
+) -> ray.data.Dataset:
+    """GEM layout (igraph_layout_gem, layout.c; Frick, Ludwig & Mehldau
+    1994): FR-style attraction/repulsion plus GEM's distinctive
+    GRAVITATION term pulling every vertex toward the barycenter
+    (Frick's Φ/16 default). The reference's per-vertex local
+    temperatures and rotation/oscillation detection are replaced by
+    the engine's global cooling schedule (documented deviation — the
+    equilibrium shape is the same; rows-only + property pytest)."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    k = float(np.sqrt(1.0 / n))
+    return _force_directed_nd(
+        graph, n, iterations, num_partitions,
+        att_mul=lambda d, it: d / k,
+        rep_mul=lambda d2, cnt, it: k * k / d2 * cnt,
+        temp_fn=lambda it, iters: 0.15 * (1.0 - it / iters),
+        k=k, dims=2, gravity=gravity)
+
+
+def layout_davidson_harel(
+    graph: Graph,
+    iterations: int = 16,
+    n: Optional[int] = None,
+    num_partitions: int = 8,
+    fine_tune_fraction: float = 0.25,
+) -> ray.data.Dataset:
+    """Davidson–Harel layout (igraph_layout_davidson_harel, layout_dh.c;
+    Davidson & Harel 1996): simulated-annealing energy minimization of
+    node-node repulsion + edge-length cost inside a bounded frame. The
+    engine anneals the same energy's gradient (grid-approximated 1/d²
+    node repulsion, linear edge springs, the unit-square frame as the
+    border term) with a two-regime schedule: annealing, then the
+    reference's fine-tuning phase at a tenth of the temperature.
+    Documented deviation: gradient descent under the annealing
+    schedule instead of per-vertex Metropolis trials (the reference's
+    RNG is irreproducible); rows-only + property pytest."""
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    k = float(np.sqrt(1.0 / n))
+    cut = 1.0 - fine_tune_fraction
+
+    def temp_fn(it, iters):
+        frac = it / iters
+        if frac < cut:
+            return 0.2 * (1.0 - frac / cut)
+        return 0.02 * (1.0 - (frac - cut) / (1.0 - cut))
+
+    return _force_directed_nd(
+        graph, n, iterations, num_partitions,
+        att_mul=lambda d, it: d / k,
+        rep_mul=lambda d2, cnt, it: 1.5 * k * k / d2 * cnt,
+        temp_fn=temp_fn, k=k, dims=2)
+
+
+def merge_layouts(
+    layouts,
+    pad: float = 0.05,
+) -> ray.data.Dataset:
+    """Merge per-component layouts into one canvas
+    (igraph_layout_merge_dla, layout.c DLA merge). The reference
+    drops each component's bounding circle onto the canvas with
+    diffusion-limited-aggregation random walks; the engine places the
+    circles DETERMINISTICALLY on a golden-angle spiral with radii
+    accumulated so no two circles overlap (documented deviation — the
+    contract "disjoint bounding circles, big components central" is
+    preserved without the reference's RNG). ``layouts`` is a list of
+    (vertex, x, y) datasets; output adds the component index ``comp``
+    and offsets vertex coordinates in place."""
+    stats = []
+    mats = []
+    for ds in layouts:
+        m = ds.materialize()
+        mats.append(m)
+        cnt = m.count()
+        if cnt == 0:
+            stats.append((0.0, 0.0, 0.0))
+            continue
+        mx = (m.mean("x"), m.mean("y"))
+        rows = m.map_batches(
+            lambda b, mx=mx: pa.table({"r": pa.array(np.sqrt(
+                (b["x"].to_numpy(zero_copy_only=False) - mx[0]) ** 2
+                + (b["y"].to_numpy(zero_copy_only=False) - mx[1]) ** 2))}),
+            batch_format="pyarrow", batch_size=None)
+        stats.append((mx[0], mx[1], float(rows.max("r") or 0.0)))
+
+    # biggest circle first at the origin, rest on a golden-angle spiral
+    order = sorted(range(len(stats)), key=lambda i: -stats[i][2])
+    centers = [None] * len(stats)
+    placed = []
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    for rank, i in enumerate(order):
+        r = stats[i][2] + pad
+        if rank == 0:
+            centers[i] = (0.0, 0.0)
+            placed.append((0.0, 0.0, r))
+            continue
+        ang = golden * rank
+        dist = 0.0
+        step = max(r, pad) * 0.5
+        while True:
+            cx, cy = dist * np.cos(ang), dist * np.sin(ang)
+            if all((cx - px) ** 2 + (cy - py) ** 2 >= (r + pr) ** 2
+                   for px, py, pr in placed):
+                break
+            dist += step
+        centers[i] = (cx, cy)
+        placed.append((cx, cy, r))
+
+    parts = []
+    for i, m in enumerate(mats):
+        cx, cy = centers[i] if centers[i] else (0.0, 0.0)
+        ox, oy, _ = stats[i]
+        parts.append(m.map_batches(
+            lambda b, i=i, cx=cx, cy=cy, ox=ox, oy=oy: pa.table({
+                "comp": pa.array(np.full(b.num_rows, i, np.int64)),
+                "vertex": b["vertex"],
+                "x": pa.array(b["x"].to_numpy(zero_copy_only=False)
+                              - ox + cx),
+                "y": pa.array(b["y"].to_numpy(zero_copy_only=False)
+                              - oy + cy)}),
+            batch_format="pyarrow", batch_size=None))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def layout_bipartite(
+    edges: ray.data.Dataset,
+    sweeps: int = 2,
+    hgap: int = 1,
+    vgap: int = 1,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Bipartite layout (igraph_layout_bipartite, layout.c): the two
+    vertex classes on two horizontal rows (y = 0 / vgap), horizontal
+    order by the classic barycenter crossing-minimization sweeps
+    (the reference's heuristic is the same Sugiyama-style median/
+    barycenter pass). The contract is PINNED so SQL replays it
+    exactly: initial order = ascending vertex id per layer; each sweep
+    reorders the RIGHT layer by the mean position of its left
+    neighbors (ties: previous position, then id), then the LEFT layer
+    symmetrically; positions are integer ranks × hgap. ``edges`` rows
+    are (src=left vertex, dst=right vertex) over disjoint id
+    universes. Returns (vertex, type, x, y) — all int64."""
+    edges = edges.materialize()
+
+    def _layer(col: str, typ: int) -> ray.data.Dataset:
+        d = (edges.groupby(col).count()
+             .select_columns([col]).map_batches(
+                 lambda b: pa.table({"vertex": b[col]}) if b.num_rows
+                 else pa.table({"vertex": pa.array([], pa.int64())}),
+                 batch_format="pyarrow", batch_size=None))
+        d = _global_rank(d, ["vertex"], "pos")
+        return d.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"], "pos": b["pos"]})
+            if b.num_rows else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    left = _layer("src", 0)
+    right = _layer("dst", 1)
+
+    def _resweep(layer: ray.data.Dataset, other: ray.data.Dataset,
+                 key: str, okey: str) -> ray.data.Dataset:
+        opos = other.map_batches(
+            lambda b: pa.table({okey: b["vertex"], "npos": b["pos"]})
+            if b.num_rows else pa.table(
+                {okey: pa.array([], pa.int64()),
+                 "npos": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        j = hash_join(edges, opos, on=okey,
+                      num_partitions=num_partitions)
+        bary = (j.map_batches(
+            lambda b: pa.table({"vertex": b[key],
+                                "npos": b["npos"].cast(pa.float64())})
+            if b.num_rows else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "npos": pa.array([], pa.float64())}),
+            batch_format="pyarrow", batch_size=None)
+            .groupby("vertex").mean("npos"))
+        bary = bary.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "bary": b["mean(npos)"]})
+            if b.num_rows else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "bary": pa.array([], pa.float64())}),
+            batch_format="pyarrow", batch_size=None)
+        # every layer vertex has >= 1 neighbor (layers come from the
+        # edge list), so the inner join keeps the whole layer
+        withb = hash_join(layer, bary, on="vertex",
+                          num_partitions=num_partitions)
+        withb = withb.map_batches(
+            lambda b: pa.table({
+                "vertex": b["vertex"], "opos": b["pos"],
+                "bary": b["bary"]})
+            if b.num_rows else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "opos": pa.array([], pa.int64()),
+                 "bary": pa.array([], pa.float64())}),
+            batch_format="pyarrow", batch_size=None)
+        ranked = _global_rank(withb, ["bary", "opos", "vertex"], "pos")
+        return ranked.map_batches(
+            lambda b: pa.table({"vertex": b["vertex"], "pos": b["pos"]})
+            if b.num_rows else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    for _ in range(sweeps):
+        right = _resweep(right, left, "dst", "src")
+        left = _resweep(left, right, "src", "dst")
+
+    def _out(typ: int):
+        def _f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"vertex": pa.array([], pa.int64()),
+                                 "type": pa.array([], pa.int64()),
+                                 "x": pa.array([], pa.int64()),
+                                 "y": pa.array([], pa.int64())})
+            p = b["pos"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "vertex": b["vertex"],
+                "type": pa.array(np.full(b.num_rows, typ, np.int64)),
+                "x": pa.array(p * hgap),
+                "y": pa.array(np.full(b.num_rows, typ * vgap, np.int64))})
+        return _f
+
+    return (left.map_batches(_out(0), batch_format="pyarrow",
+                             batch_size=None)
+            .union(right.map_batches(_out(1), batch_format="pyarrow",
+                                     batch_size=None)))

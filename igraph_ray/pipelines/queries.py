@@ -9008,6 +9008,117 @@ def q_min_size_separators(sf_dir: str):
                      "vertex": pa.array(vs, pa.int64())})
 
 
+def q_layout_bipartite(sf_dir: str):
+    """Bipartite two-row layout with pinned barycenter sweeps
+    (igraph_layout_bipartite, layout.c) over the edges_a bipartite
+    double cover (left = src, right = dst + V): 2 sweeps, right layer
+    first, ties broken by previous position then id. Integer ranks —
+    hash-checked against the fully unrolled SQL replay."""
+    from igraph_ray.ops.layout import layout_bipartite
+
+    be = derive.edges_a(sf_dir).map_batches(
+        lambda b: pa.table({
+            "src": b["src"],
+            "dst": pa.array(b["dst"].to_numpy(zero_copy_only=False)
+                            + V)}),
+        batch_format="pyarrow", batch_size=None)
+    return layout_bipartite(be, sweeps=2).sort(["type", "x"])
+
+
+def _sql_layout_bipartite() -> str:
+    parts = [f"""WITH e AS ({SQL_EDGES_A}),
+be AS (SELECT src AS l, dst + {V} AS r FROM e),
+l0 AS (SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS pos
+       FROM (SELECT DISTINCT l AS vertex FROM be)),
+r0 AS (SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS pos
+       FROM (SELECT DISTINCT r AS vertex FROM be))"""]
+    for s in range(1, 3):
+        lp, rp = f"l{s - 1}", f"r{s - 1}"
+        parts.append(f""",
+rb{s} AS (SELECT be.r AS vertex, AVG(CAST(p.pos AS DOUBLE)) AS bary
+          FROM be JOIN {lp} p ON p.vertex = be.l GROUP BY be.r),
+r{s} AS (SELECT o.vertex, ROW_NUMBER() OVER (
+           ORDER BY b.bary, o.pos, o.vertex) - 1 AS pos
+         FROM {rp} o JOIN rb{s} b ON b.vertex = o.vertex),
+lb{s} AS (SELECT be.l AS vertex, AVG(CAST(p.pos AS DOUBLE)) AS bary
+          FROM be JOIN r{s} p ON p.vertex = be.r GROUP BY be.l),
+l{s} AS (SELECT o.vertex, ROW_NUMBER() OVER (
+           ORDER BY b.bary, o.pos, o.vertex) - 1 AS pos
+         FROM {lp} o JOIN lb{s} b ON b.vertex = o.vertex)""")
+    parts.append("""
+SELECT CAST(vertex AS BIGINT) AS vertex, CAST(t AS BIGINT) AS type,
+       CAST(pos AS BIGINT) AS x, CAST(t AS BIGINT) AS y FROM (
+  SELECT vertex, 0 AS t, pos FROM l2
+  UNION ALL SELECT vertex, 1 AS t, pos FROM r2)
+ORDER BY type, x""")
+    return "".join(parts)
+
+
+def q_layout_fr3d(sf_dir: str):
+    """3-D Fruchterman–Reingold
+    (igraph_layout_fruchterman_reingold_3d, layout.c) of the
+    very-sparse derived graph — unit-cube density-grid engine.
+    Rows-only (float coordinates); separation/determinism pytests."""
+    from igraph_ray.ops.layout import layout_fruchterman_reingold_3d
+
+    g = derive.graph_vsparse(sf_dir)
+    return layout_fruchterman_reingold_3d(
+        g, iterations=8, n=derive.V).sort("vertex")
+
+
+def q_layout_kk3d(sf_dir: str):
+    """3-D Kamada–Kawai (igraph_layout_kamada_kawai_3d, layout.c) —
+    SMACOF over BFS distances with a spherical-spiral seed.
+    Rows-only; stress-reduction pytest."""
+    from igraph_ray.ops.layout import layout_kamada_kawai
+
+    g = derive.graph_vsparse(sf_dir)
+    return layout_kamada_kawai(g, iterations=20, n=derive.V,
+                               dims=3).sort("vertex")
+
+
+def q_layout_drl3d(sf_dir: str):
+    """3-D DRL (igraph_layout_drl_3d, src/drl_3d/) — the default
+    5-phase annealing schedule over the 3-D density grid.
+    Rows-only; property pytests."""
+    from igraph_ray.ops.layout import layout_drl_3d
+
+    g = derive.graph_vsparse(sf_dir)
+    return layout_drl_3d(g, iterations=10, n=derive.V).sort("vertex")
+
+
+def q_layout_gem(sf_dir: str):
+    """GEM layout (igraph_layout_gem; Frick et al. 1994) — FR forces
+    plus GEM's gravitation toward the barycenter. Rows-only."""
+    from igraph_ray.ops.layout import layout_gem
+
+    g = derive.graph_vsparse(sf_dir)
+    return layout_gem(g, iterations=8, n=derive.V).sort("vertex")
+
+
+def q_layout_dh(sf_dir: str):
+    """Davidson–Harel layout (igraph_layout_davidson_harel,
+    layout_dh.c) — annealed energy descent with the fine-tuning
+    phase. Rows-only."""
+    from igraph_ray.ops.layout import layout_davidson_harel
+
+    g = derive.graph_vsparse(sf_dir)
+    return layout_davidson_harel(g, iterations=8,
+                                 n=derive.V).sort("vertex")
+
+
+def q_layout_merge(sf_dir: str):
+    """Component-layout merging (igraph_layout_merge_dla, layout.c):
+    three circle layouts packed onto one canvas with disjoint
+    bounding circles (deterministic golden-angle spiral in place of
+    the reference's DLA walks — documented deviation). Rows-only;
+    no-overlap pytest."""
+    from igraph_ray.ops.layout import layout_circle, merge_layouts
+
+    parts = [layout_circle(12), layout_circle(8), layout_circle(5)]
+    return merge_layouts(parts).sort(["comp", "vertex"])
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9304,6 +9415,13 @@ def queries() -> Dict[str, Callable]:
         "disjoint_paths": q_disjoint_paths,
         "minimal_separators": q_minimal_separators,
         "min_size_separators": q_min_size_separators,
+        "layout_bipartite": q_layout_bipartite,
+        "layout_fr3d": q_layout_fr3d,
+        "layout_kk3d": q_layout_kk3d,
+        "layout_drl3d": q_layout_drl3d,
+        "layout_gem": q_layout_gem,
+        "layout_dh": q_layout_dh,
+        "layout_merge": q_layout_merge,
     }
 
 
@@ -10683,4 +10801,5 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "residual_graph": SQL_RESIDUAL_TMPL.format(edges=SQL_EDGES_A),
         "reverse_residual": SQL_REVERSE_RESIDUAL_TMPL.format(
             edges=SQL_EDGES_A),
+        "layout_bipartite": _sql_layout_bipartite(),
     }
