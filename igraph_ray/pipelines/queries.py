@@ -9119,6 +9119,116 @@ def q_layout_merge(sf_dir: str):
     return merge_layouts(parts).sort(["comp", "vertex"])
 
 
+def _u_sql(key_expr: str) -> str:
+    """SQL for the repo's open-(0,1) uniform: (fold15(md5(k))+0.5)/16^15."""
+    return (f"((CAST(({_md5_fold15(f'md5({key_expr})')}) AS DOUBLE)"
+            f" + 0.5) / 1152921504606846976.0)")
+
+
+def _gauss_sql(seed: str, axis: int) -> str:
+    u1 = _u_sql(f"'{seed}:g:' || CAST(i AS VARCHAR) || ':{axis}:1'")
+    u2 = _u_sql(f"'{seed}:g:' || CAST(i AS VARCHAR) || ':{axis}:2'")
+    return f"(sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2}))"
+
+
+SAMPLE_N = 256
+
+
+def q_sphere_surface(sf_dir: str):
+    """Uniform points on the 2-sphere (igraph_sample_sphere_surface,
+    random.c — Muller–Marsaglia gaussian normalization), md5 draws,
+    ×10⁶ rounded; hash-checked against the identical closed form in
+    SQL."""
+    from igraph_ray.sources.sampling import sample_sphere_surface
+
+    out = sample_sphere_surface(3, SAMPLE_N, seed="sph")
+
+    def _scale(b: pa.Table) -> pa.Table:
+        cols = {"i": b["i"]}
+        for a in range(3):
+            cols[f"x{a}_e6"] = pa.array(np.round(
+                b[f"x{a}"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64))
+        return pa.table(cols)
+
+    return out.map_batches(_scale, batch_format="pyarrow",
+                           batch_size=None).sort("i")
+
+
+def _sql_sphere(volume: bool) -> str:
+    g = [_gauss_sql("sph", a) for a in range(3)]
+    nrm = f"sqrt({g[0]}*{g[0]} + {g[1]}*{g[1]} + {g[2]}*{g[2]})"
+    scale = ""
+    if volume:
+        r = _u_sql("'sph:r:' || CAST(i AS VARCHAR)")
+        scale = f" * pow({r}, 1.0/3)"
+    cols = ", ".join(
+        f"CAST(ROUND({g[a]} / ({nrm}){scale} * 1000000.0) AS BIGINT) "
+        f"AS x{a}_e6" for a in range(3))
+    return (f"SELECT CAST(range AS BIGINT) AS i, {cols} "
+            f"FROM (SELECT range, range AS i FROM range({SAMPLE_N})) "
+            f"ORDER BY i")
+
+
+def q_sphere_volume(sf_dir: str):
+    """Uniform points in the 3-ball (igraph_sample_sphere_volume,
+    random.c): surface direction × radius·u^(1/3), md5 draws, ×10⁶."""
+    from igraph_ray.sources.sampling import sample_sphere_volume
+
+    out = sample_sphere_volume(3, SAMPLE_N, seed="sph")
+
+    def _scale(b: pa.Table) -> pa.Table:
+        cols = {"i": b["i"]}
+        for a in range(3):
+            cols[f"x{a}_e6"] = pa.array(np.round(
+                b[f"x{a}"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64))
+        return pa.table(cols)
+
+    return out.map_batches(_scale, batch_format="pyarrow",
+                           batch_size=None).sort("i")
+
+
+DIRICHLET_ALPHA = (1, 2, 3)
+
+
+def q_dirichlet(sf_dir: str):
+    """Dirichlet(1,2,3) rows (igraph_sample_dirichlet, random.c) via
+    the integer-alpha Erlang-sum contract (sources/sampling.py),
+    ×10⁶; full SQL replay."""
+    from igraph_ray.sources.sampling import sample_dirichlet
+
+    out = sample_dirichlet(SAMPLE_N, DIRICHLET_ALPHA, seed="dir")
+
+    def _scale(b: pa.Table) -> pa.Table:
+        cols = {"i": b["i"]}
+        for j in range(len(DIRICHLET_ALPHA)):
+            cols[f"x{j}_e6"] = pa.array(np.round(
+                b[f"x{j}"].to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64))
+        return pa.table(cols)
+
+    return out.map_batches(_scale, batch_format="pyarrow",
+                           batch_size=None).sort("i")
+
+
+def _sql_dirichlet() -> str:
+    ys = []
+    for j, aj in enumerate(DIRICHLET_ALPHA):
+        keys = [f"'dir:d:' || CAST(i AS VARCHAR) || ':{j}:{k}'"
+                for k in range(aj)]
+        terms = " - ".join(f"ln({_u_sql(kk)})" for kk in keys)
+        ys.append(f"(0.0 - {terms})")
+    tot = " + ".join(f"y{j}" for j in range(len(DIRICHLET_ALPHA)))
+    ydefs = ", ".join(f"{y} AS y{j}" for j, y in enumerate(ys))
+    cols = ", ".join(
+        f"CAST(ROUND(y{j} / ({tot}) * 1000000.0) AS BIGINT) AS x{j}_e6"
+        for j in range(len(DIRICHLET_ALPHA)))
+    return (f"SELECT CAST(i AS BIGINT) AS i, {cols} FROM ("
+            f"SELECT range AS i, {ydefs} FROM range({SAMPLE_N})) "
+            f"ORDER BY i")
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9422,6 +9532,9 @@ def queries() -> Dict[str, Callable]:
         "layout_gem": q_layout_gem,
         "layout_dh": q_layout_dh,
         "layout_merge": q_layout_merge,
+        "sphere_surface": q_sphere_surface,
+        "sphere_volume": q_sphere_volume,
+        "dirichlet": q_dirichlet,
     }
 
 
@@ -10802,4 +10915,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "reverse_residual": SQL_REVERSE_RESIDUAL_TMPL.format(
             edges=SQL_EDGES_A),
         "layout_bipartite": _sql_layout_bipartite(),
+        "sphere_surface": _sql_sphere(volume=False),
+        "sphere_volume": _sql_sphere(volume=True),
+        "dirichlet": _sql_dirichlet(),
     }
