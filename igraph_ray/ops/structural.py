@@ -1451,3 +1451,105 @@ def is_graphical_degree_sequence(degrees: np.ndarray) -> tuple:
     rhs = k * (k - 1) + k * cnt_ge + tail_sum
     lhs = pre[k - 1]
     return True, bool((lhs <= rhs).all())
+
+
+def neighborhood_members(graph: Graph, order: int = 2,
+                         n: Optional[int] = None,
+                         num_partitions: int = 8) -> ray.data.Dataset:
+    """(seed, vertex, dist) ball-membership table of every vertex's
+    closed ``order``-neighborhood over the simple undirected view —
+    igraph_neighborhood (neighborhood.c:122-227, mode ALL, mindist 0).
+    One frontier join per hop + a grouped min — the whole V×ball
+    product is built in ``order`` shuffles, never per-seed BFS."""
+    from igraph_ray.util import hash_join
+
+    n = n if n is not None else graph.num_vertices()
+    und = graph.canonical_undirected().materialize()
+    sym = und.map_batches(
+        lambda b: pa.table({
+            "a": pa.array(np.concatenate(
+                [b["lo"].to_numpy(zero_copy_only=False),
+                 b["hi"].to_numpy(zero_copy_only=False)])),
+            "b": pa.array(np.concatenate(
+                [b["hi"].to_numpy(zero_copy_only=False),
+                 b["lo"].to_numpy(zero_copy_only=False)]))})
+        if b.num_rows else pa.table({"a": pa.array([], pa.int64()),
+                                     "b": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    vs = np.arange(n, dtype=np.int64)
+    d0 = ray.data.from_arrow(pa.table({
+        "seed": pa.array(vs), "vertex": pa.array(vs),
+        "d": pa.array(np.zeros(n, np.int64))}))
+    layers = [d0]
+    frontier = d0
+    for k in range(1, order + 1):
+        fr = frontier.map_batches(
+            lambda b: pa.table({"seed": b["seed"], "a": b["vertex"]})
+            if b.num_rows else pa.table(
+                {"seed": pa.array([], pa.int64()),
+                 "a": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        nxt = hash_join(fr, sym, on="a", num_partitions=num_partitions)
+        frontier = nxt.map_batches(
+            lambda b, k=k: pa.table({
+                "seed": b["seed"], "vertex": b["b"],
+                "d": pa.array(np.full(b.num_rows, k, np.int64))})
+            if b.num_rows else pa.table(
+                {"seed": pa.array([], pa.int64()),
+                 "vertex": pa.array([], pa.int64()),
+                 "d": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).materialize()
+        layers.append(frontier)
+
+    allm = layers[0]
+    for lay in layers[1:]:
+        allm = allm.union(lay)
+    out = allm.groupby(["seed", "vertex"]).min("d")
+    return out.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "vertex": b["vertex"],
+                            "dist": b["min(d)"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "vertex": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def neighborhood_graph_edges(graph: Graph, order: int = 2,
+                             n: Optional[int] = None,
+                             num_partitions: int = 8
+                             ) -> ray.data.Dataset:
+    """(seed, src, dst): the induced edge set of every vertex's
+    ``order``-ball — igraph_neighborhood_graphs (neighborhood.c:229+,
+    mode ALL): two membership joins against the canonical undirected
+    edge table."""
+    from igraph_ray.util import hash_join
+
+    members = neighborhood_members(
+        graph, order=order, n=n,
+        num_partitions=num_partitions).materialize()
+    und = graph.canonical_undirected()
+    m_lo = members.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "lo": b["vertex"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "lo": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    m_hi = members.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "hi": b["vertex"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "hi": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(m_lo, und, on="lo", num_partitions=num_partitions)
+    j = hash_join(j, m_hi, on=["seed", "hi"],
+                  num_partitions=num_partitions)
+    return j.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "src": b["lo"],
+                            "dst": b["hi"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)

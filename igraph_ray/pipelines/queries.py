@@ -9229,6 +9229,136 @@ def _sql_dirichlet() -> str:
             f"ORDER BY i")
 
 
+def q_subiso_embeddings(sf_dir: str):
+    """The FULL embedding stream of the P4 pattern
+    (igraph_get_subisomorphisms_vf2, topology.c — every injective map,
+    not just the count) over the undirected sparse view: the shared
+    binding-join plan with return_bindings=True; oracle = the same
+    3-way adjacency self-join emitting the bindings."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_sparse(sf_dir)
+    binds, colmap = count_sub_isomorphisms(
+        g, [0, 1, 2], [1, 2, 3], directed=False, num_partitions=8,
+        return_bindings=True)
+    names = [colmap[v] for v in range(4)]
+    return binds.map_batches(
+        lambda b: pa.table({f"v{i}": b[names[i]] for i in range(4)})
+        if b.num_rows else pa.table(
+            {f"v{i}": pa.array([], pa.int64()) for i in range(4)}),
+        batch_format="pyarrow", batch_size=None).sort(
+            ["v0", "v1", "v2", "v3"])
+
+
+def _sql_subiso_embeddings() -> str:
+    from igraph_ray.pipelines.derive import SQL_EDGES_SPARSE
+
+    return (
+        f"WITH se AS MATERIALIZED ({SQL_EDGES_SPARSE}),\n{_SQL_SYM_SPARSE}\n"
+        "SELECT CAST(e1.a AS BIGINT) AS v0, CAST(e1.b AS BIGINT) AS v1, "
+        "CAST(e2.b AS BIGINT) AS v2, CAST(e3.b AS BIGINT) AS v3 "
+        "FROM sym e1 "
+        "JOIN sym e2 ON e2.a = e1.b AND e2.b <> e1.a "
+        "JOIN sym e3 ON e3.a = e2.b AND e3.b <> e2.a AND e3.b <> e1.a "
+        "AND e3.b <> e1.b ORDER BY v0, v1, v2, v3"
+    )
+
+
+def q_neighborhood_members(sf_dir: str):
+    """Closed 2-ball membership (igraph_neighborhood,
+    neighborhood.c:122, mode ALL) of every vertex of the very-sparse
+    view: (seed, vertex, dist) with dist = hop distance ≤ 2."""
+    from igraph_ray.ops.structural import neighborhood_members
+
+    g = derive.graph_vsparse(sf_dir)
+    return neighborhood_members(g, order=2, n=derive.V).sort(
+        ["seed", "vertex"])
+
+
+SQL_NEIGHBORHOOD_MEMBERS_TMPL = """
+WITH e AS ({edges}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+        FROM e),
+sym AS (SELECT lo AS a, hi AS b FROM und
+        UNION ALL SELECT hi, lo FROM und),
+m2 AS (SELECT m1.a AS seed, s.b AS vertex
+       FROM sym m1 JOIN sym s ON s.a = m1.b),
+allm AS (
+  SELECT range AS seed, range AS vertex, 0 AS d FROM range({v})
+  UNION ALL SELECT a, b, 1 FROM sym
+  UNION ALL SELECT seed, vertex, 2 FROM m2)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(vertex AS BIGINT) AS vertex,
+       CAST(MIN(d) AS BIGINT) AS dist
+FROM allm GROUP BY seed, vertex ORDER BY seed, vertex"""
+
+
+def q_neighborhood_graphs(sf_dir: str):
+    """Induced 2-ball subgraphs (igraph_neighborhood_graphs,
+    neighborhood.c): (seed, src, dst) — every canonical undirected
+    edge with both endpoints inside the seed's 2-ball."""
+    from igraph_ray.ops.structural import neighborhood_graph_edges
+
+    g = derive.graph_vsparse(sf_dir)
+    return neighborhood_graph_edges(g, order=2, n=derive.V).sort(
+        ["seed", "src", "dst"])
+
+
+SQL_NEIGHBORHOOD_GRAPHS_TMPL = """
+WITH e AS ({edges}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+        FROM e),
+sym AS (SELECT lo AS a, hi AS b FROM und
+        UNION ALL SELECT hi, lo FROM und),
+m2 AS (SELECT m1.a AS seed, s.b AS vertex
+       FROM sym m1 JOIN sym s ON s.a = m1.b),
+mem AS (SELECT DISTINCT seed, vertex FROM (
+  SELECT range AS seed, range AS vertex FROM range({v})
+  UNION ALL SELECT a, b FROM sym
+  UNION ALL SELECT seed, vertex FROM m2))
+SELECT CAST(ma.seed AS BIGINT) AS seed, CAST(u.lo AS BIGINT) AS src,
+       CAST(u.hi AS BIGINT) AS dst
+FROM und u JOIN mem ma ON ma.vertex = u.lo
+           JOIN mem mb ON mb.seed = ma.seed AND mb.vertex = u.hi
+ORDER BY seed, src, dst"""
+
+
+def q_cliques_subset(sf_dir: str):
+    """Maximal cliques touching a vertex subset
+    (igraph_maximal_cliques_subset, maximal_cliques.c): the size
+    histogram of maximal cliques containing at least one vertex with
+    v % 19 == 0 — the same clique-CTE oracle filtered by the subset
+    predicate."""
+    from igraph_ray.algorithms.cliques import maximal_cliques
+
+    cl = maximal_cliques(derive.graph_sparse(sf_dir), num_partitions=8)
+
+    def _filt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"size": pa.array([], pa.int64()),
+                             "n_cliques": pa.array([], pa.int64())})
+        keep, sizes = [], []
+        for row in b["clique"].to_pylist():
+            hit = any(v % 19 == 0 for v in row)
+            keep.append(hit)
+            sizes.append(len(row))
+        sizes = np.array(sizes, np.int64)[np.array(keep, bool)]
+        t = pa.table({"size": pa.array(sizes),
+                      "one": pa.array(np.ones(len(sizes), np.int64))})
+        return t.group_by("size").aggregate([("one", "sum")]).\
+            rename_columns(["size", "n_cliques"])
+
+    return (cl.map_batches(_filt, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("size").sum("n_cliques")
+            .map_batches(lambda b: pa.table({
+                "size": b["size"], "n_cliques": b["sum(n_cliques)"]})
+                if b.num_rows else pa.table(
+                    {"size": pa.array([], pa.int64()),
+                     "n_cliques": pa.array([], pa.int64())}),
+                batch_format="pyarrow", batch_size=None)
+            .sort("size"))
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9535,6 +9665,10 @@ def queries() -> Dict[str, Callable]:
         "sphere_surface": q_sphere_surface,
         "sphere_volume": q_sphere_volume,
         "dirichlet": q_dirichlet,
+        "subiso_embeddings": q_subiso_embeddings,
+        "neighborhood_members": q_neighborhood_members,
+        "neighborhood_graphs": q_neighborhood_graphs,
+        "cliques_subset": q_cliques_subset,
     }
 
 
@@ -10918,4 +11052,15 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         "sphere_surface": _sql_sphere(volume=False),
         "sphere_volume": _sql_sphere(volume=True),
         "dirichlet": _sql_dirichlet(),
+        "subiso_embeddings": _sql_subiso_embeddings(),
+        "neighborhood_members": SQL_NEIGHBORHOOD_MEMBERS_TMPL.format(
+            edges=derive.SQL_EDGES_VSPARSE, v=derive.V),
+        "neighborhood_graphs": SQL_NEIGHBORHOOD_GRAPHS_TMPL.format(
+            edges=derive.SQL_EDGES_VSPARSE, v=derive.V),
+        "cliques_subset": _SQL_CLIQUE_CTE + """
+SELECT len(members) AS size, COUNT(*) AS n_cliques
+FROM maxcl
+WHERE len(list_filter(members, x -> x % 19 = 0)) > 0
+GROUP BY size ORDER BY size
+""",
     }
