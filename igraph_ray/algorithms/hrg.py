@@ -283,3 +283,87 @@ def hrg_game(
 
     return (ray.data.range(n, override_num_blocks=num_partitions)
             .map_batches(_gen, batch_format="pyarrow", batch_size=None))
+
+
+def hrg_dendrogram(result: HRGResult) -> pa.Table:
+    """igraph_hrg_dendrogram (igraph_hrg.cc): the fitted dendrogram as
+    a graph — one (parent, child, prob_e9) edge per internal-node
+    child slot (leaves 0..n-1, internal n..2n-2, root 2n-2)."""
+    d = result.dendrogram
+    node = d["node"].to_numpy(zero_copy_only=False)
+    left = d["left"].to_numpy(zero_copy_only=False)
+    right = d["right"].to_numpy(zero_copy_only=False)
+    prob = d["prob_e9"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "parent": pa.array(np.concatenate([node, node])),
+        "child": pa.array(np.concatenate([left, right])),
+        "prob_e9": pa.array(np.concatenate([prob, prob])),
+    })
+
+
+def hrg_sample(
+    result: HRGResult,
+    n: int,
+    seed: str = "hrgs",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """igraph_hrg_sample (igraph_hrg.cc): draw a graph from a fitted
+    HRG — pair (i, j) is an edge with probability p_LCA(i,j). The
+    reference samples with its RNG; the engine's draw is the repo's
+    deterministic 15-hex md5 fold per unordered pair, so the sample is
+    a pure function of (dendrogram, seed) and identical at any
+    parallelism. The dendrogram (O(n) rows) is broadcast once; each
+    task walks leaf→root ancestor chains for its pair block."""
+    import hashlib
+
+    d = result.dendrogram
+    node = d["node"].to_numpy(zero_copy_only=False)
+    left = d["left"].to_numpy(zero_copy_only=False)
+    right = d["right"].to_numpy(zero_copy_only=False)
+    prob = d["prob_e9"].to_numpy(zero_copy_only=False)
+    parent = np.full(2 * n - 1, -1, dtype=np.int64)
+    p_of = np.zeros(2 * n - 1, dtype=np.int64)
+    for nd, l, r, p in zip(node, left, right, prob):
+        parent[l] = nd
+        parent[r] = nd
+        p_of[nd] = p
+    dref = ray.put((parent, p_of))
+
+    HEX15 = 16 ** 15
+
+    def _gen(b: pa.Table) -> pa.Table:
+        par, pe9 = ray.get(dref)
+        depth = np.zeros(len(par), dtype=np.int64)
+        for v in range(len(par)):
+            d_, u = 0, v
+            while par[u] != -1:
+                u = par[u]
+                d_ += 1
+            depth[v] = d_
+        srcs, dsts = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False).tolist():
+            for j in range(i + 1, n):
+                a, bb = i, j
+                da, db = depth[a], depth[b_ := bb]
+                while da > db:
+                    a = par[a]
+                    da -= 1
+                while db > da:
+                    b_ = par[b_]
+                    db -= 1
+                while a != b_:
+                    a = par[a]
+                    b_ = par[b_]
+                thr = int(pe9[a])  # prob_e9 of the LCA (py int: the
+                # 16^15-scale integer compare overflows int64)
+                h = int(hashlib.md5(
+                    f"{seed}:{i}:{j}".encode()).hexdigest()[:15], 16)
+                if h * 1_000_000_000 < thr * HEX15:
+                    srcs.append(i)
+                    dsts.append(j)
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64())})
+
+    return ray.data.range(n, override_num_blocks=num_partitions
+                          ).map_batches(_gen, batch_format="pyarrow",
+                                        batch_size=None)

@@ -9359,6 +9359,32 @@ def q_cliques_subset(sf_dir: str):
             .sort("size"))
 
 
+def q_hrg_dendrogram(sf_dir: str):
+    """Fitted dendrogram exported as a graph
+    (igraph_hrg_dendrogram, igraph_hrg.cc): (parent, child, prob_e9)
+    edges of the greedy-MLE tree. Rows-only (carries the fit)."""
+    from igraph_ray.algorithms.hrg import hrg_dendrogram, hrg_fit
+
+    g = derive.graph_sparse(sf_dir)
+    t = hrg_dendrogram(hrg_fit(g, n=derive.V))
+    idx = pc.sort_indices(t, sort_keys=[("parent", "ascending"),
+                                        ("child", "ascending")])
+    return t.take(idx)
+
+
+def q_hrg_sample(sf_dir: str):
+    """Graph drawn from the fitted HRG (igraph_hrg_sample,
+    igraph_hrg.cc): per-pair md5 draw against p_LCA. Rows-only (the
+    fit's merge order is sequential); determinism + edge-rate pytests
+    in tests/test_hrg_sample.py."""
+    from igraph_ray.algorithms.hrg import hrg_fit, hrg_sample
+
+    g = derive.graph_sparse(sf_dir)
+    res = hrg_fit(g, n=derive.V)
+    return hrg_sample(res, derive.V, num_partitions=8).sort(
+        ["src", "dst"])
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9669,6 +9695,8 @@ def queries() -> Dict[str, Callable]:
         "neighborhood_members": q_neighborhood_members,
         "neighborhood_graphs": q_neighborhood_graphs,
         "cliques_subset": q_cliques_subset,
+        "hrg_dendrogram": q_hrg_dendrogram,
+        "hrg_sample": q_hrg_sample,
     }
 
 
