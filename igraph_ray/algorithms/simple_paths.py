@@ -184,3 +184,122 @@ def shortest_path_counts(
             _stamp, batch_format="pyarrow", batch_size=None)
         ).materialize()
     return settled.sort("vertex")
+
+
+def all_shortest_path_seqs(
+    graph: Graph,
+    source: int,
+    levels: int = 4,
+    weight_fn=None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(vertex, dist, path): EVERY shortest path from ``source`` as a
+    '>'-joined vertex-id string — the full enumeration surface of
+    igraph_get_all_shortest_paths (structural_properties.c) and, with
+    ``weight_fn``, igraph_get_all_shortest_paths_dijkstra. ``levels``
+    bounds the HOP length of enumerated paths (the registry oracle
+    unrolls the same bound, so both sides see the identical slice).
+
+    ``weight_fn(src, dst) -> int weights`` switches to weighted
+    semantics: dist is the min-plus distance and a path edge (u, v)
+    qualifies iff dist(v) = dist(u) + w(u, v).
+
+    Level-synchronous: one frontier ⋈ edges join per hop plus a
+    settle/relax check against the distance table; paths extend with
+    one vectorized string concat (pc.binary_join_element_wise). The σ
+    counts view (shortest_path_counts) is the aggregate for scale —
+    the enumeration is inherently σ-many rows."""
+    import pyarrow.compute as pc
+
+    def _w(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        w = (weight_fn(s, d) if weight_fn is not None
+             else np.ones(len(s), np.int64))
+        return pa.table({"tail": pa.array(s), "nxt": pa.array(d),
+                         "w": pa.array(w.astype(np.int64))})
+
+    edges = graph.edges.map_batches(_w, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+
+    # --- distances (hop-synchronous Bellman relaxation, `levels` rounds)
+    dist = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    for _ in range(levels):
+        relax = hash_join(
+            dist.map_batches(lambda b: pa.table(
+                {"tail": b["vertex"], "dbase": b["dist"]}),
+                batch_format="pyarrow", batch_size=None),
+            edges, on="tail", num_partitions=num_partitions)
+        cand = relax.map_batches(
+            lambda b: pa.table({
+                "vertex": b["nxt"],
+                "dist": pa.array(
+                    b["dbase"].to_numpy(zero_copy_only=False)
+                    + b["w"].to_numpy(zero_copy_only=False))})
+            if b.num_rows else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        dist = (dist.union(cand).groupby("vertex").min("dist")
+                .map_batches(lambda b: pa.table(
+                    {"vertex": b["vertex"], "dist": b["min(dist)"]})
+                    if b.num_rows else pa.table(
+                        {"vertex": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())}),
+                    batch_format="pyarrow", batch_size=None)
+                .materialize())
+
+    dist_t = dist.map_batches(
+        lambda b: pa.table({"nxt": b["vertex"], "dnxt": b["dist"]})
+        if b.num_rows else pa.table(
+            {"nxt": pa.array([], pa.int64()),
+             "dnxt": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    # --- path expansion along tight edges only
+    paths = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+        "path": pa.array([str(source)], pa.string())})).materialize()
+    out_layers = [paths]
+    for _ in range(levels):
+        ext = hash_join(
+            paths.map_batches(lambda b: pa.table(
+                {"tail": b["vertex"], "dbase": b["dist"],
+                 "path": b["path"]}),
+                batch_format="pyarrow", batch_size=None),
+            edges, on="tail", num_partitions=num_partitions)
+        ext = hash_join(ext, dist_t, on="nxt",
+                        num_partitions=num_partitions)
+
+        def _tight(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"vertex": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64()),
+                                 "path": pa.array([], pa.string())})
+            keep = (b["dnxt"].to_numpy(zero_copy_only=False)
+                    == b["dbase"].to_numpy(zero_copy_only=False)
+                    + b["w"].to_numpy(zero_copy_only=False))
+            t = b.filter(pa.array(keep))
+            newp = pc.binary_join_element_wise(
+                t["path"], pc.cast(t["nxt"], pa.string()), ">")
+            return pa.table({"vertex": t["nxt"], "dist": t["dnxt"],
+                             "path": newp})
+
+        paths = ext.map_batches(_tight, batch_format="pyarrow",
+                                batch_size=None).materialize()
+        if paths.count() == 0:
+            break
+        out_layers.append(paths)
+
+    out = out_layers[0]
+    for lay in out_layers[1:]:
+        out = out.union(lay)
+    # a vertex can be reached by tight chains longer in hops than a
+    # shorter tight chain only in the weighted case where both are
+    # shortest; dedup identical sequences (loops cannot occur on tight
+    # edges since dist strictly increases)
+    return out.groupby(["vertex", "dist", "path"]).count().select_columns(
+        ["vertex", "dist", "path"])

@@ -9385,6 +9385,75 @@ def q_hrg_sample(sf_dir: str):
         ["src", "dst"])
 
 
+ASP_SOURCE, ASP_LEVELS = 1, 4
+ASPD_LEVELS = 6
+
+
+def q_all_shortest_paths(sf_dir: str):
+    """FULL shortest-path enumeration from vertex 1 on the sparse
+    digraph (igraph_get_all_shortest_paths,
+    structural_properties.c) — every shortest path within 4 hops as a
+    '>'-joined id string; oracle unrolls the identical hop bound."""
+    from igraph_ray.algorithms.simple_paths import all_shortest_path_seqs
+
+    g = derive.graph_sparse(sf_dir)
+    return all_shortest_path_seqs(
+        g, ASP_SOURCE, levels=ASP_LEVELS).sort(
+            ["vertex", "dist", "path"])
+
+
+def q_all_shortest_paths_dijkstra(sf_dir: str):
+    """Weighted full shortest-path enumeration
+    (igraph_get_all_shortest_paths_dijkstra) from vertex 1 under the
+    standard deterministic weights (src*7+dst*13)%9+1, tight-edge
+    expansion bounded to 6 hops (oracle unrolls the same slice)."""
+    from igraph_ray.algorithms.simple_paths import all_shortest_path_seqs
+
+    g = derive.graph_sparse(sf_dir)
+    return all_shortest_path_seqs(
+        g, ASP_SOURCE, levels=ASPD_LEVELS,
+        weight_fn=lambda s, d: (s * 7 + d * 13) % 9 + 1).sort(
+            ["vertex", "dist", "path"])
+
+
+def _sql_all_shortest_paths(weighted: bool) -> str:
+    from igraph_ray.pipelines.derive import SQL_EDGES_SPARSE
+
+    levels = ASPD_LEVELS if weighted else ASP_LEVELS
+    s = ASP_SOURCE
+    wexpr = "(src*7 + dst*13) % 9 + 1" if weighted else "1"
+    parts = [f"""WITH e AS MATERIALIZED ({SQL_EDGES_SPARSE}),
+w AS MATERIALIZED (SELECT src, dst, {wexpr} AS w FROM e),
+d0 AS (SELECT {s} AS vertex, 0 AS dist)"""]
+    for k in range(1, levels + 1):
+        parts.append(f""",
+d{k} AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM (
+  SELECT vertex, dist FROM d{k - 1}
+  UNION ALL
+  SELECT w.dst, p.dist + w.w FROM d{k - 1} p JOIN w ON w.src = p.vertex
+) GROUP BY vertex)""")
+    dn = f"d{levels}"
+    parts.append(f""",
+p0 AS (SELECT {s} AS vertex, 0 AS dist,
+              CAST({s} AS VARCHAR) AS path)""")
+    for k in range(1, levels + 1):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT w.dst AS vertex, dn.dist,
+         p.path || '>' || CAST(w.dst AS VARCHAR) AS path
+  FROM p{k - 1} p
+  JOIN w ON w.src = p.vertex
+  JOIN {dn} dn ON dn.vertex = w.dst AND dn.dist = p.dist + w.w)""")
+    union = " UNION ALL ".join(
+        f"SELECT vertex, dist, path FROM p{k}"
+        for k in range(levels + 1))
+    parts.append(f"""
+SELECT DISTINCT CAST(vertex AS BIGINT) AS vertex,
+       CAST(dist AS BIGINT) AS dist, path
+FROM ({union}) ORDER BY vertex, dist, path""")
+    return "".join(parts)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9697,6 +9766,8 @@ def queries() -> Dict[str, Callable]:
         "cliques_subset": q_cliques_subset,
         "hrg_dendrogram": q_hrg_dendrogram,
         "hrg_sample": q_hrg_sample,
+        "all_shortest_paths": q_all_shortest_paths,
+        "all_shortest_paths_dijkstra": q_all_shortest_paths_dijkstra,
     }
 
 
@@ -11091,4 +11162,6 @@ FROM maxcl
 WHERE len(list_filter(members, x -> x % 19 = 0)) > 0
 GROUP BY size ORDER BY size
 """,
+        "all_shortest_paths": _sql_all_shortest_paths(False),
+        "all_shortest_paths_dijkstra": _sql_all_shortest_paths(True),
     }
