@@ -1,0 +1,102 @@
+"""Community-membership utilities — counterparts of the reference's
+community.c helper surface:
+
+* igraph_community_to_membership (community.c:757) — convert a merge
+  matrix (each row joins two communities; ids < n are vertices, id
+  n+i is the result of row i) after ``steps`` merges into a
+  membership vector, with the reference's exact numbering: components
+  discovered in BACKWARD merge order get ids 0, 1, ..., then vertices
+  never touched by the kept merges get fresh ids in ascending vertex
+  order.
+* igraph_reindex_membership (community.c:1011) — compact arbitrary
+  labels to 0..k-1 ranked by ascending old label (dense rank).
+
+community_to_membership is a replay of an O(steps) driver-side matrix
+(the merge matrix is the OUTPUT of a community algorithm, never data-
+scale); reindex_membership is a vectorized kernel used inside
+map_batches at any scale."""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def community_to_membership(
+    merges: Sequence[Tuple[int, int]],
+    nodes: int,
+    steps: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (membership[nodes], csize[nodes - steps]) with the
+    reference's exact numbering (community.c:757-840)."""
+    if steps > len(merges):
+        raise ValueError("steps too big or merges matrix too short")
+    membership = np.zeros(nodes, dtype=np.int64)
+    csize = np.zeros(nodes - steps, dtype=np.int64)
+    tmp = np.zeros(steps, dtype=np.int64)
+    found = 0
+    for i in range(steps - 1, -1, -1):
+        c1, c2 = int(merges[i][0]), int(merges[i][1])
+        if tmp[i] == 0:
+            found += 1
+            tmp[i] = found
+        for c in (c1, c2):
+            if c < nodes:
+                cid = tmp[i] - 1
+                membership[c] = cid + 1
+                csize[cid] += 1
+            else:
+                tmp[c - nodes] = tmp[i]
+    for i in range(nodes):
+        t = int(membership[i])
+        if t != 0:
+            membership[i] = t - 1
+        else:
+            csize[found] += 1
+            membership[i] = found
+            found += 1
+    return membership, csize
+
+
+def reindex_membership(membership: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (new_membership, new_to_old): labels compacted to
+    0..k-1 by ascending old label (community.c:1011)."""
+    membership = np.asarray(membership)
+    if membership.size == 0:
+        return membership.astype(np.int64), np.array([], dtype=np.int64)
+    new_to_old, inverse = np.unique(membership, return_inverse=True)
+    return inverse.astype(np.int64), new_to_old.astype(np.int64)
+
+
+def eb_get_merges(
+    removed_edges: Sequence[Tuple[int, int]],
+    nodes: int,
+) -> List[Tuple[int, int]]:
+    """igraph_community_eb_get_merges (community.c:223): replay the
+    edge-betweenness REMOVAL order backwards — adding edges back one
+    by one, each join of two distinct components is one merge row,
+    exactly the dendrogram the reference reconstructs. Union-find
+    over the reversed removal list."""
+    parent = np.arange(nodes, dtype=np.int64)
+    comp_id = np.arange(nodes, dtype=np.int64)  # current community id
+
+    def find(v: int) -> int:
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = int(parent[v])
+        return v
+
+    merges: List[Tuple[int, int]] = []
+    nxt = nodes
+    for a, b in reversed(list(removed_edges)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra == rb:
+            continue
+        ca, cb = int(comp_id[ra]), int(comp_id[rb])
+        merges.append((ca, cb))
+        parent[rb] = ra
+        comp_id[ra] = nxt
+        nxt += 1
+    return merges

@@ -9454,6 +9454,89 @@ FROM ({union}) ORDER BY vertex, dist, path""")
     return "".join(parts)
 
 
+def q_reindex_membership(sf_dir: str):
+    """igraph_reindex_membership (community.c:1011): compact the
+    deterministic labels (v*v) % 97 over the dense universe to dense
+    ranks by ascending old label — one vectorized kernel;
+    oracle = DENSE_RANK."""
+    from igraph_ray.ops.membership import reindex_membership
+
+    v = np.arange(V, dtype=np.int64)
+    labels = (v * v) % 97
+    new, _ = reindex_membership(labels)
+    return pa.table({"vertex": pa.array(v), "member": pa.array(new)})
+
+
+SQL_REINDEX_MEMBERSHIP = f"""
+SELECT CAST(range AS BIGINT) AS vertex,
+       CAST(DENSE_RANK() OVER (ORDER BY (range * range) % 97) - 1
+            AS BIGINT) AS member
+FROM range({V}) ORDER BY vertex"""
+
+
+def q_community_to_membership(sf_dir: str):
+    """igraph_community_to_membership (community.c:757) on the fixed
+    8-vertex merge matrix [(0,1),(8,2),(3,4),(9,10)] cut at steps=3 —
+    the reference's exact backward numbering (merge-discovered
+    components first, untouched vertices after, in vertex order).
+    Oracle = the hand-derived VALUES replay of the same contract."""
+    from igraph_ray.ops.membership import community_to_membership
+
+    mem, _ = community_to_membership(
+        [(0, 1), (8, 2), (3, 4), (9, 10)], nodes=8, steps=3)
+    return pa.table({
+        "vertex": pa.array(np.arange(8, dtype=np.int64)),
+        "member": pa.array(mem)})
+
+
+SQL_COMMUNITY_TO_MEMBERSHIP = """
+SELECT CAST(vertex AS BIGINT) AS vertex, CAST(member AS BIGINT) AS member
+FROM (VALUES (0, 1), (1, 1), (2, 1), (3, 0), (4, 0),
+             (5, 2), (6, 3), (7, 4)) AS t(vertex, member)
+ORDER BY vertex"""
+
+
+def q_colored_graph_edges(sf_dir: str):
+    """The fork's colored single-graph v/e text format
+    (igraph_write_colored_graph_gz, fsm.c:124) proved by a gzip
+    write → read round trip of edges_a with vcolor v % 16,
+    ecolor (src+dst) % 7, etime (src*3+dst) % 5."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources.velist import (read_colored_graph,
+                                           write_colored_graph)
+
+    e = derive.edges_a(sf_dir)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "ecolor": pa.array((s + d) % 7),
+                         "etime": pa.array((s * 3 + d) % 5)})
+
+    ed = e.map_batches(_cols, batch_format="pyarrow",
+                       batch_size=None).materialize()
+    vcolors = (np.arange(V) % 16).astype(np.int64)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        pth = os.path.join(td, "g.velist.gz")
+        write_colored_graph(V, ed, pth, vcolors=vcolors,
+                            ecolors_col="ecolor", etimes_col="etime",
+                            gz=True)
+        rd, _v = read_colored_graph(pth, has_vcolors=True,
+                                    has_ecolors=True, has_etimes=True,
+                                    gz=True)
+        return rd.materialize()
+
+
+SQL_COLORED_GRAPH_TMPL = """
+WITH e AS ({edges})
+SELECT src, dst, CAST((src + dst) % 7 AS BIGINT) AS ecolor,
+       CAST((src * 3 + dst) % 5 AS BIGINT) AS etime
+FROM e"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9768,6 +9851,9 @@ def queries() -> Dict[str, Callable]:
         "hrg_sample": q_hrg_sample,
         "all_shortest_paths": q_all_shortest_paths,
         "all_shortest_paths_dijkstra": q_all_shortest_paths_dijkstra,
+        "reindex_membership": q_reindex_membership,
+        "community_to_membership": q_community_to_membership,
+        "colored_graph_edges": q_colored_graph_edges,
     }
 
 
@@ -11164,4 +11250,8 @@ GROUP BY size ORDER BY size
 """,
         "all_shortest_paths": _sql_all_shortest_paths(False),
         "all_shortest_paths_dijkstra": _sql_all_shortest_paths(True),
+        "reindex_membership": SQL_REINDEX_MEMBERSHIP,
+        "community_to_membership": SQL_COMMUNITY_TO_MEMBERSHIP,
+        "colored_graph_edges": SQL_COLORED_GRAPH_TMPL.format(
+            edges=SQL_EDGES_A),
     }

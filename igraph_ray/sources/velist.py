@@ -278,3 +278,101 @@ def dynamic_snapshots(edges: ray.data.Dataset) -> ray.data.Dataset:
                               batch_size=None)
             .groupby(["w", "src", "dst"]).count()
             .select_columns(["w", "src", "dst"]))
+
+
+def write_colored_graph(
+    n: int,
+    edges: ray.data.Dataset,
+    path: str,
+    vcolors=None,
+    ecolors_col: Optional[str] = None,
+    etimes_col: Optional[str] = None,
+    gz: bool = False,
+) -> None:
+    """Single colored graph in the fork's v/e text format
+    (igraph_write_colored_graph / _gz, fsm.c:95,124):
+    ``v <vid> [vcolor]`` for every vertex 0..n-1, then
+    ``e <src> <dst> [ecolor] [etime]`` per edge in (src, dst) order.
+    ``vcolors`` is an indexable of length n; edge colors/times come
+    from the named columns of ``edges``. ``gz=True`` writes gzip."""
+    import gzip
+
+    cols = ["src", "dst"]
+    if ecolors_col:
+        cols.append(ecolors_col)
+    if etimes_col:
+        cols.append(etimes_col)
+    ed = edges.to_pandas()[cols].sort_values(["src", "dst"])
+    opener = (lambda p: gzip.open(p, "wt")) if gz else (
+        lambda p: open(p, "w"))
+    with opener(path) as f:
+        for v in range(n):
+            if vcolors is not None:
+                f.write(f"v {v} {int(vcolors[v])}\n")
+            else:
+                f.write(f"v {v}\n")
+        for r in ed.itertuples(index=False):
+            line = f"e {int(r.src)} {int(r.dst)}"
+            if ecolors_col:
+                line += f" {int(getattr(r, ecolors_col))}"
+            if etimes_col:
+                line += f" {int(getattr(r, etimes_col))}"
+            f.write(line + "\n")
+
+
+def read_colored_graph(
+    path: str,
+    has_vcolors: bool = False,
+    has_ecolors: bool = False,
+    has_etimes: bool = False,
+    gz: bool = False,
+) -> Tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Round-trip reader for :func:`write_colored_graph`. Returns
+    (edges, vertices); gz files are read via Arrow's native gzip
+    decompression path."""
+    if gz:
+        ds = ray.data.read_text(path, arrow_open_stream_args={
+            "compression": "gzip"})
+    else:
+        ds = ray.data.read_text(path)
+
+    def _parse(t: pa.Table):
+        se, de, ce, te = [], [], [], []
+        vv, cv = [], []
+        for ln in (t["text"].to_pylist() if t.num_rows else []):
+            parts = ln.split()
+            if len(parts) < 2:
+                continue
+            if parts[0] == "v":
+                vv.append(int(parts[1]))
+                cv.append(int(parts[2]) if has_vcolors and len(parts) > 2
+                          else 0)
+            elif parts[0] == "e" and len(parts) >= 3:
+                se.append(int(parts[1]))
+                de.append(int(parts[2]))
+                k = 3
+                if has_ecolors:
+                    ce.append(int(parts[k]))
+                    k += 1
+                if has_etimes:
+                    te.append(int(parts[k]) if len(parts) > k else 0)
+        n_e, n_v = len(se), len(vv)
+        return pa.table({
+            "kind": pa.array([0] * n_e + [1] * n_v, pa.int64()),
+            "a": pa.array(se + vv, pa.int64()),
+            "b": pa.array(de + cv, pa.int64()),
+            "c": pa.array((ce if has_ecolors else [0] * n_e) + [0] * n_v,
+                          pa.int64()),
+            "t": pa.array((te if has_etimes else [0] * n_e) + [0] * n_v,
+                          pa.int64())})
+
+    parsed = ds.map_batches(_parse, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    edges = parsed.filter(expr="kind == 0").map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"],
+                            "ecolor": b["c"], "etime": b["t"]}),
+        batch_format="pyarrow", batch_size=None)
+    verts = parsed.filter(expr="kind == 1").map_batches(
+        lambda b: pa.table({"vertex": b["a"], "vcolor": b["b"]}),
+        batch_format="pyarrow", batch_size=None)
+    return edges, verts
