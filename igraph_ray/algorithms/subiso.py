@@ -524,3 +524,54 @@ def count_automorphisms(n: int, edges, directed: bool = False) -> int:
                                       directed=directed)
 
     return int(ray.get(_run.remote()))
+
+
+def _canon_code(edges, n: int, directed: bool) -> int:
+    """Canonical adjacency bitcode of a ≤4-vertex graph: the minimum
+    over all vertex permutations of the row-major adjacency bitmask.
+    Equal codes ⇔ isomorphic (exhaustive for n ≤ 4)."""
+    import itertools
+
+    es = {(int(a), int(b)) for a, b in edges if int(a) != int(b)}
+    if not directed:
+        es = es | {(b, a) for a, b in es}
+    best = None
+    for perm in itertools.permutations(range(n)):
+        code = 0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    code = (code << 1) | (
+                        1 if (perm[i], perm[j]) in es else 0)
+        if best is None or code < best:
+            best = code
+    return int(best or 0)
+
+
+def isomorphic_34(edges1, n1: int, edges2, n2: int,
+                  directed: bool = False) -> bool:
+    """igraph_isomorphic_34 (topology.c): isomorphism decision for
+    3- and 4-vertex graphs via exhaustive canonical codes (the
+    reference uses its precomputed isoclass tables; equality of
+    canonical forms is the same predicate)."""
+    if n1 not in (3, 4) or n2 not in (3, 4):
+        raise ValueError("isomorphic_34 is defined for 3/4-vertex "
+                         "graphs only (topology.c contract)")
+    if n1 != n2:
+        return False
+    return (_canon_code(edges1, n1, directed)
+            == _canon_code(edges2, n2, directed))
+
+
+def graph_isoclass3_directed(edges) -> int:
+    """igraph_isoclass for a directed 3-vertex graph, in the
+    reference's motif isoclass numbering — via the shared triad
+    lookup tables (ops/census.py)."""
+    from igraph_ray.ops.census import _CENSUS_TO_ISOCLASS, TRIAD_LOOKUP
+
+    es = {(int(a), int(b)) for a, b in edges if int(a) != int(b)}
+    key = 0
+    for (x, y) in ((0, 1), (0, 2), (1, 2)):
+        c = (1 if (x, y) in es else 0) | (2 if (y, x) in es else 0)
+        key = key * 4 + c
+    return int(_CENSUS_TO_ISOCLASS[int(TRIAD_LOOKUP[key])])

@@ -586,8 +586,12 @@ def motifs4(graph: Graph, num_partitions: Optional[int] = None) -> pa.Table:
                              "pawraw": pa.array([], pa.int64()),
                              "tsum": pa.array([], pa.int64())})
         d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = b["t"].to_numpy(zero_copy_only=False)
-        t = np.nan_to_num(t.astype(np.float64)).astype(np.int64)
+        # a left_outer partition with no right rows can miss "t"
+        if "t" in b.column_names:
+            t = b["t"].to_numpy(zero_copy_only=False)
+            t = np.nan_to_num(t.astype(np.float64)).astype(np.int64)
+        else:
+            t = np.zeros(b.num_rows, np.int64)
         return pa.table({
             "claw": pa.array(d * (d - 1) * (d - 2) // 6),
             "pawraw": pa.array(t * (d - 2)),

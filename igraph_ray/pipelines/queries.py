@@ -9537,6 +9537,22 @@ SELECT src, dst, CAST((src + dst) % 7 AS BIGINT) AS ecolor,
 FROM e"""
 
 
+def q_motifs_no(sf_dir: str):
+    """igraph_motifs_randesu_no (motifs.c:667, cut_prob = 0): the
+    TOTAL number of connected 3- and 4-vertex subgraphs — the sums of
+    the exact motif censuses; oracle composes the motifs3/motifs4
+    oracles."""
+    from igraph_ray.ops.census import motifs3, motifs4
+
+    g = derive.graph_sparse(sf_dir)
+    t3 = int(np.sum(motifs3(g, num_partitions=8)["count"]
+                    .to_numpy(zero_copy_only=False)))
+    t4 = int(np.sum(motifs4(g, num_partitions=8)["count"]
+                    .to_numpy(zero_copy_only=False)))
+    return pa.table({"size": pa.array([3, 4], pa.int64()),
+                     "total": pa.array([t3, t4], pa.int64())})
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9854,6 +9870,7 @@ def queries() -> Dict[str, Callable]:
         "reindex_membership": q_reindex_membership,
         "community_to_membership": q_community_to_membership,
         "colored_graph_edges": q_colored_graph_edges,
+        "motifs_no": q_motifs_no,
     }
 
 
@@ -9920,7 +9937,7 @@ FROM keptd""")
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {
+    d = {
         "edge_table": SQL_EDGES_A,
         "graphml_edges": SQL_EDGES_A,
         "pajek_edges": SQL_EDGES_A,
@@ -11255,3 +11272,10 @@ GROUP BY size ORDER BY size
         "colored_graph_edges": SQL_COLORED_GRAPH_TMPL.format(
             edges=SQL_EDGES_A),
     }
+    # composed oracles reusing entries above
+    d["motifs_no"] = (
+        "SELECT CAST(3 AS BIGINT) AS size, CAST((SELECT SUM(count) "
+        "FROM (" + d["motifs3"] + ")) AS BIGINT) AS total "
+        "UNION ALL SELECT 4, CAST((SELECT SUM(count) FROM ("
+        + d["motifs4"] + ")) AS BIGINT) ORDER BY size")
+    return d

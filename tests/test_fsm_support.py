@@ -114,3 +114,30 @@ def test_velist_round_trip(ray_session, tmp_path):
     hp = rh.to_pandas().sort_values("gid").reset_index(drop=True)
     assert list(hp["tid"]) == [100, 200, 300]
     assert list(hp["supp"]) == [7, -1, 9]
+
+
+def test_isomorphic_34_and_isoclass3():
+    from igraph_ray.algorithms.subiso import (graph_isoclass3_directed,
+                                              isomorphic_34)
+    import itertools
+
+    # permutations of the same graph are isomorphic
+    p4 = [(0, 1), (1, 2), (2, 3)]
+    for perm in itertools.permutations(range(4)):
+        q = [(perm[a], perm[b]) for a, b in p4]
+        assert isomorphic_34(p4, 4, q, 4)
+    # star3 vs path4: same edge count, different shape
+    assert not isomorphic_34(p4, 4, [(0, 1), (0, 2), (0, 3)], 4)
+    # directed: 0->1->2 vs 0->1, 2->1 differ; reversal is isomorphic
+    assert not isomorphic_34([(0, 1), (1, 2)], 3,
+                             [(0, 1), (2, 1)], 3, directed=True)
+    assert isomorphic_34([(0, 1), (1, 2)], 3,
+                         [(2, 1), (1, 0)], 3, directed=True)
+    # isoclass numbering matches the motifs3 tables: the directed
+    # 16-class census partitions all 64 codes; permuted copies agree
+    for edges in ([(0, 1)], [(0, 1), (1, 0)], [(0, 1), (1, 2)],
+                  [(0, 1), (1, 2), (2, 0)]):
+        base = graph_isoclass3_directed(edges)
+        for perm in itertools.permutations(range(3)):
+            q = [(perm[a], perm[b]) for a, b in edges]
+            assert graph_isoclass3_directed(q) == base
