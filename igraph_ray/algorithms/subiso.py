@@ -575,3 +575,47 @@ def graph_isoclass3_directed(edges) -> int:
         c = (1 if (x, y) in es else 0) | (2 if (y, x) in es else 0)
         key = key * 4 + c
     return int(_CENSUS_TO_ISOCLASS[int(TRIAD_LOOKUP[key])])
+
+
+def is_subisomorphism(map21, target_edges, pattern_edges,
+                      directed: bool = False, induced: bool = False,
+                      vcolor_target=None, vcolor_pattern=None) -> bool:
+    """igraph_is_subisomorphism (topology.c:1946, map21 branch): does
+    the mapping pattern-vertex → target-vertex embed the pattern in
+    the target? Checks injectivity, optional vertex colors, edge
+    preservation, and (``induced``) that every target edge between
+    mapped vertices is the image of a pattern edge. Fully vectorized
+    over packed edge keys — suitable inside map_batches to verify
+    candidate embeddings at scale."""
+    m = np.asarray(map21, dtype=np.int64)
+    if len(np.unique(m)) != len(m):
+        return False
+    if vcolor_target is not None and vcolor_pattern is not None:
+        vt = np.asarray(vcolor_target)
+        vp = np.asarray(vcolor_pattern)
+        if not np.array_equal(vt[m], vp[: len(m)]):
+            return False
+
+    def _pack(src, dst):
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if not directed:
+            lo = np.minimum(src, dst)
+            hi = np.maximum(src, dst)
+            src, dst = lo, hi
+        return src << 32 | dst
+
+    ts, td = (np.array([a for a, _ in target_edges], dtype=np.int64),
+              np.array([b for _, b in target_edges], dtype=np.int64))
+    ps, pd = (np.array([a for a, _ in pattern_edges], dtype=np.int64),
+              np.array([b for _, b in pattern_edges], dtype=np.int64))
+    tkeys = np.unique(_pack(ts, td))
+    mapped = np.unique(_pack(m[ps], m[pd]))
+    if not np.isin(mapped, tkeys).all():
+        return False
+    if induced:
+        inmap = np.isin(ts, m) & np.isin(td, m)
+        between = np.unique(_pack(ts[inmap], td[inmap]))
+        if not np.isin(between, mapped).all():
+            return False
+    return True

@@ -141,3 +141,28 @@ def test_isomorphic_34_and_isoclass3():
         for perm in itertools.permutations(range(3)):
             q = [(perm[a], perm[b]) for a, b in edges]
             assert graph_isoclass3_directed(q) == base
+
+
+def test_is_subisomorphism():
+    from igraph_ray.algorithms.subiso import is_subisomorphism
+
+    target = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    # P3 pattern 0-1-2 embeds as 3-0-1 (undirected)
+    assert is_subisomorphism([3, 0, 1], target, [(0, 1), (1, 2)])
+    # non-injective map rejected
+    assert not is_subisomorphism([0, 1, 0], target, [(0, 1), (1, 2)])
+    # missing edge rejected
+    assert not is_subisomorphism([1, 3, 0], target, [(0, 1), (1, 2)])
+    # induced: triangle 0-1-2 in target has chord (0,2); mapping the
+    # PATH 0-1-2 onto vertices {0,1,2} is non-induced
+    assert is_subisomorphism([0, 1, 2], target, [(0, 1), (1, 2)])
+    assert not is_subisomorphism([0, 1, 2], target, [(0, 1), (1, 2)],
+                                 induced=True)
+    # directed respects orientation
+    assert is_subisomorphism([0, 1], [(0, 1)], [(0, 1)], directed=True)
+    assert not is_subisomorphism([1, 0], [(0, 1)], [(0, 1)],
+                                 directed=True)
+    # vertex colors must match
+    assert not is_subisomorphism(
+        [0, 1], [(0, 1)], [(0, 1)],
+        vcolor_target=[5, 6], vcolor_pattern=[6, 6])
