@@ -299,3 +299,80 @@ def projection_event(snapshots: ray.data.Dataset,
                                    "dst": pa.int64(),
                                    "color": pa.int64()}),
         batch_format="pyarrow", batch_size=None)
+
+
+def union_edges_colored(snapshots: ray.data.Dataset,
+                        max_ecolor: int) -> ray.data.Dataset:
+    """Edge-colored FULL union-graph projection (dynamic.c:568, the
+    has_ecolors branch): snapshot triples carry a static per-edge
+    color ``ecolor`` ≤ max_ecolor, and the union edge's color is the
+    base-(max_ecolor+1) pair code  (max_ecolor+1)·c1 + c2  with c1/c2
+    the edge's color in the first/second snapshot (0 when absent —
+    exactly the reference's uncolored-side contribution). Same
+    one-expansion + one-grouped-sum plan as :func:`union_edges`."""
+    snapshots = snapshots.materialize()
+    wmin = snapshots.min("w")
+    wmax = snapshots.max("w")
+    base = max_ecolor + 1
+
+    def _expand(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False)
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        ec = b["ecolor"].to_numpy(zero_copy_only=False)
+        pair = np.concatenate([w, w - 1])
+        s2 = np.concatenate([src, src])
+        d2 = np.concatenate([dst, dst])
+        # as G1 of pair w the color contributes base*c; as G2 of pair
+        # w-1 it contributes c
+        bit = np.concatenate([ec * base, ec])
+        keep = (pair >= wmin) & (pair <= wmax - 1)
+        return pa.table({"w": pa.array(pair[keep]),
+                         "src": pa.array(s2[keep]),
+                         "dst": pa.array(d2[keep]),
+                         "bit": pa.array(bit[keep])})
+
+    return (snapshots.map_batches(_expand, batch_format="pyarrow",
+                                  batch_size=None)
+            .groupby(["w", "src", "dst"]).sum("bit")
+            .map_batches(lambda b: pa.table({
+                "w": b["w"], "src": b["src"], "dst": b["dst"],
+                "color": b["sum(bit)"]}) if b.num_rows
+                else _empty(_UNION_EMPTY),
+                batch_format="pyarrow", batch_size=None))
+
+
+def separate_graph_pattern(union_graph: ray.data.Dataset,
+                           max_ecolor: int = 0) -> ray.data.Dataset:
+    """igraph_seperate_graph_pattern (dynamic.c:1646): split an
+    evolution-pattern union graph back into its two timesteps. Colors
+    are the base-(max_ecolor+1) pair codes (uncolored graphs use the
+    0b10/0b01 bit codes = max_ecolor 1): side 0 keeps edges with
+    c1 = color // (max+1) > 0 (color c1), side 1 keeps edges with
+    c2 = color % (max+1) > 0 (color c2). One vectorized pass."""
+    base = max_ecolor + 1 if max_ecolor else 2
+
+    def _split(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty({"side": pa.int64(), "w": pa.int64(),
+                           "src": pa.int64(), "dst": pa.int64(),
+                           "ecolor": pa.int64()})
+        c = b["color"].to_numpy(zero_copy_only=False)
+        c1 = c // base
+        c2 = c % base
+        w = b["w"].to_numpy(zero_copy_only=False)
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        k1 = c1 > 0
+        k2 = c2 > 0
+        return pa.table({
+            "side": pa.array(np.concatenate(
+                [np.zeros(int(k1.sum()), np.int64),
+                 np.ones(int(k2.sum()), np.int64)])),
+            "w": pa.array(np.concatenate([w[k1], w[k2]])),
+            "src": pa.array(np.concatenate([s[k1], s[k2]])),
+            "dst": pa.array(np.concatenate([d[k1], d[k2]])),
+            "ecolor": pa.array(np.concatenate([c1[k1], c2[k2]]))})
+
+    return union_graph.map_batches(_split, batch_format="pyarrow",
+                                   batch_size=None)

@@ -9553,6 +9553,88 @@ def q_motifs_no(sf_dir: str):
                      "total": pa.array([t3, t4], pa.int64())})
 
 
+def _colored_snapshots(sf_dir: str):
+    from igraph_ray.ops.temporal import snapshots_from_events
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id"])
+    snap = snapshots_from_events(events)
+    return snap.map_batches(
+        lambda b: b.append_column("ecolor", pa.array(
+            (b["src"].to_numpy(zero_copy_only=False)
+             + b["dst"].to_numpy(zero_copy_only=False)) % 4 + 1))
+        if b.num_rows else pa.table(
+            {"w": pa.array([], pa.int64()),
+             "src": pa.array([], pa.int64()),
+             "dst": pa.array([], pa.int64()),
+             "ecolor": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def q_union_projection_colored(sf_dir: str):
+    """Edge-colored dynamic union-graph projection (dynamic.c:568,
+    has_ecolors branch) over the 6h-window event snapshots with
+    static edge colors (src+dst) % 4 + 1: union color =
+    (max_ecolor+1)·c1 + c2 base-5 pair codes."""
+    from igraph_ray.ops.temporal import union_edges_colored
+
+    return union_edges_colored(_colored_snapshots(sf_dir),
+                               max_ecolor=4).sort(["w", "src", "dst"])
+
+
+SQL_UNION_PROJ_COLORED = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 1000000) // 21600 AS w,
+         user_id % 512 AS src, event_id % 97 AS dst FROM events),
+dedup AS MATERIALIZED (
+  SELECT w, src, dst, (src + dst) % 4 + 1 AS ec
+  FROM (SELECT DISTINCT w, src, dst FROM ev)),
+bounds AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM dedup),
+expanded AS (
+  SELECT w AS pair, src, dst, ec * 5 AS bit FROM dedup
+  UNION ALL SELECT w - 1, src, dst, ec FROM dedup)
+SELECT CAST(pair AS BIGINT) AS w, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst, CAST(SUM(bit) AS BIGINT) AS color
+FROM expanded, bounds
+WHERE pair >= wmin AND pair <= wmax - 1
+GROUP BY pair, src, dst
+ORDER BY w, src, dst"""
+
+
+def q_separate_pattern(sf_dir: str):
+    """igraph_seperate_graph_pattern (dynamic.c:1646): split the
+    colored union graphs back into their two timesteps — side 0
+    recovers snapshot w's colored edges, side 1 snapshot w+1's. The
+    oracle reconstructs both sides independently from the snapshot
+    database (no pair-code round trip)."""
+    from igraph_ray.ops.temporal import (separate_graph_pattern,
+                                         union_edges_colored)
+
+    ug = union_edges_colored(_colored_snapshots(sf_dir), max_ecolor=4)
+    return separate_graph_pattern(ug, max_ecolor=4).sort(
+        ["side", "w", "src", "dst"])
+
+
+SQL_SEPARATE_PATTERN = """
+WITH ev AS (
+  SELECT (epoch_us(ts) // 1000000) // 21600 AS w,
+         user_id % 512 AS src, event_id % 97 AS dst FROM events),
+dedup AS MATERIALIZED (
+  SELECT w, src, dst, (src + dst) % 4 + 1 AS ec
+  FROM (SELECT DISTINCT w, src, dst FROM ev)),
+bounds AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM dedup)
+SELECT CAST(side AS BIGINT) AS side, CAST(w AS BIGINT) AS w,
+       CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+       CAST(ec AS BIGINT) AS ecolor FROM (
+  SELECT 0 AS side, w, src, dst, ec FROM dedup, bounds
+  WHERE w >= wmin AND w <= wmax - 1
+  UNION ALL
+  SELECT 1, w - 1, src, dst, ec FROM dedup, bounds
+  WHERE w - 1 >= wmin AND w - 1 <= wmax - 1)
+ORDER BY side, w, src, dst"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9871,6 +9953,8 @@ def queries() -> Dict[str, Callable]:
         "community_to_membership": q_community_to_membership,
         "colored_graph_edges": q_colored_graph_edges,
         "motifs_no": q_motifs_no,
+        "union_projection_colored": q_union_projection_colored,
+        "separate_pattern": q_separate_pattern,
     }
 
 
@@ -11271,6 +11355,8 @@ GROUP BY size ORDER BY size
         "community_to_membership": SQL_COMMUNITY_TO_MEMBERSHIP,
         "colored_graph_edges": SQL_COLORED_GRAPH_TMPL.format(
             edges=SQL_EDGES_A),
+        "union_projection_colored": SQL_UNION_PROJ_COLORED,
+        "separate_pattern": SQL_SEPARATE_PATTERN,
     }
     # composed oracles reusing entries above
     d["motifs_no"] = (
