@@ -9635,6 +9635,62 @@ SELECT CAST(side AS BIGINT) AS side, CAST(w AS BIGINT) AS w,
 ORDER BY side, w, src, dst"""
 
 
+def q_velist_projection(sf_dir: str):
+    """igraph_read_and_project_transactions_velist (dynamic.c:1302):
+    read a velist transaction database and project every consecutive
+    transaction pair onto its membership-colored union graph — the
+    velist_edges fixture (edges_a split into 4 transactions by
+    src % 4) piped through read_velist → union_edges with w = gid."""
+    import os
+    import tempfile
+
+    from igraph_ray.ops.temporal import union_edges
+    from igraph_ray.sources.velist import read_velist, write_velist
+
+    e = derive.edges_a(sf_dir)
+
+    def _tx(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        return pa.table({"gid": pa.array(s % 4),
+                         "src": b["src"], "dst": b["dst"]})
+
+    edges = e.map_batches(_tx, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def _vx(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        t = pa.table({"gid": pa.array(np.concatenate([s % 4, s % 4])),
+                      "vertex": pa.array(np.concatenate([s, d]))})
+        return t.group_by(["gid", "vertex"]).aggregate([]).\
+            rename_columns(["gid", "vertex"])
+
+    verts = (e.map_batches(_vx, batch_format="pyarrow", batch_size=None)
+             .groupby(["gid", "vertex"]).count()
+             .select_columns(["gid", "vertex"]))
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        pth = os.path.join(td, "a.velist")
+        write_velist(edges, verts, pth)
+        rd, _v, _h = read_velist(pth)
+        snap = rd.map_batches(
+            lambda b: pa.table({"w": b["gid"], "src": b["src"],
+                                "dst": b["dst"]}),
+            batch_format="pyarrow", batch_size=None)
+        return union_edges(snap).sort(["w", "src", "dst"]).materialize()
+
+
+SQL_VELIST_PROJECTION_TMPL = """
+WITH e AS ({edges}),
+snap AS (SELECT src % 4 AS w, src, dst FROM e),
+expanded AS (
+  SELECT w AS pair, src, dst, 2 AS bit FROM snap
+  UNION ALL SELECT w - 1, src, dst, 1 FROM snap)
+SELECT CAST(pair AS BIGINT) AS w, src, dst,
+       CAST(SUM(bit) AS BIGINT) AS color
+FROM expanded WHERE pair >= 0 AND pair <= 2
+GROUP BY pair, src, dst ORDER BY w, src, dst"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "edge_table": q_edge_table,
@@ -9955,6 +10011,7 @@ def queries() -> Dict[str, Callable]:
         "motifs_no": q_motifs_no,
         "union_projection_colored": q_union_projection_colored,
         "separate_pattern": q_separate_pattern,
+        "velist_projection": q_velist_projection,
     }
 
 
@@ -11357,6 +11414,8 @@ GROUP BY size ORDER BY size
             edges=SQL_EDGES_A),
         "union_projection_colored": SQL_UNION_PROJ_COLORED,
         "separate_pattern": SQL_SEPARATE_PATTERN,
+        "velist_projection": SQL_VELIST_PROJECTION_TMPL.format(
+            edges=SQL_EDGES_A),
     }
     # composed oracles reusing entries above
     d["motifs_no"] = (
