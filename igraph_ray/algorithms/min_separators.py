@@ -40,18 +40,35 @@ import ray.data
 from igraph_ray.graph import Graph
 
 
-def _csr_ref(graph: Graph) -> Tuple[object, int]:
-    und = graph.canonical_undirected().materialize()
-    rows = und.take_all()
-    lo = np.array([r["lo"] for r in rows], dtype=np.int64)
-    hi = np.array([r["hi"] for r in rows], dtype=np.int64)
-    n = int(max(lo.max(initial=-1), hi.max(initial=-1))) + 1 if len(lo) else 0
-    src = np.concatenate([lo, hi])
-    dst = np.concatenate([hi, lo])
+@ray.remote
+def _build_csr(arrs):
+    lo, hi, _w = arrs
+    n = int(max(lo.max(initial=-1), hi.max(initial=-1))) + 1 \
+        if len(lo) else 0
+    src = np.concatenate([lo, hi]).astype(np.int64)
+    dst = np.concatenate([hi, lo]).astype(np.int64)
     order = np.argsort(src, kind="stable")
     src, dst = src[order], dst[order]
     indptr = np.searchsorted(src, np.arange(n + 1))
-    return ray.put((indptr, dst, n)), n
+    return indptr, dst, n
+
+
+def _csr_ref(graph: Graph) -> Tuple[object, int]:
+    """Broadcast CSR of the simple undirected view — assembled
+    task-side (fastgreedy.und_arrays_ref), edge data never lands on
+    the driver; only n comes back."""
+    from igraph_ray.algorithms.fastgreedy import (_aggregate_und,
+                                                  und_arrays_ref)
+
+    arrays = und_arrays_ref(_aggregate_und(graph).materialize())
+    ref = _build_csr.remote(arrays)
+    n = ray.get(_csr_n.remote(ref))
+    return ref, n
+
+
+@ray.remote
+def _csr_n(csr) -> int:
+    return int(csr[2])
 
 
 def _components_neighborhoods(indptr, adj, n, leaveout_mask) -> List[Tuple[int, ...]]:
