@@ -48,10 +48,12 @@ def even_tarjan_reduction(edges: ray.data.Dataset,
         return pa.table({"src": pa.array(src), "dst": pa.array(dst),
                          "capacity": pa.array(cap)})
 
-    vs = np.arange(n, dtype=np.int64)
-    splitters = ray.data.from_arrow(pa.table({
-        "src": pa.array(vs), "dst": pa.array(vs + n),
-        "capacity": pa.array(np.ones(n, np.float64))}))
+    splitters = ray.data.range(n).map_batches(
+        lambda b: pa.table({
+            "src": b["id"],
+            "dst": pa.array(b["id"].to_numpy(zero_copy_only=False) + n),
+            "capacity": pa.array(np.ones(b.num_rows, np.float64))}),
+        batch_format="pyarrow", batch_size=None)
     arcs = edges.map_batches(_split, batch_format="pyarrow",
                              batch_size=None)
     return splitters.union(arcs)

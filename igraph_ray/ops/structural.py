@@ -1477,10 +1477,11 @@ def neighborhood_members(graph: Graph, order: int = 2,
                                      "b": pa.array([], pa.int64())}),
         batch_format="pyarrow", batch_size=None).materialize()
 
-    vs = np.arange(n, dtype=np.int64)
-    d0 = ray.data.from_arrow(pa.table({
-        "seed": pa.array(vs), "vertex": pa.array(vs),
-        "d": pa.array(np.zeros(n, np.int64))}))
+    d0 = ray.data.range(n).map_batches(
+        lambda b: pa.table({
+            "seed": b["id"], "vertex": b["id"],
+            "d": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None).materialize()
     layers = [d0]
     frontier = d0
     for k in range(1, order + 1):
