@@ -619,3 +619,28 @@ def is_subisomorphism(map21, target_edges, pattern_edges,
         if not np.isin(between, mapped).all():
             return False
     return True
+
+
+def isoclass3_create(isoclass: int):
+    """igraph_isoclass_create (topology.c) for directed 3-vertex
+    graphs: the exemplar edge list of the given motif isoclass (the
+    shared census exemplar table, in the reference's
+    motifs_randesu numbering)."""
+    from igraph_ray.ops.census import _CENSUS_TO_ISOCLASS, _EXEMPLARS
+
+    inv = {m: c for c, m in enumerate(_CENSUS_TO_ISOCLASS)}
+    if isoclass not in inv:
+        raise ValueError(f"invalid directed 3-vertex isoclass "
+                         f"{isoclass} (0..15)")
+    return list(_EXEMPLARS[inv[isoclass]])
+
+
+def isoclass3_subgraph(edges, triple) -> int:
+    """igraph_isoclass_subgraph (topology.c) for a directed 3-vertex
+    induced subgraph: the isoclass of the subgraph induced by the
+    given vertex triple, vertices relabeled in the triple's order."""
+    a, b, c = (int(v) for v in triple)
+    pos = {a: 0, b: 1, c: 2}
+    sub = [(pos[x], pos[y]) for x, y in edges
+           if int(x) in pos and int(y) in pos and int(x) != int(y)]
+    return graph_isoclass3_directed(sub)

@@ -166,3 +166,19 @@ def test_is_subisomorphism():
     assert not is_subisomorphism(
         [0, 1], [(0, 1)], [(0, 1)],
         vcolor_target=[5, 6], vcolor_pattern=[6, 6])
+
+
+def test_isoclass3_create_roundtrip():
+    from igraph_ray.algorithms.subiso import (graph_isoclass3_directed,
+                                              isoclass3_create,
+                                              isoclass3_subgraph)
+
+    for cls in range(16):
+        edges = isoclass3_create(cls)
+        assert graph_isoclass3_directed(edges) == cls
+    # induced-subgraph classification on a labeled host graph
+    host = [(10, 11), (11, 12), (12, 10), (10, 13)]
+    assert isoclass3_subgraph(host, (10, 11, 12)) == \
+        graph_isoclass3_directed([(0, 1), (1, 2), (2, 0)])
+    assert isoclass3_subgraph(host, (11, 12, 13)) == \
+        graph_isoclass3_directed([(0, 1)])
