@@ -1554,3 +1554,200 @@ def neighborhood_graph_edges(graph: Graph, order: int = 2,
              "src": pa.array([], pa.int64()),
              "dst": pa.array([], pa.int64())}),
         batch_format="pyarrow", batch_size=None)
+
+
+def local_scan0(edges: ray.data.Dataset, mode: str = "out",
+                weight_col: Optional[str] = None,
+                universe: Optional[ray.data.Dataset] = None,
+                num_partitions: int = 8) -> ray.data.Dataset:
+    """(vertex, scan0): the k=0 scan statistic — defined by the
+    reference as plain degree (unweighted) or strength (weighted), with
+    loops counted (igraph_local_scan_0, /root/reference/src/scan.c:54-65,
+    which forwards to igraph_degree/igraph_strength with loops=1).
+
+    ``edges`` is a directed edge table (src, dst [, weight_col]); loops
+    and multiplicities in the input all count, exactly as the reference
+    counts them. ``mode``: "out" | "in" | "all".
+    """
+    from igraph_ray.graph import endpoint_universe
+
+    edges = edges.materialize()
+    if universe is None:
+        universe = endpoint_universe(edges)
+
+    def _side(col: str):
+        def _m(b: pa.Table) -> pa.Table:
+            w = (b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                 if weight_col else np.ones(b.num_rows, np.float64))
+            return pa.table({"vertex": b[col], "w": pa.array(w)})
+        return _m
+
+    parts = []
+    if mode in ("out", "all"):
+        parts.append(edges.map_batches(_side("src"), batch_format="pyarrow",
+                                       batch_size=None))
+    if mode in ("in", "all"):
+        parts.append(edges.map_batches(_side("dst"), batch_format="pyarrow",
+                                       batch_size=None))
+    stream = parts[0]
+    for p in parts[1:]:
+        stream = stream.union(p)
+    stream = stream.union(universe_zeros(universe, "w", pa.float64()))
+    out = stream.groupby("vertex").sum("w")
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "scan0": pa.array([], pa.float64())})
+        return pa.table({"vertex": b["vertex"],
+                         "scan0": pc.cast(b["sum(w)"], pa.float64())})
+
+    return out.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def local_scan_k_ecount_them(us: Graph, them_und: ray.data.Dataset,
+                             k: int = 2,
+                             universe: Optional[ray.data.Dataset] = None,
+                             num_partitions: int = 8) -> ray.data.Dataset:
+    """(vertex, scan{k}t): THEM-graph edges whose BOTH endpoints fall in
+    each vertex's closed k-ball taken from the US graph
+    (igraph_local_scan_k_ecount_them, /root/reference/src/scan.c:676-760,
+    mode ALL: BFS marks the ball in US, incident THEM edges of marked
+    vertices with a marked other endpoint are summed and halved — i.e.
+    each inside edge once).
+
+    ``them_und`` columns: lo < hi (simple undirected edge table). The
+    ball membership is the same V×ball product as neighborhood_members
+    — k shuffles total, never a per-seed BFS.
+    """
+    members = neighborhood_members(us, order=k,
+                                   num_partitions=num_partitions)
+    members = members.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "vertex": b["vertex"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "vertex": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    m_lo = members.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "lo": b["vertex"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "lo": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(m_lo, them_und, on="lo", num_partitions=num_partitions)
+    j = j.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "vertex": b["hi"]})
+        if b.num_rows and "seed" in b.column_names else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "vertex": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    inside = hash_join(j, members, on=["seed", "vertex"],
+                       num_partitions=num_partitions)
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "seed" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"vertex": b["seed"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return (pa.TableGroupBy(t, "vertex").aggregate([("c", "sum")])
+                .rename_columns(["vertex", "c"]))
+
+    if universe is None:
+        from igraph_ray.graph import endpoint_universe
+
+        universe = endpoint_universe(us.edges)
+    counts = (inside.map_batches(_cnt, batch_format="pyarrow",
+                                 batch_size=None)
+              .union(universe_zeros(universe, "c"))
+              .groupby("vertex").sum("c"))
+    col = f"scan{k}t"
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             col: pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         col: pc.cast(b["sum(c)"], pa.int64())})
+
+    return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def local_scan_neighborhood_ecount(
+    edges: ray.data.Dataset, neighborhoods: ray.data.Dataset,
+    universe: Optional[ray.data.Dataset] = None,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(vertex, scan_nb): edges of the DIRECTED graph counted inside
+    user-supplied neighborhoods (igraph_local_scan_neighborhood_ecount,
+    /root/reference/src/scan.c — the pre-calculated-neighborhoods UDF
+    surface): for each seed, scan the out-edges of every listed member
+    and count heads that land in the member set ∪ {seed} (the seed is
+    always marked but only scanned from if listed; directed graphs are
+    not halved).
+
+    ``neighborhoods`` columns: (seed, vertex), distinct rows — the set
+    representation of the reference's per-vertex member lists.
+    """
+    from igraph_ray.graph import endpoint_universe
+
+    edges = edges.materialize()
+    neighborhoods = neighborhoods.materialize()
+    if universe is None:
+        universe = endpoint_universe(edges)
+    universe = universe.materialize()
+
+    self_rows = universe.map_batches(
+        lambda b: pa.table({"seed": b["vertex"], "vertex": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None)
+    # marked = distinct(neighborhood ∪ self): grouped count, keys only
+    marked = (neighborhoods.union(self_rows)
+              .groupby(["seed", "vertex"]).count()
+              .map_batches(
+                  lambda b: pa.table({"seed": b["seed"],
+                                      "vertex": b["vertex"]})
+                  if b.num_rows else pa.table(
+                      {"seed": pa.array([], pa.int64()),
+                       "vertex": pa.array([], pa.int64())}),
+                  batch_format="pyarrow", batch_size=None)).materialize()
+
+    scan_from = neighborhoods.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "src": b["vertex"]})
+        if b.num_rows else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "src": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(scan_from, edges, on="src",
+                  num_partitions=num_partitions)
+    j = j.map_batches(
+        lambda b: pa.table({"seed": b["seed"], "vertex": b["dst"]})
+        if b.num_rows and "seed" in b.column_names else pa.table(
+            {"seed": pa.array([], pa.int64()),
+             "vertex": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    inside = hash_join(j, marked, on=["seed", "vertex"],
+                       num_partitions=num_partitions)
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "seed" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"vertex": b["seed"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return (pa.TableGroupBy(t, "vertex").aggregate([("c", "sum")])
+                .rename_columns(["vertex", "c"]))
+
+    counts = (inside.map_batches(_cnt, batch_format="pyarrow",
+                                 batch_size=None)
+              .union(universe_zeros(universe, "c"))
+              .groupby("vertex").sum("c"))
+
+    def _rn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "scan_nb": pa.array([], pa.int64())})
+        return pa.table({"vertex": b["vertex"],
+                         "scan_nb": pc.cast(b["sum(c)"], pa.int64())})
+
+    return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)

@@ -4636,6 +4636,67 @@ def q_local_scan2(sf_dir: str):
                        num_partitions=8)
 
 
+def q_scan0(sf_dir: str):
+    """US scan-0 (scan.c:54-65, mode OUT): plain out-degree with loops
+    and multiplicities counted, over the multigraph view — the
+    reference defines k=0 scan as igraph_degree/strength(loops=1)."""
+    from igraph_ray.ops.structural import local_scan0
+
+    return local_scan0(derive.edges_a_multi(sf_dir), mode="out",
+                       num_partitions=8)
+
+
+def q_scan2_them(sf_dir: str):
+    """THEM scan-2 (scan.c:676, igraph_local_scan_k_ecount_them k=2,
+    mode ALL): undirected THEM edges (from edges_b) inside each
+    vertex's closed 2-ball of the undirected US graph (edges_a), each
+    inside edge counted once."""
+    from igraph_ray.ops.structural import local_scan_k_ecount_them
+    from igraph_ray.graph import endpoint_universe
+
+    us = derive.graph_a(sf_dir)
+    them = derive.edges_b(sf_dir)
+
+    def _und(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lo": pa.array(np.minimum(s, d)),
+                         "hi": pa.array(np.maximum(s, d))})
+
+    them_und = them.map_batches(_und, batch_format="pyarrow",
+                                batch_size=None).groupby(
+        ["lo", "hi"]).count().map_batches(
+        lambda b: pa.table({"lo": b["lo"], "hi": b["hi"]})
+        if b.num_rows else pa.table({"lo": pa.array([], pa.int64()),
+                                     "hi": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return local_scan_k_ecount_them(
+        us, them_und, k=2, universe=endpoint_universe(us.edges),
+        num_partitions=8)
+
+
+def q_scan_nbhd_ecount(sf_dir: str):
+    """Pre-calculated-neighborhoods scan
+    (igraph_local_scan_neighborhood_ecount, scan.c): count edges_b
+    edges scanned from each seed's out-neighbor list in edges_a whose
+    heads land back in the list ∪ {seed}; directed, no halving."""
+    from igraph_ray.ops.structural import local_scan_neighborhood_ecount
+    from igraph_ray.graph import endpoint_universe
+
+    us = derive.edges_a(sf_dir).materialize()
+    them = derive.edges_b(sf_dir).materialize()
+    nbhd = us.map_batches(
+        lambda b: pa.table({"seed": b["src"], "vertex": b["dst"]}),
+        batch_format="pyarrow", batch_size=None)
+    universe = endpoint_universe(us).union(
+        endpoint_universe(them)).groupby("vertex").count().map_batches(
+        lambda b: pa.table({"vertex": b["vertex"]})
+        if b.num_rows else pa.table({"vertex": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return local_scan_neighborhood_ecount(
+        them, nbhd, universe=universe, num_partitions=8)
+
+
 def q_scan0_them(sf_dir: str):
     """THEM scan-0 (scan.c:428, mode OUT): out-degree in the us∩them
     intersection graph, over the US vertex universe."""
@@ -9852,6 +9913,9 @@ def queries() -> Dict[str, Callable]:
         "connect2": q_connect2,
         "scan1_them": q_scan1_them,
         "scan0_them": q_scan0_them,
+        "scan0": q_scan0,
+        "scan2_them": q_scan2_them,
+        "scan_nbhd_ecount": q_scan_nbhd_ecount,
         "local_scan2": q_local_scan2,
         "bipartite_components": q_bipartite_components,
         "bipartite_projection": q_bipartite_projection,
@@ -11211,6 +11275,44 @@ inside AS (SELECT m.v, COUNT(*) AS c
 verts AS (SELECT DISTINCT v FROM sym)
 SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan2
 FROM verts LEFT JOIN inside ON inside.v = verts.v""",
+        "scan0": f"""
+WITH multi AS MATERIALIZED ({derive.SQL_EDGES_MULTI}),
+verts AS (SELECT src AS v FROM multi UNION SELECT dst FROM multi),
+d AS (SELECT src, COUNT(*) AS c FROM multi GROUP BY src)
+SELECT verts.v AS vertex, CAST(COALESCE(d.c, 0) AS DOUBLE) AS scan0
+FROM verts LEFT JOIN d ON d.src = verts.v""",
+        "scan2_them": f"""
+WITH usd AS MATERIALIZED ({SQL_EDGES_A}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+        FROM usd),
+sym AS (SELECT lo AS v, hi AS u FROM und UNION ALL SELECT hi, lo FROM und),
+m2 AS (SELECT DISTINCT v, u FROM (
+  SELECT s1.v, s2.u FROM sym s1 JOIN sym s2 ON s2.v = s1.u
+  UNION ALL SELECT v, u FROM sym
+  UNION ALL SELECT v, v FROM sym)),
+themd AS MATERIALIZED ({derive.SQL_EDGES_B}),
+them AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+         FROM themd),
+inside AS (SELECT m.v, COUNT(*) AS c
+           FROM m2 m JOIN them e ON e.lo = m.u
+           JOIN m2 m3 ON m3.v = m.v AND m3.u = e.hi
+           GROUP BY m.v),
+verts AS ({SQL_VERTS_A})
+SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan2t
+FROM verts LEFT JOIN inside ON inside.v = verts.v""",
+        "scan_nbhd_ecount": f"""
+WITH us AS MATERIALIZED ({SQL_EDGES_A}),
+them AS MATERIALIZED ({derive.SQL_EDGES_B}),
+verts AS (SELECT src AS v FROM us UNION SELECT dst FROM us
+          UNION SELECT src FROM them UNION SELECT dst FROM them),
+nb AS (SELECT src AS seed, dst AS u FROM us),
+marked AS (SELECT seed, u FROM nb UNION SELECT v, v FROM verts),
+inside AS (SELECT nb.seed, COUNT(*) AS c
+           FROM nb JOIN them t ON t.src = nb.u
+           JOIN marked m ON m.seed = nb.seed AND m.u = t.dst
+           GROUP BY nb.seed)
+SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan_nb
+FROM verts LEFT JOIN inside ON inside.seed = verts.v""",
         "scan0_them": f"""
 WITH us AS MATERIALIZED ({SQL_EDGES_A}),
 them AS MATERIALIZED ({derive.SQL_EDGES_B}),

@@ -597,3 +597,69 @@ class TestGraphicalSequence:
             assert is_seq == (sum(seq) % 2 == 0)
             if is_seq:
                 assert is_gr == havel_hakimi(seq), seq
+
+
+def test_local_scan0_and_k2_them_and_nbhd():
+    """Brute-force the three scan surfaces added for the scan.c tail:
+    scan-0 (= degree with loops, scan.c:54), scan-k=2 THEM
+    (scan.c:676: them-edges inside the undirected 2-ball of us), and
+    neighborhood_ecount (pre-supplied member lists, directed)."""
+    import pyarrow as pa
+    import ray.data
+
+    us = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 0), (2, 2)]
+    them = [(1, 2), (3, 0), (0, 4), (2, 3), (3, 4)]
+    us_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in us], pa.int64()),
+        "dst": pa.array([e[1] for e in us], pa.int64())}))
+    them_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in them], pa.int64()),
+        "dst": pa.array([e[1] for e in them], pa.int64())}))
+    verts = sorted({v for e in us for v in e} | {v for e in them for v in e})
+
+    # scan-0 OUT: multigraph out-degree, loops counted
+    got0 = {r["vertex"]: r["scan0"] for r in
+            st.local_scan0(us_ds, mode="out", num_partitions=2).take_all()}
+    expect0 = defaultdict(float)
+    for s, d in us:
+        expect0[s] += 1.0
+    assert got0 == {v: expect0[v] for v in {x for e in us for x in e}}
+
+    # scan-2 THEM over the undirected simple views
+    su = np.array([e[0] for e in us], np.int64)
+    du = np.array([e[1] for e in us], np.int64)
+    g_us = Graph.from_numpy(su, du, n=5)
+    them_und = sorted({(min(a, b), max(a, b)) for a, b in them if a != b})
+    them_und_ds = ray.data.from_arrow(pa.table({
+        "lo": pa.array([e[0] for e in them_und], pa.int64()),
+        "hi": pa.array([e[1] for e in them_und], pa.int64())}))
+    got2 = {r["vertex"]: r["scan2t"] for r in
+            st.local_scan_k_ecount_them(
+                g_us, them_und_ds, k=2, num_partitions=2).take_all()}
+    und_adj = defaultdict(set)
+    for a, b in us:
+        if a != b:
+            und_adj[a].add(b)
+            und_adj[b].add(a)
+    for v in {x for e in us for x in e}:
+        ball = {v} | und_adj[v] | {w for u in und_adj[v] for w in und_adj[u]}
+        expect = sum(1 for a, b in them_und if a in ball and b in ball)
+        assert got2[v] == expect, v
+
+    # neighborhood_ecount: neighborhoods = out-neighbors in us, graph = them
+    nbhd = ray.data.from_arrow(pa.table({
+        "seed": pa.array([e[0] for e in us if e[0] != e[1]], pa.int64()),
+        "vertex": pa.array([e[1] for e in us if e[0] != e[1]], pa.int64())}))
+    uni = ray.data.from_arrow(pa.table({
+        "vertex": pa.array(verts, pa.int64())}))
+    gotn = {r["vertex"]: r["scan_nb"] for r in
+            st.local_scan_neighborhood_ecount(
+                them_ds, nbhd, universe=uni, num_partitions=2).take_all()}
+    out_us = defaultdict(set)
+    for a, b in us:
+        if a != b:
+            out_us[a].add(b)
+    for v in verts:
+        marked = out_us[v] | {v}
+        expect = sum(1 for a, b in them if a in out_us[v] and b in marked)
+        assert gotn[v] == expect, v
