@@ -4627,6 +4627,106 @@ def q_bipartite_projection(sf_dir: str):
     return _common_neighbor_pairs(inc, "o", "p", 8)
 
 
+def _thin_incidence(sf_dir: str, distinct: bool) -> ray.data.Dataset:
+    """(o, p) thinned lineitem incidence — the shared bipartite fixture
+    ((l_orderkey*11+l_partkey)%7==0), multigraph when distinct=False."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def _inc(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = (ok * 11 + pk) % 7 == 0
+        return pa.table({"o": pa.array(ok[keep].astype(np.int64)),
+                         "p": pa.array(pk[keep].astype(np.int64))})
+
+    inc = li.map_batches(_inc, batch_format="pyarrow", batch_size=None)
+    if distinct:
+        inc = inc.groupby(["o", "p"]).count().map_batches(
+            lambda b: pa.table({"o": b["o"], "p": b["p"]})
+            if b.num_rows else pa.table({"o": pa.array([], pa.int64()),
+                                         "p": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+    return inc
+
+
+def q_bipartite_projection_size(sf_dir: str):
+    """Projection sizes without materializing the projections
+    (igraph_bipartite_projection_size, bipartite.c:87) over the thinned
+    order↔part incidence."""
+    from igraph_ray.ops.bipartite import bipartite_projection_size
+
+    return bipartite_projection_size(_thin_incidence(sf_dir, True),
+                                     a_col="o", b_col="p",
+                                     num_partitions=8)
+
+
+def q_get_incidence(sf_dir: str):
+    """Sparse incidence-matrix triplets (igraph_get_incidence,
+    bipartite.c:694): dense-ranked rows/cols + parallel-edge counts
+    over the thinned multigraph incidence mapped to one id space
+    (o→2o type 0, p→2p+1 type 1)."""
+    from igraph_ray.ops.bipartite import get_incidence
+
+    inc = _thin_incidence(sf_dir, False).materialize()
+    edges = inc.map_batches(
+        lambda b: pa.table({
+            "src": pc.multiply(b["o"], pa.scalar(2, pa.int64())),
+            "dst": pc.add(pc.multiply(b["p"], pa.scalar(2, pa.int64())),
+                          pa.scalar(1, pa.int64()))}),
+        batch_format="pyarrow", batch_size=None)
+    types = (inc.map_batches(
+        lambda b: pa.table({
+            "vertex": pc.multiply(b["o"], pa.scalar(2, pa.int64()))}),
+        batch_format="pyarrow", batch_size=None).union(
+        inc.map_batches(
+            lambda b: pa.table({
+                "vertex": pc.add(
+                    pc.multiply(b["p"], pa.scalar(2, pa.int64())),
+                    pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow", batch_size=None))
+        .groupby("vertex").count().map_batches(
+        lambda b: pa.table({
+            "vertex": b["vertex"],
+            "type": pc.cast(pc.bit_wise_and(
+                b["vertex"], pa.scalar(1, pa.int64())), pa.int64())})
+        if b.num_rows else pa.table({"vertex": pa.array([], pa.int64()),
+                                     "type": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None))
+    return get_incidence(edges, types, num_partitions=8)
+
+
+def q_create_bipartite(sf_dir: str):
+    """Validated bipartite construction (igraph_create_bipartite,
+    bipartite.c:485): one-id-space mapping of the thinned incidence
+    (o→2o, p→2p+1; type = id parity) through the validator, returning
+    the canonical distinct edge table."""
+    from igraph_ray.ops.bipartite import create_bipartite
+
+    inc = _thin_incidence(sf_dir, True).materialize()
+    edges = inc.map_batches(
+        lambda b: pa.table({
+            "src": pc.multiply(b["o"], pa.scalar(2, pa.int64())),
+            "dst": pc.add(pc.multiply(b["p"], pa.scalar(2, pa.int64())),
+                          pa.scalar(1, pa.int64()))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    types = (edges.map_batches(
+        lambda b: pa.table({"vertex": b["src"]}),
+        batch_format="pyarrow", batch_size=None).union(
+        edges.map_batches(lambda b: pa.table({"vertex": b["dst"]}),
+                          batch_format="pyarrow", batch_size=None))
+        .groupby("vertex").count().map_batches(
+        lambda b: pa.table({
+            "vertex": b["vertex"],
+            "type": pc.cast(pc.bit_wise_and(
+                b["vertex"], pa.scalar(1, pa.int64())), pa.int64())})
+        if b.num_rows else pa.table({"vertex": pa.array([], pa.int64()),
+                                     "type": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None))
+    g = create_bipartite(types, edges, num_partitions=8)
+    return g.edges
+
+
 def q_local_scan2(sf_dir: str):
     """Scan-2 statistic (scan.c local_scan_k_ecount k=2) on the sparse
     undirected view."""
@@ -9916,6 +10016,9 @@ def queries() -> Dict[str, Callable]:
         "scan0": q_scan0,
         "scan2_them": q_scan2_them,
         "scan_nbhd_ecount": q_scan_nbhd_ecount,
+        "bipartite_projection_size": q_bipartite_projection_size,
+        "get_incidence": q_get_incidence,
+        "create_bipartite": q_create_bipartite,
         "local_scan2": q_local_scan2,
         "bipartite_components": q_bipartite_components,
         "bipartite_projection": q_bipartite_projection,
@@ -11275,6 +11378,36 @@ inside AS (SELECT m.v, COUNT(*) AS c
 verts AS (SELECT DISTINCT v FROM sym)
 SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan2
 FROM verts LEFT JOIN inside ON inside.v = verts.v""",
+        "bipartite_projection_size": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey * 11 + l_partkey) % 7 = 0),
+e1 AS (SELECT COUNT(*) AS c FROM (
+  SELECT DISTINCT i1.o AS a, i2.o AS b
+  FROM inc i1 JOIN inc i2 ON i2.p = i1.p AND i2.o > i1.o)),
+e2 AS (SELECT COUNT(*) AS c FROM (
+  SELECT DISTINCT i1.p AS a, i2.p AS b
+  FROM inc i1 JOIN inc i2 ON i2.o = i1.o AND i2.p > i1.p))
+SELECT CAST((SELECT COUNT(DISTINCT o) FROM inc) AS BIGINT) AS vcount1,
+       CAST((SELECT c FROM e1) AS BIGINT) AS ecount1,
+       CAST((SELECT COUNT(DISTINCT p) FROM inc) AS BIGINT) AS vcount2,
+       CAST((SELECT c FROM e2) AS BIGINT) AS ecount2""",
+        "get_incidence": """
+WITH inc AS MATERIALIZED (
+  SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE (l_orderkey * 11 + l_partkey) % 7 = 0),
+r0 AS (SELECT o, DENSE_RANK() OVER (ORDER BY o) - 1 AS r
+       FROM (SELECT DISTINCT o FROM inc)),
+r1 AS (SELECT p, DENSE_RANK() OVER (ORDER BY p) - 1 AS c
+       FROM (SELECT DISTINCT p FROM inc)),
+cells AS (SELECT o, p, COUNT(*) AS mult FROM inc GROUP BY o, p)
+SELECT CAST(r0.r AS BIGINT) AS "row", CAST(r1.c AS BIGINT) AS col,
+       CAST(cells.mult AS BIGINT) AS mult
+FROM cells JOIN r0 USING (o) JOIN r1 USING (p)""",
+        "create_bipartite": """
+SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) AS src,
+       CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
+FROM lineitem WHERE (l_orderkey * 11 + l_partkey) % 7 = 0""",
         "scan0": f"""
 WITH multi AS MATERIALIZED ({derive.SQL_EDGES_MULTI}),
 verts AS (SELECT src AS v FROM multi UNION SELECT dst FROM multi),
