@@ -581,3 +581,16 @@ def mincut(
     """igraph_st_mincut (flow.c:1146): value + partition, via maxflow."""
     return maxflow(edges, source, target, n=n, capacity_col=capacity_col,
                    num_partitions=num_partitions)
+
+
+def maxflow_value(edges: ray.data.Dataset, source: int, target: int,
+                  **kwargs) -> float:
+    """igraph_maxflow_value (flow.c): the flow value only."""
+    return maxflow(edges, source, target, **kwargs).value
+
+
+def st_mincut_value(edges: ray.data.Dataset, source: int, target: int,
+                    **kwargs) -> float:
+    """igraph_st_mincut_value (flow.c): equals the max-flow value by
+    LP duality — the reference routes it through maxflow too."""
+    return maxflow(edges, source, target, **kwargs).value

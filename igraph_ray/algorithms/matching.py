@@ -21,6 +21,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from igraph_ray.util import hash_join
@@ -159,3 +160,83 @@ def maximal_matching(
     for m in matched[1:]:
         out = out.union(m)
     return out
+
+
+def is_matching(und: ray.data.Dataset, matching: ray.data.Dataset,
+                num_partitions: int = 8) -> bool:
+    """True iff ``matching`` (lo, hi rows) is a valid matching of the
+    simple undirected graph ``und`` (lo < hi rows):
+    every matched pair is an edge and no vertex is matched twice
+    (igraph_is_matching, /root/reference/src/matching.c — the vector
+    form's symmetry/validity checks, restated for the pair-table
+    representation)."""
+    from igraph_ray.util import hash_join
+
+    matching = matching.materialize()
+    m = matching.count()
+    if m == 0:
+        return True
+    # every pair is an edge
+    on_edges = hash_join(matching, und.map_batches(
+        lambda b: pa.table({"lo": b["lo"], "hi": b["hi"],
+                            "e": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None),
+        on=["lo", "hi"], num_partitions=num_partitions).count()
+    if on_edges != m:
+        return False
+    # no endpoint repeats
+    ends = matching.map_batches(
+        lambda b: pa.table({"v": pa.array(np.concatenate(
+            [b["lo"].to_numpy(zero_copy_only=False),
+             b["hi"].to_numpy(zero_copy_only=False)]))}),
+        batch_format="pyarrow", batch_size=None)
+    distinct = ends.groupby("v").count().count()
+    return int(distinct) == 2 * m
+
+
+def is_maximal_matching(und: ray.data.Dataset,
+                        matching: ray.data.Dataset,
+                        num_partitions: int = 8) -> bool:
+    """True iff ``matching`` is a matching and no graph edge has both
+    endpoints unmatched (igraph_is_maximal_matching,
+    /root/reference/src/matching.c)."""
+    from igraph_ray.util import hash_join
+
+    if not is_matching(und, matching, num_partitions=num_partitions):
+        return False
+    matched_v = matching.map_batches(
+        lambda b: pa.table({"v": pa.array(np.concatenate(
+            [b["lo"].to_numpy(zero_copy_only=False),
+             b["hi"].to_numpy(zero_copy_only=False)])),
+            "m": pa.array(np.ones(2 * b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None).groupby("v").min("m")
+    matched_v = matched_v.map_batches(
+        lambda b: pa.table({"v": b["v"],
+                            "m": pc.cast(b["min(m)"], pa.int64())})
+        if b.num_rows and "v" in b.column_names else pa.table(
+            {"v": pa.array([], pa.int64()),
+             "m": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    lo_j = hash_join(und.map_batches(
+        lambda b: pa.table({"v": b["lo"], "hi": b["hi"]}),
+        batch_format="pyarrow", batch_size=None),
+        matched_v, on="v", num_partitions=num_partitions)
+    lo_matched = lo_j.map_batches(
+        lambda b: pa.table({"lo": b["v"], "hi": b["hi"]})
+        if b.num_rows and "v" in b.column_names else pa.table(
+            {"lo": pa.array([], pa.int64()),
+             "hi": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    hi_j = hash_join(und.map_batches(
+        lambda b: pa.table({"lo": b["lo"], "v": b["hi"]}),
+        batch_format="pyarrow", batch_size=None),
+        matched_v, on="v", num_partitions=num_partitions)
+    hi_matched = hi_j.map_batches(
+        lambda b: pa.table({"lo": b["lo"], "hi": b["v"]})
+        if b.num_rows and "lo" in b.column_names else pa.table(
+            {"lo": pa.array([], pa.int64()),
+             "hi": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    covered = lo_matched.union(hi_matched).groupby(["lo", "hi"]).count()
+    return int(covered.count()) == int(und.count())

@@ -243,3 +243,10 @@ def global_mincut_karger(
         "best_trial": pa.array([best_trial], pa.int64()),
         "side_size": pa.array([best_side], pa.int64()),
     })
+
+
+def mincut_value(edges: ray.data.Dataset,
+                 weight_col=None, num_partitions: int = 4) -> float:
+    """igraph_mincut_value (flow.c): the global min-cut weight only."""
+    return global_mincut_exact(edges, weight_col=weight_col,
+                               num_partitions=num_partitions)[0]

@@ -551,3 +551,75 @@ def linegraph(edges: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Data
         return pa.table({"src": b["eid1"], "dst": b["eid2"]})
 
     return arcs.map_batches(_proj, batch_format="pyarrow", batch_size=None)
+
+
+def are_connected(edges: ray.data.Dataset, u: int, v: int,
+                  directed: bool = True) -> bool:
+    """igraph_are_connected (type_indexededgelist.c:1058): does edge
+    (u,v) exist — (v,u) also matches when undirected. One predicate
+    scan, no shuffle."""
+    if directed:
+        expr = f"src == {int(u)} and dst == {int(v)}"
+    else:
+        expr = (f"((src == {int(u)}) and (dst == {int(v)})) or "
+                f"((src == {int(v)}) and (dst == {int(u)}))")
+    return edges.filter(expr=expr).count() > 0
+
+
+def adjacency_triplets(edges: ray.data.Dataset, directed: bool = True
+                       ) -> ray.data.Dataset:
+    """("row", col, mult): the sparse cells of igraph_get_adjacency
+    (conversion.c:35-120, eids=False): directed — m[from][to] += 1 per
+    edge; undirected BOTH — both cells get +1 per edge, so a loop adds
+    2 to its diagonal cell (the reference's documented quirk). Zero
+    cells are not emitted."""
+    import numpy as np
+
+    def _cells(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if directed:
+            r, c = s, d
+        else:
+            r = np.concatenate([s, d])
+            c = np.concatenate([d, s])
+        t = pa.table({"row": pa.array(r), "col": pa.array(c),
+                      "mult": pa.array(np.ones(len(r), np.int64))})
+        return (pa.TableGroupBy(t, ["row", "col"])
+                .aggregate([("mult", "sum")])
+                .rename_columns(["row", "col", "mult"]))
+
+    out = edges.map_batches(_cells, batch_format="pyarrow",
+                            batch_size=None).groupby(["row", "col"]).sum(
+        "mult")
+    return out.map_batches(
+        lambda b: pa.table({"row": b["row"], "col": b["col"],
+                            "mult": pc.cast(b["sum(mult)"], pa.int64())})
+        if b.num_rows and "row" in b.column_names else pa.table(
+            {"row": pa.array([], pa.int64()),
+             "col": pa.array([], pa.int64()),
+             "mult": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+def from_weighted_adjacency(matrix, mode: str = "directed",
+                            loops: bool = True):
+    """Dense weighted adjacency matrix → weighted edge Dataset
+    (igraph_weighted_adjacency, structure_generators.c:470: nonzero
+    cell = edge with the cell value as weight; mode "directed" takes
+    every cell, "undirected"/"upper" the upper triangle)."""
+    import numpy as np
+
+    m = np.asarray(matrix, dtype=np.float64)
+    if mode == "directed":
+        r, c = np.nonzero(m)
+    else:
+        r, c = np.nonzero(np.triu(m))
+    if not loops:
+        keep = r != c
+        r, c = r[keep], c[keep]
+    w = m[r, c]
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array(r.astype(np.int64)),
+        "dst": pa.array(c.astype(np.int64)),
+        "weight": pa.array(w)}))

@@ -4727,6 +4727,14 @@ def q_create_bipartite(sf_dir: str):
     return g.edges
 
 
+def q_adjacency_triplets(sf_dir: str):
+    """Sparse igraph_get_adjacency cells (conversion.c:35, directed,
+    eids=False): m[src][dst] += 1 per multigraph edge, loops included."""
+    from igraph_ray.ops.relational import adjacency_triplets
+
+    return adjacency_triplets(derive.edges_a_multi(sf_dir), directed=True)
+
+
 def q_local_scan2(sf_dir: str):
     """Scan-2 statistic (scan.c local_scan_k_ecount k=2) on the sparse
     undirected view."""
@@ -5466,6 +5474,17 @@ def q_mst(sf_dir: str):
     msf = minimum_spanning_forest(derive.edges_a_weighted(sf_dir),
                                   weight_col="weight", num_partitions=8)
     return _scale_col(msf, "weight", "weight", 1.0)  # integral 1..10 → int64
+
+
+def q_mst_unweighted(sf_dir: str):
+    """Unweighted spanning forest (igraph_minimum_spanning_tree_unweighted,
+    spanning_trees.c:40-76 semantics: any spanning forest; deterministic
+    here by the (1, lo, hi) Borůvka total order)."""
+    from igraph_ray.algorithms.mst import minimum_spanning_forest
+
+    msf = minimum_spanning_forest(derive.edges_a(sf_dir),
+                                  weight_col=None, num_partitions=8)
+    return _scale_col(msf, "weight", "weight", 1.0)
 
 
 def q_exact_dedup(sf_dir: str):
@@ -6614,7 +6633,7 @@ def _sql_graphlets(max_w: int = 10) -> str:
             "FROM ranked ORDER BY graphlet, vertex")
 
 
-def _sql_mst(rounds: int = 10) -> str:
+def _sql_mst(rounds: int = 10, edges_w_sql: str = None) -> str:
     """Unrolled Borůvka over the undirected weighted view of edges_a.
 
     Parallel edges collapse to their lightest representative (the total
@@ -6625,7 +6644,7 @@ def _sql_mst(rounds: int = 10) -> str:
     count at least halves per round, so 10 rounds cover V=512.
     """
     parts = [
-        f"WITH RECURSIVE ew AS MATERIALIZED ({SQL_EDGES_A_W})",
+        f"WITH RECURSIVE ew AS MATERIALIZED ({edges_w_sql or SQL_EDGES_A_W})",
         "ue AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, "
         "GREATEST(src, dst) AS hi, MIN(weight) AS w FROM ew GROUP BY 1, 2)",
         "uverts AS MATERIALIZED (SELECT lo AS v FROM ue UNION SELECT hi FROM ue)",
@@ -9952,6 +9971,7 @@ def queries() -> Dict[str, Callable]:
         "random_walks_weighted": q_random_walks_weighted,
         "girth": q_girth,
         "mst": q_mst,
+        "mst_unweighted": q_mst_unweighted,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -10017,6 +10037,7 @@ def queries() -> Dict[str, Callable]:
         "scan2_them": q_scan2_them,
         "scan_nbhd_ecount": q_scan_nbhd_ecount,
         "bipartite_projection_size": q_bipartite_projection_size,
+        "adjacency_triplets": q_adjacency_triplets,
         "get_incidence": q_get_incidence,
         "create_bipartite": q_create_bipartite,
         "local_scan2": q_local_scan2,
@@ -10425,6 +10446,8 @@ FROM documents ORDER BY doc_id""",
         "ngram_dups": _sql_ngram_dups(),
         "k_core": _sql_k_core(),
         "mst": _sql_mst(),
+        "mst_unweighted": _sql_mst(
+            edges_w_sql=f"SELECT src, dst, 1 AS weight FROM ({SQL_EDGES_A})"),
         "bridges": _SQL_BRIDGES,
         "two_ecc": _SQL_TWO_ECC,
         "girth": _sql_girth(),
@@ -11378,6 +11401,9 @@ inside AS (SELECT m.v, COUNT(*) AS c
 verts AS (SELECT DISTINCT v FROM sym)
 SELECT verts.v AS vertex, CAST(COALESCE(inside.c, 0) AS BIGINT) AS scan2
 FROM verts LEFT JOIN inside ON inside.v = verts.v""",
+        "adjacency_triplets": f"""
+SELECT src AS "row", dst AS col, CAST(COUNT(*) AS BIGINT) AS mult
+FROM ({derive.SQL_EDGES_MULTI}) GROUP BY src, dst""",
         "bipartite_projection_size": """
 WITH inc AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

@@ -110,3 +110,33 @@ def read_ncol(
                   "vertex": pa.array(list(names.values()), pa.int64())})
     )
     return edges, vocab
+
+
+def write_ncol(edges: ray.data.Dataset, path: str,
+               vocab: "Optional[ray.data.Dataset]" = None,
+               weight_col: Optional[str] = None) -> None:
+    """NCOL writer (igraph_write_graph_ncol, foreign.c:1477): one
+    "name1 name2 [weight]" line per edge, names from the vocabulary
+    (name, vertex) when given, else the numeric ids — the reference
+    falls back to ids when no name attribute exists. Streamed
+    batch-wise with a broadcast name map (the vocabulary is the small
+    side by contract, exactly the trie the reference holds in RAM)."""
+    names = {}
+    if vocab is not None:
+        for b in vocab.iter_batches(batch_format="pyarrow"):
+            vs = b["vertex"].to_numpy(zero_copy_only=False)
+            ns = b["name"].to_pylist()
+            names.update(zip(vs.tolist(), ns))
+    with open(path, "w") as f:
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            w = (b[weight_col].to_numpy(zero_copy_only=False)
+                 if weight_col and weight_col in b.column_names else None)
+            for i in range(len(src)):
+                a = names.get(int(src[i]), str(int(src[i])))
+                c = names.get(int(dst[i]), str(int(dst[i])))
+                if w is not None:
+                    f.write(f"{a} {c} {w[i]:g}\n")
+                else:
+                    f.write(f"{a} {c}\n")

@@ -1,0 +1,91 @@
+"""Small API-tail surfaces: NCOL writer round-trip, matching
+predicates, are_connected, adjacency export/import, value-only
+wrappers."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.algorithms.matching import (
+    is_matching,
+    is_maximal_matching,
+    maximal_matching,
+)
+from igraph_ray.ops.relational import (
+    adjacency_triplets,
+    are_connected,
+    from_weighted_adjacency,
+)
+from igraph_ray.sources.edgelist import read_ncol, write_ncol
+
+
+def _ds(rows, names):
+    return ray.data.from_arrow(pa.table(
+        {n: pa.array([r[i] for r in rows], pa.int64())
+         for i, n in enumerate(names)}))
+
+
+def test_write_ncol_round_trip(tmp_path):
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 0], pa.int64()),
+        "weight": pa.array([1.5, 2.0, 3.25])}))
+    vocab = ray.data.from_arrow(pa.table({
+        "name": pa.array(["a", "b", "c"]),
+        "vertex": pa.array([0, 1, 2], pa.int64())}))
+    p = str(tmp_path / "t.ncol")
+    write_ncol(edges, p, vocab=vocab, weight_col="weight")
+    e2, v2 = read_ncol(p)
+    assert sorted((r["src"], r["dst"], r["weight"])
+                  for r in e2.take_all()) == [(0, 1, 1.5), (1, 2, 2.0),
+                                              (2, 0, 3.25)]
+    assert sorted((r["name"], r["vertex"]) for r in v2.take_all()) == [
+        ("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_matching_predicates():
+    und = _ds([(0, 1), (1, 2), (2, 3), (0, 3)], ["lo", "hi"])
+    good = _ds([(0, 1), (2, 3)], ["lo", "hi"])
+    assert is_matching(und, good) and is_maximal_matching(und, good)
+    assert not is_matching(und, _ds([(0, 2)], ["lo", "hi"]))  # non-edge
+    assert not is_matching(und, _ds([(0, 1), (1, 2)], ["lo", "hi"]))
+    partial = _ds([(0, 1)], ["lo", "hi"])
+    assert is_matching(und, partial)
+    assert not is_maximal_matching(und, partial)  # edge (2,3) uncovered
+    mm = maximal_matching(und, num_partitions=2)
+    assert is_matching(und, mm) and is_maximal_matching(und, mm)
+
+
+def test_are_connected():
+    edges = _ds([(0, 1), (1, 2)], ["src", "dst"])
+    assert are_connected(edges, 0, 1)
+    assert not are_connected(edges, 1, 0)
+    assert are_connected(edges, 1, 0, directed=False)
+    assert not are_connected(edges, 0, 2, directed=False)
+
+
+def test_adjacency_round_trip():
+    m = np.array([[0.0, 2.5, 0.0],
+                  [0.0, 0.0, 1.0],
+                  [4.0, 0.0, 0.5]])
+    edges = from_weighted_adjacency(m, mode="directed")
+    got = sorted((r["src"], r["dst"], r["weight"])
+                 for r in edges.take_all())
+    assert got == [(0, 1, 2.5), (1, 2, 1.0), (2, 0, 4.0), (2, 2, 0.5)]
+    cells = {(r["row"], r["col"]): r["mult"] for r in
+             adjacency_triplets(edges, directed=True).take_all()}
+    assert cells == {(0, 1): 1, (1, 2): 1, (2, 0): 1, (2, 2): 1}
+    # undirected BOTH: loop adds 2 to the diagonal
+    und = _ds([(0, 1), (2, 2)], ["src", "dst"])
+    cells2 = {(r["row"], r["col"]): r["mult"] for r in
+              adjacency_triplets(und, directed=False).take_all()}
+    assert cells2 == {(0, 1): 1, (1, 0): 1, (2, 2): 2}
+
+
+def test_value_wrappers():
+    from igraph_ray.algorithms.cliques import maximal_cliques_count
+    from igraph_ray.graph import Graph
+
+    tri = _ds([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
+    g = Graph(tri.materialize(), n=4)
+    assert maximal_cliques_count(g, num_partitions=2, min_size=2) == 2
