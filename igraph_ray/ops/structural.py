@@ -873,7 +873,10 @@ def barrat_weighted_clustering(
                              "strength": pa.array([], pa.int64()),
                              "deg": pa.array([], pa.int64())})
         import pyarrow.compute as pc
-        wsf = pc.fill_null(b["sum(ws)"], 0)
+        if "sum(ws)" in b.column_names:
+            wsf = pc.fill_null(b["sum(ws)"], 0)
+        else:  # right side empty (triangle-free view): join drops the col
+            wsf = pa.array(np.zeros(b.num_rows, np.int64))
         return pa.table({"vertex": b["vertex"],
                          "tri_wsum": pc.cast(wsf, pa.int64()),
                          "strength": pc.cast(b["strength"], pa.int64()),

@@ -6101,7 +6101,13 @@ def q_k_truss(sf_dir: str):
     (trussness family; oracle = unrolled per-round SQL peel)."""
     from igraph_ray.ops.structural import k_truss
 
-    return k_truss(derive.graph_sparse(sf_dir), k=4, num_partitions=8)
+    res = k_truss(derive.graph_sparse(sf_dir), k=4, num_partitions=8)
+    if res.count() == 0:
+        # ray.data.Dataset.to_pandas() drops the schema of an empty
+        # dataset; hand the driver a schema-stable empty Arrow table
+        return pa.table({"lo": pa.array([], pa.int64()),
+                         "hi": pa.array([], pa.int64())})
+    return res
 
 
 def _sql_k_truss(k: int = 4, iters: int = 6) -> str:
