@@ -344,10 +344,6 @@ def isomorphic_vf2(
     by_color: dict = defaultdict(list)
     for v in range(n):
         by_color[int(c2[v])].append(v)
-    # bind order: rarest color first, then degree desc (fail fast)
-    order = sorted(range(n),
-                   key=lambda v: (len(by_color[int(c1[v])]),
-                                  -(len(out1[v]) + len(in1[v]))))
     mapping = np.full(n, -1, dtype=np.int64)
     used = np.zeros(n, dtype=bool)
 
@@ -369,11 +365,54 @@ def isomorphic_vf2(
         return (len(out1[v1]) == len(out2[v2])
                 and len(in1[v1]) == len(in2[v2]))
 
+    # VF2 connectivity-guided dynamic order (Cordella et al. 2004 §III:
+    # expand along the frontier of the partial mapping). A static
+    # rarest-color order backtracks exponentially on graphs with many
+    # WL-equivalent components — binding a vertex disconnected from the
+    # mapped set gets no adjacency pruning. Here the next vertex is an
+    # unmapped g1 vertex adjacent to the mapped set whenever one exists
+    # (rarest color as tie-break), and its candidates come from the
+    # image sets of its mapped neighbors, not the whole color class.
+    unmapped: set = set(range(n))
+
+    def _pick():
+        best, best_key = None, None
+        for v in unmapped:
+            anch = 0
+            for u in out1[v]:
+                if mapping[u] >= 0:
+                    anch += 1
+            for u in in1[v]:
+                if mapping[u] >= 0:
+                    anch += 1
+            key = (-anch, len(by_color[int(c1[v])]),
+                   -(len(out1[v]) + len(in1[v])), v)
+            if best_key is None or key < best_key:
+                best, best_key = v, key
+        return best
+
+    def _cands(v1):
+        # smallest image-derived candidate pool among mapped neighbors
+        pool = None
+        for u1 in in1[v1]:
+            m = mapping[u1]
+            if m >= 0 and (pool is None or len(out2[m]) < len(pool)):
+                pool = out2[m]
+        for u1 in out1[v1]:
+            m = mapping[u1]
+            if m >= 0 and (pool is None or len(in2[m]) < len(pool)):
+                pool = in2[m]
+        if pool is None:
+            return by_color[int(c1[v1])]
+        cc = int(c1[v1])
+        return [v2 for v2 in pool if int(c2[v2]) == cc]
+
     def _search(i: int) -> bool:
         if i == n:
             return True
-        v1 = order[i]
-        for v2 in by_color[int(c1[v1])]:
+        v1 = _pick()
+        unmapped.discard(v1)
+        for v2 in _cands(v1):
             if used[v2] or not _ok(v1, v2):
                 continue
             mapping[v1] = v2
@@ -382,6 +421,7 @@ def isomorphic_vf2(
                 return True
             mapping[v1] = -1
             used[v2] = False
+        unmapped.add(v1)
         return False
 
     import sys
