@@ -343,3 +343,15 @@ def dim_select(sv: np.ndarray) -> int:
         if profile > best:
             best, best_dim = profile, n1
     return int(best_dim)
+
+
+def eigen_adjacency(graph: Graph, k: int = 2, iters: int = 40,
+                    num_partitions: int = 8):
+    """igraph_eigen_adjacency (igraph_eigen.h surface): the leading
+    eigenpairs of the (symmetrized) adjacency operator. The engine's
+    per-algorithm eigensolver IS the adjacency spectral embedding — the
+    ASE superstep computes exactly these pairs (X = U·|S|^(1/2), so the
+    eigenvalues are recoverable from the returned spectrum); this alias
+    pins the functions.def name onto it."""
+    return adjacency_spectral_embedding(graph, k=k, iters=iters,
+                                        num_partitions=num_partitions)

@@ -1566,7 +1566,8 @@ def q_eigenvector(sf_dir: str):
     return _scale_col(res.state, "ev", "ev_e8", 1e8)
 
 
-def _sql_eigenvector(iters: int = EV_ITERS) -> str:
+def _sql_eigenvector(iters: int = EV_ITERS,
+                     centralization: bool = False) -> str:
     parts = [
         f"WITH edges AS MATERIALIZED ({SQL_EDGES_A})",
         f"verts AS MATERIALIZED ({SQL_VERTS_A})",
@@ -1585,11 +1586,43 @@ def _sql_eigenvector(iters: int = EV_ITERS) -> str:
         )
     last = f"x{iters}"
     body = ",\n".join(parts)
+    if centralization:
+        # igraph_centralization_eigenvector_centrality (centrality.c:3209,
+        # scale=TRUE, directed): sum of (max - x_i) over the e8-rounded
+        # scores, plus the directed tmax = n - 1 (centrality.c:3317).
+        return (
+            f"{body},\n"
+            f"sc AS (SELECT CAST(ROUND(r/(SELECT MAX(r) FROM {last})*1e8)"
+            f" AS BIGINT) AS ev_e8 FROM {last})\n"
+            f"SELECT CAST(SUM(100000000 - ev_e8) AS BIGINT) AS cent_sum_e8, "
+            f"CAST((SELECT COUNT(*) FROM verts) - 1 AS BIGINT) AS tmax "
+            f"FROM sc"
+        )
     return (
         f"{body}\n"
         f"SELECT v AS vertex, CAST(ROUND(r/(SELECT MAX(r) FROM {last})*1e8) AS BIGINT) AS ev_e8 "
         f"FROM {last} ORDER BY vertex"
     )
+
+
+def q_centralization_eigenvector(sf_dir: str):
+    """igraph_centralization_eigenvector_centrality (centrality.c:3209,
+    scale=TRUE, directed): sum of (max - x_i) over the e8-rounded scores
+    with the directed tmax = n - 1 (centrality.c:3317-3345)."""
+    from igraph_ray.algorithms.centrality import eigenvector_centrality
+
+    g = derive.graph_a(sf_dir)
+    res = eigenvector_centrality(g, fixed_iterations=EV_ITERS,
+                                 num_partitions=8)
+    sc = _scale_col(res.state, "ev", "ev_e8", 1e8).materialize()
+    n = sc.count()
+    tot = sum(r["s"] for r in sc.map_batches(
+        lambda b: pa.table({"s": pa.array([int(
+            (100000000 - b["ev_e8"].to_numpy(zero_copy_only=False)).sum())],
+            pa.int64())}),
+        batch_format="pyarrow", batch_size=None).take_all())
+    return pa.table({"cent_sum_e8": pa.array([tot], pa.int64()),
+                     "tmax": pa.array([n - 1], pa.int64())})
 
 
 def q_eigenvector_weighted(sf_dir: str):
@@ -3595,6 +3628,94 @@ def q_hsbm(sf_dir: str):
     from igraph_ray.sources.games import hsbm_game
 
     return hsbm_game(**HSBM_PARAMS).sort(["src", "dst"])
+
+
+HSBM_LIST_PARAMS = dict(
+    n=60, mlist=(20, 30, 10),
+    rho_sizes_list=((10, 10), (15, 15), (10,)),
+    c_e6_list=(((700000, 120000), (120000, 650000)),
+               ((600000, 80000), (80000, 700000)),
+               ((500000,),)),
+    p_e6=30000, seed=42)
+
+
+def q_hsbm_list(sf_dir: str):
+    """General hierarchical SBM with per-block sizes
+    (igraph_hsbm_list_game, sbm.c:417): per-block cluster SBMs + flat
+    inter-block rate, one md5 Bernoulli per pair - full DuckDB replay."""
+    from igraph_ray.sources.games import hsbm_list_game
+
+    return hsbm_list_game(**HSBM_LIST_PARAMS).sort(["src", "dst"])
+
+
+def _sql_hsbm_list() -> str:
+    p = HSBM_LIST_PARAMS
+    n, seed = p["n"], p["seed"]
+    HEX15 = 16 ** 15
+    offs = [0]
+    for m in p["mlist"]:
+        offs.append(offs[-1] + int(m))
+    nb = len(p["mlist"])
+    pthr = int(p["p_e6"]) * HEX15 // 1_000_000
+
+    def fold(h: str) -> str:
+        f = "CAST(0 AS BIGINT)"
+        for kk in range(1, 16):
+            f = (f"(({f}) * 16 + "
+                 f"(strpos('0123456789abcdef', substr({h}, {kk}, 1)) - 1))")
+        return f
+
+    def blk(col: str) -> str:
+        c = "CASE "
+        for b in range(nb - 1):
+            c += f"WHEN {col} < {offs[b + 1]} THEN {b} "
+        return c + f"ELSE {nb - 1} END"
+
+    def off(bcol: str) -> str:
+        c = "CASE "
+        for b in range(nb - 1):
+            c += f"WHEN {bcol} = {b} THEN {offs[b]} "
+        return c + f"ELSE {offs[nb - 1]} END"
+
+    def clu(bcol: str, col: str) -> str:
+        # cluster index of col within its block bcol
+        c = "CASE "
+        for b in range(nb):
+            cum = 0
+            sizes = p["rho_sizes_list"][b]
+            for ci in range(len(sizes) - 1):
+                cum += int(sizes[ci])
+                c += (f"WHEN {bcol} = {b} AND "
+                      f"({col} - {offs[b]}) < {cum} THEN {ci} ")
+            c += f"WHEN {bcol} = {b} THEN {len(sizes) - 1} "
+        return c + "ELSE 0 END"
+
+    cases = []
+    for b in range(nb):
+        cm = p["c_e6_list"][b]
+        k = len(cm)
+        for a in range(k):
+            for d in range(k):
+                thr = int(cm[a][d]) * HEX15 // 1_000_000
+                cases.append(f"WHEN bi = {b} AND ci = {a} AND cj = {d} "
+                             f"THEN CAST({thr} AS BIGINT)")
+    ccase = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH pairs AS (
+  SELECT a.i AS i, b.j AS j
+  FROM (SELECT UNNEST(range({n})) AS i) a,
+       (SELECT UNNEST(range({n})) AS j) b
+  WHERE b.j > a.i),
+hs AS (SELECT i, j, {blk('i')} AS bi, {blk('j')} AS bj,
+  md5('{seed}:hsl:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+  FROM pairs),
+hc AS (SELECT i, j, bi, bj, {clu('bi', 'i')} AS ci, {clu('bi', 'j')} AS cj,
+  h FROM hs),
+rs AS MATERIALIZED (
+  SELECT i, j, bi, bj, ci, cj, {fold('h')} AS r FROM hc)
+SELECT i AS src, j AS dst FROM rs
+WHERE (bi = bj AND r < {ccase}) OR (bi <> bj AND r < CAST({pthr} AS BIGINT))
+ORDER BY src, dst"""
 
 
 def _sql_hsbm() -> str:
@@ -9893,6 +10014,7 @@ def queries() -> Dict[str, Callable]:
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
         "eigenvector": q_eigenvector,
+        "centralization_eigenvector": q_centralization_eigenvector,
         "eigenvector_weighted": q_eigenvector_weighted,
         "hits": q_hits,
         "components": q_components,
@@ -10120,6 +10242,7 @@ def queries() -> Dict[str, Callable]:
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hsbm": q_hsbm,
+        "hsbm_list": q_hsbm_list,
         "hrg_fit": q_hrg_fit,
         "hrg_predict": q_hrg_predict,
         "establishment": q_establishment,
@@ -10297,6 +10420,7 @@ ON d.dst = verts.v ORDER BY vertex""",
         "pagerank_weighted": _sql_pagerank_weighted(),
         "pagerank_personalized": _sql_pagerank_personalized(),
         "eigenvector": _sql_eigenvector(),
+        "centralization_eigenvector": _sql_eigenvector(centralization=True),
         "eigenvector_weighted": _sql_eigenvector_weighted(),
         "hits": _sql_hits(),
         "triad_census": _sql_triad_census(),
@@ -11278,6 +11402,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "laplacian_norm": SQL_LAPLACIAN_NORM,
         "dot_product": _sql_dot_product(),
         "hsbm": _sql_hsbm(),
+        "hsbm_list": _sql_hsbm_list(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

@@ -1740,3 +1740,72 @@ def nonlinear_barabasi_game(
     t = pa.table({"src": pa.array(src_out, pa.int64()),
                   "dst": pa.array(dst_out, pa.int64())})
     return ray.data.from_arrow(t)
+
+
+def hsbm_list_game(
+    n: int,
+    mlist: Tuple[int, ...],
+    rho_sizes_list,
+    c_e6_list,
+    p_e6: int,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """General hierarchical SBM with per-block sizes
+    (igraph_hsbm_list_game, /root/reference/src/sbm.c:417): block b has
+    ``mlist[b]`` vertices split into clusters of ``rho_sizes_list[b]``
+    (summing to mlist[b]) connecting at C_b[cl(i)][cl(j)]; vertices of
+    different blocks connect at rate p. Same independent-md5-draw
+    scheme as hsbm_game (tag "hsl") — integer-exact thresholds,
+    parallelism-invariant, SQL-replayable."""
+    import hashlib
+
+    assert sum(mlist) == n
+    nb = len(mlist)
+    assert len(rho_sizes_list) == nb and len(c_e6_list) == nb
+    HEX15 = 16 ** 15
+    offs = np.zeros(nb + 1, np.int64)
+    np.cumsum(np.asarray(mlist, np.int64), out=offs[1:])
+    cums = []   # per-block cluster cumsums
+    cthrs = []  # per-block threshold matrices
+    for b in range(nb):
+        assert sum(rho_sizes_list[b]) == mlist[b]
+        k = len(rho_sizes_list[b])
+        c = [[int(x) for x in row] for row in c_e6_list[b]]
+        assert len(c) == k and all(
+            c[a][d] == c[d][a] for a in range(k) for d in range(k))
+        cums.append(np.cumsum(np.asarray(rho_sizes_list[b], np.int64)))
+        cthrs.append(np.array(
+            [[x * HEX15 // 1_000_000 for x in row] for row in c],
+            dtype=np.uint64))
+    pthr = np.uint64(int(p_e6) * HEX15 // 1_000_000)
+
+    def _gen(b: pa.Table) -> pa.Table:
+        outs_s, outs_d = [], []
+        for i in b["id"].to_numpy(zero_copy_only=False):
+            i = int(i)
+            j = np.arange(i + 1, n, dtype=np.int64)
+            if not len(j):
+                continue
+            bi = int(np.searchsorted(offs, i, side="right")) - 1
+            bj = np.searchsorted(offs, j, side="right") - 1
+            same = bj == bi
+            cli = int(np.searchsorted(cums[bi], i - offs[bi],
+                                      side="right"))
+            clj = np.searchsorted(cums[bi], j - offs[bi], side="right")
+            thr = np.where(same, cthrs[bi][cli, np.minimum(
+                clj, len(cums[bi]) - 1)], pthr)
+            draws = np.array(
+                [int(hashlib.md5(f"{seed}:hsl:{i}:{int(jj)}".encode())
+                     .hexdigest()[:15], 16) for jj in j], dtype=np.uint64)
+            keep = draws < thr
+            outs_s.append(np.full(int(keep.sum()), i, np.int64))
+            outs_d.append(j[keep])
+        if not outs_s:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(outs_s)),
+                         "dst": pa.array(np.concatenate(outs_d))})
+
+    return (ray.data.range(n, override_num_blocks=num_partitions)
+            .map_batches(_gen, batch_format="pyarrow", batch_size=None))

@@ -89,3 +89,21 @@ def test_value_wrappers():
     tri = _ds([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
     g = Graph(tri.materialize(), n=4)
     assert maximal_cliques_count(g, num_partitions=2, min_size=2) == 2
+
+
+def test_hsbm_list_structure():
+    """hsbm_list_game (sbm.c:417): deterministic across parallelism,
+    undirected i<j rows; dense intra-cluster vs sparse inter-block."""
+    from igraph_ray.sources.games import hsbm_list_game
+
+    kw = dict(n=30, mlist=(10, 20), rho_sizes_list=((5, 5), (10, 10)),
+              c_e6_list=(((900000, 50000), (50000, 900000)),
+                         ((800000, 10000), (10000, 800000))),
+              p_e6=5000, seed=7)
+    a = sorted((r["src"], r["dst"]) for r in hsbm_list_game(**kw).take_all())
+    b = sorted((r["src"], r["dst"]) for r in hsbm_list_game(
+        **{**kw, "num_partitions": 3}).take_all())
+    assert a == b and all(s < d for s, d in a)
+    intra = sum(1 for s, d in a if (s < 10) == (d < 10))
+    inter = len(a) - intra
+    assert intra > inter
