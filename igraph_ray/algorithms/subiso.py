@@ -684,3 +684,160 @@ def isoclass3_subgraph(edges, triple) -> int:
     sub = [(pos[x], pos[y]) for x, y in edges
            if int(x) in pos and int(y) in pos and int(x) != int(y)]
     return graph_isoclass3_directed(sub)
+
+
+def get_isomorphisms_vf2(
+    g1_src, g1_dst, n1: int, g2_src, g2_dst, n2: int,
+    directed: bool = False, max_edges: int = 1 << 20,
+    max_isos: int = 1 << 20,
+) -> List[np.ndarray]:
+    """igraph_get_isomorphisms_vf2 (topology.c): EVERY complete
+    isomorphism binding g1→g2, as a list of mapping arrays sorted
+    lexicographically (with g1 == g2 this enumerates the automorphism
+    group). Connectivity-guided VF2 under WL color invariants, guarded
+    like the other exhaustive enumerations."""
+    src1 = np.asarray(g1_src, dtype=np.int64)
+    dst1 = np.asarray(g1_dst, dtype=np.int64)
+    src2 = np.asarray(g2_src, dtype=np.int64)
+    dst2 = np.asarray(g2_dst, dtype=np.int64)
+    if n1 != n2 or len(src1) != len(src2):
+        return []
+    if len(src1) > max_edges:
+        raise NotImplementedError(
+            f"get_isomorphisms_vf2 broadcast plan is guarded to "
+            f"{max_edges} edges (exhaustive enumeration)")
+    n = n1
+    col = _wl_colors(2 * n,
+                     np.concatenate([src1, src2 + n]),
+                     np.concatenate([dst1, dst2 + n]), directed)
+    c1, c2 = col[:n], col[n:]
+    if not np.array_equal(np.sort(c1), np.sort(c2)):
+        return []
+
+    def _adj_sets(src, dst):
+        out = [set() for _ in range(n)]
+        inn = [set() for _ in range(n)]
+        for a, b in zip(src.tolist(), dst.tolist()):
+            out[a].add(b)
+            inn[b].add(a)
+            if not directed:
+                out[b].add(a)
+                inn[a].add(b)
+        return out, inn
+
+    out1, in1 = _adj_sets(src1, dst1)
+    out2, in2 = _adj_sets(src2, dst2)
+    from collections import defaultdict
+    by_color: dict = defaultdict(list)
+    for v in range(n):
+        by_color[int(c2[v])].append(v)
+    mapping = np.full(n, -1, dtype=np.int64)
+    used = np.zeros(n, dtype=bool)
+    unmapped: set = set(range(n))
+
+    def _ok(v1: int, v2: int) -> bool:
+        for u1 in out1[v1]:
+            m = mapping[u1]
+            if m >= 0 and m not in out2[v2]:
+                return False
+        for u1 in in1[v1]:
+            m = mapping[u1]
+            if m >= 0 and m not in in2[v2]:
+                return False
+        return (len(out1[v1]) == len(out2[v2])
+                and len(in1[v1]) == len(in2[v2]))
+
+    def _pick():
+        best, best_key = None, None
+        for v in unmapped:
+            anch = sum(1 for u in out1[v] if mapping[u] >= 0) + \
+                sum(1 for u in in1[v] if mapping[u] >= 0)
+            key = (-anch, len(by_color[int(c1[v])]),
+                   -(len(out1[v]) + len(in1[v])), v)
+            if best_key is None or key < best_key:
+                best, best_key = v, key
+        return best
+
+    def _cands(v1):
+        pool = None
+        for u1 in in1[v1]:
+            m = mapping[u1]
+            if m >= 0 and (pool is None or len(out2[m]) < len(pool)):
+                pool = out2[m]
+        for u1 in out1[v1]:
+            m = mapping[u1]
+            if m >= 0 and (pool is None or len(in2[m]) < len(pool)):
+                pool = in2[m]
+        if pool is None:
+            return by_color[int(c1[v1])]
+        cc = int(c1[v1])
+        return [v2 for v2 in pool if int(c2[v2]) == cc]
+
+    found: List[np.ndarray] = []
+
+    def _search(i: int) -> None:
+        if len(found) >= max_isos:
+            return
+        if i == n:
+            found.append(mapping.copy())
+            return
+        v1 = _pick()
+        unmapped.discard(v1)
+        for v2 in _cands(v1):
+            if used[v2] or not _ok(v1, v2):
+                continue
+            mapping[v1] = v2
+            used[v2] = True
+            _search(i + 1)
+            mapping[v1] = -1
+            used[v2] = False
+        unmapped.add(v1)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, n + 100))
+    try:
+        _search(0)
+    finally:
+        sys.setrecursionlimit(old)
+    found.sort(key=lambda m: m.tolist())
+    return found
+
+
+def get_isomorphisms(g1: Graph, g2: Graph,
+                     directed: Optional[bool] = None) -> "ray.data.Dataset":
+    """Dataset surface of igraph_get_isomorphisms_vf2: (iso_id, vertex,
+    image) rows, iso_id = lexicographic rank of the mapping. Edge
+    tables are pulled through one Ray task (broadcast small-graph
+    plan); the driver sees only the mapping stream."""
+    if directed is None:
+        directed = bool(g1.attrs.get("directed", True))
+    n1, n2 = g1.num_vertices(), g2.num_vertices()
+
+    def _cols(g: Graph):
+        t = pa.concat_tables(
+            [b.select(["src", "dst"])
+             for b in g.edges.iter_batches(batch_format="pyarrow")]
+            or [pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})])
+        return (t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False))
+
+    s1, d1 = _cols(g1)
+    s2, d2 = _cols(g2)
+
+    @ray.remote
+    def _run(s1, d1, s2, d2) -> pa.Table:
+        maps = get_isomorphisms_vf2(s1, d1, n1, s2, d2, n2,
+                                    directed=directed)
+        if not maps:
+            return pa.table({"iso_id": pa.array([], pa.int64()),
+                             "vertex": pa.array([], pa.int64()),
+                             "image": pa.array([], pa.int64())})
+        k = len(maps)
+        return pa.table({
+            "iso_id": pa.array(np.repeat(np.arange(k, dtype=np.int64), n1)),
+            "vertex": pa.array(np.tile(np.arange(n1, dtype=np.int64), k)),
+            "image": pa.array(np.concatenate(maps))})
+
+    return ray.data.from_arrow_refs([_run.remote(s1, d1, s2, d2)])

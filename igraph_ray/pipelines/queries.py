@@ -3902,6 +3902,58 @@ def q_isomorphic_check(sf_dir: str):
                      "n_edges": pa.array([m], pa.int64())})
 
 
+def q_get_isomorphisms(sf_dir: str):
+    """igraph_get_isomorphisms_vf2 (topology.c): the full isomorphism
+    stream between the bull graph and its md5-rank permutation —
+    |Aut(bull)| = 2 mappings (identity and the horn swap (1 2)(3 4)),
+    each composed with the permutation. Rows (iso_id, vertex, image),
+    iso_id = lexicographic rank."""
+    import hashlib
+
+    from igraph_ray.algorithms.subiso import get_isomorphisms
+
+    bull = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+    keys = [hashlib.md5(str(v).encode()).hexdigest() for v in range(5)]
+    perm = np.argsort(np.array(keys)).astype(np.int64)
+    e1 = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in bull], pa.int64()),
+        "dst": pa.array([b for a, b in bull], pa.int64())}))
+    e2 = ray.data.from_arrow(pa.table({
+        "src": pa.array([int(perm[a]) for a, b in bull], pa.int64()),
+        "dst": pa.array([int(perm[b]) for a, b in bull], pa.int64())}))
+    g1 = Graph(e1, n=5, attrs={"directed": False})
+    g2 = Graph(e2, n=5, attrs={"directed": False})
+    return get_isomorphisms(g1, g2, directed=False).sort(
+        ["iso_id", "vertex"])
+
+
+def _sql_get_isomorphisms() -> str:
+    """Hand-derived VALUES replay: Aut(bull) = {id, (1 2)(3 4)}
+    (the triangle body 0 is the unique degree-2 vertex inside the
+    triangle; the two horn-carrying triangle vertices 1,2 swap along
+    with their horns 3,4). Isomorphisms bull → perm(bull) are the two
+    compositions perm∘a; iso_id by lexicographic rank of the mapping."""
+    import hashlib
+
+    keys = [hashlib.md5(str(v).encode()).hexdigest() for v in range(5)]
+    import numpy as _np
+
+    perm = _np.argsort(_np.array(keys)).astype(int)
+    m0 = [int(perm[v]) for v in range(5)]                    # perm ∘ id
+    sigma = [0, 2, 1, 4, 3]                                  # (1 2)(3 4)
+    m1 = [int(perm[sigma[v]]) for v in range(5)]             # perm ∘ σ
+    maps = sorted([m0, m1])
+    rows = []
+    for i, m in enumerate(maps):
+        for v in range(5):
+            rows.append(f"({i}, {v}, {m[v]})")
+    return ("SELECT CAST(iso_id AS BIGINT) AS iso_id, "
+            "CAST(vertex AS BIGINT) AS vertex, "
+            "CAST(image AS BIGINT) AS image "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(iso_id, vertex, image) ORDER BY iso_id, vertex")
+
+
 def q_subiso_path4(sf_dir: str):
     """Count of injective P4 maps (igraph_count_subisomorphisms_vf2,
     topology.c semantics, non-induced) in the undirected sparse view —
@@ -10248,6 +10300,7 @@ def queries() -> Dict[str, Callable]:
         "establishment": q_establishment,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
+        "get_isomorphisms": q_get_isomorphisms,
         "subiso_cycle4": q_subiso_cycle4,
         "global_mincut": q_global_mincut,
         "mincut_karger": q_mincut_karger,
@@ -11403,6 +11456,7 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "dot_product": _sql_dot_product(),
         "hsbm": _sql_hsbm(),
         "hsbm_list": _sql_hsbm_list(),
+        "get_isomorphisms": _sql_get_isomorphisms(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

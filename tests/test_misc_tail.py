@@ -107,3 +107,24 @@ def test_hsbm_list_structure():
     intra = sum(1 for s, d in a if (s < 10) == (d < 10))
     inter = len(a) - intra
     assert intra > inter
+
+
+def test_get_isomorphisms_c4_dihedral():
+    """get_isomorphisms_vf2 with g1 == g2 enumerates Aut: the 4-cycle's
+    dihedral group D4 has order 8."""
+    from igraph_ray.algorithms.subiso import get_isomorphisms_vf2
+
+    src = np.array([0, 1, 2, 3], np.int64)
+    dst = np.array([1, 2, 3, 0], np.int64)
+    maps = get_isomorphisms_vf2(src, dst, 4, src, dst, 4, directed=False)
+    assert len(maps) == 8
+    # all distinct, all bijections, all edge-preserving
+    eset = {(0, 1), (1, 2), (2, 3), (3, 0)}
+    eset |= {(b, a) for a, b in eset}
+    seen = set()
+    for m in maps:
+        tm = tuple(m.tolist())
+        assert tm not in seen and sorted(tm) == [0, 1, 2, 3]
+        seen.add(tm)
+        for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+            assert (m[a], m[b]) in eset
