@@ -841,3 +841,95 @@ def get_isomorphisms(g1: Graph, g2: Graph,
             "image": pa.array(np.concatenate(maps))})
 
     return ray.data.from_arrow_refs([_run.remote(s1, d1, s2, d2)])
+
+
+def canonical_permutation(g_src, g_dst, n: int, directed: bool = False,
+                          max_branch: int = 1 << 16) -> np.ndarray:
+    """igraph_canonical_permutation (topology.c BLISS surface): a
+    labeling ``lab`` (lab[v] = canonical id) such that isomorphic
+    graphs relabel to the identical canonical edge set.
+
+    Individualization–refinement: iterated WL to a stable coloring;
+    while a non-singleton class remains, branch on every member of the
+    first one (individualize + re-refine), and keep the labeling whose
+    relabeled sorted edge list is lexicographically smallest — the
+    textbook IR canonical form (McKay/BLISS family), exact because all
+    branches of each first target class are explored. Branching is
+    guarded by ``max_branch`` explored leaves (honest ceiling, same
+    style as the other exhaustive enumerations)."""
+    src = np.asarray(g_src, dtype=np.int64)
+    dst = np.asarray(g_dst, dtype=np.int64)
+    out = [set() for _ in range(n)]
+    inn = [set() for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        out[a].add(b)
+        inn[b].add(a)
+        if not directed:
+            out[b].add(a)
+            inn[a].add(b)
+
+    def _refine(col: Tuple[int, ...]) -> Tuple[int, ...]:
+        col = np.asarray(col, dtype=np.int64)
+        while True:
+            sigs = []
+            for v in range(n):
+                so = tuple(sorted(col[u] for u in out[v]))
+                si = (tuple(sorted(col[u] for u in inn[v]))
+                      if directed else ())
+                sigs.append((int(col[v]), so, si))
+            ranks = {s: i for i, s in enumerate(sorted(set(sigs)))}
+            new = np.array([ranks[s] for s in sigs], dtype=np.int64)
+            if np.array_equal(new, col):
+                return tuple(int(x) for x in new)
+            col = new
+
+    def _code(lab: np.ndarray):
+        if directed:
+            es = sorted(zip(lab[src].tolist(), lab[dst].tolist()))
+        else:
+            ls, ld = lab[src], lab[dst]
+            es = sorted(zip(np.minimum(ls, ld).tolist(),
+                            np.maximum(ls, ld).tolist()))
+        return tuple(es)
+
+    leaves = 0
+    best_code = None
+    best_lab = None
+
+    def _classes(col):
+        from collections import defaultdict
+        by = defaultdict(list)
+        for v, c in enumerate(col):
+            by[c].append(v)
+        return by
+
+    def _search(col) -> None:
+        nonlocal leaves, best_code, best_lab
+        if leaves >= max_branch:
+            raise NotImplementedError(
+                f"canonical_permutation IR search exceeded {max_branch} "
+                "leaves (highly symmetric input)")
+        by = _classes(col)
+        target = None
+        for c in sorted(by):
+            if len(by[c]) > 1:
+                target = by[c]
+                break
+        if target is None:
+            # discrete: labeling = color rank
+            leaves += 1
+            lab = np.empty(n, dtype=np.int64)
+            order = sorted(range(n), key=lambda v: col[v])
+            for i, v in enumerate(order):
+                lab[v] = i
+            code = _code(lab)
+            if best_code is None or code < best_code:
+                best_code, best_lab = code, lab.copy()
+            return
+        for v in target:
+            col2 = list(col)
+            col2[v] = -1  # individualize: unique smallest color
+            _search(_refine(tuple(col2)))
+
+    _search(_refine(tuple([0] * n)))
+    return best_lab

@@ -3954,6 +3954,35 @@ def _sql_get_isomorphisms() -> str:
             ") AS t(iso_id, vertex, image) ORDER BY iso_id, vertex")
 
 
+def q_canonical_form(sf_dir: str):
+    """igraph_canonical_permutation (topology.c BLISS surface):
+    relabeling the bull graph and its md5-rank permutation by their IR
+    canonical labelings must give the SAME edge set — the defining
+    property of a canonical form. Returns (forms_equal, n_edges); the
+    canonical edge codes themselves are checked by pytest."""
+    import hashlib
+
+    from igraph_ray.algorithms.subiso import canonical_permutation
+
+    bull = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+    s = np.array([a for a, b in bull], np.int64)
+    d = np.array([b for a, b in bull], np.int64)
+    keys = [hashlib.md5(str(v).encode()).hexdigest() for v in range(5)]
+    perm = np.argsort(np.array(keys)).astype(np.int64)
+    s2, d2 = perm[s], perm[d]
+
+    @ray.remote
+    def _canon(s, d):
+        lab = canonical_permutation(s, d, 5, directed=False)
+        return sorted(zip(np.minimum(lab[s], lab[d]).tolist(),
+                          np.maximum(lab[s], lab[d]).tolist()))
+
+    c1, c2 = ray.get([_canon.remote(s, d), _canon.remote(s2, d2)])
+    return pa.table({
+        "forms_equal": pa.array([1 if c1 == c2 else 0], pa.int64()),
+        "n_edges": pa.array([len(c1)], pa.int64())})
+
+
 def q_subiso_path4(sf_dir: str):
     """Count of injective P4 maps (igraph_count_subisomorphisms_vf2,
     topology.c semantics, non-induced) in the undirected sparse view —
@@ -10301,6 +10330,7 @@ def queries() -> Dict[str, Callable]:
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
         "get_isomorphisms": q_get_isomorphisms,
+        "canonical_form": q_canonical_form,
         "subiso_cycle4": q_subiso_cycle4,
         "global_mincut": q_global_mincut,
         "mincut_karger": q_mincut_karger,
@@ -11457,6 +11487,8 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "hsbm": _sql_hsbm(),
         "hsbm_list": _sql_hsbm_list(),
         "get_isomorphisms": _sql_get_isomorphisms(),
+        "canonical_form": ("SELECT CAST(1 AS BIGINT) AS forms_equal, "
+                           "CAST(5 AS BIGINT) AS n_edges"),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

@@ -128,3 +128,37 @@ def test_get_isomorphisms_c4_dihedral():
         seen.add(tm)
         for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]:
             assert (m[a], m[b]) in eset
+
+
+def test_canonical_permutation_invariance():
+    """Canonical forms agree across random relabelings and distinguish
+    non-isomorphic graphs (igraph_canonical_permutation contract)."""
+    import hashlib
+
+    from igraph_ray.algorithms.subiso import canonical_permutation
+
+    def code(lab, s, d):
+        return sorted(zip(np.minimum(lab[s], lab[d]).tolist(),
+                          np.maximum(lab[s], lab[d]).tolist()))
+
+    bull = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+    s = np.array([a for a, b in bull], np.int64)
+    d = np.array([b for a, b in bull], np.int64)
+    base = code(canonical_permutation(s, d, 5), s, d)
+    for seed in range(4):
+        keys = [hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+                for v in range(5)]
+        perm = np.argsort(np.array(keys)).astype(np.int64)
+        s2, d2 = perm[s], perm[d]
+        assert code(canonical_permutation(s2, d2, 5), s2, d2) == base
+    # non-isomorphic: P5 path differs
+    ps = np.array([0, 1, 2, 3], np.int64)
+    pd = np.array([1, 2, 3, 4], np.int64)
+    assert code(canonical_permutation(ps, pd, 5), ps, pd) != base
+    # symmetric graph (C4) terminates and is stable under rotation
+    cs = np.array([0, 1, 2, 3], np.int64)
+    cd = np.array([1, 2, 3, 0], np.int64)
+    c4 = code(canonical_permutation(cs, cd, 4), cs, cd)
+    rot = np.array([1, 2, 3, 0], np.int64)
+    assert code(canonical_permutation(rot[cs], rot[cd], 4),
+                rot[cs], rot[cd]) == c4
