@@ -1480,7 +1480,16 @@ def q_motif4_instances(sf_dir: str):
     from igraph_ray.ops.census import motif4_instances
 
     g = derive.graph_vsparse(sf_dir)
-    return motif4_instances(g, num_partitions=8)
+    res = motif4_instances(g, num_partitions=8)
+    if res.count() == 0:
+        # Dataset.to_pandas() drops the schema of an empty dataset
+        return pa.table({"v1": pa.array([], pa.int64()),
+                         "v2": pa.array([], pa.int64()),
+                         "v3": pa.array([], pa.int64()),
+                         "v4": pa.array([], pa.int64()),
+                         "clazz": pa.array([], pa.int64()),
+                         "name": pa.array([], pa.string())})
+    return res
 
 
 def _sql_motif4_instances() -> str:
@@ -9932,11 +9941,15 @@ def q_motifs_no(sf_dir: str):
     oracles."""
     from igraph_ray.ops.census import motifs3, motifs4
 
-    g = derive.graph_sparse(sf_dir)
-    t3 = int(np.sum(motifs3(g, num_partitions=8)["count"]
+    # same views as the standalone census queries the oracle composes:
+    # size 3 = the directed census over graph A, size 4 = the undirected
+    # census over the sparse view
+    t3 = int(np.sum(motifs3(derive.graph_a(sf_dir),
+                            num_partitions=8)["count"]
                     .to_numpy(zero_copy_only=False)))
-    t4 = int(np.sum(motifs4(g, num_partitions=8)["count"]
-                    .to_numpy(zero_copy_only=False)))
+    w4 = motifs4(derive.graph_sparse(sf_dir),
+                 num_partitions=8)  # wide one-row class table
+    t4 = int(sum(int(w4[c][0].as_py()) for c in w4.column_names))
     return pa.table({"size": pa.array([3, 4], pa.int64()),
                      "total": pa.array([t3, t4], pa.int64())})
 
@@ -11899,6 +11912,7 @@ GROUP BY size ORDER BY size
     d["motifs_no"] = (
         "SELECT CAST(3 AS BIGINT) AS size, CAST((SELECT SUM(count) "
         "FROM (" + d["motifs3"] + ")) AS BIGINT) AS total "
-        "UNION ALL SELECT 4, CAST((SELECT SUM(count) FROM ("
+        "UNION ALL SELECT 4, CAST((SELECT path4 + star3 + cycle4 + paw "
+        "+ diamond + k4 FROM ("
         + d["motifs4"] + ")) AS BIGINT) ORDER BY size")
     return d
