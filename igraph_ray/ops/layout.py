@@ -88,8 +88,11 @@ def layout_fruchterman_reingold(
     iterations: int = 10,
     n: Optional[int] = None,
     num_partitions: int = 8,
+    init_pos: Optional[ray.data.Dataset] = None,
 ) -> ray.data.Dataset:
-    """FR force layout in the unit square; returns (vertex, x, y)."""
+    """FR force layout in the unit square; returns (vertex, x, y).
+    ``init_pos`` (vertex, x, y) overrides the md5 start — the seam
+    layout_lgl uses to anneal from its layered placement."""
     n = n if n is not None else graph.num_vertices()
     if n == 0:
         return ray.data.from_arrow(pa.table({
@@ -110,8 +113,10 @@ def layout_fruchterman_reingold(
         return pa.table({"vertex": pa.array(v), "x": pa.array(x),
                          "y": pa.array(y)})
 
-    pos = ray.data.range(n).map_batches(
-        _init, batch_format="pyarrow", batch_size=None).materialize()
+    pos = (init_pos if init_pos is not None else
+           ray.data.range(n).map_batches(
+               _init, batch_format="pyarrow",
+               batch_size=None)).materialize()
 
     for it in range(iterations):
         temp = 0.15 * (1.0 - it / iterations)
@@ -1720,3 +1725,85 @@ def layout_bipartite(
                              batch_size=None)
             .union(right.map_batches(_out(1), batch_format="pyarrow",
                                      batch_size=None)))
+
+
+def layout_lgl(graph: Graph, maxit: int = 10, root: int = 0,
+               n: Optional[int] = None,
+               num_partitions: int = 8) -> ray.data.Dataset:
+    """Large Graph Layout (igraph_layout_lgl, layout.c): the reference
+    builds a spanning tree, places vertices ring by ring outward from
+    ``proot`` (each BFS layer of the tree on a growing circle), and
+    anneals with the grid-bounded FR force pass. Here: unweighted
+    spanning forest → hop layers from ``root`` over the forest →
+    radial md5-jittered initial placement (layer = radius) → the
+    engine's FR-grid annealing seeded with those positions. Vertices
+    outside the root's component (and isolated ids) start on the
+    outermost ring, as the reference appends later components outward.
+    Returns (vertex, x, y)."""
+    from igraph_ray.algorithms.mst import minimum_spanning_forest
+    from igraph_ray.algorithms.paths import sssp_hops
+
+    n = n if n is not None else graph.num_vertices()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "vertex": pa.array([], pa.int64()),
+            "x": pa.array([], pa.float64()),
+            "y": pa.array([], pa.float64())}))
+    msf = minimum_spanning_forest(graph.edges, weight_col=None,
+                                  num_partitions=num_partitions)
+    forest = Graph(msf.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"]})
+        if b.num_rows else pa.table({"src": pa.array([], pa.int64()),
+                                     "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize(), n=n)
+    hops = sssp_hops(forest, source=root,
+                     num_partitions=num_partitions).state
+
+    # max layer (small driver scalar)
+    hops = hops.materialize()
+    dmax = int(hops.max("dist") or 0)
+    maxlayer = dmax + 1  # the unreached ring
+
+    def _ring(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dist"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = 0.5 * (d + 0.5) / (maxlayer + 1)
+        ang = 2.0 * np.pi * _md5_unit([f"lgl:{i}" for i in v.tolist()])
+        return pa.table({"vertex": pa.array(v),
+                         "x": pa.array(0.5 + r * np.cos(ang)),
+                         "y": pa.array(0.5 + r * np.sin(ang))})
+
+    placed = hops.map_batches(_ring, batch_format="pyarrow",
+                              batch_size=None)
+    # vertices not reached from root: outermost ring
+    reached = hops.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "seen": pa.array(
+                                np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    from igraph_ray.util import hash_join
+
+    universe = ray.data.range(n).map_batches(
+        lambda b: pa.table({"vertex": b["id"]}),
+        batch_format="pyarrow", batch_size=None)
+    unreached = hash_join(universe, reached, on="vertex",
+                          num_partitions=num_partitions,
+                          join_type="left_anti")
+
+    def _outer(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "vertex" not in b.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = 0.5 * (maxlayer + 0.5) / (maxlayer + 1)
+        ang = 2.0 * np.pi * _md5_unit([f"lgl:{i}" for i in v.tolist()])
+        return pa.table({"vertex": pa.array(v),
+                         "x": pa.array(0.5 + r * np.cos(ang)),
+                         "y": pa.array(0.5 + r * np.sin(ang))})
+
+    init = placed.union(unreached.map_batches(
+        _outer, batch_format="pyarrow", batch_size=None)).materialize()
+    return layout_fruchterman_reingold(
+        graph, iterations=maxit, n=n, num_partitions=num_partitions,
+        init_pos=init)

@@ -4263,6 +4263,29 @@ def q_layout_graphopt(sf_dir: str):
                                          num_partitions=8))
 
 
+def q_layout_lgl(sf_dir: str):
+    """Large Graph Layout (igraph_layout_lgl, layout.c): spanning-tree
+    ring placement from the root + grid-FR annealing, md5-deterministic.
+    Rows-only at the gate (iterative float dynamics); structure pytest
+    carries the contract."""
+    from igraph_ray.ops.layout import layout_lgl
+
+    g = derive.graph_vsparse(sf_dir)
+    pos = layout_lgl(g, maxit=8, root=0, n=derive.V, num_partitions=8)
+
+    def _scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": b["vertex"],
+            "x_e6": pa.array(np.round(b["x"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+            "y_e6": pa.array(np.round(b["y"].to_numpy(
+                zero_copy_only=False) * 1e6).astype(np.int64)),
+        })
+
+    return pos.map_batches(_scale, batch_format="pyarrow",
+                           batch_size=None).sort("vertex")
+
+
 def q_layout_drl(sf_dir: str):
     """DRL density-grid layout (igraph_layout_drl, src/drl/) of the
     very-sparse derived graph — the default liquid→expansion→cooldown→
@@ -10374,6 +10397,7 @@ def queries() -> Dict[str, Callable]:
         "graphdb_edges": q_graphdb_edges,
         "layout_graphopt": q_layout_graphopt,
         "layout_drl": q_layout_drl,
+        "layout_lgl": q_layout_lgl,
         "layout_mds": q_layout_mds,
         "recent_degree_aging": q_recent_degree_aging,
         "subiso_prism": q_subiso_prism,

@@ -162,3 +162,22 @@ def test_canonical_permutation_invariance():
     rot = np.array([1, 2, 3, 0], np.int64)
     assert code(canonical_permutation(rot[cs], rot[cd], 4),
                 rot[cs], rot[cd]) == c4
+
+
+def test_layout_lgl_structure():
+    """layout_lgl: every vertex placed, coordinates finite and inside
+    the unit square, deterministic across partition counts."""
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.layout import layout_lgl
+
+    # two components: a path 0-1-2-3 and an edge 4-5, plus isolate 6
+    e = _ds([(0, 1), (1, 2), (2, 3), (4, 5)], ["src", "dst"])
+    g = Graph(e.materialize(), n=7)
+    a = sorted((r["vertex"], round(r["x"], 9), round(r["y"], 9))
+               for r in layout_lgl(g, maxit=3, num_partitions=2).take_all())
+    b = sorted((r["vertex"], round(r["x"], 9), round(r["y"], 9))
+               for r in layout_lgl(g, maxit=3, num_partitions=4).take_all())
+    assert a == b
+    assert [v for v, _, _ in a] == list(range(7))
+    assert all(np.isfinite(x) and np.isfinite(y) for _, x, y in a)
+    assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for _, x, y in a)
