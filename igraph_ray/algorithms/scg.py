@@ -48,6 +48,8 @@ def scg_grouping(
     intervals: int = 4,
     fixed_iterations: int = 60,
     num_partitions: int = 8,
+    variant: str = "ase",
+    scale_by_invsqrt_deg: bool = False,
 ) -> ray.data.Dataset:
     """(vertex, group): joint equal-width-interval grouping over the
     top-``ell`` eigenvector components (igraph_scg_grouping with
@@ -57,8 +59,49 @@ def scg_grouping(
 
     emb = adjacency_spectral_embedding(
         graph, k=ell, fixed_iterations=fixed_iterations,
-        num_partitions=num_partitions).state.materialize()
+        num_partitions=num_partitions, variant=variant).state.materialize()
     cols = [f"d{i}" for i in range(ell)]
+    if scale_by_invsqrt_deg:
+        # eigvecs of the stochastic walk S = D^{-1}A are D^{-1/2} times
+        # the DAD basis; the reference bins the S components
+        from igraph_ray.algorithms.embedding import _sym_graph
+
+        sym = _sym_graph(graph).edges
+
+        def _d(b: pa.Table) -> pa.Table:
+            return pa.table({"vertex": b["src"],
+                             "one": pa.array(
+                                 np.ones(b.num_rows, np.int64))})
+
+        degs = (sym.map_batches(_d, batch_format="pyarrow",
+                                batch_size=None)
+                .groupby("vertex").sum("one").map_batches(
+            lambda b: pa.table({"vertex": b["vertex"],
+                                "deg": pc.cast(b["sum(one)"], pa.int64())})
+            if b.num_rows and "vertex" in b.column_names else pa.table(
+                {"vertex": pa.array([], pa.int64()),
+                 "deg": pa.array([], pa.int64())}),
+            batch_format="pyarrow", batch_size=None))
+        emb = hash_join(emb, degs, on="vertex",
+                        num_partitions=num_partitions,
+                        join_type="left_outer")
+
+        def _sc(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "vertex" not in b.column_names:
+                return pa.table(
+                    {"vertex": pa.array([], pa.int64()),
+                     **{c: pa.array([], pa.float64()) for c in cols}})
+            d = b["deg"].to_numpy(zero_copy_only=False).astype(np.float64) \
+                if "deg" in b.column_names else np.ones(b.num_rows)
+            d = np.where(np.isnan(d) | (d <= 0), 1.0, d)
+            out = {"vertex": b["vertex"]}
+            for c in cols:
+                out[c] = pa.array(
+                    b[c].to_numpy(zero_copy_only=False) / np.sqrt(d))
+            return pa.table(out)
+
+        emb = emb.map_batches(_sc, batch_format="pyarrow",
+                              batch_size=None).materialize()
     aggs = []
     for c in cols:
         aggs += [Min(c), Max(c)]
@@ -309,4 +352,178 @@ def scg_adjacency(
                                             pa.float64())})
 
     coarse = c2.map_batches(_norm, batch_format="pyarrow", batch_size=None)
+    return SCGResult(groups=groups, coarse=coarse, num_groups=num_groups)
+
+
+def _contract_counts(graph: Graph, groups: ray.data.Dataset,
+                     num_partitions: int):
+    """(cut, sizes, degsum): ordered-pair adjacency counts between
+    groups over the symmetrized loop-free view, group sizes, and
+    per-group degree sums — the shared ingredients of the lap/sto
+    coarse matrices."""
+    from igraph_ray.algorithms.embedding import _sym_graph
+
+    sym = _sym_graph(graph).edges.materialize()
+    gs = groups.map_batches(
+        lambda b: pa.table({"src": b["vertex"], "g_src": b["group"]}),
+        batch_format="pyarrow", batch_size=None)
+    gd = groups.map_batches(
+        lambda b: pa.table({"dst": b["vertex"], "g_dst": b["group"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(sym, gs, on="src", num_partitions=num_partitions)
+    j = hash_join(j, gd, on="dst", num_partitions=num_partitions)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "g_src" not in b.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        t = pa.table({"a": b["g_src"], "b": b["g_dst"],
+                      "w": pa.array(np.ones(b.num_rows, np.int64))})
+        return (pa.TableGroupBy(t, ["a", "b"]).aggregate([("w", "sum")])
+                .rename_columns(["a", "b", "w"]))
+
+    cut = (j.map_batches(_pre, batch_format="pyarrow", batch_size=None)
+           .groupby(["a", "b"]).sum("w").map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "cut": pc.cast(b["sum(w)"], pa.int64())})
+        if b.num_rows and "a" in b.column_names else pa.table(
+            {"a": pa.array([], pa.int64()),
+             "b": pa.array([], pa.int64()),
+             "cut": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)).materialize()
+
+    sizes = groups.groupby("group").aggregate(Count()).map_batches(
+        lambda b: pa.table({"group": b["group"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    def _deg(b: pa.Table) -> pa.Table:
+        return pa.table({"vertex": b["src"],
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    degv = (sym.map_batches(_deg, batch_format="pyarrow", batch_size=None)
+            .groupby("vertex").sum("one").map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "deg": pc.cast(b["sum(one)"], pa.int64())})
+        if b.num_rows and "vertex" in b.column_names else pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             "deg": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None))
+    dj = hash_join(degv, groups, on="vertex",
+                   num_partitions=num_partitions)
+    degsum = dj.map_batches(
+        lambda b: pa.table({"group": b["group"], "deg": b["deg"]})
+        if b.num_rows and "group" in b.column_names else pa.table(
+            {"group": pa.array([], pa.int64()),
+             "deg": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).groupby("group").sum(
+        "deg").map_batches(
+        lambda b: pa.table({"group": b["group"],
+                            "degsum": pc.cast(b["sum(deg)"], pa.int64())})
+        if b.num_rows and "group" in b.column_names else pa.table(
+            {"group": pa.array([], pa.int64()),
+             "degsum": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    return cut, sizes, degsum
+
+
+def scg_laplacian(
+    graph: Graph,
+    ell: int = 2,
+    intervals: int = 4,
+    fixed_iterations: int = 60,
+    norm: str = "row",
+    num_partitions: int = 8,
+) -> SCGResult:
+    """Laplacian SCG (igraph_scg_laplacian, scg.c:839-849 with the
+    IGRAPH_SCG_LAPLACIAN semiprojectors of scg.c:537): grouping over
+    the Laplacian eigenbasis (the engine's DAD-normalized Laplacian
+    embedding — documented deviation from the raw D−A basis; the
+    grouping contract, equal-width joint bins of the leading spectrum,
+    is unchanged), then L' = L_semi·(D−A)·Rᵀ:
+    L'_{ab} = coef·((a==b)·Σ_{i∈a}deg_i − cut(a,b)) with
+    coef = 1/|a| (norm="row", scg.c:557) or 1/|b| (norm="col")."""
+    groups = scg_grouping(graph, ell=ell, intervals=intervals,
+                          fixed_iterations=fixed_iterations,
+                          num_partitions=num_partitions, variant="lse")
+    cut, sizes, degsum = _contract_counts(graph, groups, num_partitions)
+    num_groups = sizes.count()
+    # numerator rows: diag degsum minus cut, one union + grouped sum
+    # (no outer join needed)
+    neg = cut.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "val": pc.multiply(
+                                b["cut"], pa.scalar(-1, pa.int64()))}),
+        batch_format="pyarrow", batch_size=None)
+    diag = degsum.map_batches(
+        lambda b: pa.table({"a": b["group"], "b": b["group"],
+                            "val": b["degsum"]}),
+        batch_format="pyarrow", batch_size=None)
+    num = neg.union(diag).groupby(["a", "b"]).sum("val").map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "val": pc.cast(b["sum(val)"], pa.int64())})
+        if b.num_rows and "a" in b.column_names else pa.table(
+            {"a": pa.array([], pa.int64()),
+             "b": pa.array([], pa.int64()),
+             "val": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    key = "a" if norm == "row" else "b"
+    sz = sizes.map_batches(
+        lambda b, key=key: pa.table({key: b["group"], "nn": b["n"]}),
+        batch_format="pyarrow", batch_size=None)
+    merged = hash_join(num, sz, on=key, num_partitions=num_partitions)
+
+    def _fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        v = b["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = b["nn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"src": b["a"], "dst": b["b"],
+                         "weight": pa.array(v / nn)})
+
+    coarse = merged.map_batches(_fin, batch_format="pyarrow",
+                                batch_size=None)
+    return SCGResult(groups=groups, coarse=coarse, num_groups=num_groups)
+
+
+def scg_stochastic(
+    graph: Graph,
+    ell: int = 2,
+    intervals: int = 4,
+    fixed_iterations: int = 60,
+    num_partitions: int = 8,
+) -> SCGResult:
+    """Stochastic SCG (igraph_scg_stochastic, scg.c:851 with the
+    IGRAPH_SCG_STOCHASTIC row-norm semiprojectors of scg.c:634): the
+    engine coarsens the SYMMETRIC random walk S = D⁻¹A of the
+    undirected simple view, whose stationary distribution is the exact
+    closed form p = deg/2m — so the reference's p-weighted projector
+    L[g,i] = p_i/p_g collapses to
+    S'_{ab} = cut(a,b) / Σ_{i∈a} deg_i (rows sum to 1). Grouping bins
+    the S eigenbasis (D^{-1/2}·DAD components)."""
+    groups = scg_grouping(graph, ell=ell, intervals=intervals,
+                          fixed_iterations=fixed_iterations,
+                          num_partitions=num_partitions, variant="lse",
+                          scale_by_invsqrt_deg=True)
+    cut, sizes, degsum = _contract_counts(graph, groups, num_partitions)
+    num_groups = sizes.count()
+    ds = degsum.map_batches(
+        lambda b: pa.table({"a": b["group"], "degsum": b["degsum"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(cut, ds, on="a", num_partitions=num_partitions)
+
+    def _fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        c = b["cut"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b["degsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"src": b["a"], "dst": b["b"],
+                         "weight": pa.array(c / d)})
+
+    coarse = j.map_batches(_fin, batch_format="pyarrow", batch_size=None)
     return SCGResult(groups=groups, coarse=coarse, num_groups=num_groups)

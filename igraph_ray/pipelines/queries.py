@@ -4521,6 +4521,32 @@ def q_graphlets_mu(sf_dir: str):
     })
 
 
+def q_scg_laplacian(sf_dir: str):
+    """Laplacian SCG coarse matrix (igraph_scg_laplacian, scg.c row
+    norm): L' = L_semi.(D-A).R^T over the sparse undirected view,
+    weights e6-rounded. Rows-only (eigensolve grouping); dense-replay
+    pytest carries the formula."""
+    from igraph_ray.algorithms.scg import scg_laplacian
+
+    res = scg_laplacian(derive.graph_sparse(sf_dir), ell=2, intervals=4,
+                        fixed_iterations=60, num_partitions=8)
+    return _scale_col(res.coarse, "weight", "w_e6", 1e6).sort(
+        ["src", "dst"])
+
+
+def q_scg_stochastic(sf_dir: str):
+    """Stochastic SCG coarse matrix (igraph_scg_stochastic, scg.c row
+    norm, symmetric walk with closed-form p = deg/2m):
+    S'_ab = cut(a,b)/degsum_a, weights e6-rounded. Rows-only; dense
+    parity + row-sum pytest."""
+    from igraph_ray.algorithms.scg import scg_stochastic
+
+    res = scg_stochastic(derive.graph_sparse(sf_dir), ell=2, intervals=4,
+                         fixed_iterations=60, num_partitions=8)
+    return _scale_col(res.coarse, "weight", "w_e6", 1e6).sort(
+        ["src", "dst"])
+
+
 def q_scg_groups(sf_dir: str):
     """Spectral coarse graining groups (igraph_scg_grouping, scg.c,
     IGRAPH_SCG_INTERV semantics: joint equal-width-interval bins of a
@@ -10165,6 +10191,8 @@ def queries() -> Dict[str, Callable]:
         "leiden": q_leiden,
         "spinglass": q_spinglass,
         "scg_groups": q_scg_groups,
+        "scg_laplacian": q_scg_laplacian,
+        "scg_stochastic": q_scg_stochastic,
         "graphlets": q_graphlets,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,

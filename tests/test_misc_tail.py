@@ -181,3 +181,52 @@ def test_layout_lgl_structure():
     assert [v for v, _, _ in a] == list(range(7))
     assert all(np.isfinite(x) and np.isfinite(y) for _, x, y in a)
     assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for _, x, y in a)
+
+
+def test_scg_laplacian_and_stochastic_dense_parity():
+    """Coarse matrices match the dense semiprojector formulas
+    (scg.c:537 lap row-norm; scg.c:634 sto row-norm with the symmetric
+    walk's closed-form stationary p = deg/2m)."""
+    from igraph_ray.algorithms.scg import scg_laplacian, scg_stochastic
+    from igraph_ray.graph import Graph
+
+    e = _ds([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)],
+            ["src", "dst"])
+    g = Graph(e.materialize(), n=6)
+
+    for which in ("lap", "sto"):
+        res = (scg_laplacian if which == "lap" else scg_stochastic)(
+            g, ell=2, intervals=2, fixed_iterations=40, num_partitions=2)
+        gr = {r["vertex"]: r["group"] for r in res.groups.take_all()}
+        k = res.num_groups
+        # dense replay with the SAME grouping
+        A = np.zeros((6, 6))
+        for s, d in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5),
+                     (5, 3)]:
+            A[s, d] = A[d, s] = 1
+        deg = A.sum(1)
+        P = np.zeros((k, 6))
+        for v, a in gr.items():
+            P[a, v] = 1
+        sizes = P.sum(1)
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in res.coarse.take_all()}
+        if which == "lap":
+            Lm = np.diag(deg) - A
+            ref = (P / sizes[:, None]) @ Lm @ P.T
+        else:
+            S = A / deg[:, None]
+            p = deg / deg.sum()
+            pg = P @ p
+            Lsemi = P * (p[None, :] / pg[:, None])
+            ref = Lsemi @ S @ P.T
+        for a in range(k):
+            for b in range(k):
+                assert abs(got.get((a, b), 0.0) - ref[a, b]) < 1e-9, (
+                    which, a, b)
+        if which == "sto":
+            # rows of the coarse stochastic matrix sum to 1
+            rows = np.zeros(k)
+            for (a, b), w in got.items():
+                rows[a] += w
+            assert np.allclose(rows, 1.0)
