@@ -4521,6 +4521,27 @@ def q_graphlets_mu(sf_dir: str):
     })
 
 
+def q_spinglass_single(sf_dir: str):
+    """Community of a single vertex (igraph_community_spinglass_single,
+    clustertool.cpp:427, RB local Hamiltonian with the uniform null
+    p = 2m/(n(n-1))): members of vertex 0's community on the dense
+    undirected view + the inner/outer link stats. Rows-only (greedy
+    local search); planted-clique pytest carries the contract."""
+    from igraph_ray.algorithms.spinglass import spinglass_single
+
+    members, stats = spinglass_single(derive.graph_a(sf_dir), vertex=0,
+                                      max_rounds=12, num_partitions=8)
+    rows = members.take_all()
+    return pa.table({
+        "vertex": pa.array(sorted(int(r["vertex"]) for r in rows),
+                           pa.int64()),
+        "size": pa.array([stats["size"]] * len(rows), pa.int64()),
+        "inner_links": pa.array([stats["inner_links"]] * len(rows),
+                                pa.int64()),
+        "outer_links": pa.array([stats["outer_links"]] * len(rows),
+                                pa.int64())})
+
+
 def q_scg_laplacian(sf_dir: str):
     """Laplacian SCG coarse matrix (igraph_scg_laplacian, scg.c row
     norm): L' = L_semi.(D-A).R^T over the sparse undirected view,
@@ -10192,6 +10213,7 @@ def queries() -> Dict[str, Callable]:
         "spinglass": q_spinglass,
         "scg_groups": q_scg_groups,
         "scg_laplacian": q_scg_laplacian,
+        "spinglass_single": q_spinglass_single,
         "scg_stochastic": q_scg_stochastic,
         "graphlets": q_graphlets,
         "triangles": q_triangles,

@@ -230,3 +230,25 @@ def test_scg_laplacian_and_stochastic_dense_parity():
             for (a, b), w in got.items():
                 rows[a] += w
             assert np.allclose(rows, 1.0)
+
+
+def test_spinglass_single_planted_clique():
+    """spinglass_single on two cliques joined by one bridge: the
+    community of a clique member is exactly its clique."""
+    from igraph_ray.algorithms.spinglass import spinglass_single
+    from igraph_ray.graph import Graph
+
+    edges = []
+    for block, off in ((5, 0), (5, 5)):
+        for i in range(block):
+            for j in range(i + 1, block):
+                edges.append((off + i, off + j))
+    edges.append((0, 5))  # bridge
+    e = _ds(edges, ["src", "dst"])
+    g = Graph(e.materialize(), n=10)
+    members, stats = spinglass_single(g, vertex=2, num_partitions=2)
+    got = sorted(r["vertex"] for r in members.take_all())
+    assert got == [0, 1, 2, 3, 4]
+    assert stats["inner_links"] == 10
+    assert stats["outer_links"] == 1
+    assert stats["size"] == 5
