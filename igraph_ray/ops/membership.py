@@ -100,3 +100,49 @@ def eb_get_merges(
         comp_id[ra] = nxt
         nxt += 1
     return merges
+
+
+def le_community_to_membership(
+    merges: Sequence[Tuple[int, int]],
+    steps: int,
+    membership: "ray.data.Dataset",
+    num_partitions: int = 8,
+):
+    """igraph_le_community_to_membership (community.c): perform
+    ``steps`` merges of the leading-eigenvector merge matrix on top of
+    an EXISTING membership (vertex, community): the merge matrix acts
+    on community ids, and each vertex is relabeled through the
+    component-level result of community_to_membership. Returns
+    (membership Dataset (vertex, community), csize ndarray).
+
+    The merge relabeling is O(#communities) driver algebra (the
+    reference's fake_memb pass); the per-vertex rewrite is one
+    broadcast join over the membership Dataset."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from igraph_ray.util import hash_join
+
+    membership = membership.materialize()
+    comm_max = int(membership.max("community"))
+    components = comm_max + 1
+    if steps >= components:
+        raise ValueError("cannot make `steps` steps from membership")
+    fake, _ = community_to_membership(merges, components, steps)
+    lut = ray.data.from_arrow(pa.table({
+        "community": pa.array(np.arange(components, dtype=np.int64)),
+        "new": pa.array(fake.astype(np.int64))}))
+    j = hash_join(membership, lut, on="community",
+                  num_partitions=num_partitions)
+    out = j.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"],
+                            "community": b["new"]})
+        if b.num_rows and "vertex" in b.column_names else pa.table(
+            {"vertex": pa.array([], pa.int64()),
+             "community": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    csize = np.zeros(components - steps, dtype=np.int64)
+    for r in out.groupby("community").count().take_all():
+        csize[int(r["community"])] = int(r["count()"])
+    return out, csize

@@ -9963,6 +9963,38 @@ FROM (VALUES (0, 1), (1, 1), (2, 1), (3, 0), (4, 0),
 ORDER BY vertex"""
 
 
+def q_le_community_to_membership(sf_dir: str):
+    """igraph_le_community_to_membership (community.c): the same fixed
+    merge matrix cut at steps=3, applied ON TOP of an existing
+    membership (vertex -> vertex % 8 over the A universe): each vertex
+    relabels through the component-level backward numbering. Oracle =
+    the hand-derived component map joined against the base
+    membership."""
+    from igraph_ray.graph import endpoint_universe
+    from igraph_ray.ops.membership import le_community_to_membership
+
+    uni = endpoint_universe(derive.edges_a(sf_dir))
+    base = uni.map_batches(
+        lambda b: pa.table({
+            "vertex": b["vertex"],
+            "community": pc.cast(
+                pc.bit_wise_and(b["vertex"], pa.scalar(7, pa.int64())),
+                pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    out, _ = le_community_to_membership(
+        [(0, 1), (8, 2), (3, 4), (9, 10)], steps=3, membership=base,
+        num_partitions=8)
+    return out.sort("vertex")
+
+
+SQL_LE_COMMUNITY_TO_MEMBERSHIP = f"""
+WITH verts AS ({SQL_VERTS_A}),
+fake(c, m) AS (VALUES (0, 1), (1, 1), (2, 1), (3, 0), (4, 0),
+               (5, 2), (6, 3), (7, 4))
+SELECT verts.v AS vertex, CAST(fake.m AS BIGINT) AS community
+FROM verts JOIN fake ON fake.c = verts.v % 8 ORDER BY vertex"""
+
+
 def q_colored_graph_edges(sf_dir: str):
     """The fork's colored single-graph v/e text format
     (igraph_write_colored_graph_gz, fsm.c:124) proved by a gzip
@@ -10214,6 +10246,7 @@ def queries() -> Dict[str, Callable]:
         "scg_groups": q_scg_groups,
         "scg_laplacian": q_scg_laplacian,
         "spinglass_single": q_spinglass_single,
+        "le_community_to_membership": q_le_community_to_membership,
         "scg_stochastic": q_scg_stochastic,
         "graphlets": q_graphlets,
         "triangles": q_triangles,
@@ -11975,6 +12008,7 @@ GROUP BY size ORDER BY size
         "all_shortest_paths_dijkstra": _sql_all_shortest_paths(True),
         "reindex_membership": SQL_REINDEX_MEMBERSHIP,
         "community_to_membership": SQL_COMMUNITY_TO_MEMBERSHIP,
+        "le_community_to_membership": SQL_LE_COMMUNITY_TO_MEMBERSHIP,
         "colored_graph_edges": SQL_COLORED_GRAPH_TMPL.format(
             edges=SQL_EDGES_A),
         "union_projection_colored": SQL_UNION_PROJ_COLORED,
