@@ -85,3 +85,15 @@ def largest_cliques(
     mx = int(mx if np.isscalar(mx) or isinstance(mx, (int, float))
              else mx["max(size)"])
     return cl.filter(expr=f"size == {mx}")
+
+
+def largest_independent_vertex_sets(graph, n, num_partitions=None):
+    """igraph_largest_independent_vertex_sets (cliques.c:1058): the
+    maximal independent sets of maximum size — the enumeration stream
+    filtered to its max ``size`` (two passes: a tiny max aggregate,
+    then the filter)."""
+    sets = maximal_independent_sets(graph, n,
+                                    num_partitions=num_partitions
+                                    ).materialize()
+    mx = int(sets.max("size") or 0)
+    return sets.filter(expr=f"size == {mx}")

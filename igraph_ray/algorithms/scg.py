@@ -527,3 +527,50 @@ def scg_stochastic(
 
     coarse = j.map_batches(_fin, batch_format="pyarrow", batch_size=None)
     return SCGResult(groups=groups, coarse=coarse, num_groups=num_groups)
+
+
+def scg_norm_eps(
+    vectors: ray.data.Dataset,
+    groups: ray.data.Dataset,
+    cols,
+    num_partitions: int = 8,
+) -> np.ndarray:
+    """igraph_scg_norm_eps (scg.c): per supplied vector column, the L2
+    norm of v − P⁺·P·v — the grouping's reconstruction error. For the
+    sym/row semiprojectors P⁺·P is the within-group averaging operator,
+    so eps_k = sqrt(Σ_i (v_ki − mean_{group(i)} v_k)²). One join +
+    grouped means + one squared-residual aggregate per call."""
+    vectors = vectors.materialize()
+    j = hash_join(vectors, groups, on="vertex",
+                  num_partitions=num_partitions)
+    j = j.materialize()
+    sums = j.groupby("group").mean(list(cols)).materialize()
+    back = hash_join(
+        j, sums.map_batches(
+            lambda b: pa.table(
+                {"group": b["group"],
+                 **{f"m_{c}": b[f"mean({c})"] for c in cols}})
+            if b.num_rows and "group" in b.column_names else pa.table(
+                {"group": pa.array([], pa.int64()),
+                 **{f"m_{c}": pa.array([], pa.float64()) for c in cols}}),
+            batch_format="pyarrow", batch_size=None),
+        on="group", num_partitions=num_partitions)
+
+    def _sq(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "group" not in b.column_names:
+            return pa.table({f"s_{c}": pa.array([], pa.float64())
+                             for c in cols})
+        out = {}
+        for c in cols:
+            x = b[c].to_numpy(zero_copy_only=False)
+            m = b[f"m_{c}"].to_numpy(zero_copy_only=False)
+            out[f"s_{c}"] = pa.array(
+                [float(((x - m) ** 2).sum())], pa.float64())
+        return pa.table(out)
+
+    tot = np.zeros(len(cols))
+    for r in back.map_batches(_sq, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        for i, c in enumerate(cols):
+            tot[i] += float(r[f"s_{c}"])
+    return np.sqrt(tot)

@@ -2980,6 +2980,32 @@ ORDER BY s.vertex
 ISET_N, ISET_P_E6, ISET_SEED = 24, 250_000, 9
 
 
+def q_largest_independent_sets(sf_dir: str):
+    """igraph_largest_independent_vertex_sets (cliques.c:1058): the
+    maximum-size rows of the maximal-independent-set stream on the same
+    24-vertex md5 fixture; oracle = the independent_sets oracle
+    filtered to its MAX(size)."""
+    from igraph_ray.sources.games import sbm_game
+    from igraph_ray.algorithms.independent_sets import (
+        largest_independent_vertex_sets,
+    )
+
+    edges = sbm_game((ISET_N,), [[ISET_P_E6]], seed=ISET_SEED)
+    sets = largest_independent_vertex_sets(Graph(edges), ISET_N)
+
+    def _mask(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64())})
+        masks = [sum(1 << int(v) for v in s)
+                 for s in b["set"].to_pylist()]
+        return pa.table({"mask": pa.array(masks, pa.int64()),
+                         "size": b["size"]})
+
+    return sets.map_batches(_mask, batch_format="pyarrow",
+                            batch_size=None).sort("mask")
+
+
 def q_independent_sets(sf_dir: str):
     """All maximal independent vertex sets
     (igraph_maximal_independent_vertex_sets, cliques.c:400) of a
@@ -10247,6 +10273,7 @@ def queries() -> Dict[str, Callable]:
         "scg_laplacian": q_scg_laplacian,
         "spinglass_single": q_spinglass_single,
         "le_community_to_membership": q_le_community_to_membership,
+        "largest_independent_sets": q_largest_independent_sets,
         "scg_stochastic": q_scg_stochastic,
         "graphlets": q_graphlets,
         "triangles": q_triangles,
@@ -11574,6 +11601,10 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "sigma_counts": _sql_sigma(),
         "bfs_order": _sql_bfs_order(),
         "independent_sets": _sql_independent_sets(),
+        "largest_independent_sets": (
+            "SELECT * FROM (" + _sql_independent_sets() + ") "
+            "WHERE size = (SELECT MAX(size) FROM ("
+            + _sql_independent_sets() + ")) ORDER BY mask"),
         "largest_cliques": _SQL_LARGEST_CLIQUES,
         "optimal_imitation": _sql_optimal_imitation(),
         "roulette_imitation": _sql_roulette_imitation(),

@@ -252,3 +252,18 @@ def test_spinglass_single_planted_clique():
     assert stats["inner_links"] == 10
     assert stats["outer_links"] == 1
     assert stats["size"] == 5
+
+
+def test_scg_norm_eps():
+    """scg_norm_eps: zero for group-piecewise-constant vectors, exact
+    residual otherwise."""
+    from igraph_ray.algorithms.scg import scg_norm_eps
+
+    vec = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([0, 1, 2, 3], pa.int64()),
+        "d0": pa.array([1.0, 1.0, 5.0, 5.0]),
+        "d1": pa.array([0.0, 2.0, 0.0, 2.0])}))
+    gr = _ds([(0, 0), (1, 0), (2, 1), (3, 1)], ["vertex", "group"])
+    eps = scg_norm_eps(vec, gr, ["d0", "d1"], num_partitions=2)
+    assert abs(eps[0]) < 1e-12
+    assert abs(eps[1] - 2.0) < 1e-12  # residuals (-1,1,-1,1)
