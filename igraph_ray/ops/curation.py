@@ -827,3 +827,54 @@ def cap_per_group(
                          group_col: pc.take(b[group_col], sel)})
 
     return s.map_batches(_head, batch_format="pyarrow", batch_size=None)
+
+
+def dup_ngram_stats(docs: ray.data.Dataset, n: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """(doc_id, n_ngrams, dup_e6): the Gopher-style duplicate-n-gram
+    signal (Rae et al. 2021 §A1.1 "fraction of duplicate n-grams") as
+    exact integers: total word n-grams per document and
+    (total − distinct)·10⁶ // total (0 for docs shorter than n words).
+    High values flag templated / repetitive text that the top-token
+    rep_ratio misses.
+
+    Vectorized: the shared token flattener, one element-wise string
+    join for the n-gram keys, one Arrow group_by per batch (documents
+    never span batches)."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        total = np.zeros(b.num_rows, dtype=np.int64)
+        uniq = np.zeros(b.num_rows, dtype=np.int64)
+        if b.num_rows:
+            row_idx, toks = _token_table(b, text_col)
+            if len(row_idx) >= n:
+                same = np.ones(len(row_idx) - (n - 1), dtype=bool)
+                for k in range(1, n):
+                    same &= row_idx[k:len(row_idx) - (n - 1) + k] == \
+                        row_idx[:len(row_idx) - (n - 1)]
+                if same.any():
+                    parts = [toks.slice(k, len(row_idx) - (n - 1))
+                             for k in range(n)]
+                    seps = [" "] * (n - 1)
+                    ng = pc.binary_join_element_wise(
+                        *parts, pa.scalar(" "))
+                    keep = pa.array(same)
+                    ngk = ng.filter(keep)
+                    rk = row_idx[:len(row_idx) - (n - 1)][same]
+                    gb = (pa.table({"r": pa.array(rk, pa.int64()),
+                                    "g": ngk})
+                          .group_by(["r", "g"]).aggregate([("g", "count")]))
+                    r = gb["r"].to_numpy(zero_copy_only=False)
+                    c = gb["g_count"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    np.add.at(total, r, c)
+                    np.add.at(uniq, r, np.ones(len(r), np.int64))
+        dup = np.zeros(b.num_rows, dtype=np.int64)
+        nz = total > 0
+        dup[nz] = (total[nz] - uniq[nz]) * 1_000_000 // total[nz]
+        return pa.table({id_col: b[id_col],
+                         "n_ngrams": pa.array(total),
+                         "dup_e6": pa.array(dup)})
+
+    return docs.map_batches(_f, batch_format="pyarrow")

@@ -6491,6 +6491,14 @@ def q_dedup_clusters(sf_dir: str):
     return cu.dedup_clusters(pairs)
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Gopher duplicate-3-gram fraction per document (Rae et al. 2021
+    A1.1) as exact integers over the documents table."""
+    from igraph_ray.ops.curation import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(sf_dir), n=3).sort("doc_id")
+
+
 def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
@@ -10274,6 +10282,7 @@ def queries() -> Dict[str, Callable]:
         "spinglass_single": q_spinglass_single,
         "le_community_to_membership": q_le_community_to_membership,
         "largest_independent_sets": q_largest_independent_sets,
+        "dup_ngrams": q_dup_ngrams,
         "scg_stochastic": q_scg_stochastic,
         "graphlets": q_graphlets,
         "triangles": q_triangles,
@@ -11601,6 +11610,22 @@ FROM nn, m1, m2""".replace("{_SJ_LPA}", _sql_lpa()).replace(
         "sigma_counts": _sql_sigma(),
         "bfs_order": _sql_bfs_order(),
         "independent_sets": _sql_independent_sets(),
+        "dup_ngrams": """
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                  generate_subscripts(
+                      regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           FROM documents),
+g AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS ng
+      FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+s AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT ng) AS uniq
+      FROM g GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.total, 0) AS BIGINT) AS n_ngrams,
+       CAST(CASE WHEN COALESCE(s.total, 0) > 0
+            THEN (s.total - s.uniq) * 1000000 // s.total
+            ELSE 0 END AS BIGINT) AS dup_e6
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
         "largest_independent_sets": (
             "SELECT * FROM (" + _sql_independent_sets() + ") "
             "WHERE size = (SELECT MAX(size) FROM ("

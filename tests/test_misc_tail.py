@@ -267,3 +267,17 @@ def test_scg_norm_eps():
     eps = scg_norm_eps(vec, gr, ["d0", "d1"], num_partitions=2)
     assert abs(eps[0]) < 1e-12
     assert abs(eps[1] - 2.0) < 1e-12  # residuals (-1,1,-1,1)
+
+
+def test_dup_ngram_stats():
+    """Exact duplicate-3-gram fractions (Gopher A1.1 signal)."""
+    from igraph_ray.ops.curation import dup_ngram_stats
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c a b c a b c",
+                          "one two three four five", "x y"])}))
+    got = {r["doc_id"]: (r["n_ngrams"], r["dup_e6"])
+           for r in dup_ngram_stats(docs, n=3).take_all()}
+    # 7 trigram occurrences, 3 distinct -> (7-3)*1e6//7
+    assert got == {0: (7, 571428), 1: (3, 0), 2: (0, 0)}
