@@ -364,3 +364,69 @@ def kautz(m: int, n: int) -> ray.data.Dataset:
 
     return ray.data.range(nv).map_batches(_f, batch_format="pyarrow",
                                           batch_size=None)
+
+
+# --- session-6 catalog extension: the rest of the LCF-expressible
+# igraph_famous classics + programmatic constructions (published
+# graphs; LCF codes and constructions from the standard literature) ---
+FAMOUS["dodecahedral"] = _lcf_famous(
+    20, [10, 7, 4, -4, -7, 10, -4, 7, -7, 4], 2)
+FAMOUS["franklin"] = _lcf_famous(12, [5, -5], 6)
+FAMOUS["levi"] = _lcf_famous(30, [-13, -9, 7, -7, 9, 13], 5)
+FAMOUS["mcgee"] = _lcf_famous(24, [12, 7, -7], 8)
+FAMOUS["folkman"] = _lcf_famous(20, [5, -7, -7, 5], 5)
+
+
+def _grotzsch():
+    # Mycielskian of C5: ring 0..4, shadows 5..9 (5+i ~ neighbors of i
+    # in the ring), apex 10 ~ every shadow. Triangle-free, chi = 4.
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    shadow = []
+    for i in range(5):
+        shadow += [(5 + i, (i + 1) % 5), (5 + i, (i - 1) % 5)]
+    apex = [(10, 5 + i) for i in range(5)]
+    return 11, ring + shadow + apex
+
+
+def _icosahedral():
+    # pentagonal antiprism + two apexes: top 0, ring A 1..5,
+    # ring B 6..10, bottom 11. 12 vertices, 30 edges, 5-regular.
+    e = [(0, 1 + i) for i in range(5)]
+    e += [(1 + i, 1 + (i + 1) % 5) for i in range(5)]
+    e += [(6 + i, 6 + (i + 1) % 5) for i in range(5)]
+    e += [(1 + i, 6 + i) for i in range(5)]
+    e += [(1 + (i + 1) % 5, 6 + i) for i in range(5)]
+    e += [(11, 6 + i) for i in range(5)]
+    return 12, e
+
+
+def _housex():
+    # the house with both square diagonals (igraph "housex")
+    n, e = _house()
+    return n, e + [(0, 3), (1, 2)]
+
+
+def _chvatal():
+    # Chvátal graph: 12 vertices, 24 edges, 4-regular, triangle-free,
+    # chromatic number 4 (standard published adjacency)
+    return 12, [
+        (0, 1), (0, 4), (0, 6), (0, 9), (1, 2), (1, 5), (1, 7),
+        (2, 3), (2, 6), (2, 8), (3, 4), (3, 7), (3, 9), (4, 5),
+        (4, 8), (5, 10), (5, 11), (6, 10), (6, 11), (7, 8), (7, 11),
+        (8, 10), (9, 10), (9, 11)]
+
+
+def _herschel():
+    # Herschel graph: smallest non-Hamiltonian polyhedral graph —
+    # 11 vertices, 18 edges, bipartite, degrees 3×8 + 4×3
+    return 11, [
+        (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 5), (2, 6),
+        (2, 7), (3, 8), (3, 9), (4, 6), (4, 8), (5, 7), (5, 9),
+        (6, 10), (7, 10), (8, 10), (9, 10)]
+
+
+FAMOUS["grotzsch"] = _grotzsch
+FAMOUS["icosahedral"] = _icosahedral
+FAMOUS["housex"] = _housex
+FAMOUS["chvatal"] = _chvatal
+FAMOUS["herschel"] = _herschel

@@ -281,3 +281,61 @@ def test_dup_ngram_stats():
            for r in dup_ngram_stats(docs, n=3).take_all()}
     # 7 trigram occurrences, 3 distinct -> (7-3)*1e6//7
     assert got == {0: (7, 571428), 1: (3, 0), 2: (0, 0)}
+
+
+def test_famous_catalog_extension_invariants():
+    """The session-6 famous graphs match their published invariants:
+    girth, bipartiteness, automorphism-group orders."""
+    from igraph_ray.algorithms.girth import girth as girth_fn
+    from igraph_ray.algorithms.subiso import count_isomorphisms_vf2
+    from igraph_ray.graph import Graph
+    from igraph_ray.sources.structures import FAMOUS
+
+    def _np(name):
+        n, e = FAMOUS[name]()
+        es = sorted({(min(a, b), max(a, b)) for a, b in e})
+        return n, (np.array([a for a, _ in es], np.int64),
+                   np.array([b for _, b in es], np.int64))
+
+    # published automorphism-group orders
+    for name, aut in [("dodecahedral", 120), ("icosahedral", 120),
+                      ("grotzsch", 10), ("chvatal", 8),
+                      ("franklin", 48)]:
+        n, (s, d) = _np(name)
+        assert count_isomorphisms_vf2(s, d, n, s, d, n,
+                                      directed=False) == aut, name
+
+    # published girths
+    for name, gr in [("mcgee", 7), ("levi", 8), ("folkman", 4),
+                     ("franklin", 4), ("dodecahedral", 5),
+                     ("icosahedral", 3), ("herschel", 4),
+                     ("chvatal", 4)]:
+        n, (s, d) = _np(name)
+        g = Graph(ray.data.from_arrow(pa.table({
+            "src": pa.array(s), "dst": pa.array(d)})).materialize(), n=n)
+        got = girth_fn(g, num_partitions=2)
+        got = got if isinstance(got, int) else int(got)
+        assert got == gr, (name, got)
+
+    # bipartite classics: folkman, levi, herschel, franklin have no odd
+    # cycles — 2-color via BFS
+    for name in ["folkman", "levi", "herschel", "franklin"]:
+        n, (s, d) = _np(name)
+        adj = [[] for _ in range(n)]
+        for a, b in zip(s, d):
+            adj[a].append(b)
+            adj[b].append(a)
+        color = [-1] * n
+        for seed in range(n):
+            if color[seed] >= 0:
+                continue
+            color[seed] = 0
+            stack = [seed]
+            while stack:
+                u = stack.pop()
+                for w in adj[u]:
+                    if color[w] < 0:
+                        color[w] = 1 - color[u]
+                        stack.append(w)
+                    else:
+                        assert color[w] != color[u], name
