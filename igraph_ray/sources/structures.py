@@ -430,3 +430,12 @@ FAMOUS["icosahedral"] = _icosahedral
 FAMOUS["housex"] = _housex
 FAMOUS["chvatal"] = _chvatal
 FAMOUS["herschel"] = _herschel
+
+
+# platonic-solid alias spellings accepted by the reference's
+# igraph_famous (structure_generators.c:2111)
+FAMOUS["dodecahedron"] = FAMOUS["dodecahedral"]
+FAMOUS["icosahedron"] = FAMOUS["icosahedral"]
+FAMOUS["tetrahedron"] = FAMOUS["tetrahedral"]
+FAMOUS["octahedron"] = FAMOUS["octahedral"]
+FAMOUS["cubical_hexahedron"] = FAMOUS["cubical"]
