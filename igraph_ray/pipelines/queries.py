@@ -10244,7 +10244,6 @@ def queries() -> Dict[str, Callable]:
         "pagerank_weighted": q_pagerank_weighted,
         "pagerank_personalized": q_pagerank_personalized,
         "eigenvector": q_eigenvector,
-        "centralization_eigenvector": q_centralization_eigenvector,
         "eigenvector_weighted": q_eigenvector_weighted,
         "hits": q_hits,
         "components": q_components,
@@ -10278,12 +10277,6 @@ def queries() -> Dict[str, Callable]:
         "leiden": q_leiden,
         "spinglass": q_spinglass,
         "scg_groups": q_scg_groups,
-        "scg_laplacian": q_scg_laplacian,
-        "spinglass_single": q_spinglass_single,
-        "le_community_to_membership": q_le_community_to_membership,
-        "largest_independent_sets": q_largest_independent_sets,
-        "dup_ngrams": q_dup_ngrams,
-        "scg_stochastic": q_scg_stochastic,
         "graphlets": q_graphlets,
         "triangles": q_triangles,
         "local_scan1": q_local_scan1,
@@ -10335,7 +10328,6 @@ def queries() -> Dict[str, Callable]:
         "random_walks_weighted": q_random_walks_weighted,
         "girth": q_girth,
         "mst": q_mst,
-        "mst_unweighted": q_mst_unweighted,
         "exact_dedup": q_exact_dedup,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -10397,13 +10389,6 @@ def queries() -> Dict[str, Callable]:
         "connect2": q_connect2,
         "scan1_them": q_scan1_them,
         "scan0_them": q_scan0_them,
-        "scan0": q_scan0,
-        "scan2_them": q_scan2_them,
-        "scan_nbhd_ecount": q_scan_nbhd_ecount,
-        "bipartite_projection_size": q_bipartite_projection_size,
-        "adjacency_triplets": q_adjacency_triplets,
-        "get_incidence": q_get_incidence,
-        "create_bipartite": q_create_bipartite,
         "local_scan2": q_local_scan2,
         "bipartite_components": q_bipartite_components,
         "bipartite_projection": q_bipartite_projection,
@@ -10478,14 +10463,11 @@ def queries() -> Dict[str, Callable]:
         "laplacian_norm": q_laplacian_norm,
         "dot_product": q_dot_product,
         "hsbm": q_hsbm,
-        "hsbm_list": q_hsbm_list,
         "hrg_fit": q_hrg_fit,
         "hrg_predict": q_hrg_predict,
         "establishment": q_establishment,
         "subiso_path4": q_subiso_path4,
         "isomorphic_check": q_isomorphic_check,
-        "get_isomorphisms": q_get_isomorphisms,
-        "canonical_form": q_canonical_form,
         "subiso_cycle4": q_subiso_cycle4,
         "global_mincut": q_global_mincut,
         "mincut_karger": q_mincut_karger,
@@ -10516,7 +10498,6 @@ def queries() -> Dict[str, Callable]:
         "graphdb_edges": q_graphdb_edges,
         "layout_graphopt": q_layout_graphopt,
         "layout_drl": q_layout_drl,
-        "layout_lgl": q_layout_lgl,
         "layout_mds": q_layout_mds,
         "recent_degree_aging": q_recent_degree_aging,
         "subiso_prism": q_subiso_prism,
@@ -10568,6 +10549,26 @@ def queries() -> Dict[str, Callable]:
         "union_projection_colored": q_union_projection_colored,
         "separate_pattern": q_separate_pattern,
         "velist_projection": q_velist_projection,
+        # --- session-6 additions (appended after the r3 window) ---
+        "centralization_eigenvector": q_centralization_eigenvector,
+        "scg_laplacian": q_scg_laplacian,
+        "spinglass_single": q_spinglass_single,
+        "le_community_to_membership": q_le_community_to_membership,
+        "largest_independent_sets": q_largest_independent_sets,
+        "dup_ngrams": q_dup_ngrams,
+        "scg_stochastic": q_scg_stochastic,
+        "mst_unweighted": q_mst_unweighted,
+        "scan0": q_scan0,
+        "scan2_them": q_scan2_them,
+        "scan_nbhd_ecount": q_scan_nbhd_ecount,
+        "bipartite_projection_size": q_bipartite_projection_size,
+        "adjacency_triplets": q_adjacency_triplets,
+        "get_incidence": q_get_incidence,
+        "create_bipartite": q_create_bipartite,
+        "hsbm_list": q_hsbm_list,
+        "get_isomorphisms": q_get_isomorphisms,
+        "canonical_form": q_canonical_form,
+        "layout_lgl": q_layout_lgl,
     }
 
 
