@@ -187,6 +187,36 @@ def q_graphml_edges(sf_dir: str):
         return _remap_edges(g2.edges, mapping).materialize()
 
 
+def q_ncol_edges(sf_dir: str):
+    """edge_table routed through an NCOL write -> read round trip
+    (foreign.c:197/1477: symbolic names, first-appearance dense ids;
+    names carry the original id as n<id>) — same SQL oracle as
+    edge_table."""
+    import os
+    import tempfile
+
+    from igraph_ray.graph import endpoint_universe
+    from igraph_ray.sources.edgelist import read_ncol, write_ncol
+
+    g = derive.graph_a(sf_dir)
+    vocab = endpoint_universe(g.edges).map_batches(
+        lambda b: pa.table({
+            "vertex": b["vertex"],
+            "name": pc.binary_join_element_wise(
+                pa.array(["n"] * b.num_rows),
+                pc.cast(b["vertex"], pa.string()), "")}),
+        batch_format="pyarrow", batch_size=None)
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        p = os.path.join(td, "a.ncol")
+        write_ncol(g.edges, p, vocab=vocab)
+        e2, v2 = read_ncol(p)
+        vt = v2.to_pandas()
+        mapping = np.empty(len(vt), np.int64)
+        mapping[vt["vertex"].to_numpy()] = (
+            vt["name"].str[1:].astype(np.int64).to_numpy())
+        return _remap_edges(e2, mapping).materialize()
+
+
 def q_gml_edges(sf_dir: str):
     """edge_table routed through a GML write -> read round trip
     (foreign.c:1054/2489 semantics: node id keys preserved through the
@@ -10556,6 +10586,7 @@ def queries() -> Dict[str, Callable]:
         "le_community_to_membership": q_le_community_to_membership,
         "largest_independent_sets": q_largest_independent_sets,
         "dup_ngrams": q_dup_ngrams,
+        "ncol_edges": q_ncol_edges,
         "scg_stochastic": q_scg_stochastic,
         "mst_unweighted": q_mst_unweighted,
         "scan0": q_scan0,
@@ -10638,6 +10669,7 @@ def oracle_sql() -> Dict[str, str]:
     d = {
         "edge_table": SQL_EDGES_A,
         "graphml_edges": SQL_EDGES_A,
+        "ncol_edges": SQL_EDGES_A,
         "pajek_edges": SQL_EDGES_A,
         "dimacs_arcs": (
             f"SELECT src, dst, CAST(weight AS BIGINT) AS weight "
