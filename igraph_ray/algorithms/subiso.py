@@ -933,3 +933,200 @@ def canonical_permutation(g_src, g_dst, n: int, directed: bool = False,
 
     _search(_refine(tuple([0] * n)))
     return best_lab
+
+
+def automorphism_generators(
+    g_src, g_dst, n: int, directed: bool = False,
+    max_edges: int = 1 << 20,
+) -> Tuple[List[np.ndarray], int]:
+    """igraph_automorphism_group (topology.c BLISS surface): a set of
+    generators of Aut(G) plus the exact group order.
+
+    Stabilizer-chain backtrack over the same WL-color-filtered VF2
+    state as the exhaustive enumerations: for each base point
+    b = 0..n-1 in order and each candidate image w (same WL color, not
+    already in b's orbit under the generators found so far that fix
+    0..b-1 pointwise), search for ONE automorphism fixing 0..b-1 with
+    b -> w; every success is a strong generator. |Aut| is the product
+    of the chain's orbit sizes (orbit-stabilizer theorem), with each
+    level-b orbit closed over every generator whose level >= b once
+    the sweep finishes. The generator SET is engine-deterministic but
+    non-canonical — the reference's BLISS generators are likewise just
+    "a" generating set, so parity is semantic (same group), checked in
+    pytest by closing the generators to the full group and comparing
+    against the exhaustive VF2 enumeration / published |Aut|."""
+    src = np.asarray(g_src, dtype=np.int64)
+    dst = np.asarray(g_dst, dtype=np.int64)
+    if len(src) > max_edges:
+        raise NotImplementedError(
+            f"automorphism_generators broadcast plan is guarded to "
+            f"{max_edges} edges (exhaustive backtrack)")
+    col = _wl_colors(n, src, dst, directed)
+
+    out = [set() for _ in range(n)]
+    inn = [set() for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        out[a].add(b)
+        inn[b].add(a)
+        if not directed:
+            out[b].add(a)
+            inn[a].add(b)
+    from collections import defaultdict
+    by_color: dict = defaultdict(list)
+    for v in range(n):
+        by_color[int(col[v])].append(v)
+
+    def _find_fixing(b: int, w: int):
+        """One automorphism with 0..b-1 -> themselves and b -> w, or
+        None — connectivity-guided VF2 over the remaining vertices."""
+        mapping = np.full(n, -1, dtype=np.int64)
+        used = np.zeros(n, dtype=bool)
+
+        def _ok(v1: int, v2: int) -> bool:
+            if int(col[v1]) != int(col[v2]):
+                return False
+            for u1 in out[v1]:
+                m = mapping[u1]
+                if m >= 0 and m not in out[v2]:
+                    return False
+            for u1 in inn[v1]:
+                m = mapping[u1]
+                if m >= 0 and m not in inn[v2]:
+                    return False
+            return (len(out[v1]) == len(out[v2])
+                    and len(inn[v1]) == len(inn[v2]))
+
+        for v in range(b):
+            mapping[v] = v
+            used[v] = True
+        if used[w] or not _ok(b, w):
+            return None
+        mapping[b] = w
+        used[w] = True
+        unmapped = set(range(b + 1, n))
+
+        def _pick():
+            best, best_key = None, None
+            for v in unmapped:
+                anch = (sum(1 for u in out[v] if mapping[u] >= 0)
+                        + sum(1 for u in inn[v] if mapping[u] >= 0))
+                key = (-anch, len(by_color[int(col[v])]),
+                       -(len(out[v]) + len(inn[v])), v)
+                if best_key is None or key < best_key:
+                    best, best_key = v, key
+            return best
+
+        def _cands(v1):
+            pool = None
+            for u1 in inn[v1]:
+                m = mapping[u1]
+                if m >= 0 and (pool is None or len(out[m]) < len(pool)):
+                    pool = out[m]
+            for u1 in out[v1]:
+                m = mapping[u1]
+                if m >= 0 and (pool is None or len(inn[m]) < len(pool)):
+                    pool = inn[m]
+            if pool is None:
+                return by_color[int(col[v1])]
+            cc = int(col[v1])
+            return [v2 for v2 in pool if int(col[v2]) == cc]
+
+        def _search() -> bool:
+            if not unmapped:
+                return True
+            v1 = _pick()
+            unmapped.discard(v1)
+            for v2 in sorted(_cands(v1)):
+                if used[v2] or not _ok(v1, v2):
+                    continue
+                mapping[v1] = v2
+                used[v2] = True
+                if _search():
+                    return True
+                mapping[v1] = -1
+                used[v2] = False
+            unmapped.add(v1)
+            return False
+
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, n + 100))
+        try:
+            found = _search()
+        finally:
+            sys.setrecursionlimit(old)
+        return mapping.copy() if found else None
+
+    gens: List[np.ndarray] = []
+    gen_level: List[int] = []
+
+    def _orbit(b: int) -> set:
+        """Closure of {b} under the generators fixing 0..b-1."""
+        active = [g for g, lv in zip(gens, gen_level) if lv >= b]
+        seen = {b}
+        frontier = [b]
+        while frontier:
+            x = frontier.pop()
+            for g in active:
+                y = int(g[x])
+                if y not in seen:
+                    seen.add(y)
+                    frontier.append(y)
+        return seen
+
+    for b in range(n):
+        for w in sorted(by_color[int(col[b])]):
+            if w == b or w < b:
+                continue
+            if w in _orbit(b):
+                continue
+            g = _find_fixing(b, w)
+            if g is not None:
+                gens.append(g)
+                gen_level.append(b)
+
+    order = 1
+    for b in range(n):
+        order *= len(_orbit(b))
+    return gens, order
+
+
+def automorphism_group(g: Graph,
+                       directed: Optional[bool] = None) -> "ray.data.Dataset":
+    """Dataset surface of igraph_automorphism_group: one (gen_id,
+    vertex, image) row per generator entry, gen_id in discovery order
+    (stabilizer-chain level order — deterministic). The edge table is
+    pulled through one Ray task (broadcast small-graph plan); the
+    driver sees only the generator stream."""
+    if directed is None:
+        directed = bool(g.attrs.get("directed", True))
+    n = g.num_vertices()
+
+    def _cols(gr: Graph):
+        t = pa.concat_tables(
+            [b.select(["src", "dst"])
+             for b in gr.edges.iter_batches(batch_format="pyarrow")]
+            or [pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})])
+        return (t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False))
+
+    s, d = _cols(g)
+
+    @ray.remote
+    def _run(s, d) -> pa.Table:
+        gens, order = automorphism_generators(s, d, n, directed=directed)
+        if not gens:
+            return pa.table({"gen_id": pa.array([], pa.int64()),
+                             "vertex": pa.array([], pa.int64()),
+                             "image": pa.array([], pa.int64()),
+                             "group_order": pa.array([], pa.int64())})
+        k = len(gens)
+        return pa.table({
+            "gen_id": pa.array(np.repeat(np.arange(k, dtype=np.int64), n)),
+            "vertex": pa.array(np.tile(np.arange(n, dtype=np.int64), k)),
+            "image": pa.array(np.concatenate(gens)),
+            "group_order": pa.array(
+                np.full(k * n, order, dtype=np.int64))})
+
+    return ray.data.from_arrow_refs([_run.remote(s, d)])

@@ -4019,6 +4019,35 @@ def _sql_get_isomorphisms() -> str:
             ") AS t(iso_id, vertex, image) ORDER BY iso_id, vertex")
 
 
+def q_automorphism_group(sf_dir: str):
+    """igraph_automorphism_group (topology.c BLISS surface): generator
+    stream of Aut(bull) from the stabilizer-chain backtrack
+    (algorithms/subiso.py) — exactly ONE generator, the horn swap
+    (1 2)(3 4) (vertex 0 is the unique WL color, so base point 0 is
+    fixed; level 1 finds 1 -> 2; every later level's orbit is a
+    singleton). Rows (gen_id, vertex, image, group_order); oracle =
+    the hand-derived VALUES replay of that chain."""
+    from igraph_ray.algorithms.subiso import automorphism_group
+
+    bull = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in bull], pa.int64()),
+        "dst": pa.array([b for a, b in bull], pa.int64())})),
+        n=5, attrs={"directed": False})
+    return automorphism_group(g, directed=False).sort(["gen_id", "vertex"])
+
+
+def _sql_automorphism_group() -> str:
+    sigma = [0, 2, 1, 4, 3]  # (1 2)(3 4), the unique chain generator
+    rows = ", ".join(f"(0, {v}, {sigma[v]}, 2)" for v in range(5))
+    return ("SELECT CAST(gen_id AS BIGINT) AS gen_id, "
+            "CAST(vertex AS BIGINT) AS vertex, "
+            "CAST(image AS BIGINT) AS image, "
+            "CAST(group_order AS BIGINT) AS group_order "
+            f"FROM (VALUES {rows}) AS t(gen_id, vertex, image, group_order) "
+            "ORDER BY gen_id, vertex")
+
+
 def q_canonical_form(sf_dir: str):
     """igraph_canonical_permutation (topology.c BLISS surface):
     relabeling the bull graph and its md5-rank permutation by their IR
@@ -10600,6 +10629,7 @@ def queries() -> Dict[str, Callable]:
         "get_isomorphisms": q_get_isomorphisms,
         "canonical_form": q_canonical_form,
         "layout_lgl": q_layout_lgl,
+        "automorphism_group": q_automorphism_group,
     }
 
 
@@ -11698,6 +11728,7 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
         "get_isomorphisms": _sql_get_isomorphisms(),
         "canonical_form": ("SELECT CAST(1 AS BIGINT) AS forms_equal, "
                            "CAST(5 AS BIGINT) AS n_edges"),
+        "automorphism_group": _sql_automorphism_group(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

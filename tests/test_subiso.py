@@ -207,3 +207,85 @@ def test_isomorphic_graph_surface(ray_session):
                n=4, attrs={"directed": True})
     iso, mapping = isomorphic(g1, g2)
     assert iso and mapping is not None
+
+
+def test_automorphism_generators_chain_order(ray_session):
+    from igraph_ray.algorithms.subiso import (automorphism_generators,
+                                              count_isomorphisms_vf2)
+
+    cases = {
+        "bull": (5, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)], False),
+        "c6": (6, [(i, (i + 1) % 6) for i in range(6)], False),
+        "petersen": (10, ([(i, (i + 1) % 5) for i in range(5)]
+                          + [(i, i + 5) for i in range(5)]
+                          + [(5 + i, 5 + (i + 2) % 5) for i in range(5)]),
+                     False),
+        "k4": (4, [(i, j) for i in range(4) for j in range(i + 1, 4)],
+               False),
+        "dir_c5": (5, [(i, (i + 1) % 5) for i in range(5)], True),
+        "path3": (3, [(0, 1), (1, 2)], False),
+    }
+    published = {"bull": 2, "c6": 12, "petersen": 120, "k4": 24,
+                 "dir_c5": 5, "path3": 2}
+    for name, (n, edges, directed) in cases.items():
+        s = np.array([a for a, b in edges], np.int64)
+        d = np.array([b for a, b in edges], np.int64)
+        gens, order = automorphism_generators(s, d, n, directed=directed)
+        assert order == published[name], name
+        assert order == count_isomorphisms_vf2(
+            s, d, n, s, d, n, directed=directed), name
+        # every generator is a permutation preserving the edge set
+        eset = {(a, b) for a, b in edges}
+        if not directed:
+            eset |= {(b, a) for a, b in eset}
+        for g in gens:
+            assert len(np.unique(g)) == n
+            assert all((int(g[a]), int(g[b])) in eset for a, b in edges)
+        # no identity generators
+        ident = np.arange(n)
+        assert all(not np.array_equal(g, ident) for g in gens)
+
+
+def test_automorphism_generators_closure_is_full_group(ray_session):
+    """BFS closure of the generator set reproduces the exhaustive VF2
+    automorphism enumeration element-for-element (bull + C4)."""
+    from igraph_ray.algorithms.subiso import (automorphism_generators,
+                                              get_isomorphisms_vf2)
+
+    for n, edges in ((5, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]),
+                     (4, [(i, (i + 1) % 4) for i in range(4)])):
+        s = np.array([a for a, b in edges], np.int64)
+        d = np.array([b for a, b in edges], np.int64)
+        gens, order = automorphism_generators(s, d, n)
+        full = {tuple(m.tolist())
+                for m in get_isomorphisms_vf2(s, d, n, s, d, n,
+                                              directed=False)}
+        closed = {tuple(range(n))}
+        frontier = list(closed)
+        while frontier:
+            x = np.array(frontier.pop(), np.int64)
+            for g in gens:
+                y = tuple(int(g[v]) for v in x)  # g after x
+                if y not in closed:
+                    closed.add(y)
+                    frontier.append(y)
+        assert closed == full
+        assert len(closed) == order
+
+
+def test_automorphism_group_dataset_surface(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.subiso import automorphism_group
+    from igraph_ray.graph import Graph
+
+    bull = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in bull], pa.int64()),
+        "dst": pa.array([b for a, b in bull], pa.int64())})),
+        n=5, attrs={"directed": False})
+    t = automorphism_group(g).sort(["gen_id", "vertex"]).to_pandas()
+    assert t["gen_id"].tolist() == [0] * 5
+    assert t["image"].tolist() == [0, 2, 1, 4, 3]
+    assert t["group_order"].tolist() == [2] * 5
