@@ -99,19 +99,31 @@ def adjacency_spectral_embedding(
     num_partitions: Optional[int] = None,
     engine: str = "tasks",
     variant: str = "ase",
+    shift: float = 0.0,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is (vertex, d0..d{k-1}) —
     row v of X = U_k·|Λ_k|^{1/2}, eigenpairs ordered by |λ| descending,
     each column's sign fixed so its max-|value| entry (smallest vertex
-    id on ties) is positive."""
-    assert variant in ("ase", "lse")
-    dad = variant == "lse"
-    sym = _sym_graph(graph, dad_weights=dad)
+    id on ties) is positive.
+
+    ``variant="matrix"`` is the generic symmetric-operator mode
+    (igraph_eigen_matrix_symmetric plumbing, algorithms/eigen.py): the
+    input graph IS the operator — a weighted COO edge table taken
+    verbatim (caller supplies both triangles + diagonal loops) — the
+    subspace iterates on A + shift·I (spectral-shift selection of the
+    algebraic ends), the returned columns are UNIT Ritz vectors (no
+    |λ|^(1/2) scaling) and scalars["eigenvalues"] are eigenvalues of A
+    (shift removed), still ordered by shifted magnitude descending."""
+    assert variant in ("ase", "lse", "matrix")
+    dad = variant != "ase"
+    sym = graph if variant == "matrix" else _sym_graph(graph,
+                                                       dad_weights=dad)
     n = sym.num_vertices()
     if num_partitions is None:
         from igraph_ray.context import num_cpus
         num_partitions = max(2, num_cpus())
-    csr = sym.csr_index("out", num_partitions, weighted=dad)
+    csr = sym.csr_index("matrix" if variant == "matrix" else "out",
+                        num_partitions, weighted=dad)
     blocks = csr.block_descriptors()
     # guard vectors (randomized-subspace oversampling): iterate with
     # k+oversample columns so the k-th pair's convergence rate is
@@ -193,6 +205,8 @@ def adjacency_spectral_embedding(
                     continue
                 pos = np.searchsorted(vertex, sd)
                 np.add.at(acc, pos, sp)
+        if shift != 0.0:
+            acc += shift * Xmsg  # operator is A + shift·I
         out = {"vertex": vertex}
         for j in range(kk):
             out[f"y{j}"] = acc[:, j]        # raw A·Xmsg, orth next step
@@ -252,10 +266,13 @@ def adjacency_spectral_embedding(
             proj[i, j] = res.scalars.get(f"m_{i}_{j}", 0.0)
     proj = 0.5 * (proj + proj.T)
     evals, W = np.linalg.eigh(proj)
-    order = np.argsort(-np.abs(evals))[:k]  # drop the guard vectors
+    # stable ordering: shifted magnitude descending, algebraic value as
+    # the deterministic tie-break (argsort alone is not stable)
+    order = np.lexsort((-evals, -np.abs(evals)))[:k]  # drop guard vectors
     evals = evals[order]
     W = W[:, order]
-    scale = np.sqrt(np.abs(evals))
+    scale = (np.ones(k) if variant == "matrix"
+             else np.sqrt(np.abs(evals)))
     rot = ray.put(W * scale[None, :])
 
     @ray.remote
@@ -296,7 +313,7 @@ def adjacency_spectral_embedding(
 
     res.state = ray.data.from_arrow_refs(
         [_final.remote(b) for b in res.aligned_state.blocks])
-    res.scalars["eigenvalues"] = [float(x) for x in evals]
+    res.scalars["eigenvalues"] = [float(x - shift) for x in evals]
     return res
 
 
@@ -353,5 +370,5 @@ def eigen_adjacency(graph: Graph, k: int = 2, iters: int = 40,
     ASE superstep computes exactly these pairs (X = U·|S|^(1/2), so the
     eigenvalues are recoverable from the returned spectrum); this alias
     pins the functions.def name onto it."""
-    return adjacency_spectral_embedding(graph, k=k, iters=iters,
+    return adjacency_spectral_embedding(graph, k=k, fixed_iterations=iters,
                                         num_partitions=num_partitions)

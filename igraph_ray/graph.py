@@ -232,6 +232,11 @@ class Graph:
                 edges = self.without_loops().map_batches(
                     _flip, batch_format="pyarrow", batch_size=None
                 )
+            elif variant == "matrix":
+                # generic-operator view (igraph_eigen_* plumbing,
+                # algorithms/eigen.py): the edge table verbatim — loops
+                # kept (matrix diagonal), weights unclamped
+                edges = self.edges
             elif variant == "sym":
                 if not weighted:
                     # derive from the out index: per-partition flip+merge of

@@ -4048,6 +4048,50 @@ def _sql_automorphism_group() -> str:
             "ORDER BY gen_id, vertex")
 
 
+def q_eigen_symmetric(sf_dir: str):
+    """igraph_eigen_matrix_symmetric (eigen.c, algorithms/eigen.py):
+    the C8 cycle adjacency's closed-form spectrum 2·cos(2πj/8). The LM
+    leg runs the distributed subspace iteration with a FULL basis
+    (kk = n ⇒ Rayleigh–Ritz exact after the basis is populated); the
+    LA leg runs the Gershgorin-shifted iteration (A + 2I) to 1e-14.
+    Rows (which, rank, value_e6), values sorted descending; oracle =
+    the same trigonometric closed form in SQL."""
+    from igraph_ray.algorithms.eigen import eigen_matrix_symmetric
+
+    cyc = [(i, (i + 1) % 8) for i in range(8)]
+    ds = ray.data.from_arrow(pa.table({
+        "row": pa.array([min(a, b) for a, b in cyc], pa.int64()),
+        "col": pa.array([max(a, b) for a, b in cyc], pa.int64()),
+        "value": pa.array([1.0] * 8, pa.float64())}))
+    lm, _ = eigen_matrix_symmetric(ds, 8, k=8, which="LM",
+                                   iters=3, oversample=0)
+    la, _ = eigen_matrix_symmetric(ds, 8, k=2, which="LA", iters=60)
+    rows = ([("LM", i, v) for i, v in enumerate(sorted(lm, reverse=True))]
+            + [("LA", i, v) for i, v in enumerate(sorted(la, reverse=True))])
+    return pa.table({
+        "which": pa.array([r[0] for r in rows], pa.string()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "value_e6": pa.array(
+            [int(np.floor(r[2] * 1e6 + 0.5)) for r in rows], pa.int64())})
+
+
+_SQL_EIGEN_SYMMETRIC = """
+WITH lm AS (SELECT j, 2*cos(2*pi()*j/8) AS v
+            FROM generate_series(0, 7) t(j)),
+ranked AS (SELECT 'LM' AS which,
+                  ROW_NUMBER() OVER (ORDER BY v DESC) - 1 AS rank,
+                  CAST(FLOOR(v*1000000 + 0.5) AS BIGINT) AS value_e6
+           FROM lm),
+la AS (SELECT 'LA' AS which,
+              ROW_NUMBER() OVER (ORDER BY v DESC) - 1 AS rank,
+              CAST(FLOOR(v*1000000 + 0.5) AS BIGINT) AS value_e6
+       FROM lm ORDER BY v DESC LIMIT 2)
+SELECT which, CAST(rank AS BIGINT) AS rank, value_e6 FROM ranked
+UNION ALL
+SELECT which, CAST(rank AS BIGINT) AS rank, value_e6 FROM la
+ORDER BY which, rank"""
+
+
 def q_canonical_form(sf_dir: str):
     """igraph_canonical_permutation (topology.c BLISS surface):
     relabeling the bull graph and its md5-rank permutation by their IR
@@ -10630,6 +10674,7 @@ def queries() -> Dict[str, Callable]:
         "canonical_form": q_canonical_form,
         "layout_lgl": q_layout_lgl,
         "automorphism_group": q_automorphism_group,
+        "eigen_symmetric": q_eigen_symmetric,
     }
 
 
@@ -11729,6 +11774,7 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
         "canonical_form": ("SELECT CAST(1 AS BIGINT) AS forms_equal, "
                            "CAST(5 AS BIGINT) AS n_edges"),
         "automorphism_group": _sql_automorphism_group(),
+        "eigen_symmetric": _SQL_EIGEN_SYMMETRIC,
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (
