@@ -229,3 +229,32 @@ def eigen_matrix(
 
     vals, table = ray.get(_run.remote(n, k, which))
     return vals, ray.data.from_arrow(table)
+
+
+def eigen_laplacian(
+    graph: Graph,
+    k: int = 2,
+    which: str = "SA",
+    iters: int = 80,
+    num_partitions: Optional[int] = None,
+) -> Tuple[List[float], ray.data.Dataset]:
+    """igraph_eigen_laplacian (eigen.c surface): selected eigenpairs of
+    L = D − A over the simple undirected view — the COO export of
+    ops/structural.laplacian_edges fed into eigen_matrix_symmetric
+    verbatim (both triangles are already present; mirror off). SA (the
+    algebraic bottom: λ0 = 0, the Fiedler pair next) is the common
+    spectral-partitioning ask; every which spec of the generic surface
+    is accepted."""
+    from igraph_ray.ops.structural import laplacian_edges
+
+    coo = laplacian_edges(graph, normalized=False,
+                          num_partitions=num_partitions or 8)
+    trip = coo.map_batches(
+        lambda b: pa.table({"row": b["i"], "col": b["j"],
+                            "value": pa.compute.cast(b["value"],
+                                                     pa.float64())}),
+        batch_format="pyarrow", batch_size=None)
+    return eigen_matrix_symmetric(trip, graph.num_vertices(), k=k,
+                                  which=which, iters=iters,
+                                  num_partitions=num_partitions,
+                                  mirror=False)

@@ -358,3 +358,97 @@ def moran_process(graph: Graph, seed: int = 13,
     st_ref = _concat_tables.remote(drop_empty_blocks(state).to_arrow_refs())
     return ray.data.from_arrow(ray.get(
         _moran_task.remote(arr, st_ref, seed))).sort("vertex")
+
+
+def stochastic_imitation(
+    graph: Graph,
+    algo: str = "augmented",
+    seed: int = 19,
+    rounds: int = 2,
+    n_strategies: int = 5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Synchronous rounds of igraph_stochastic_imitation
+    (microscopic_update.c:1119, IGRAPH_ALL) over every vertex. Each
+    vertex v draws one 32-bit md5 value r = fold8("{seed}:s{round}:{v}"):
+
+    - ``blind``: u = (N(v) ascending + [v])[r mod (deg+1)] — v adopts
+      u's strategy unconditionally (the reference appends v itself at
+      the back of the candidate vector);
+    - ``augmented``: u = N(v)[r mod deg], adopt iff q(u) > q(v);
+    - ``contracted``: u = N(v)[r mod deg], adopt iff q(u) < q(v).
+
+    Isolated vertices keep their strategy. Returns
+    (vertex, strategy, quantity); fully SQL-replayable."""
+    assert algo in ("blind", "augmented", "contracted")
+    sym = _sym_edges(graph)
+    verts = Graph(sym.map_batches(
+        lambda b: pa.table({"src": b["v"], "dst": b["u"]}),
+        batch_format="pyarrow", batch_size=None)).vertices()
+    state = initial_state(verts, seed, n_strategies).materialize()
+    bounds = compute_boundaries(sym, num_partitions, col="v")
+    for rnd in range(rounds):
+        j = _joined_neighbors(sym, state, num_partitions)
+        own = state.map_batches(
+            lambda b: pa.table({"v": b["vertex"],
+                                "v_quantity": b["quantity"],
+                                "v_strategy": b["strategy"]}),
+            batch_format="pyarrow", batch_size=None)
+        j = hash_join(j, own, on="v", num_partitions=num_partitions)
+        aligned = (j.sort(["v", "u"], boundaries=bounds)
+                   if bounds else j.sort(["v", "u"]))
+
+        def _select(b: pa.Table, _r=rnd) -> pa.Table:
+            if b.num_rows == 0 or "u" not in b.column_names:
+                return pa.table({"vertex": pa.array([], pa.int64()),
+                                 "new_strategy": pa.array([], pa.int64())})
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uq = b["u_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            us = b["u_strategy"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vq = b["v_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vs = b["v_strategy"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+            ends = np.r_[starts[1:], len(v)]
+            deg = ends - starts
+            draws = np.array([_fold8(f"{seed}:s{_r}:{int(v[s])}")
+                              for s in starts], np.int64)
+            out_v = v[starts]
+            out_s = vs[starts].copy()
+            if algo == "blind":
+                idx = draws % (deg + 1)
+                pick = idx < deg               # idx == deg keeps self
+                pos = starts + np.minimum(idx, deg - 1)
+                out_s = np.where(pick, us[pos], out_s)
+            else:
+                idx = draws % deg
+                pos = starts + idx
+                better = (uq[pos] > vq[starts] if algo == "augmented"
+                          else uq[pos] < vq[starts])
+                out_s = np.where(better, us[pos], out_s)
+            return pa.table({"vertex": pa.array(out_v),
+                             "new_strategy": pa.array(out_s)})
+
+        sel = aligned.map_batches(_select, batch_format="pyarrow",
+                                  batch_size=None)
+        merged = hash_join(state, sel, on="vertex",
+                           num_partitions=num_partitions,
+                           join_type="left_outer")
+
+        def _apply(b: pa.Table) -> pa.Table:
+            s = b["strategy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = b["new_strategy"]
+            have = ~pa.compute.is_null(ns).to_numpy(zero_copy_only=False)
+            nsv = np.where(have, np.nan_to_num(
+                ns.to_numpy(zero_copy_only=False).astype(np.float64)),
+                s).astype(np.int64)
+            return pa.table({"vertex": b["vertex"],
+                             "strategy": pa.array(nsv),
+                             "quantity": b["quantity"]})
+
+        state = merged.map_batches(_apply, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+    return state.sort("vertex")

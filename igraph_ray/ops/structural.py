@@ -1754,3 +1754,158 @@ def local_scan_neighborhood_ecount(
                          "scan_nb": pc.cast(b["sum(c)"], pa.int64())})
 
     return counts.map_batches(_rn, batch_format="pyarrow", batch_size=None)
+
+
+def assortativity_values(graph: Graph, values: ray.data.Dataset,
+                         directed: bool = True,
+                         num_partitions: int = 8) -> float:
+    """igraph_assortativity (mixing.c:28, the arbitrary-vertex-values
+    variant): Pearson correlation of (value[src], value[dst]) over
+    edges — directed edges as-is, undirected graphs with each edge
+    counted in both orientations (the reference's symmetrized sums).
+    ``values`` is a (vertex, value) Dataset; the moments are partial
+    per-batch sums, so nothing materializes on the driver."""
+    edges = graph.without_loops()
+    if not directed:
+        def _both(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False)
+            d = b["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"src": pa.array(np.concatenate([s, d])),
+                             "dst": pa.array(np.concatenate([d, s]))})
+
+        edges = edges.map_batches(_both, batch_format="pyarrow",
+                                  batch_size=None)
+    vx = values.map_batches(
+        lambda b: pa.table({"src": b["vertex"], "dx": b["value"]}),
+        batch_format="pyarrow", batch_size=None)
+    vy = values.map_batches(
+        lambda b: pa.table({"dst": b["vertex"], "dy": b["value"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(edges, vx, on="src", num_partitions=num_partitions)
+    j = hash_join(j, vy, on="dst", num_partitions=num_partitions)
+
+    def _moments(b: pa.Table) -> pa.Table:
+        x = b["dx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b["dy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(len(x))], pa.float64()),
+            "sx": pa.array([x.sum()], pa.float64()),
+            "sy": pa.array([y.sum()], pa.float64()),
+            "sxx": pa.array([(x * x).sum()], pa.float64()),
+            "syy": pa.array([(y * y).sum()], pa.float64()),
+            "sxy": pa.array([(x * y).sum()], pa.float64()),
+        })
+
+    m = j.map_batches(_moments, batch_format="pyarrow",
+                      batch_size=None).materialize()
+    s = _aggregate(m, ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n = s["n"]
+    if n == 0:
+        return float("nan")
+    cov = s["sxy"] / n - (s["sx"] / n) * (s["sy"] / n)
+    vxv = s["sxx"] / n - (s["sx"] / n) ** 2
+    vyv = s["syy"] / n - (s["sy"] / n) ** 2
+    if vxv <= 0 or vyv <= 0:
+        return float("nan")
+    return cov / np.sqrt(vxv * vyv)
+
+
+def similarity_over_edges(graph: Graph, method: str = "jaccard",
+                          num_partitions: int = 8) -> ray.data.Dataset:
+    """igraph_similarity_jaccard_es / _dice_es (similarity.c): the
+    endpoint-pair similarity of every edge — |N(u) ∩ N(v)| over the
+    union (Jaccard) or 2∩/(deg+deg) (Dice), undirected neighbor sets,
+    loops dropped. One co-neighbor join computes the intersections for
+    ALL edges at once (same wedge plan as cocitation), then a
+    hash-join against the edge list keeps exactly the edge pairs.
+    Returns (lo, hi, inter, du, dv) with the similarity as an exact
+    integer pair (inter, denominator parts) plus sim_e6."""
+    assert method in ("jaccard", "dice")
+    from igraph_ray.ops.relational import _dedup
+
+    und = graph.canonical_undirected()
+    sym = und.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(np.concatenate(
+                [b["lo"].to_numpy(zero_copy_only=False),
+                 b["hi"].to_numpy(zero_copy_only=False)])),
+            "dst": pa.array(np.concatenate(
+                [b["hi"].to_numpy(zero_copy_only=False),
+                 b["lo"].to_numpy(zero_copy_only=False)]))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    # wedge join: pairs (a, b) sharing a middle vertex, a < b
+    left = sym.map_batches(
+        lambda b: pa.table({"mid": b["src"], "a": b["dst"]}),
+        batch_format="pyarrow", batch_size=None)
+    right = sym.map_batches(
+        lambda b: pa.table({"mid": b["src"], "b": b["dst"]}),
+        batch_format="pyarrow", batch_size=None)
+    w = hash_join(left, right, on="mid", num_partitions=num_partitions)
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a < bb
+        t = pa.table({"lo": pa.array(a[keep]), "hi": pa.array(bb[keep]),
+                      "c": pa.array(np.ones(int(keep.sum()), np.int64))})
+        return (t.group_by(["lo", "hi"]).aggregate([("c", "sum")])
+                .rename_columns(["lo", "hi", "c"]))
+
+    inter = (w.map_batches(_pairs, batch_format="pyarrow",
+                           batch_size=None)
+             .groupby(["lo", "hi"]).sum("c"))
+    inter = inter.map_batches(
+        lambda b: (pa.table({"lo": b["lo"], "hi": b["hi"],
+                             "inter": b["sum(c)"]})
+                   if b.num_rows else
+                   pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    edges = _dedup(und.map_batches(
+        lambda b: pa.table({"src": b["lo"], "dst": b["hi"]}),
+        batch_format="pyarrow", batch_size=None)).map_batches(
+        lambda b: pa.table({"lo": b["src"], "hi": b["dst"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(edges, inter, on=("lo", "hi"),
+                  num_partitions=num_partitions, join_type="left_outer")
+    deg = sym.groupby("src").count().map_batches(
+        lambda b: (pa.table({"lo": b["src"], "du": b["count()"]})
+                   if b.num_rows else
+                   pa.table({"lo": pa.array([], pa.int64()),
+                             "du": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(j, deg, on="lo", num_partitions=num_partitions)
+    degv = sym.groupby("src").count().map_batches(
+        lambda b: (pa.table({"hi": b["src"], "dv": b["count()"]})
+                   if b.num_rows else
+                   pa.table({"hi": pa.array([], pa.int64()),
+                             "dv": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(j, degv, on="hi", num_partitions=num_partitions)
+
+    def _sim(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64()),
+                             "sim_e6": pa.array([], pa.int64())})
+        it = b["inter"].to_numpy(zero_copy_only=False)
+        it = np.nan_to_num(it.astype(np.float64)).astype(np.int64)
+        du = b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = b["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if method == "jaccard":
+            den = du + dv - it
+        else:
+            den = du + dv
+        num = it if method == "jaccard" else 2 * it
+        sim = np.where(den > 0, (num * 1_000_000) // np.maximum(den, 1), 0)
+        return pa.table({"lo": b["lo"], "hi": b["hi"],
+                         "inter": pa.array(it),
+                         "sim_e6": pa.array(sim.astype(np.int64))})
+
+    return j.map_batches(_sim, batch_format="pyarrow", batch_size=None)

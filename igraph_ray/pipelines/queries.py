@@ -2968,6 +2968,50 @@ st{r} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+STOCH_SEED = 19
+
+
+def q_stochastic_imitation(sf_dir: str):
+    """Synchronous stochastic imitation (igraph_stochastic_imitation,
+    microscopic_update.c:1119, IGRAPH_IMITATE_AUGMENTED, IGRAPH_ALL)
+    over the sparse derived graph's undirected view: every vertex
+    draws one md5 32-bit value, picks the (draw mod deg)-th ascending
+    neighbor, and adopts its strategy iff the neighbor's quantity is
+    strictly larger. Oracle = the identical draw-and-pick replayed per
+    round in SQL (ROW_NUMBER ascending-neighbor rank)."""
+    from igraph_ray.algorithms.imitation import stochastic_imitation
+
+    return stochastic_imitation(derive.graph_sparse(sf_dir),
+                                algo="augmented", seed=STOCH_SEED,
+                                rounds=IMIT_ROUNDS)
+
+
+def _sql_stochastic_imitation() -> str:
+    parts = [_SQL_IMIT_BASE.format(edges=derive.SQL_EDGES_SPARSE,
+                                   seed=STOCH_SEED)]
+    for r in range(1, IMIT_ROUNDS + 1):
+        draw = _sql_fold8(
+            f"md5('{STOCH_SEED}' || ':s{r-1}:' || CAST(n.v AS VARCHAR))")
+        parts.append(f"""
+, nb{r} AS MATERIALIZED (
+  SELECT s.a AS v, s.b AS u, st.strategy AS us, st.quantity AS uq,
+         ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY s.b) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY s.a) AS deg
+  FROM sym s JOIN st{r-1} st ON st.vertex = s.b),
+pick{r} AS (
+  SELECT n.v, n.us, n.uq FROM nb{r} n
+  WHERE n.rn = ({draw}) % n.deg),
+st{r} AS MATERIALIZED (
+  SELECT s.vertex,
+    CASE WHEN p.uq IS NOT NULL AND p.uq > s.quantity THEN p.us
+         ELSE s.strategy END AS strategy,
+    s.quantity AS quantity
+  FROM st{r-1} s LEFT JOIN pick{r} p ON p.v = s.vertex)""")
+    parts.append(f"SELECT vertex, strategy, quantity FROM st{IMIT_ROUNDS} "
+                 f"ORDER BY vertex")
+    return "\n".join(parts)
+
+
 def q_moran_step(sf_dir: str):
     """One igraph_moran_process birth-death step
     (microscopic_update.c:723, IGRAPH_ALL, unit edge weights) on the
@@ -4090,6 +4134,36 @@ SELECT which, CAST(rank AS BIGINT) AS rank, value_e6 FROM ranked
 UNION ALL
 SELECT which, CAST(rank AS BIGINT) AS rank, value_e6 FROM la
 ORDER BY which, rank"""
+
+
+def q_eigen_laplacian(sf_dir: str):
+    """igraph_eigen_laplacian (eigen.c surface, algorithms/eigen.py):
+    the algebraic bottom of the C12 ring Laplacian — closed form
+    2 − 2cos(2πj/12), so λ0 = 0 and the Fiedler pair 2 − √3. The
+    engine runs the SA Gershgorin-shifted subspace iteration over the
+    COO Laplacian export. Rows (rank, value_e6) ascending."""
+    from igraph_ray.algorithms.eigen import eigen_laplacian
+
+    n = 12
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in cyc], pa.int64()),
+        "dst": pa.array([b for a, b in cyc], pa.int64())})), n=n)
+    vals, _ = eigen_laplacian(g, k=3, which="SA", iters=150)
+    rows = sorted(vals)
+    return pa.table({
+        "rank": pa.array(range(len(rows)), pa.int64()),
+        "value_e6": pa.array([int(np.floor(v * 1e6 + 0.5)) for v in rows],
+                             pa.int64())})
+
+
+_SQL_EIGEN_LAPLACIAN = """
+WITH sp AS (SELECT j, 2 - 2*cos(2*pi()*j/12) AS v
+            FROM generate_series(0, 11) t(j)),
+bot AS (SELECT v FROM sp ORDER BY v LIMIT 3)
+SELECT ROW_NUMBER() OVER (ORDER BY v) - 1 AS rank,
+       CAST(FLOOR(v*1000000 + 0.5) AS BIGINT) AS value_e6
+FROM bot ORDER BY rank"""
 
 
 def q_canonical_form(sf_dir: str):
@@ -5657,6 +5731,81 @@ def q_assortativity(sf_dir: str):
 
     r = degree_assortativity(derive.graph_a(sf_dir), num_partitions=8)
     return pa.table({"assortativity_e9": pa.array([int(round(r * 1e9))], pa.int64())})
+
+
+def q_assortativity_values(sf_dir: str):
+    """igraph_assortativity with arbitrary vertex values (mixing.c:28):
+    Pearson correlation of (value[src], value[dst]) over the directed
+    edges_a view, values = md5-fold mod 1001 per vertex (integer-exact
+    moments on both sides). Oracle = the same sums in SQL."""
+    import hashlib
+
+    from igraph_ray.ops.structural import assortativity_values
+
+    g = derive.graph_a(sf_dir)
+
+    def _vals(b: pa.Table) -> pa.Table:
+        v = b["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = np.array([int(hashlib.md5(f"av:{int(x)}".encode())
+                            .hexdigest()[:8], 16) % 1001 for x in v],
+                       np.int64)
+        return pa.table({"vertex": pa.array(v), "value": pa.array(val)})
+
+    vals = g.vertices().map_batches(_vals, batch_format="pyarrow",
+                                    batch_size=None)
+    r = assortativity_values(g, vals, directed=True, num_partitions=8)
+    return pa.table({"assortativity_e9": pa.array([int(round(r * 1e9))],
+                                                  pa.int64())})
+
+
+def _sql_assortativity_values() -> str:
+    fold = _sql_fold8("md5('av:' || CAST(verts.v AS VARCHAR))")
+    return f"""
+WITH edges AS MATERIALIZED (SELECT src, dst FROM ({derive.SQL_EDGES_A})
+  WHERE src != dst),
+verts AS ({derive.SQL_VERTS_A}),
+vals AS (SELECT verts.v, CAST(({fold}) % 1001 AS DOUBLE) AS val FROM verts),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(a.val) AS sx,
+             SUM(b.val) AS sy, SUM(a.val*a.val) AS sxx,
+             SUM(b.val*b.val) AS syy, SUM(a.val*b.val) AS sxy
+      FROM edges e JOIN vals a ON a.v = e.src JOIN vals b ON b.v = e.dst)
+SELECT CAST(ROUND((sxy/n - (sx/n)*(sy/n)) /
+  SQRT((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))) * 1e9) AS BIGINT)
+  AS assortativity_e9 FROM m"""
+
+
+def q_similarity_edges(sf_dir: str):
+    """igraph_similarity_jaccard_es (similarity.c, edge-selector
+    variant): the Jaccard endpoint similarity of every undirected
+    sparse-view edge — one wedge join computes all co-neighbor counts,
+    a hash-join keeps the edge pairs. Rows (lo, hi, inter, sim_e6),
+    integer-exact. Oracle = the same common-neighbor counting in SQL."""
+    from igraph_ray.ops.structural import similarity_over_edges
+
+    g = derive.graph_sparse(sf_dir)
+    return similarity_over_edges(g, method="jaccard",
+                                 num_partitions=8).sort(["lo", "hi"])
+
+
+def _sql_similarity_edges() -> str:
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE}) WHERE src != dst),
+sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM und
+  UNION ALL SELECT hi, lo FROM und),
+deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY a),
+inter AS (SELECT s1.b AS lo, s2.b AS hi, COUNT(*) AS c
+          FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s1.b < s2.b
+          GROUP BY 1, 2)
+SELECT u.lo, u.hi,
+  CAST(COALESCE(i.c, 0) AS BIGINT) AS inter,
+  CAST(COALESCE(i.c, 0) * 1000000
+       // (du.d + dv.d - COALESCE(i.c, 0)) AS BIGINT) AS sim_e6
+FROM und u
+LEFT JOIN inter i ON i.lo = u.lo AND i.hi = u.hi
+JOIN deg du ON du.v = u.lo JOIN deg dv ON dv.v = u.hi
+ORDER BY u.lo, u.hi"""
 
 
 def q_has_cycle(sf_dir: str):
@@ -10675,6 +10824,10 @@ def queries() -> Dict[str, Callable]:
         "layout_lgl": q_layout_lgl,
         "automorphism_group": q_automorphism_group,
         "eigen_symmetric": q_eigen_symmetric,
+        "stochastic_imitation": q_stochastic_imitation,
+        "assortativity_values": q_assortativity_values,
+        "similarity_edges": q_similarity_edges,
+        "eigen_laplacian": q_eigen_laplacian,
     }
 
 
@@ -11775,6 +11928,10 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
                            "CAST(5 AS BIGINT) AS n_edges"),
         "automorphism_group": _sql_automorphism_group(),
         "eigen_symmetric": _SQL_EIGEN_SYMMETRIC,
+        "stochastic_imitation": _sql_stochastic_imitation(),
+        "assortativity_values": _sql_assortativity_values(),
+        "similarity_edges": _sql_similarity_edges(),
+        "eigen_laplacian": _SQL_EIGEN_LAPLACIAN,
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

@@ -94,3 +94,18 @@ def test_eigen_matrix_general(ray_session):
     explm = w[np.argsort(-np.abs(w))][:2]
     assert np.allclose(sorted(abs(x) for x in vlm),
                        sorted(np.abs(explm)), atol=1e-9)
+
+
+def test_eigen_laplacian_c12(ray_session):
+    from igraph_ray.algorithms.eigen import eigen_laplacian
+    from igraph_ray.graph import Graph
+
+    n = 12
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in cyc], pa.int64()),
+        "dst": pa.array([b for a, b in cyc], pa.int64())})), n=n)
+    vals, vecs = eigen_laplacian(g, k=3, which="SA", iters=150)
+    exp = sorted(2 - 2 * np.cos(2 * np.pi * np.arange(n) / n))[:3]
+    assert np.allclose(sorted(vals), exp, atol=1e-6)
+    assert vecs.count() == n

@@ -172,3 +172,49 @@ class TestMoran:
         after = moran_process(g, seed=13).to_pandas()
         assert len(after) == len(_adj(EDGES))
         assert sorted(after["vertex"]) == sorted(_adj(EDGES))
+
+
+class TestStochasticImitation:
+    """igraph_stochastic_imitation (microscopic_update.c:1119) vs an
+    in-test sequential replay for all three imitation algorithms."""
+
+    def _replay(self, edges, algo, seed, rounds):
+        adj = _adj(edges)
+        verts = sorted(adj)
+        q, s = _init(verts, seed)
+        for r in range(rounds):
+            new_s = dict(s)
+            for v in verts:
+                nbrs = adj[v]
+                d = _fold8(f"{seed}:s{r}:{v}")
+                if algo == "blind":
+                    i = d % (len(nbrs) + 1)
+                    if i < len(nbrs):
+                        new_s[v] = s[nbrs[i]]
+                else:
+                    u = nbrs[d % len(nbrs)]
+                    if ((algo == "augmented" and q[u] > q[v])
+                            or (algo == "contracted" and q[u] < q[v])):
+                        new_s[v] = s[u]
+            s = new_s
+        return q, s
+
+    @pytest.mark.parametrize("algo", ["blind", "augmented", "contracted"])
+    def test_matches_sequential_replay(self, ray_session, algo):
+        from igraph_ray.algorithms.imitation import stochastic_imitation
+
+        got = stochastic_imitation(_graph(EDGES), algo=algo, seed=19,
+                                   rounds=2).to_pandas()
+        q, s = self._replay(EDGES, algo, 19, 2)
+        for r in got.itertuples():
+            assert (r.quantity, r.strategy) == (q[r.vertex],
+                                                s[r.vertex]), (algo, r)
+
+    def test_deterministic(self, ray_session):
+        from igraph_ray.algorithms.imitation import stochastic_imitation
+
+        a = stochastic_imitation(_graph(EDGES), algo="blind",
+                                 seed=3).to_pandas()
+        b = stochastic_imitation(_graph(EDGES), algo="blind",
+                                 seed=3).to_pandas()
+        assert a.equals(b)

@@ -663,3 +663,62 @@ def test_local_scan0_and_k2_them_and_nbhd():
         marked = out_us[v] | {v}
         expect = sum(1 for a, b in them if a in out_us[v] and b in marked)
         assert gotn[v] == expect, v
+
+
+def test_assortativity_values_matches_numpy(ray_session):
+    """igraph_assortativity (values variant) vs a dense numpy Pearson
+    correlation over edge endpoint values, directed and undirected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.structural import assortativity_values
+
+    rng = np.random.default_rng(5)
+    n, m = 40, 160
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    vals = rng.integers(0, 100, n)
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})),
+        n=n)
+    vds = ray.data.from_arrow(pa.table({
+        "vertex": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(vals, pa.int64())}))
+    r = assortativity_values(g, vds, directed=True)
+    x, y = vals[src].astype(float), vals[dst].astype(float)
+    exp = np.corrcoef(x, y)[0, 1]
+    assert abs(r - exp) < 1e-9
+    r2 = assortativity_values(g, vds, directed=False)
+    x2 = np.concatenate([x, y])
+    y2 = np.concatenate([y, x])
+    assert abs(r2 - np.corrcoef(x2, y2)[0, 1]) < 1e-9
+
+
+def test_similarity_over_edges_jaccard(ray_session):
+    """Per-edge endpoint Jaccard vs a brute-force neighbor-set check."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.structural import similarity_over_edges
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in edges], pa.int64()),
+        "dst": pa.array([b for a, b in edges], pa.int64())})), n=5)
+    got = similarity_over_edges(g, method="jaccard").to_pandas()
+    adj = {v: set() for v in range(5)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert len(got) == len(edges)
+    for r in got.itertuples():
+        inter = len(adj[r.lo] & adj[r.hi])
+        union = len(adj[r.lo] | adj[r.hi])
+        assert r.inter == inter
+        assert r.sim_e6 == inter * 1_000_000 // union
