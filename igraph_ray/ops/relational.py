@@ -623,3 +623,93 @@ def from_weighted_adjacency(matrix, mode: str = "directed",
         "src": pa.array(r.astype(np.int64)),
         "dst": pa.array(c.astype(np.int64)),
         "weight": pa.array(w)}))
+
+
+def union_many_edges(tables) -> ray.data.Dataset:
+    """igraph_union_many (operators.c:780): edge present in ANY input,
+    once — one concatenated union + one grouped dedup (not a fold of
+    pairwise shuffles)."""
+    tables = list(tables)
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())}))
+    acc = tables[0].select_columns(["src", "dst"])
+    for t in tables[1:]:
+        acc = acc.union(t.select_columns(["src", "dst"]))
+    return _dedup(acc)
+
+
+def intersection_many_edges(tables,
+                            num_partitions: int = 8) -> ray.data.Dataset:
+    """igraph_intersection_many (operators.c:491): edges present in
+    EVERY input — tag each input with its index, one grouped distinct
+    count, keep rows hitting all k inputs (one shuffle total instead
+    of k-1 pairwise joins)."""
+    tables = list(tables)
+    k = len(tables)
+    if k == 0:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())}))
+    if k == 1:
+        return _dedup(tables[0])
+    acc = None
+    for i, t in enumerate(tables):
+        tagged = _dedup(t).map_batches(
+            lambda b, _i=i: b.append_column(
+                "inp", pa.array(np.full(b.num_rows, _i, np.int64))),
+            batch_format="pyarrow", batch_size=None)
+        acc = tagged if acc is None else acc.union(tagged)
+    cnt = acc.groupby(["src", "dst"]).count()
+    return cnt.map_batches(
+        lambda b: (b.filter(pc.equal(b["count()"], k))
+                   .select(["src", "dst"]) if b.num_rows else
+                   pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+
+
+def disjoint_union_many_edges(graphs) -> ray.data.Dataset:
+    """igraph_disjoint_union_many (operators.c:218): relabel each
+    input's vertices by the running vertex-count offset and
+    concatenate. ``graphs`` is a list of (edges, n) pairs."""
+    out = None
+    off = 0
+    for edges, n in graphs:
+        shifted = edges.map_batches(
+            lambda b, _o=off: pa.table({
+                "src": pc.add(pc.cast(b["src"], pa.int64()), _o),
+                "dst": pc.add(pc.cast(b["dst"], pa.int64()), _o)}),
+            batch_format="pyarrow", batch_size=None)
+        out = shifted if out is None else out.union(shifted)
+        off += int(n)
+    if out is None:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())}))
+    return out
+
+
+def induced_subgraph_map(
+    edges: ray.data.Dataset, vertices: ray.data.Dataset,
+    num_partitions: int = 8,
+):
+    """igraph_induced_subgraph_map (structural_properties.c:2080):
+    induced edges RELABELED to the dense 0..k-1 ids plus the mapping
+    table (vertex, new_id) — new ids by ascending old id, the
+    reference's creation order for a sorted selector. Returns
+    (edges, map_ds)."""
+    from igraph_ray.util import dense_rank_map
+
+    sub = induced_subgraph(edges, vertices, num_partitions)
+    ranked = dense_rank_map(vertices.map_batches(
+        lambda b: pa.table({"v": b["vertex"]}),
+        batch_format="pyarrow", batch_size=None), col="v")
+    mapping = ranked.map_batches(
+        lambda b: pa.table({"vertex": b["v"], "new_id": b["rank"]}),
+        batch_format="pyarrow", batch_size=None)
+    relabeled = contract_vertices(sub, mapping.map_batches(
+        lambda b: pa.table({"vertex": b["vertex"], "target": b["new_id"]}),
+        batch_format="pyarrow", batch_size=None), num_partitions)
+    return relabeled, mapping

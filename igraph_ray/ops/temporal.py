@@ -376,3 +376,36 @@ def separate_graph_pattern(union_graph: ray.data.Dataset,
 
     return union_graph.map_batches(_split, batch_format="pyarrow",
                                    batch_size=None)
+
+
+def write_dynamic_union_projection(
+    projection: ray.data.Dataset,
+    num_vertices: int,
+    path: str,
+    gz: bool = False,
+) -> int:
+    """igraph_write_dynamic_union_graph_projection (dynamic.c:939):
+    serialize a union-graph projection stream — (w, src, dst, color)
+    rows from union_graph_projection / projection_neighbors /
+    projection_event — as the reference's transaction text: per
+    window-pair a ``t # <tid>`` header (tid = ascending rank of w),
+    every vertex as ``v <id>`` (the FULL selector keeps the whole
+    universe; vcolors absent exactly like the reference's NULL-vcolors
+    call), then ``e <src> <dst> <color>`` in (src, dst) order. Small
+    text interchange sink (mining-tool format, sequential by nature —
+    same contract as write_velist); returns the number of transactions
+    written. ``gz=True`` writes gzip (the reference's gzFile path)."""
+    import gzip
+
+    df = projection.to_pandas().sort_values(["w", "src", "dst"])
+    windows = sorted(df["w"].unique())
+    opener = (lambda p: gzip.open(p, "wt")) if gz else (
+        lambda p: open(p, "w"))
+    with opener(path) as f:
+        for tid, w in enumerate(windows):
+            f.write(f"t # {tid}\n")
+            for v in range(num_vertices):
+                f.write(f"v {v}\n")
+            for r in df[df["w"] == w].itertuples():
+                f.write(f"e {int(r.src)} {int(r.dst)} {int(r.color)}\n")
+    return len(windows)

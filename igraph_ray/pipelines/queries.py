@@ -5808,6 +5808,44 @@ JOIN deg du ON du.v = u.lo JOIN deg dv ON dv.v = u.hi
 ORDER BY u.lo, u.hi"""
 
 
+def q_cliques_range(sf_dir: str):
+    """igraph_cliques (cliques.c:260): counts of ALL cliques (not just
+    maximal) per size 1..4 over the undirected sparse view — subset
+    expansion of the maximal-clique stream with grouped dedup. Oracle:
+    size 1 = vertices, 2 = simple edges, 3 = triangles (wedge join),
+    4 = K4 (the motifs4 k4 join)."""
+    from igraph_ray.algorithms.cliques import clique_count_by_size
+
+    g = derive.graph_sparse(sf_dir)
+    return clique_count_by_size(g, min_size=1, max_size=4,
+                                num_partitions=8).sort("size")
+
+
+def _sql_cliques_range() -> str:
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM ({derive.SQL_EDGES_SPARSE}) WHERE src != dst),
+verts AS (SELECT DISTINCT v FROM
+  (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)),
+tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c
+        FROM und u1 JOIN und u2 ON u2.lo = u1.hi
+        JOIN und u3 ON u3.lo = u1.lo AND u3.hi = u2.hi),
+k4 AS (SELECT COUNT(*) AS n FROM und e1
+       JOIN und e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+       JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+       JOIN und e4 ON e4.lo = e1.lo AND e4.hi > e2.hi
+       JOIN und e5 ON e5.lo = e1.hi AND e5.hi = e4.hi
+       JOIN und e6 ON e6.lo = e2.hi AND e6.hi = e4.hi)
+SELECT CAST(size AS BIGINT) AS size, CAST(n_cliques AS BIGINT) AS n_cliques
+FROM (
+  SELECT 1 AS size, (SELECT COUNT(*) FROM verts) AS n_cliques
+  UNION ALL SELECT 2, (SELECT COUNT(*) FROM und)
+  UNION ALL SELECT 3, (SELECT COUNT(*) FROM tri)
+  UNION ALL SELECT 4, (SELECT n FROM k4))
+WHERE n_cliques > 0 ORDER BY size"""
+
+
 def q_has_cycle(sf_dir: str):
     """igraph_is_dag via strong components on the superstep engine: a
     directed cycle exists iff some SCC has ≥2 vertices or a self-loop
@@ -10828,6 +10866,7 @@ def queries() -> Dict[str, Callable]:
         "assortativity_values": q_assortativity_values,
         "similarity_edges": q_similarity_edges,
         "eigen_laplacian": q_eigen_laplacian,
+        "cliques_range": q_cliques_range,
     }
 
 
@@ -11932,6 +11971,7 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
         "assortativity_values": _sql_assortativity_values(),
         "similarity_edges": _sql_similarity_edges(),
         "eigen_laplacian": _SQL_EIGEN_LAPLACIAN,
+        "cliques_range": _sql_cliques_range(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (

@@ -80,3 +80,30 @@ def test_clique_histogram_matches_enumeration():
         hist[len(c)] = hist.get(len(c), 0) + 1
     rows = clique_size_histogram(g, num_partitions=4).take_all()
     assert {r["size"]: r["n_cliques"] for r in rows} == hist
+
+
+def test_cliques_range_brute_force(ray_session):
+    """igraph_cliques subset stream vs itertools enumeration."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.cliques import cliques
+    from igraph_ray.graph import Graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (0, 3)]
+    n = 5
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in edges], pa.int64()),
+        "dst": pa.array([b for a, b in edges], pa.int64())})), n=n)
+    got = {(r["clique"], r["size"])
+           for r in cliques(g, min_size=1, max_size=0).take_all()}
+    eset = {tuple(sorted(e)) for e in edges}
+    expect = set()
+    for k in range(1, n + 1):
+        for sub in itertools.combinations(range(n), k):
+            if all(tuple(sorted(p)) in eset
+                   for p in itertools.combinations(sub, 2)):
+                expect.add((",".join(map(str, sub)), k))
+    assert got == expect

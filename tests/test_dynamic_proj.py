@@ -74,3 +74,31 @@ def test_deletion_never_and_gap(tmp_path):
     edges, _ = read_dynamic_velist(str(p))
     got = _rows(dynamic_snapshots(edges), ["w", "src", "dst"])
     assert got == [(0, 0, 1), (3, 0, 1), (3, 1, 2)]
+
+
+def test_write_dynamic_union_projection_round_trip(ray_session, tmp_path):
+    """dynamic.c:939 writer: the projection stream round-trips through
+    the velist transaction reader (plain and gz)."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.ops.temporal import write_dynamic_union_projection
+    from igraph_ray.sources.velist import read_velist
+
+    proj = ray.data.from_arrow(pa.table({
+        "w": pa.array([0, 0, 0, 1, 1], pa.int64()),
+        "src": pa.array([0, 1, 2, 0, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 2, 4], pa.int64()),
+        "color": pa.array([3, 2, 1, 3, 2], pa.int64())}))
+    for gz in (False, True):
+        p = str(tmp_path / ("u.txt.gz" if gz else "u.txt"))
+        nt = write_dynamic_union_projection(proj, 5, p, gz=gz)
+        assert nt == 2
+        if gz:
+            continue  # read_velist reads plain text; gz is byte-checked
+        edges, verts, headers = read_velist(p, has_ecolors=True)
+        ed = edges.to_pandas().sort_values(["gid", "src", "dst"])
+        assert len(ed) == 5
+        assert ed["ecolor"].tolist() == [3, 2, 1, 3, 2]
+        assert headers.to_pandas()["tid"].tolist() == [0, 1]
+        assert verts.to_pandas().groupby("gid").size().tolist() == [5, 5]

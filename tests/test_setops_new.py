@@ -136,3 +136,60 @@ def test_rewire_dense_uncapped_repair():
                 tail_cap=10**9).to_pandas()
     key = lambda x: sorted(zip(x["src"].astype(int), x["dst"].astype(int)))
     assert key(t) == key(t2)
+
+
+def _eds(edges):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in edges], pa.int64()),
+        "dst": pa.array([b for a, b in edges], pa.int64())}))
+
+
+def test_union_many(ray_session):
+    from igraph_ray.ops.relational import union_many_edges
+
+    out = union_many_edges([_eds([(0, 1), (1, 2)]), _eds([(1, 2), (2, 3)]),
+                            _eds([(3, 4)])]).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [
+        (0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_intersection_many(ray_session):
+    from igraph_ray.ops.relational import intersection_many_edges
+
+    out = intersection_many_edges([
+        _eds([(0, 1), (1, 2), (2, 3)]),
+        _eds([(1, 2), (2, 3), (3, 4)]),
+        _eds([(2, 3), (1, 2), (5, 6)])]).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [(1, 2), (2, 3)]
+    # one input => itself deduped
+    one = intersection_many_edges([_eds([(0, 1), (0, 1)])]).to_pandas()
+    assert sorted(map(tuple, one.values.tolist())) == [(0, 1)]
+
+
+def test_disjoint_union_many(ray_session):
+    from igraph_ray.ops.relational import disjoint_union_many_edges
+
+    out = disjoint_union_many_edges([
+        (_eds([(0, 1)]), 2), (_eds([(0, 1), (1, 2)]), 3),
+        (_eds([(0, 0)]), 1)]).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [
+        (0, 1), (2, 3), (3, 4), (5, 5)]
+
+
+def test_induced_subgraph_map(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.ops.relational import induced_subgraph_map
+
+    edges = _eds([(0, 5), (5, 9), (9, 0), (5, 7), (7, 3)])
+    verts = ray.data.from_arrow(pa.table({
+        "vertex": pa.array([0, 5, 9], pa.int64())}))
+    sub, mapping = induced_subgraph_map(edges, verts)
+    m = {r["vertex"]: r["new_id"] for r in mapping.take_all()}
+    assert m == {0: 0, 5: 1, 9: 2}
+    got = sorted(map(tuple, sub.to_pandas().values.tolist()))
+    assert got == [(0, 1), (1, 2), (2, 0)]
