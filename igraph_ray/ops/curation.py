@@ -878,3 +878,128 @@ def dup_ngram_stats(docs: ray.data.Dataset, n: int = 3,
                          "dup_e6": pa.array(dup)})
 
     return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def lm_surprisal(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """CCNet-style corpus-LM quality scoring (Wenzek et al. 2020 score
+    documents by LM perplexity; here the LM is the corpus's own bigram
+    model) with the repo's integer-exact contract: per doc-bigram
+    (w1, w2) the surprisal is (c(w1,·) << 20) // c(w1, w2) — exactly
+    2^20 / p(w2|w1) under integer division, monotone in −log p — and
+    the doc score is the exact integer sum. High mean surprisal flags
+    documents whose word transitions are rare in the corpus (noise,
+    gibberish); low values flag boilerplate. Returns (doc_id,
+    n_bigrams, surprisal_sum, mean_surprisal); docs with < 2 tokens
+    score 0.
+
+    Scale shape: one tokenize pass emits the doc-bigram stream; bigram
+    and context counts are grouped aggregates over that stream
+    (per-batch pre-combined); the scoring pass is two hash-joins of
+    the stream against the count tables and one grouped sum — no
+    driver-side state, no all-pairs anything."""
+
+    def _bigrams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.column_names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        row_idx, toks = _token_table(b, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(row_idx) < 2:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        same = row_idx[1:] == row_idx[:-1]
+        return pa.table({
+            id_col: pa.array(ids[row_idx[:-1][same]]),
+            "w1": toks.slice(0, len(toks) - 1).filter(pa.array(same)),
+            "w2": toks.slice(1).filter(pa.array(same))})
+
+    bg = docs.map_batches(_bigrams, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def _pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({"w1": b["w1"], "w2": b["w2"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return (t.group_by(["w1", "w2"]).aggregate([("c", "sum")])
+                .rename_columns(["w1", "w2", "c"]))
+
+    bcounts = (bg.map_batches(_pre, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby(["w1", "w2"]).sum("c"))
+    bcounts = bcounts.map_batches(
+        lambda b: (pa.table({"w1": b["w1"], "w2": b["w2"],
+                             "cb": b["sum(c)"]})
+                   if b.num_rows else
+                   pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cb": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None).materialize()
+    ucounts = bcounts.groupby("w1").sum("cb").map_batches(
+        lambda b: (pa.table({"w1": b["w1"], "cu": b["sum(cb)"]})
+                   if b.num_rows else
+                   pa.table({"w1": pa.array([], pa.string()),
+                             "cu": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(bg, bcounts, on=("w1", "w2"),
+                  num_partitions=num_partitions)
+    j = hash_join(j, ucounts, on="w1", num_partitions=num_partitions)
+
+    def _score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        cu = b["cu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = b["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({id_col: b[id_col],
+                      "s": pa.array((cu << 20) // cb),
+                      "nb": pa.array(np.ones(b.num_rows, np.int64))})
+        return (t.group_by([id_col])
+                .aggregate([("s", "sum"), ("nb", "sum")])
+                .rename_columns([id_col, "s", "nb"]))
+
+    agg = (j.map_batches(_score, batch_format="pyarrow", batch_size=None)
+           .groupby(id_col).sum(["s", "nb"]))
+    agg = agg.map_batches(
+        lambda b: (pa.table({id_col: b[id_col], "ssum": b["sum(s)"],
+                             "nb": b["sum(nb)"]})
+                   if b.num_rows else
+                   pa.table({id_col: pa.array([], pa.int64()),
+                             "ssum": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    base = docs.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}),
+        batch_format="pyarrow", batch_size=None)
+    out = hash_join(base, agg, on=id_col, num_partitions=num_partitions,
+                    join_type="left_outer")
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "surprisal_sum": pa.array([], pa.int64()),
+                             "mean_surprisal": pa.array([], pa.int64())})
+        ss = np.nan_to_num(b["ssum"].to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        nb = np.nan_to_num(b["nb"].to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_bigrams": pa.array(nb),
+            "surprisal_sum": pa.array(ss),
+            "mean_surprisal": pa.array(
+                np.where(nb > 0, ss // np.maximum(nb, 1), 0))})
+
+    return out.map_batches(_final, batch_format="pyarrow",
+                           batch_size=None)

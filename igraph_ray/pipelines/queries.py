@@ -6793,6 +6793,43 @@ def q_word_stats(sf_dir: str):
     return cu.word_stats(_docs(sf_dir))
 
 
+def q_lm_surprisal(sf_dir: str):
+    """CCNet-style corpus-bigram LM scoring (ops/curation.lm_surprisal):
+    per doc the exact integer sum of (c(w1,·) << 20) // c(w1,w2) over
+    its bigrams — 2^20/p(w2|w1) under integer division, monotone in
+    perplexity. Oracle = the identical window-function bigram counts
+    and integer arithmetic in SQL."""
+    return cu.lm_surprisal(_docs(sf_dir)).sort("doc_id")
+
+
+def _sql_lm_surprisal() -> str:
+    return r"""
+WITH t AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+           FROM documents),
+bg AS (SELECT doc_id, tok AS w1,
+              lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       FROM t),
+bg2 AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg2 GROUP BY 1, 2),
+uc AS (SELECT w1, SUM(cb) AS cu FROM bc GROUP BY 1),
+sc AS (SELECT g.doc_id,
+              SUM((uc.cu * 1048576) // bc.cb) AS ssum,
+              COUNT(*) AS nb
+       FROM bg2 g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+       JOIN uc ON uc.w1 = g.w1
+       GROUP BY g.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(sc.ssum, 0) AS BIGINT) AS surprisal_sum,
+  CAST(CASE WHEN COALESCE(sc.nb, 0) > 0 THEN sc.ssum // sc.nb
+       ELSE 0 END AS BIGINT) AS mean_surprisal
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def q_token_cms(sf_dir: str):
     """Count-Min sketch (4×64) of the corpus token frequencies — exact
     integer counters (see ops.curation.token_cms)."""
@@ -10867,6 +10904,7 @@ def queries() -> Dict[str, Callable]:
         "similarity_edges": q_similarity_edges,
         "eigen_laplacian": q_eigen_laplacian,
         "cliques_range": q_cliques_range,
+        "lm_surprisal": q_lm_surprisal,
     }
 
 
@@ -11972,6 +12010,7 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
         "similarity_edges": _sql_similarity_edges(),
         "eigen_laplacian": _SQL_EIGEN_LAPLACIAN,
         "cliques_range": _sql_cliques_range(),
+        "lm_surprisal": _sql_lm_surprisal(),
         "establishment": _sql_establishment(),
         "subiso_path4": _sql_subiso_path4(),
         "isomorphic_check": (
