@@ -2507,6 +2507,11 @@ AUTOMORPHISM_TRUTH = {
     # identity graph), Desargues 240, Moebius-Kantor 96, Nauru 144
     "heawood": 336, "pappus": 216, "frucht": 1,
     "desargues": 240, "moebius_kantor": 96, "nauru": 144,
+    # session-7 residue constructions vs published orders: the
+    # Robertson (4,5)-cage has |Aut| = 24, the Tutte graph Z3 (one
+    # rotation of its three fragments), smallestcyclicgroup Z3 by its
+    # defining property
+    "robertson": 24, "tutte": 3, "smallestcyclicgroup": 3,
 }
 
 
