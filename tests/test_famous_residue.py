@@ -261,3 +261,17 @@ def test_meredith_block_structure():
         assert len(internal) == 12 and len(external) == 4
         stubs = sorted((x if x in vs else y) % 7 for x, y in external)
         assert stubs == [0, 1, 2, 3]
+
+
+def test_coxeter_aut_via_stabilizer_chain(ray_session):
+    """|Aut(Coxeter)| = 336 (published: PGL(2,7) acting on the
+    antiflags) — via the stabilizer-chain backtrack, which resolves it
+    in milliseconds where exhaustive VF2 enumeration of all 336
+    bindings over a WL-uniform cubic graph takes minutes."""
+    from igraph_ray.algorithms.subiso import automorphism_generators
+
+    n, e = FAMOUS["coxeter"]()
+    s = np.array([a for a, b in e], np.int64)
+    d = np.array([b for a, b in e], np.int64)
+    _, order = automorphism_generators(s, d, n, directed=False)
+    assert order == 336
