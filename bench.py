@@ -312,6 +312,18 @@ def bench_training_ops(sf_dir: str) -> dict:
     from igraph_ray.pipelines import derive as _derive
     power_law_fit(_derive.graph_a(sf_dir).out_degrees(), col="deg")
     d["power_law_fit_s"] = round(time.perf_counter() - t, 3)
+
+    # session-7 additions at 10x gate scale, outside the pinned keys
+    t = time.perf_counter()
+    from igraph_ray.ops.curation import lm_surprisal
+    lm_surprisal(docs).count()
+    d["lm_surprisal_s"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    from igraph_ray.ops.structural import similarity_over_edges
+    similarity_over_edges(_derive.graph_sparse(sf_dir),
+                          method="jaccard").count()
+    d["similarity_edges_s"] = round(time.perf_counter() - t, 3)
     return d
 
 

@@ -1833,30 +1833,40 @@ def similarity_over_edges(graph: Graph, method: str = "jaccard",
                 [b["hi"].to_numpy(zero_copy_only=False),
                  b["lo"].to_numpy(zero_copy_only=False)]))}),
         batch_format="pyarrow", batch_size=None).materialize()
-    # wedge join: pairs (a, b) sharing a middle vertex, a < b
-    left = sym.map_batches(
-        lambda b: pa.table({"mid": b["src"], "a": b["dst"]}),
+    # |N(u) ∩ N(v)| for an EDGE (u,v) = triangles through that edge —
+    # so the intersection table is the triangle-list join plan (two
+    # edge-table joins, intermediates filtered to actual triangles)
+    # with each triangle crediting its three edges, NOT the cocitation
+    # all-co-neighbor wedge (which keeps every wedge pair, edge or not)
+    canon = und.map_batches(
+        lambda b: pa.table({"a": b["lo"], "b_": b["hi"]}),
         batch_format="pyarrow", batch_size=None)
-    right = sym.map_batches(
-        lambda b: pa.table({"mid": b["src"], "b": b["dst"]}),
+    e2 = und.map_batches(
+        lambda b: pa.table({"b_": b["lo"], "c": b["hi"]}),
         batch_format="pyarrow", batch_size=None)
-    w = hash_join(left, right, on="mid", num_partitions=num_partitions)
+    w = hash_join(canon, e2, on="b_", num_partitions=num_partitions)
+    e3 = und.map_batches(
+        lambda b: pa.table({"a": b["lo"], "c": b["hi"]}),
+        batch_format="pyarrow", batch_size=None)
+    tri = hash_join(w, e3, on=["a", "c"], num_partitions=num_partitions)
 
-    def _pairs(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
+    def _credit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.column_names:
             return pa.table({"lo": pa.array([], pa.int64()),
                              "hi": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a < bb
-        t = pa.table({"lo": pa.array(a[keep]), "hi": pa.array(bb[keep]),
-                      "c": pa.array(np.ones(int(keep.sum()), np.int64))})
+        bb = b["b_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            "lo": pa.array(np.concatenate([a, bb, a])),
+            "hi": pa.array(np.concatenate([bb, c, c])),
+            "c": pa.array(np.ones(3 * len(a), np.int64))})
         return (t.group_by(["lo", "hi"]).aggregate([("c", "sum")])
                 .rename_columns(["lo", "hi", "c"]))
 
-    inter = (w.map_batches(_pairs, batch_format="pyarrow",
-                           batch_size=None)
+    inter = (tri.map_batches(_credit, batch_format="pyarrow",
+                             batch_size=None)
              .groupby(["lo", "hi"]).sum("c"))
     inter = inter.map_batches(
         lambda b: (pa.table({"lo": b["lo"], "hi": b["hi"],
