@@ -61,7 +61,7 @@ def matrix_from_triplets(triplets: ray.data.Dataset, n: int,
                  n=n, weighted=True, attrs={"directed": True})
 
 
-def _gershgorin_bound(op: Graph, num_partitions: int) -> float:
+def _gershgorin_bound(op: Graph) -> float:
     """B = max_i sum_j |A_ij| >= max |eigenvalue| — one grouped
     aggregate over the operator's edge table."""
 
@@ -130,7 +130,7 @@ def eigen_matrix_symmetric(
 
     shift = 0.0
     if which in ("LA", "SA"):
-        b = _gershgorin_bound(op, num_partitions)
+        b = _gershgorin_bound(op)
         shift = b if which == "LA" else -b
     elif which != "LM":
         raise ValueError(f"unknown which spec {which!r}")

@@ -378,8 +378,11 @@ def stochastic_imitation(
     - ``augmented``: u = N(v)[r mod deg], adopt iff q(u) > q(v);
     - ``contracted``: u = N(v)[r mod deg], adopt iff q(u) < q(v).
 
-    Isolated vertices keep their strategy. Returns
-    (vertex, strategy, quantity); fully SQL-replayable."""
+    Returns (vertex, strategy, quantity); fully SQL-replayable. Like
+    the module's other rules, the vertex universe is derived from the
+    symmetrized simple edge set, so vertices with no (non-loop)
+    neighbors carry no state row — the reference's per-vid call
+    errors on such vertices anyway (microscopic_standard_tests)."""
     assert algo in ("blind", "augmented", "contracted")
     sym = _sym_edges(graph)
     verts = Graph(sym.map_batches(

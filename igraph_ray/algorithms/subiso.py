@@ -1095,26 +1095,22 @@ def automorphism_group(g: Graph,
                        directed: Optional[bool] = None) -> "ray.data.Dataset":
     """Dataset surface of igraph_automorphism_group: one (gen_id,
     vertex, image) row per generator entry, gen_id in discovery order
-    (stabilizer-chain level order — deterministic). The edge table is
-    pulled through one Ray task (broadcast small-graph plan); the
-    driver sees only the generator stream."""
+    (stabilizer-chain level order — deterministic). The edge blocks go
+    to one Ray task by object reference (assembled task-side, never on
+    the driver); the driver sees only the generator stream."""
     if directed is None:
         directed = bool(g.attrs.get("directed", True))
     n = g.num_vertices()
-
-    def _cols(gr: Graph):
-        t = pa.concat_tables(
-            [b.select(["src", "dst"])
-             for b in gr.edges.iter_batches(batch_format="pyarrow")]
-            or [pa.table({"src": pa.array([], pa.int64()),
-                          "dst": pa.array([], pa.int64())})])
-        return (t["src"].to_numpy(zero_copy_only=False),
-                t["dst"].to_numpy(zero_copy_only=False))
-
-    s, d = _cols(g)
+    edge_refs = g.edges.to_arrow_refs()
 
     @ray.remote
-    def _run(s, d) -> pa.Table:
+    def _run(*blocks) -> pa.Table:
+        t = pa.concat_tables(
+            [b.select(["src", "dst"]) for b in blocks if b.num_rows]
+            or [pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})])
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
         gens, order = automorphism_generators(s, d, n, directed=directed)
         if not gens:
             return pa.table({"gen_id": pa.array([], pa.int64()),
@@ -1129,4 +1125,4 @@ def automorphism_group(g: Graph,
             "group_order": pa.array(
                 np.full(k * n, order, dtype=np.int64))})
 
-    return ray.data.from_arrow_refs([_run.remote(s, d)])
+    return ray.data.from_arrow_refs([_run.remote(*edge_refs)])

@@ -990,10 +990,13 @@ def lm_surprisal(
                              "n_bigrams": pa.array([], pa.int64()),
                              "surprisal_sum": pa.array([], pa.int64()),
                              "mean_surprisal": pa.array([], pa.int64())})
-        ss = np.nan_to_num(b["ssum"].to_numpy(
-            zero_copy_only=False).astype(np.float64)).astype(np.int64)
-        nb = np.nan_to_num(b["nb"].to_numpy(
-            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        # fill nulls on the int64 columns directly — a float64 detour
+        # would silently round sums above 2^53 and break the
+        # integer-exact oracle contract
+        ss = pc.fill_null(pc.cast(b["ssum"], pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
+        nb = pc.fill_null(pc.cast(b["nb"], pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
         return pa.table({
             id_col: b[id_col],
             "n_bigrams": pa.array(nb),

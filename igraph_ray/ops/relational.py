@@ -643,9 +643,10 @@ def union_many_edges(tables) -> ray.data.Dataset:
 def intersection_many_edges(tables,
                             num_partitions: int = 8) -> ray.data.Dataset:
     """igraph_intersection_many (operators.c:491): edges present in
-    EVERY input — tag each input with its index, one grouped distinct
-    count, keep rows hitting all k inputs (one shuffle total instead
-    of k-1 pairwise joins)."""
+    EVERY input — dedup each input, union them all, one grouped count,
+    keep rows counted k times (one shuffle total instead of k-1
+    pairwise joins; per-input dedup makes the row count the number of
+    inputs containing the edge)."""
     tables = list(tables)
     k = len(tables)
     if k == 0:
@@ -655,12 +656,9 @@ def intersection_many_edges(tables,
     if k == 1:
         return _dedup(tables[0])
     acc = None
-    for i, t in enumerate(tables):
-        tagged = _dedup(t).map_batches(
-            lambda b, _i=i: b.append_column(
-                "inp", pa.array(np.full(b.num_rows, _i, np.int64))),
-            batch_format="pyarrow", batch_size=None)
-        acc = tagged if acc is None else acc.union(tagged)
+    for t in tables:
+        d = _dedup(t)
+        acc = d if acc is None else acc.union(d)
     cnt = acc.groupby(["src", "dst"]).count()
     return cnt.map_batches(
         lambda b: (b.filter(pc.equal(b["count()"], k))

@@ -1815,15 +1815,17 @@ def similarity_over_edges(graph: Graph, method: str = "jaccard",
     """igraph_similarity_jaccard_es / _dice_es (similarity.c): the
     endpoint-pair similarity of every edge — |N(u) ∩ N(v)| over the
     union (Jaccard) or 2∩/(deg+deg) (Dice), undirected neighbor sets,
-    loops dropped. One co-neighbor join computes the intersections for
-    ALL edges at once (same wedge plan as cocitation), then a
-    hash-join against the edge list keeps exactly the edge pairs.
-    Returns (lo, hi, inter, du, dv) with the similarity as an exact
-    integer pair (inter, denominator parts) plus sim_e6."""
+    loops dropped. The intersection counts come from the triangle-list
+    join plan (each triangle credits its three edges); degrees come
+    from one grouped count reused for both endpoints.
+    Returns (lo, hi, inter, sim_e6) — the intersection count as an
+    exact integer plus the 1e6-scaled integer-division similarity."""
     assert method in ("jaccard", "dice")
-    from igraph_ray.ops.relational import _dedup
 
-    und = graph.canonical_undirected()
+    # canonical_undirected is already distinct (lo, hi); materialize it
+    # once — every downstream view (sym, the three join legs) re-reads
+    # the blocks instead of re-running the dedup shuffle
+    und = graph.canonical_undirected().materialize()
     sym = und.map_batches(
         lambda b: pa.table({
             "src": pa.array(np.concatenate(
@@ -1876,21 +1878,17 @@ def similarity_over_edges(graph: Graph, method: str = "jaccard",
                              "hi": pa.array([], pa.int64()),
                              "inter": pa.array([], pa.int64())})),
         batch_format="pyarrow", batch_size=None)
-    edges = _dedup(und.map_batches(
-        lambda b: pa.table({"src": b["lo"], "dst": b["hi"]}),
-        batch_format="pyarrow", batch_size=None)).map_batches(
-        lambda b: pa.table({"lo": b["src"], "hi": b["dst"]}),
-        batch_format="pyarrow", batch_size=None)
-    j = hash_join(edges, inter, on=("lo", "hi"),
+    j = hash_join(und, inter, on=("lo", "hi"),
                   num_partitions=num_partitions, join_type="left_outer")
-    deg = sym.groupby("src").count().map_batches(
+    degs = sym.groupby("src").count().materialize()
+    deg = degs.map_batches(
         lambda b: (pa.table({"lo": b["src"], "du": b["count()"]})
                    if b.num_rows else
                    pa.table({"lo": pa.array([], pa.int64()),
                              "du": pa.array([], pa.int64())})),
         batch_format="pyarrow", batch_size=None)
     j = hash_join(j, deg, on="lo", num_partitions=num_partitions)
-    degv = sym.groupby("src").count().map_batches(
+    degv = degs.map_batches(
         lambda b: (pa.table({"hi": b["src"], "dv": b["count()"]})
                    if b.num_rows else
                    pa.table({"hi": pa.array([], pa.int64()),

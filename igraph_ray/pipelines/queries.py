@@ -4131,10 +4131,11 @@ ranked AS (SELECT 'LM' AS which,
                   ROW_NUMBER() OVER (ORDER BY v DESC) - 1 AS rank,
                   CAST(FLOOR(v*1000000 + 0.5) AS BIGINT) AS value_e6
            FROM lm),
+la_top AS (SELECT v FROM lm ORDER BY v DESC LIMIT 2),
 la AS (SELECT 'LA' AS which,
               ROW_NUMBER() OVER (ORDER BY v DESC) - 1 AS rank,
               CAST(FLOOR(v*1000000 + 0.5) AS BIGINT) AS value_e6
-       FROM lm ORDER BY v DESC LIMIT 2)
+       FROM la_top)
 SELECT which, CAST(rank AS BIGINT) AS rank, value_e6 FROM ranked
 UNION ALL
 SELECT which, CAST(rank AS BIGINT) AS rank, value_e6 FROM la

@@ -90,12 +90,17 @@ def test_write_dynamic_union_projection_round_trip(ray_session, tmp_path):
         "src": pa.array([0, 1, 2, 0, 3], pa.int64()),
         "dst": pa.array([1, 2, 3, 2, 4], pa.int64()),
         "color": pa.array([3, 2, 1, 3, 2], pa.int64())}))
+    import gzip
+
     for gz in (False, True):
         p = str(tmp_path / ("u.txt.gz" if gz else "u.txt"))
         nt = write_dynamic_union_projection(proj, 5, p, gz=gz)
         assert nt == 2
         if gz:
-            continue  # read_velist reads plain text; gz is byte-checked
+            # gz content must decompress to exactly the plain bytes
+            with gzip.open(p, "rt") as f:
+                assert f.read() == open(str(tmp_path / "u.txt")).read()
+            continue
         edges, verts, headers = read_velist(p, has_ecolors=True)
         ed = edges.to_pandas().sort_values(["gid", "src", "dst"])
         assert len(ed) == 5
