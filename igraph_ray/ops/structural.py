@@ -1902,8 +1902,14 @@ def similarity_over_edges(graph: Graph, method: str = "jaccard",
                              "hi": pa.array([], pa.int64()),
                              "inter": pa.array([], pa.int64()),
                              "sim_e6": pa.array([], pa.int64())})
-        it = b["inter"].to_numpy(zero_copy_only=False)
-        it = np.nan_to_num(it.astype(np.float64)).astype(np.int64)
+        if "inter" in b.column_names:
+            it = pc.fill_null(pc.cast(b["inter"], pa.int64()),
+                              0).to_numpy(zero_copy_only=False)
+        else:
+            # a triangle-free graph leaves the inter side of the
+            # left-outer join fully empty — blocks then carry no
+            # "inter" column at all
+            it = np.zeros(b.num_rows, np.int64)
         du = b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
         dv = b["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
         if method == "jaccard":

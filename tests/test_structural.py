@@ -722,3 +722,24 @@ def test_similarity_over_edges_jaccard(ray_session):
         union = len(adj[r.lo] | adj[r.hi])
         assert r.inter == inter
         assert r.sim_e6 == inter * 1_000_000 // union
+
+
+def test_similarity_over_edges_triangle_free(ray_session):
+    """A triangle-free graph leaves the intersection join side fully
+    empty — blocks then carry no 'inter' column (the sf0.001 gate
+    regression): every edge must still get inter=0 and the right
+    Jaccard denominator."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.structural import similarity_over_edges
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]  # C4: no triangles
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in edges], pa.int64()),
+        "dst": pa.array([b for a, b in edges], pa.int64())})), n=4)
+    got = similarity_over_edges(g, method="jaccard").to_pandas()
+    assert len(got) == 4
+    assert got["inter"].tolist() == [0, 0, 0, 0]
+    assert got["sim_e6"].tolist() == [0, 0, 0, 0]
