@@ -40,25 +40,92 @@ def matrix_from_triplets(triplets: ray.data.Dataset, n: int,
     """COO triplets (row, col, value) -> weighted operator Graph.
     With ``mirror`` every off-diagonal entry is reflected, so the
     caller may supply one triangle of a symmetric matrix; diagonal
-    entries become self-loops (taken once)."""
+    entries become self-loops (taken once).
 
-    def _edges(b: pa.Table) -> pa.Table:
+    ``mirror=True`` is robust to a caller that supplies BOTH triangles
+    of a symmetric matrix: off-diagonal entries are canonicalized to
+    unordered pairs and grouped once — a pair seen in only one
+    orientation is reflected, a pair seen in both orientations with
+    equal totals is taken once per direction (no silent doubling), and
+    a pair whose two orientations disagree raises ValueError.
+    Duplicate entries in the SAME orientation still sum (COO
+    convention)."""
+
+    if not mirror:
+        def _edges(b: pa.Table) -> pa.Table:
+            r = b["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = b["col"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b["value"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            return pa.table({"src": pa.array(r), "dst": pa.array(c),
+                             "weight": pa.array(v)})
+
+        return Graph(triplets.map_batches(_edges, batch_format="pyarrow",
+                                          batch_size=None),
+                     n=n, weighted=True, attrs={"directed": True})
+
+    # mirror=True: one grouped pass over unordered off-diagonal pairs.
+    def _canon(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "s_up": pa.array([], pa.float64()),
+                             "s_dn": pa.array([], pa.float64()),
+                             "n_up": pa.array([], pa.int64()),
+                             "n_dn": pa.array([], pa.int64())})
         r = b["row"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = b["col"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        if mirror:
-            off = r != c
-            r = np.concatenate([r, c[off]])
-            c2 = np.concatenate([c, b["row"].to_numpy(
-                zero_copy_only=False).astype(np.int64)[off]])
-            v = np.concatenate([v, v[: len(off)][off]])
-            c = c2
-        return pa.table({"src": pa.array(r), "dst": pa.array(c),
-                         "weight": pa.array(v)})
+        lo = np.minimum(r, c)
+        hi = np.maximum(r, c)
+        up = (r <= c)
+        t = pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                      "s_up": pa.array(np.where(up, v, 0.0)),
+                      "s_dn": pa.array(np.where(up, 0.0, v)),
+                      "n_up": pa.array(up.astype(np.int64)),
+                      "n_dn": pa.array((~up).astype(np.int64))})
+        return (t.group_by(["lo", "hi"])
+                .aggregate([("s_up", "sum"), ("s_dn", "sum"),
+                            ("n_up", "sum"), ("n_dn", "sum")])
+                .rename_columns(["lo", "hi", "s_up", "s_dn",
+                                 "n_up", "n_dn"]))
 
-    return Graph(triplets.map_batches(_edges, batch_format="pyarrow",
-                                      batch_size=None),
-                 n=n, weighted=True, attrs={"directed": True})
+    def _resolve(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su = b["sum(s_up)"].to_numpy(zero_copy_only=False)
+        sd = b["sum(s_dn)"].to_numpy(zero_copy_only=False)
+        nu = b["sum(n_up)"].to_numpy(zero_copy_only=False)
+        nd = b["sum(n_dn)"].to_numpy(zero_copy_only=False)
+        diag = lo == hi
+        both = (~diag) & (nu > 0) & (nd > 0)
+        bad = both & ~np.isclose(su, sd, rtol=1e-12, atol=1e-300)
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                "matrix_from_triplets(mirror=True): entries "
+                f"({lo[i]},{hi[i]}) and ({hi[i]},{lo[i]}) are both "
+                f"present with different values ({su[i]} vs {sd[i]}) — "
+                "supply one triangle, or a consistent symmetric COO")
+        val = np.where(nu > 0, su, sd)
+        off = ~diag
+        src = np.concatenate([lo, hi[off]])
+        dst = np.concatenate([hi, lo[off]])
+        w = np.concatenate([val, val[off]])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "weight": pa.array(w)})
+
+    resolved = (triplets.map_batches(_canon, batch_format="pyarrow",
+                                     batch_size=None)
+                .groupby(["lo", "hi"])
+                .sum(["s_up", "s_dn", "n_up", "n_dn"])
+                .map_batches(_resolve, batch_format="pyarrow",
+                             batch_size=None))
+    return Graph(resolved, n=n, weighted=True, attrs={"directed": True})
 
 
 def _gershgorin_bound(op: Graph) -> float:

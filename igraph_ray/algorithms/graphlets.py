@@ -103,8 +103,12 @@ def graphlets_candidate_basis(
     und = _weighted_und(graph)
     from igraph_ray.algorithms.cliques import maximal_cliques
 
-    lvl_rows = und.groupby("weight").count().take_all()
-    levels = sorted(r["weight"] for r in lvl_rows)[:max_levels]
+    # Distinct thresholds, bounded IN-DATASET: the distributed sort +
+    # limit keeps the driver pull at <= max_levels rows even when the
+    # weight column is continuous (O(|E|) distinct values).
+    lvl_rows = (und.groupby("weight").count()
+                .sort("weight").limit(max_levels).take_all())
+    levels = [r["weight"] for r in lvl_rows]
 
     seen: set = set()
     for t in levels:

@@ -1113,10 +1113,13 @@ def automorphism_group(g: Graph,
         d = t["dst"].to_numpy(zero_copy_only=False)
         gens, order = automorphism_generators(s, d, n, directed=directed)
         if not gens:
-            return pa.table({"gen_id": pa.array([], pa.int64()),
-                             "vertex": pa.array([], pa.int64()),
-                             "image": pa.array([], pa.int64()),
-                             "group_order": pa.array([], pa.int64())})
+            # Trivial Aut(G): a single (gen_id=-1) sentinel row keeps
+            # group_order observable (the reference reports the order
+            # even for rigid graphs like frucht).
+            return pa.table({"gen_id": pa.array([-1], pa.int64()),
+                             "vertex": pa.array([-1], pa.int64()),
+                             "image": pa.array([-1], pa.int64()),
+                             "group_order": pa.array([order], pa.int64())})
         k = len(gens)
         return pa.table({
             "gen_id": pa.array(np.repeat(np.arange(k, dtype=np.int64), n)),

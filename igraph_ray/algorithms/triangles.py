@@ -187,21 +187,37 @@ def _final_sum(credits: ray.data.Dataset) -> ray.data.Dataset:
     return summed.map_batches(_rename, batch_format="pyarrow", batch_size=None)
 
 
-def _join_impl(graph: Graph, und, num_partitions: int) -> ray.data.Dataset:
+def oriented_triangle_stream(und, num_partitions: int, degs=None,
+                             return_oriented: bool = False):
+    """Stream of (wa, wb, wc) rows, EXACTLY one per triangle of the
+    simplified undirected graph ``und`` (canonical lo < hi edge rows):
+    wc is the (deg, id)-lowest vertex of the triangle, wa/wb its two
+    forward neighbors in (deg, id) rank order. The degree-rank
+    orientation bounds per-vertex wedge work by O(sqrt(|E|)) /
+    arboricity even on adversarial degree-ordered vertex ids — shared
+    by triangle_counts' join plan and similarity_over_edges.
 
-    # undirected degree of the simplified graph
-    def _lo(b: pa.Table) -> pa.Table:
-        return pa.table({"vertex": b["lo"]})
+    ``degs``: optional precomputed (vertex, count()) degree table (the
+    caller may already hold one — avoids a duplicate groupby).
+    ``return_oriented``: also return the materialized oriented edge
+    table (u, v, du, dv) so callers can recover per-edge endpoint
+    degrees without re-joining."""
 
-    def _hi(b: pa.Table) -> pa.Table:
-        return pa.table({"vertex": b["hi"]})
+    if degs is None:
+        # undirected degree of the simplified graph
+        def _lo(b: pa.Table) -> pa.Table:
+            return pa.table({"vertex": b["lo"]})
 
-    degs = (
-        und.map_batches(_lo, batch_format="pyarrow", batch_size=None)
-        .union(und.map_batches(_hi, batch_format="pyarrow", batch_size=None))
-        .groupby("vertex")
-        .count()
-    )
+        def _hi(b: pa.Table) -> pa.Table:
+            return pa.table({"vertex": b["hi"]})
+
+        degs = (
+            und.map_batches(_lo, batch_format="pyarrow", batch_size=None)
+            .union(und.map_batches(_hi, batch_format="pyarrow",
+                                   batch_size=None))
+            .groupby("vertex")
+            .count()
+        )
 
     def _deg_lo(b: pa.Table) -> pa.Table:
         return pa.table({"lo": b["vertex"], "deg_lo": b["count()"]})
@@ -227,9 +243,11 @@ def _join_impl(graph: Graph, und, num_partitions: int) -> ray.data.Dataset:
         lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
         u = np.where(lo_first, lo, hi)
         v = np.where(lo_first, hi, lo)
+        du = np.where(lo_first, dlo, dhi)
         dv = np.where(lo_first, dhi, dlo)
         return pa.table(
             {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "du": pa.array(du.astype(np.int64), pa.int64()),
              "dv": pa.array(dv.astype(np.int64), pa.int64())}
         )
 
@@ -277,7 +295,13 @@ def _join_impl(graph: Graph, und, num_partitions: int) -> ray.data.Dataset:
         return pa.table({"wa": b["u"], "wb": b["v"]})
 
     closing = oriented.map_batches(_edge_key, batch_format="pyarrow", batch_size=None)
-    tri = hash_join(wedges, closing, on=("wa", "wb"), num_partitions=num_partitions)
+    tri = hash_join(wedges, closing, on=("wa", "wb"),
+                    num_partitions=num_partitions)
+    return (tri, oriented) if return_oriented else tri
+
+
+def _join_impl(graph: Graph, und, num_partitions: int) -> ray.data.Dataset:
+    tri = oriented_triangle_stream(und, num_partitions)
 
     def _credit(b: pa.Table) -> pa.Table:
         verts = np.concatenate(

@@ -992,7 +992,17 @@ def lm_surprisal(
                              "mean_surprisal": pa.array([], pa.int64())})
         # fill nulls on the int64 columns directly — a float64 detour
         # would silently round sums above 2^53 and break the
-        # integer-exact oracle contract
+        # integer-exact oracle contract.  When the corpus yields zero
+        # bigrams (every doc < 2 tokens) the broadcast left_outer join
+        # passes left blocks through without the right-side columns at
+        # all — honor the "docs with < 2 tokens score 0" contract by
+        # treating the absent columns as all-zero.
+        if "ssum" not in b.column_names:
+            z = np.zeros(b.num_rows, np.int64)
+            return pa.table({id_col: b[id_col],
+                             "n_bigrams": pa.array(z),
+                             "surprisal_sum": pa.array(z),
+                             "mean_surprisal": pa.array(z)})
         ss = pc.fill_null(pc.cast(b["ssum"], pa.int64()), 0).to_numpy(
             zero_copy_only=False)
         nb = pc.fill_null(pc.cast(b["nb"], pa.int64()), 0).to_numpy(

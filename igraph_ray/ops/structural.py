@@ -1811,59 +1811,152 @@ def assortativity_values(graph: Graph, values: ray.data.Dataset,
 
 
 def similarity_over_edges(graph: Graph, method: str = "jaccard",
-                          num_partitions: int = 8) -> ray.data.Dataset:
+                          num_partitions: int = 8,
+                          broadcast_threshold: Optional[int] = None
+                          ) -> ray.data.Dataset:
     """igraph_similarity_jaccard_es / _dice_es (similarity.c): the
     endpoint-pair similarity of every edge — |N(u) ∩ N(v)| over the
     union (Jaccard) or 2∩/(deg+deg) (Dice), undirected neighbor sets,
-    loops dropped. The intersection counts come from the triangle-list
-    join plan (each triangle credits its three edges); degrees come
-    from one grouped count reused for both endpoints.
+    loops dropped. The intersection counts come from the degree-rank-
+    oriented triangle plan (each triangle credits its three edges, and
+    the (deg, id) orientation bounds per-vertex wedge work by
+    arboricity, not by vertex-id order).
+    Two plans, mirroring triangle_counts: a broadcast plan (edge keys
+    + degrees assembled once in a task, wedges closed by sorted-key
+    membership, zero joins) below ``broadcast_threshold`` edges with
+    ids < 2^32, and the hash-join plan above it.
     Returns (lo, hi, inter, sim_e6) — the intersection count as an
     exact integer plus the 1e6-scaled integer-division similarity."""
     assert method in ("jaccard", "dice")
+    from igraph_ray.algorithms.triangles import BROADCAST_THRESHOLD
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
 
     # canonical_undirected is already distinct (lo, hi); materialize it
-    # once — every downstream view (sym, the three join legs) re-reads
-    # the blocks instead of re-running the dedup shuffle
+    # once — every downstream view (degree count, the wedge legs)
+    # re-reads the blocks instead of re-running the dedup shuffle
     und = graph.canonical_undirected().materialize()
-    sym = und.map_batches(
-        lambda b: pa.table({
-            "src": pa.array(np.concatenate(
-                [b["lo"].to_numpy(zero_copy_only=False),
-                 b["hi"].to_numpy(zero_copy_only=False)])),
-            "dst": pa.array(np.concatenate(
-                [b["hi"].to_numpy(zero_copy_only=False),
-                 b["lo"].to_numpy(zero_copy_only=False)]))}),
-        batch_format="pyarrow", batch_size=None).materialize()
-    # |N(u) ∩ N(v)| for an EDGE (u,v) = triangles through that edge —
-    # so the intersection table is the triangle-list join plan (two
-    # edge-table joins, intermediates filtered to actual triangles)
-    # with each triangle crediting its three edges, NOT the cocitation
-    # all-co-neighbor wedge (which keeps every wedge pair, edge or not)
-    canon = und.map_batches(
-        lambda b: pa.table({"a": b["lo"], "b_": b["hi"]}),
-        batch_format="pyarrow", batch_size=None)
-    e2 = und.map_batches(
-        lambda b: pa.table({"b_": b["lo"], "c": b["hi"]}),
-        batch_format="pyarrow", batch_size=None)
-    w = hash_join(canon, e2, on="b_", num_partitions=num_partitions)
-    e3 = und.map_batches(
-        lambda b: pa.table({"a": b["lo"], "c": b["hi"]}),
-        batch_format="pyarrow", batch_size=None)
-    tri = hash_join(w, e3, on=["a", "c"], num_partitions=num_partitions)
+    n_edges = und.count()
+    if n_edges <= broadcast_threshold and (
+            n_edges == 0 or int(und.max("hi")) < 2**32):
+        return _sim_edges_broadcast(und, method, num_partitions)
+    return _sim_edges_join(und, method, num_partitions)
 
-    def _credit(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "a" not in b.column_names:
+
+def _sim_edges_broadcast(und, method: str,
+                         num_partitions: int) -> ray.data.Dataset:
+    """Broadcast similarity plan: one _pack_edges task builds the
+    sorted uint64 edge-key array + dense degree lookup; orientation and
+    wedge closing are per-batch vectorized lookups (no joins); the only
+    shuffle is the (lo, hi) credit groupby plus one broadcast join of
+    the credits back onto the edge table."""
+    from igraph_ray.algorithms.triangles import _gen_wedges, _pack_edges
+    from igraph_ray.csr import compute_boundaries
+
+    refs = und.to_arrow_refs()
+    deg_ref, keys_ref = _pack_edges.remote(refs, True)
+
+    def _orient(b: pa.Table) -> pa.Table:
+        side = ray.get(deg_ref)
+        ids, deg = side["ids"], side["deg"]
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        dlo = deg[np.searchsorted(ids, lo)]
+        dhi = deg[np.searchsorted(ids, hi)]
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        dv = np.where(lo_first, dhi, dlo)
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+             "dv": pa.array(dv.astype(np.int64), pa.int64())})
+
+    oriented = und.map_batches(_orient, batch_format="pyarrow",
+                               batch_size=None).materialize()
+    bnds = compute_boundaries(oriented, num_partitions, col="u")
+    osorted = (oriented.sort("u", boundaries=bnds) if bnds
+               else oriented.sort("u"))
+
+    def _wedge_credit(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        a_idx, b_idx, u, v = _gen_wedges(b)
+        if a_idx is None:
             return pa.table({"lo": pa.array([], pa.int64()),
                              "hi": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b_"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wa, wb, wc = v[a_idx], v[b_idx], u[a_idx]
+        klo = np.minimum(wa, wb).astype(np.uint64)
+        khi = np.maximum(wa, wb).astype(np.uint64)
+        wkey = (klo << np.uint64(32)) | khi
+        pos = np.searchsorted(keys, wkey)
+        pos[pos >= len(keys)] = len(keys) - 1
+        hit = keys[pos] == wkey
+        wa, wb, wc = wa[hit], wb[hit], wc[hit]
+        e1 = np.concatenate([wc, wc, wa])
+        e2 = np.concatenate([wa, wb, wb])
         t = pa.table({
-            "lo": pa.array(np.concatenate([a, bb, a])),
-            "hi": pa.array(np.concatenate([bb, c, c])),
-            "c": pa.array(np.ones(3 * len(a), np.int64))})
+            "lo": pa.array(np.minimum(e1, e2).astype(np.int64)),
+            "hi": pa.array(np.maximum(e1, e2).astype(np.int64)),
+            "c": pa.array(np.ones(3 * len(wa), np.int64))})
+        return (t.group_by(["lo", "hi"]).aggregate([("c", "sum")])
+                .rename_columns(["lo", "hi", "c"]))
+
+    inter = (osorted.map_batches(_wedge_credit, batch_format="pyarrow",
+                                 batch_size=None)
+             .groupby(["lo", "hi"]).sum("c"))
+    inter = inter.map_batches(
+        lambda b: (pa.table({"lo": b["lo"], "hi": b["hi"],
+                             "inter": b["sum(c)"]})
+                   if b.num_rows else
+                   pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+
+    def _base(b: pa.Table) -> pa.Table:
+        side = ray.get(deg_ref)
+        ids, deg = side["ids"], side["deg"]
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": b["lo"], "hi": b["hi"],
+            "du": pa.array(deg[np.searchsorted(ids, lo)].astype(np.int64)),
+            "dv": pa.array(deg[np.searchsorted(ids, hi)].astype(np.int64))})
+
+    base = und.map_batches(_base, batch_format="pyarrow", batch_size=None)
+    j = hash_join(base, inter, on=("lo", "hi"),
+                  num_partitions=num_partitions, join_type="left_outer")
+    return j.map_batches(_make_sim_final(method), batch_format="pyarrow",
+                         batch_size=None)
+
+
+def _sim_edges_join(und, method: str,
+                    num_partitions: int) -> ray.data.Dataset:
+    """Hash-join similarity plan (the scale path): triangles.py's
+    degree-rank-oriented triangle stream credits each triangle's three
+    edges; return_oriented hands back per-edge endpoint degrees, so no
+    further degree joins are needed."""
+    from igraph_ray.algorithms.triangles import oriented_triangle_stream
+
+    tri, oriented = oriented_triangle_stream(und, num_partitions,
+                                             return_oriented=True)
+
+    def _credit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "wa" not in b.column_names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        # triangle (wc; wa, wb): endpoints are (deg,id)-rank ordered,
+        # not id ordered — canonicalize each credited edge to lo < hi
+        wa = b["wa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wb = b["wb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = b["wc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e1 = np.concatenate([wc, wc, wa])
+        e2 = np.concatenate([wa, wb, wb])
+        t = pa.table({
+            "lo": pa.array(np.minimum(e1, e2)),
+            "hi": pa.array(np.maximum(e1, e2)),
+            "c": pa.array(np.ones(3 * len(wa), np.int64))})
         return (t.group_by(["lo", "hi"]).aggregate([("c", "sum")])
                 .rename_columns(["lo", "hi", "c"]))
 
@@ -1878,23 +1971,29 @@ def similarity_over_edges(graph: Graph, method: str = "jaccard",
                              "hi": pa.array([], pa.int64()),
                              "inter": pa.array([], pa.int64())})),
         batch_format="pyarrow", batch_size=None)
-    j = hash_join(und, inter, on=("lo", "hi"),
+    # oriented rows are the edge table itself with both endpoint
+    # degrees attached — canonicalize back to (lo, hi) and join only
+    # the intersection counts (jaccard/dice need du+dv, order-free)
+    base = oriented.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array(np.minimum(
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False))),
+            "hi": pa.array(np.maximum(
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False))),
+            "du": b["du"], "dv": b["dv"]}),
+        batch_format="pyarrow", batch_size=None)
+    j = hash_join(base, inter, on=("lo", "hi"),
                   num_partitions=num_partitions, join_type="left_outer")
-    degs = sym.groupby("src").count().materialize()
-    deg = degs.map_batches(
-        lambda b: (pa.table({"lo": b["src"], "du": b["count()"]})
-                   if b.num_rows else
-                   pa.table({"lo": pa.array([], pa.int64()),
-                             "du": pa.array([], pa.int64())})),
-        batch_format="pyarrow", batch_size=None)
-    j = hash_join(j, deg, on="lo", num_partitions=num_partitions)
-    degv = degs.map_batches(
-        lambda b: (pa.table({"hi": b["src"], "dv": b["count()"]})
-                   if b.num_rows else
-                   pa.table({"hi": pa.array([], pa.int64()),
-                             "dv": pa.array([], pa.int64())})),
-        batch_format="pyarrow", batch_size=None)
-    j = hash_join(j, degv, on="hi", num_partitions=num_partitions)
+    return j.map_batches(_make_sim_final(method), batch_format="pyarrow",
+                         batch_size=None)
+
+
+def _make_sim_final(method: str):
+    """Shared final kernel of both similarity plans: fold the (possibly
+    absent) intersection counts with the endpoint degrees into the
+    integer-exact 1e6-scaled similarity."""
 
     def _sim(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1922,4 +2021,4 @@ def similarity_over_edges(graph: Graph, method: str = "jaccard",
                          "inter": pa.array(it),
                          "sim_e6": pa.array(sim.astype(np.int64))})
 
-    return j.map_batches(_sim, batch_format="pyarrow", batch_size=None)
+    return _sim

@@ -37,3 +37,23 @@ def test_lm_surprisal_properties(ray_session):
         nb = len(ts) - 1 if len(ts) > 1 else 0
         assert got[did]["surprisal_sum"] == ss
         assert got[did]["n_bigrams"] == nb
+
+
+def test_lm_surprisal_zero_bigram_corpus(ray_session):
+    """A corpus where EVERY doc has < 2 tokens yields zero bigrams; the
+    left_outer join's right side is empty, so the score columns must be
+    synthesized as zeros rather than raising KeyError."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.ops.curation import lm_surprisal
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["x", "", "solo"], pa.string())}))
+    got = {r["doc_id"]: r for r in lm_surprisal(docs).take_all()}
+    assert set(got) == {0, 1, 2}
+    for r in got.values():
+        assert r["n_bigrams"] == 0
+        assert r["surprisal_sum"] == 0
+        assert r["mean_surprisal"] == 0

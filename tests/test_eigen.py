@@ -109,3 +109,33 @@ def test_eigen_laplacian_c12(ray_session):
     exp = sorted(2 - 2 * np.cos(2 * np.pi * np.arange(n) / n))[:3]
     assert np.allclose(sorted(vals), exp, atol=1e-6)
     assert vecs.count() == n
+
+
+def test_eigen_symmetric_both_triangles(ray_session, sym_case):
+    """mirror=True must not double off-diagonals when the caller
+    supplies a FULL symmetric COO (both triangles): eigenvalues match
+    the single-triangle supply exactly, and an inconsistent pair
+    (A[i,j] != A[j,i]) raises instead of silently averaging."""
+    A, w, _ = sym_case
+    full = _coo(A, triu=False)
+    vals, _ = eigen_matrix_symmetric(full, 30, k=3, which="LM", iters=120)
+    exp = w[np.argsort(-np.abs(w))][:3]
+    assert np.allclose(sorted(vals), sorted(exp), atol=1e-4)
+    # inconsistent orientation values -> ValueError at execution
+    bad = ray.data.from_arrow(pa.table({
+        "row": pa.array([0, 1, 1, 2], pa.int64()),
+        "col": pa.array([1, 0, 2, 1], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 3.0], pa.float64())}))
+    with pytest.raises(Exception, match="different values"):
+        eigen_matrix_symmetric(bad, 3, k=1, which="LM", iters=10)
+
+
+def test_eigen_same_orientation_duplicates_sum(ray_session):
+    """COO convention: duplicate entries in the SAME orientation sum."""
+    # A = [[0, 2], [2, 0]] supplied as (0,1,1.0) twice -> eigs +-2
+    ds = ray.data.from_arrow(pa.table({
+        "row": pa.array([0, 0], pa.int64()),
+        "col": pa.array([1, 1], pa.int64()),
+        "value": pa.array([1.0, 1.0], pa.float64())}))
+    vals, _ = eigen_matrix_symmetric(ds, 2, k=2, which="ALL")
+    assert np.allclose(sorted(vals), [-2.0, 2.0], atol=1e-9)

@@ -95,3 +95,26 @@ def test_karger_is_upper_bound():
     pairs = [(i, (i + 1) % 6) for i in range(6)]
     out = global_mincut_karger(_ds(pairs), trials=4, num_partitions=2)
     assert out["value_e6"][0].as_py() >= 2_000_000  # true cut is 2
+
+
+def test_karger_plans_agree():
+    """The guarded small-input Kruskal plan and the distributed keyed
+    (trial-striped) plan are value-identical: same md5 trial weights,
+    same (weight, lo, hi) total order, same unique forest per stripe."""
+    import igraph_ray.algorithms.mincut as mc
+
+    pairs = []
+    for base in (0, 8):
+        for i in range(8):
+            for j in range(i + 1, 8):
+                pairs.append((base + i, base + j))
+    pairs += [(0, 8), (7, 15)]
+    ds = _ds(pairs)
+    fast = mc.global_mincut_karger(ds, trials=4, num_partitions=4)
+    saved = mc._KARGER_SMALL_INPUT_ROWS
+    try:
+        mc._KARGER_SMALL_INPUT_ROWS = 0  # force the distributed plan
+        dist = mc.global_mincut_karger(ds, trials=4, num_partitions=4)
+    finally:
+        mc._KARGER_SMALL_INPUT_ROWS = saved
+    assert fast.equals(dist)

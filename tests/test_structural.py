@@ -743,3 +743,49 @@ def test_similarity_over_edges_triangle_free(ray_session):
     assert len(got) == 4
     assert got["inter"].tolist() == [0, 0, 0, 0]
     assert got["sim_e6"].tolist() == [0, 0, 0, 0]
+
+
+def test_similarity_over_edges_plans_agree_skewed(ray_session):
+    """Skewed fixture (hub with mid-range id): the broadcast and
+    hash-join plans return identical rows, and the shipped (deg, id)
+    orientation generates ZERO wedges at the hub — an id-ordered
+    orientation would center ~m^2/4 wedge pairs on it."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.triangles import oriented_triangle_stream
+    from igraph_ray.graph import Graph
+    from igraph_ray.ops.structural import similarity_over_edges
+
+    m = 400
+    hub = m // 2  # adversarial: hub id sits mid-range
+    edges = [(hub, v) for v in range(m + 1) if v != hub]
+    edges.append((0, m))  # one closing triangle (hub, 0, m)
+    ds = pa.table({
+        "src": pa.array([a for a, b in edges], pa.int64()),
+        "dst": pa.array([b for a, b in edges], pa.int64())})
+    g = Graph(ray.data.from_arrow(ds), n=m + 1)
+
+    fast = (similarity_over_edges(g, method="jaccard")
+            .to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True))
+    slow = (similarity_over_edges(g, method="jaccard",
+                                  broadcast_threshold=0)
+            .to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True))
+    assert fast.equals(slow)
+    # the closing triangle credits its three edges
+    tri_edges = fast[fast["inter"] > 0]
+    assert sorted(map(tuple, tri_edges[["lo", "hi"]].values.tolist())) == \
+        [(0, hub), (0, m), (hub, m)]
+
+    # wedge-boundedness: total wedges = sum_u C(outdeg(u), 2) over the
+    # shipped orientation — the hub (highest (deg, id) rank) receives
+    # every star edge, so only vertices 0 and m have outdeg 2
+    und = g.canonical_undirected().materialize()
+    _, oriented = oriented_triangle_stream(und, 4, return_oriented=True)
+    od = (oriented.groupby("u").count().to_pandas()
+          .set_index("u")["count()"])
+    wedges = int((od * (od - 1) // 2).sum())
+    assert wedges <= 2            # degree-oriented: O(1)
+    id_wedges = hub * (m - hub)   # id-ordered plan would pay ~m^2/4
+    assert id_wedges >= 40_000

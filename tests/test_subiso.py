@@ -289,3 +289,27 @@ def test_automorphism_group_dataset_surface(ray_session):
     assert t["gen_id"].tolist() == [0] * 5
     assert t["image"].tolist() == [0, 2, 1, 4, 3]
     assert t["group_order"].tolist() == [2] * 5
+
+
+def test_automorphism_group_trivial_sentinel(ray_session):
+    """Rigid graph (trivial Aut): the surface must still report
+    group_order=1 via a single (gen_id=-1) sentinel row, like the
+    reference reports the order for frucht."""
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.subiso import automorphism_group
+    from igraph_ray.graph import Graph
+
+    # Asymmetric 6-vertex graph (path 0..5 + chord (2,4)); |Aut| = 1
+    # verified by brute-force permutation check at dev time.
+    rigid = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 4)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in rigid], pa.int64()),
+        "dst": pa.array([b for a, b in rigid], pa.int64())})),
+        n=6, attrs={"directed": False})
+    t = automorphism_group(g, directed=False).to_pandas()
+    assert len(t) == 1
+    assert t["gen_id"].tolist() == [-1]
+    assert t["vertex"].tolist() == [-1]
+    assert t["group_order"].tolist() == [1]
