@@ -2167,6 +2167,34 @@ def q_barabasi_aging(sf_dir: str):
     return barabasi_aging_game(**BARABASI_AGING_PARAMS).sort(["src", "dst"])
 
 
+def q_recent_degree_pow(sf_dir: str):
+    """Recent-degree growth game with a GENERAL float exponent
+    (igraph_recent_degree_game, games.c:1574; power=0.5): the
+    float-roulette path — same indexed md5 draw stream as the
+    integer-exact q_recent_degree, float64 weights (recent^0.5 + 1).
+    Deterministic but rows-only at the gate (float pow admits no
+    bit-exact SQL replay); the moment/degree-sequence property pytest
+    carries the statistical contract (tests/test_games_float.py)."""
+    from igraph_ray.sources.games import recent_degree_game
+
+    return recent_degree_game(n=256, m=2, window=4, zero_appeal=1,
+                              seed=17, power=0.5).sort(["src", "dst"])
+
+
+def q_barabasi_aging_pow(sf_dir: str):
+    """Preferential attachment with aging and GENERAL float exponents
+    (igraph_barabasi_aging_game, games.c:1732; pa_exp=1.5,
+    aging_exp=-0.5): the float-roulette path replaying the reference's
+    event order (citation (age+1)^γ, boundary (age+2)^γ, insertion
+    (1+zaa)·zda) with float64 weights. Rows-only; property pytest in
+    tests/test_games_float.py."""
+    from igraph_ray.sources.games import barabasi_aging_game
+
+    return barabasi_aging_game(n=256, m=2, aging_bin=3, seed=23,
+                               pa_exp=1.5, aging_exp=-0.5) \
+        .sort(["src", "dst"])
+
+
 def q_recent_degree_aging(sf_dir: str):
     """Recent-degree attachment with aging
     (igraph_recent_degree_aging_game, games.c:1888; pa_exp=1,
@@ -10822,6 +10850,8 @@ def queries() -> Dict[str, Callable]:
         "subiso_tree5": q_subiso_tree5,
         "subiso_house": q_subiso_house,
         "recent_degree": q_recent_degree,
+        "recent_degree_pow": q_recent_degree_pow,
+        "barabasi_aging_pow": q_barabasi_aging_pow,
         "lastcit": q_lastcit,
         "barabasi_aging": q_barabasi_aging,
         "apsp_johnson": q_apsp_johnson,

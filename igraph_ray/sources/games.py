@@ -1049,21 +1049,31 @@ def _roulette(weights: np.ndarray, draw: int) -> int:
 
 def recent_degree_game(
     n: int, m: int = 1, window: int = 2, zero_appeal: int = 1,
-    outpref: bool = False, seed: int = 17,
+    outpref: bool = False, seed: int = 17, power: float = 1,
 ) -> ray.data.Dataset:
-    """igraph_recent_degree_game (games.c:1574) with power == 1: vertex
-    i cites m targets drawn ∝ (#edges gained in the last `window`
-    steps) + zero_appeal. The m draws of one step are independent (the
+    """igraph_recent_degree_game (games.c:1574): vertex i cites m
+    targets drawn ∝ (#edges gained in the last `window` steps)^power
+    + zero_appeal. The m draws of one step are independent (the
     reference updates its psumtree only after the draw loop). With
     outpref the citing vertex's own out-edges count toward its weight
     PERMANENTLY — the reference never pushes them onto the history
-    queue, so they are never decremented out of the window."""
-    if zero_appeal < 1 or int(zero_appeal) != zero_appeal:
-        raise NotImplementedError(
-            "integer-exact replay needs integer zero_appeal >= 1")
+    queue, so they are never decremented out of the window.
+
+    power == 1 with integer zero_appeal takes the integer-exact path
+    (bit-identical SQL replay, the oracle-paired contract); any other
+    power takes the float-roulette path — the SAME indexed md5 draw
+    stream mapped to uniforms (draw32 / 2^32) against float cumulative
+    weights, deterministic at any parallelism but rows-only at the
+    driver gate (no SQL replay can match float pow bit-for-bit)."""
     if n > _SEQ_GAME_MAX_N:
         raise NotImplementedError(
             f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    if power != 1:
+        return _recent_degree_float(n, m, window, float(zero_appeal),
+                                    outpref, seed, float(power))
+    if zero_appeal < 1 or int(zero_appeal) != zero_appeal:
+        raise NotImplementedError(
+            "integer-exact replay needs integer zero_appeal >= 1")
     n, m, window, za = int(n), int(m), int(window), int(zero_appeal)
     # recent in-window citation counts; ledger[s] = targets cited at s
     recent = np.zeros(n, dtype=np.int64)
@@ -1092,6 +1102,49 @@ def recent_degree_game(
     return ray.data.from_arrow(t)
 
 
+def _roulette_float(weights: np.ndarray, draw: int) -> int:
+    """Float psumtree search: min v with cum_incl(v) >= u * S where
+    u = draw / 2^32 — the continuous analogue of _roulette (on exact-
+    integer weights with power == 1 the two agree except on measure-
+    zero float boundaries)."""
+    cum = np.cumsum(weights, dtype=np.float64)
+    r = (draw / 4294967296.0) * cum[-1]
+    return int(min(np.searchsorted(cum, r, side="left"), len(cum) - 1))
+
+
+def _recent_degree_float(n: int, m: int, window: int, za: float,
+                         outpref: bool, seed, power: float
+                         ) -> ray.data.Dataset:
+    """games.c:1574 general-power path: weight = recent^power + za as
+    float64, same history-queue expiry and post-draw update order as
+    the integer-exact path."""
+    n, m, window = int(n), int(m), int(window)
+    recent = np.zeros(n, dtype=np.int64)
+    ledger: dict = {}
+    src_out, dst_out = [], []
+    for i in range(1, n):
+        drop = i - window
+        if drop >= 1 and drop in ledger:
+            for v in ledger.pop(drop):
+                recent[v] -= 1
+        w = np.power(recent[:i].astype(np.float64), power) + za
+        picks = [
+            _roulette_float(w, _draw32(seed, "rd", i, j))
+            for j in range(m)
+        ]
+        for to in picks:
+            src_out.append(i)
+            dst_out.append(to)
+        ledger[i] = list(picks)
+        for v in picks:
+            recent[v] += 1
+        if outpref:
+            recent[i] += m
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)
+
+
 def lastcit_game(
     n: int, edges_per_node: int = 1, agebins: int = 2,
     preference=None, seed: int = 19,
@@ -1105,16 +1158,21 @@ def lastcit_game(
     step) — replayed faithfully."""
     if preference is None:
         preference = [2] * agebins + [1]
-    pref = [int(x) for x in preference]
-    if len(pref) != agebins + 1:
+    if len(preference) != agebins + 1:
         raise ValueError("preference must have agebins+1 entries")
+    if n > _SEQ_GAME_MAX_N:
+        raise NotImplementedError(
+            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    if any(float(x) != int(x) for x in preference):
+        # float preferences: same replay with float64 weights and the
+        # md5 uniform roulette — deterministic, rows-only at the gate
+        return _lastcit_float(n, edges_per_node, agebins,
+                              [float(x) for x in preference], seed)
+    pref = [int(x) for x in preference]
     if any(x < 0 for x in pref) or pref[agebins] <= 0:
         raise NotImplementedError(
             "integer-exact replay needs non-negative integer preferences "
             "with a positive never-cited tail")
-    if n > _SEQ_GAME_MAX_N:
-        raise NotImplementedError(
-            f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
     n, eps = int(n), int(edges_per_node)
     binwidth = n // int(agebins) + 1
     lastcit = np.full(n, -1, dtype=np.int64)  # -1 = never cited
@@ -1136,11 +1194,82 @@ def lastcit_game(
     return ray.data.from_arrow(t)
 
 
+def _barabasi_aging_float(n: int, m: int, aging_bin: int, zda: float,
+                          zaa: float, dc: float, ac: float,
+                          pa_exp: float, aging_exp: float,
+                          outpref: bool, seed) -> ray.data.Dataset:
+    """games.c:1732 general-exponent path: the same event-ordered
+    psumtree replay as the integer-exact path (citation (age+1)^γ,
+    aging boundary (k+2)^γ — the reference's own off-by-one — then
+    insertion (1+zaa)·zda), with float64 weights and the md5 uniform
+    roulette. Deterministic; rows-only at the driver gate."""
+    n, m, ab = int(n), int(m), int(aging_bin)
+    binwidth = n // ab + 1
+    w = np.zeros(n, dtype=np.float64)
+    deg = np.zeros(n, dtype=np.int64)
+    w[0] = zda * (1.0 + zaa)
+    src_out, dst_out = [], []
+    for i in range(1, n):
+        ws = w[:i]
+        picks = [
+            _roulette_float(ws, _draw32(seed, "ba", i, j))
+            for j in range(m)
+        ]
+        for to in picks:
+            deg[to] += 1
+            src_out.append(i)
+            dst_out.append(to)
+        for to in picks:
+            age = (i - to) // binwidth
+            w[to] = (dc * deg[to] ** pa_exp + zda) * \
+                (ac * float(age + 1) ** aging_exp + zaa)
+        if outpref:
+            deg[i] += m
+            w[i] = (zaa + 1.0) * (dc * deg[i] ** pa_exp + zda)
+        else:
+            w[i] = zda * (1.0 + zaa)
+        k = 1
+        while i - binwidth * k >= 0:
+            sh = i - binwidth * k
+            w[sh] = (dc * deg[sh] ** pa_exp + zda) * \
+                (ac * float(k + 2) ** aging_exp + zaa)
+            k += 1
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)
+
+
+def _lastcit_float(n: int, edges_per_node: int, agebins: int,
+                   pref, seed) -> ray.data.Dataset:
+    """games.c:3033 float-preference path: identical in-step tree
+    updates to the integer path, float64 weights + md5 uniforms."""
+    n, eps = int(n), int(edges_per_node)
+    binwidth = n // int(agebins) + 1
+    lastcit = np.full(n, -1, dtype=np.int64)
+    src_out, dst_out = [], []
+    prefarr = np.array(pref, dtype=np.float64)
+    for i in range(1, n):
+        c = lastcit[:i]
+        k = (i - 1 - c) // binwidth
+        w = np.where(c < 0, prefarr[agebins],
+                     prefarr[np.minimum(k, agebins)])
+        for j in range(eps):
+            to = _roulette_float(w, _draw32(seed, "lc", i, j))
+            src_out.append(i)
+            dst_out.append(to)
+            lastcit[to] = i
+            w = w.copy()
+            w[to] = prefarr[0]  # in-step tree update (games.c:3097)
+    t = pa.table({"src": pa.array(src_out, pa.int64()),
+                  "dst": pa.array(dst_out, pa.int64())})
+    return ray.data.from_arrow(t)
+
+
 def barabasi_aging_game(
     n: int, m: int = 1, aging_bin: int = 1,
     zero_deg_appeal: int = 1, zero_age_appeal: int = 0,
     deg_coef: int = 1, age_coef: int = 1, aging_exp: int = -1,
-    outpref: bool = False, seed: int = 23,
+    outpref: bool = False, seed: int = 23, pa_exp: float = 1,
 ) -> ray.data.Dataset:
     """igraph_barabasi_aging_game (games.c:1732) with pa_exp == 1 and
     aging_exp in {-1, 0}: attachment weight = (deg_coef·deg +
@@ -1152,22 +1281,26 @@ def barabasi_aging_game(
     kept), or its insertion ((1+zero_age_appeal)·zero_deg_appeal). All
     weights are scaled by LCM(1..max_den) so the roulette is exact
     integer arithmetic; the m draws of one step share the pre-step
-    weights (psumtree updated after the draw loop)."""
+    weights (psumtree updated after the draw loop).
+
+    General float ``pa_exp`` / ``aging_exp`` / appeals / coefficients
+    take the float-roulette path (_barabasi_aging_float): the same md5
+    draw stream and event order with float64 weights — deterministic
+    but rows-only at the driver gate (no bit-exact SQL replay)."""
     from math import gcd
 
-    if aging_exp not in (-1, 0):
-        raise NotImplementedError(
-            "integer-exact replay covers aging_exp in {-1, 0} "
-            "(rational age factors); general float exponents are not "
-            "SQL-replayable")
-    for name, val in (("zero_deg_appeal", zero_deg_appeal),
-                      ("zero_age_appeal", zero_age_appeal),
-                      ("deg_coef", deg_coef), ("age_coef", age_coef)):
-        if int(val) != val or val < 0:
-            raise NotImplementedError(f"{name} must be a non-neg integer")
     if n > _SEQ_GAME_MAX_N:
         raise NotImplementedError(
             f"sequential growth contract guarded to n <= {_SEQ_GAME_MAX_N}")
+    integer_exact = (
+        pa_exp == 1 and aging_exp in (-1, 0)
+        and all(int(v) == v and v >= 0 for v in (
+            zero_deg_appeal, zero_age_appeal, deg_coef, age_coef)))
+    if not integer_exact:
+        return _barabasi_aging_float(
+            n, m, aging_bin, float(zero_deg_appeal),
+            float(zero_age_appeal), float(deg_coef), float(age_coef),
+            float(pa_exp), float(aging_exp), outpref, seed)
     n, m, ab = int(n), int(m), int(aging_bin)
     zda, zaa = int(zero_deg_appeal), int(zero_age_appeal)
     dc, ac = int(deg_coef), int(age_coef)

@@ -545,9 +545,12 @@ class TestSequentialGrowthGames:
         with _pt.raises(NotImplementedError):
             recent_degree_game(10, zero_appeal=0)
         with _pt.raises(NotImplementedError):
-            barabasi_aging_game(10, aging_exp=-2)
-        with _pt.raises(NotImplementedError):
             lastcit_game(10, preference=[1, 1, 0])
+        # general exponents are now served by the float-roulette path
+        # (round-5); the n ceiling still guards the sequential contract
+        with _pt.raises(NotImplementedError):
+            barabasi_aging_game((1 << 22) + 1, aging_exp=-2)
+        assert barabasi_aging_game(10, aging_exp=-2).count() == 9
 
 
 class TestRecentDegreeAging:
