@@ -56,6 +56,80 @@ def _pattern_order(p: int, pedges: List[Tuple[int, int]]) -> List[int]:
     return order
 
 
+def _lad_domains(E, pedges, p: int, num_partitions: int):
+    """LAD-style candidate domains (Solnon 2010, the lad.c approach the
+    reference bundles): for each pattern vertex v, the target vertices
+    whose degree is >= deg_p(v) AND whose sorted neighbor-degree
+    sequence dominates v's pattern-neighbor degrees. Built from ONE
+    profile table (vertex, deg, nd1..ndK) — a degree join + boundary-
+    aligned sort + per-group top-K — then one filter per pattern
+    vertex. Returns {pattern vertex: single-column domain Dataset}.
+    Undirected E (symmetrized) only; directed callers use plain degree
+    prefilters."""
+    from igraph_ray.csr import compute_boundaries
+
+    padj = [[] for _ in range(p)]
+    for a, b in pedges:
+        padj[a].append(b)
+        padj[b].append(a)
+    pdeg = [len(set(x)) for x in padj]
+    K = max(pdeg)
+
+    deg = E.groupby("a").count()
+    degb = deg.map_batches(
+        lambda b: (pa.table({"b": b["a"], "degb": b["count()"]})
+                   if b.num_rows else
+                   pa.table({"b": pa.array([], pa.int64()),
+                             "degb": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None)
+    nb = hash_join(E, degb, on="b", num_partitions=num_partitions)
+    nb = nb.map_batches(
+        lambda b: (b.select(["a", "degb"]) if "degb" in b.column_names
+                   else pa.table({"a": pa.array([], pa.int64()),
+                                  "degb": pa.array([], pa.int64())})),
+        batch_format="pyarrow", batch_size=None).materialize()
+    bnds = compute_boundaries(nb, num_partitions, col="a")
+    nbs = nb.sort("a", boundaries=bnds) if bnds else nb.sort("a")
+
+    def _profile(b: pa.Table, K=K) -> pa.Table:
+        cols = {"v": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64())}
+        cols.update({f"nd{k}": pa.array([], pa.int64())
+                     for k in range(1, K + 1)})
+        if b.num_rows == 0:
+            return pa.table(cols)
+        a = b["a"].to_numpy(zero_copy_only=False)
+        d = b["degb"].to_numpy(zero_copy_only=False)
+        # groups are block-intact (boundary-aligned sort); order inside
+        # a group: descending neighbor degree
+        order = np.lexsort((-d, a))
+        a, d = a[order], d[order]
+        start = np.r_[True, a[1:] != a[:-1]]
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], len(a))
+        verts = a[starts]
+        degv = (ends - starts).astype(np.int64)
+        out = {"v": pa.array(verts), "deg": pa.array(degv)}
+        for k in range(1, K + 1):
+            idx = starts + (k - 1)
+            valid = idx < ends
+            ndk = np.where(valid, d[np.minimum(idx, len(d) - 1)], 0)
+            out[f"nd{k}"] = pa.array(ndk.astype(np.int64))
+        return pa.table(out)
+
+    profile = nbs.map_batches(_profile, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    domains = {}
+    for v in range(p):
+        q = sorted((pdeg[u] for u in set(padj[v])), reverse=True)
+        conds = [f"deg >= {pdeg[v]}"]
+        conds += [f"nd{k} >= {qk}" for k, qk in enumerate(q, 1)]
+        domains[v] = (profile.filter(expr=" and ".join(conds))
+                      .select_columns(["v"]))
+    return domains
+
+
 def count_sub_isomorphisms(
     graph: Graph,
     pattern_src: Sequence[int],
@@ -63,6 +137,7 @@ def count_sub_isomorphisms(
     directed: bool = False,
     num_partitions: int = 8,
     return_bindings: bool = False,
+    domain_filter: Optional[bool] = None,
 ):
     """Number of injective maps pattern → graph preserving pattern edges
     (non-induced). Undirected mode matches over the symmetrized simple
@@ -72,7 +147,14 @@ def count_sub_isomorphisms(
     count: the full embedding stream as a Dataset whose column
     colmap[v] holds the image of pattern vertex v in each row — the
     building block for the fork's FSM support measures
-    (fsm.c:745/890/959 mib/ego/shallow)."""
+    (fsm.c:745/890/959 mib/ego/shallow).
+
+    ``domain_filter``: LAD-style candidate-domain pruning (degree +
+    neighborhood-degree-sequence dominance, lad.c's filtering idea) —
+    a semi-join of every freshly-bound column against its pattern
+    vertex's domain. Defaults to on for undirected patterns with >= 6
+    vertices (where the binding stream would otherwise explode); the
+    small pinned patterns keep the bare plan."""
     pedges = [(int(a), int(b)) for a, b in zip(pattern_src, pattern_dst)
               if int(a) != int(b)]
     if not pedges:
@@ -110,6 +192,22 @@ def count_sub_isomorphisms(
             return (u, v) in pedges
         return (u, v) in pedges or (v, u) in pedges
 
+    if domain_filter is None:
+        domain_filter = (not directed) and p >= 6
+    domains = (_lad_domains(E, pedges, p, num_partitions)
+               if domain_filter and not directed else {})
+
+    def _apply_domain(ds, v):
+        if v not in domains:
+            return ds
+        cv = f"c{pos[v]}"
+        dom = domains[v].map_batches(
+            lambda b, cv=cv: (b.rename_columns([cv]) if b.num_rows else
+                              pa.table({cv: pa.array([], pa.int64())})),
+            batch_format="pyarrow", batch_size=None)
+        return hash_join(ds, dom, on=cv, num_partitions=num_partitions,
+                         join_type="left_semi").materialize()
+
     # ---- seed: bind the first two pattern vertices over one edge ------
     v0, v1 = order[0], order[1]
     if directed and not _has_edge(v0, v1):
@@ -122,6 +220,8 @@ def count_sub_isomorphisms(
             lambda b: pa.table({f"c{0}": b["a"], f"c{1}": b["b"]}),
             batch_format="pyarrow", batch_size=None)
     state = seed.materialize()
+    state = _apply_domain(state, v0)
+    state = _apply_domain(state, v1)
     bound = [v0, v1]
 
     # directed patterns with BOTH v0→v1 and v1→v0 need the extra check
@@ -186,6 +286,7 @@ def count_sub_isomorphisms(
 
         state = joined.map_batches(_bind, batch_format="pyarrow",
                                    batch_size=None).materialize()
+        state = _apply_domain(state, vi)
         if state.count() == 0 and not return_bindings:
             return 0
         # remaining pattern edges between vi and other bound vertices

@@ -4295,16 +4295,21 @@ SUBISO_HOUSE = [(0, 1), (1, 2), (2, 3), (3, 0),
 SUBISO_PRISM = [(0, 1), (1, 2), (2, 0),
                 (3, 4), (4, 5), (5, 3),
                 (0, 3), (1, 4), (2, 5)]              # triangular prism Y3
+SUBISO_TREE8 = [(0, 1), (1, 2), (1, 3), (3, 4),
+                (4, 5), (3, 6), (6, 7)]              # 8-vertex spider tree
 
 
-def _sql_subiso_pattern(pedges) -> str:
-    """Join-chain oracle for count_sub_isomorphisms over the undirected
-    sparse view, for an ARBITRARY connected pattern: bind the pattern
-    vertices in the engine's own BFS order (algorithms/subiso.py
-    _pattern_order), one sym join per spanning edge, every residual
-    pattern edge as an EXISTS semi join, injectivity as pairwise <>."""
+def _sql_subiso_pattern(pedges, edges_sql=None) -> str:
+    """Join-chain oracle for count_sub_isomorphisms over an undirected
+    derived view (default: sparse), for an ARBITRARY connected pattern:
+    bind the pattern vertices in the engine's own BFS order
+    (algorithms/subiso.py _pattern_order), one sym join per spanning
+    edge, every residual pattern edge as an EXISTS semi join,
+    injectivity as pairwise <>."""
     from igraph_ray.algorithms.subiso import _pattern_order
     from igraph_ray.pipelines.derive import SQL_EDGES_SPARSE
+    if edges_sql is None:
+        edges_sql = SQL_EDGES_SPARSE
 
     eset = set()
     for a, b in pedges:
@@ -4331,7 +4336,7 @@ def _sql_subiso_pattern(pedges) -> str:
                     f"s.a = {col[u]} AND s.b = {col[vi]})")
         bound.append(vi)
     where = (" WHERE " + " AND ".join(conds)) if conds else ""
-    return (f"WITH se AS MATERIALIZED ({SQL_EDGES_SPARSE}),\n"
+    return (f"WITH se AS MATERIALIZED ({edges_sql}),\n"
             f"{_SQL_SYM_SPARSE}\n"
             f"SELECT CAST(COUNT(*) AS BIGINT) AS n_maps "
             f"FROM {' '.join(joins)}{where}")
@@ -4377,6 +4382,24 @@ def q_subiso_prism(sf_dir: str):
     g = derive.graph_sparse(sf_dir)
     n = count_sub_isomorphisms(
         g, [a for a, _ in SUBISO_PRISM], [b for _, b in SUBISO_PRISM],
+        directed=False, num_partitions=8)
+    return pa.table({"n_maps": pa.array([n], pa.int64())})
+
+
+def q_subiso_tree8(sf_dir: str):
+    """Count of injective maps of the 8-vertex spider tree — the first
+    pattern past the former ~6-vertex practical ceiling, served by the
+    round-5 LAD-style candidate domains (degree + neighborhood-degree-
+    sequence dominance semi-joins, lad.c's filtering idea) on the
+    binding-join plan. Very-sparse view (the embedding count explodes
+    combinatorially on denser views — for the 10M-map tree5 baseline on
+    the sparse view see subiso_tree5); oracle = the same BFS-order
+    8-way join chain."""
+    from igraph_ray.algorithms.subiso import count_sub_isomorphisms
+
+    g = derive.graph_vsparse(sf_dir)
+    n = count_sub_isomorphisms(
+        g, [a for a, _ in SUBISO_TREE8], [b for _, b in SUBISO_TREE8],
         directed=False, num_partitions=8)
     return pa.table({"n_maps": pa.array([n], pa.int64())})
 
@@ -10848,6 +10871,7 @@ def queries() -> Dict[str, Callable]:
         "scg_groups_spectral": q_scg_groups_spectral,
         "graphlets_mu": q_graphlets_mu,
         "subiso_tree5": q_subiso_tree5,
+        "subiso_tree8": q_subiso_tree8,
         "subiso_house": q_subiso_house,
         "recent_degree": q_recent_degree,
         "recent_degree_pow": q_recent_degree_pow,
@@ -12055,6 +12079,8 @@ FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
         ),
         "subiso_cycle4": _sql_subiso_cycle4(),
         "subiso_tree5": _sql_subiso_pattern(SUBISO_TREE5),
+        "subiso_tree8": _sql_subiso_pattern(
+            SUBISO_TREE8, edges_sql=derive.SQL_EDGES_VSPARSE),
         "subiso_house": _sql_subiso_pattern(SUBISO_HOUSE),
         "recent_degree": _sql_recent_degree(),
         "lastcit": _sql_lastcit(),

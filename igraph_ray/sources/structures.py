@@ -683,6 +683,85 @@ def _nonline():
     return off, edges
 
 
+def _walther():
+    """Walther's graph (H. Walther 1969, "Über die Nichtexistenz eines
+    Knotenpunktes, durch den alle längsten Wege eines Graphen gehen";
+    structure_generators.c:1915 'Walther'): the planar bipartite
+    25-vertex / 31-edge IDENTITY graph (|Aut| = 1) in which no vertex
+    lies on every longest path — the published counterexample the graph
+    is named for. Encoded as the adjacency of the published drawing;
+    derivation verified at dev time by exhaustive check of the defining
+    properties (tests/test_famous_residue.py re-runs them: connected,
+    bipartite, trivial automorphism group via the stabilizer chain, and
+    the 138 longest paths — 21 vertices each — having EMPTY common
+    intersection)."""
+    adj = {
+        0: [1], 1: [2, 8], 2: [3, 13], 3: [4, 16], 4: [5],
+        5: [6, 19], 6: [7, 20], 7: [21], 8: [9, 13], 9: [10, 22],
+        10: [11, 20], 11: [12], 13: [14], 14: [15, 23], 15: [16, 17],
+        17: [18], 18: [19, 24], 20: [24], 22: [23], 23: [24],
+    }
+    edges = [(a, b) for a, nbrs in adj.items() for b in nbrs]
+    return 25, edges
+
+
+# The reference's igraph_i_famous_nonline component set, exposed under
+# a SEPARATE name for reference-parity comparisons (ADVICE round-4:
+# consumers diffing against igraph's famous("nonline") need the
+# reference-compatible edge set even though it is mathematically
+# non-minimal — see the _BEINEKE deviation note above). Each component
+# is built from a structural recipe (cliques / pendants / strips), not
+# a transcribed array; vertex labels follow the reference's published
+# output order (structure_generators.c:1849), which IS the behavioral
+# contract being mirrored.
+def _nonline_reference():
+    edges = []
+
+    def clique(vs):
+        edges.extend((a, b) for i, a in enumerate(vs) for b in vs[i + 1:])
+
+    # 1. claw K_{1,3}
+    edges += [(0, 1), (0, 2), (0, 3)]
+    # 2. diamond (K4 minus an edge) + pendant at a degree-3 vertex —
+    #    the non-minimal component (contains an induced claw at 7)
+    clique([4, 6, 7])
+    clique([5, 6, 7])
+    edges.append((7, 8))
+    # 3. K5 minus an edge
+    clique([9, 11, 12, 13])
+    clique([10, 11, 12, 13])
+    # 4. diamond + pendants at both degree-2 vertices
+    clique([15, 16, 17])
+    clique([16, 17, 18])
+    edges += [(14, 15), (18, 19)]
+    # 5. K4 + a vertex on two of its corners + a pendant
+    clique([20, 21, 22, 23])
+    edges += [(21, 24), (22, 24), (24, 25)]
+    # 6. two K4s sharing an edge
+    clique([26, 27, 28, 29])
+    clique([27, 28, 30, 31])
+    # 7. diamond + a 3-path joining its degree-2 corners
+    clique([32, 34, 35])
+    clique([33, 34, 35])
+    edges += [(32, 36), (36, 37), (33, 37)]
+    # 8. wheel W5 (hub 39 on the 5-cycle 38-40-41-42-43)
+    edges += [(38, 39), (39, 40), (39, 41), (39, 42), (39, 43),
+              (38, 40), (40, 41), (41, 42), (42, 43), (38, 43)]
+    # 9. strip of four stacked triangles
+    for a in (44, 45, 46, 47):
+        clique([a, a + 1, a + 2])
+    seen = set()
+    out = []
+    for a, b in edges:
+        k = (min(a, b), max(a, b))
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return 50, out
+
+
+FAMOUS["walther"] = _walther
+FAMOUS["nonline_reference"] = _nonline_reference
 FAMOUS["coxeter"] = _coxeter
 FAMOUS["robertson"] = _robertson
 FAMOUS["meredith"] = _meredith

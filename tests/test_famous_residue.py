@@ -275,3 +275,93 @@ def test_coxeter_aut_via_stabilizer_chain(ray_session):
     d = np.array([b for a, b in e], np.int64)
     _, order = automorphism_generators(s, d, n, directed=False)
     assert order == 336
+
+
+def test_walther_defining_properties(ray_session):
+    """Walther's graph (1969): 25 vertices / 31 edges, connected,
+    bipartite, IDENTITY graph (|Aut| = 1), and the theorem it is named
+    for — no vertex lies on every longest path (the full longest-path
+    family has empty intersection)."""
+    from igraph_ray.algorithms.subiso import automorphism_generators
+
+    n, e = FAMOUS["walther"]()
+    assert n == 25 and len(e) == 31
+    adj = {v: set() for v in range(n)}
+    for a, b in e:
+        adj[a].add(b)
+        adj[b].add(a)
+    # connected + bipartite
+    color = {0: 0}
+    stack = [0]
+    while stack:
+        v = stack.pop()
+        for u in adj[v]:
+            if u in color:
+                assert color[u] != color[v]
+            else:
+                color[u] = 1 - color[v]
+                stack.append(u)
+    assert len(color) == n
+    # identity graph
+    s = np.array([a for a, b in e], np.int64)
+    d = np.array([b for a, b in e], np.int64)
+    _, order = automorphism_generators(s, d, n, directed=False)
+    assert order == 1
+    # Walther's theorem: empty intersection of all longest paths
+    best = {"len": 0, "paths": []}
+
+    def dfs(v, visited, path):
+        extended = False
+        for u in adj[v]:
+            if u not in visited:
+                extended = True
+                visited.add(u)
+                path.append(u)
+                dfs(u, visited, path)
+                path.pop()
+                visited.remove(u)
+        if not extended:
+            if len(path) > best["len"]:
+                best["len"] = len(path)
+                best["paths"] = [tuple(path)]
+            elif len(path) == best["len"]:
+                best["paths"].append(tuple(path))
+
+    for start in range(n):
+        dfs(start, {start}, [start])
+    assert best["len"] == 21 and len(best["paths"]) == 138
+    common = set(range(n))
+    for p in best["paths"]:
+        common &= set(p)
+    assert common == set()
+
+
+def test_nonline_reference_parity_shape():
+    """The reference-compatibility alias: 50 vertices / 72 edges (the
+    reference's published invariant), nine components, and the
+    documented non-minimality — the second component {4..8} contains an
+    induced K_{1,3} at its degree-4 vertex 7 (deleting 7's highest-
+    degree neighbor leaves the claw), which is exactly why the minimal
+    'nonline' set differs."""
+    n, e = FAMOUS["nonline_reference"]()
+    assert n == 50 and len(e) == 72
+    # component count via union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert len({find(v) for v in range(n)}) == 9
+    # induced claw at vertex 7: neighbors {4,5,6,8}; {4,5,8} pairwise
+    # non-adjacent
+    es = {(min(a, b), max(a, b)) for a, b in e}
+    assert {(4, 7), (5, 7), (6, 7), (7, 8)} <= es
+    for x, y in [(4, 5), (4, 8), (5, 8)]:
+        assert (x, y) not in es

@@ -313,3 +313,63 @@ def test_automorphism_group_trivial_sentinel(ray_session):
     assert t["gen_id"].tolist() == [-1]
     assert t["vertex"].tolist() == [-1]
     assert t["group_order"].tolist() == [1]
+
+
+def test_lad_domain_filter_preserves_counts(ray_session):
+    """LAD-style candidate domains (degree + neighborhood-degree-
+    sequence dominance) are sound: identical embedding counts with and
+    without filtering, on a skewed fixture where the filter actually
+    prunes (hub-centered spider pattern, most target vertices fail the
+    degree test)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.algorithms.subiso import (_lad_domains,
+                                              count_sub_isomorphisms)
+    from igraph_ray.graph import Graph
+
+    # target: hub 0 with 12 leaves (two of them extended by pendant
+    # tails so the spider's long leg can land), a C8 ring 20..27, one
+    # K4 30..33
+    edges = [(0, v) for v in range(1, 13)]
+    edges += [(1, 40), (2, 41)]
+    edges += [(20 + i, 20 + (i + 1) % 8) for i in range(8)]
+    edges += [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]
+    g = Graph(ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, b in edges], pa.int64()),
+        "dst": pa.array([b for a, b in edges], pa.int64())})), n=42)
+
+    spider6 = [(0, 1), (0, 2), (0, 3), (0, 4), (4, 5)]  # center deg 4
+    kw = dict(directed=False, num_partitions=4)
+    n_f = count_sub_isomorphisms(
+        g, [a for a, _ in spider6], [b for _, b in spider6],
+        domain_filter=True, **kw)
+    n_0 = count_sub_isomorphisms(
+        g, [a for a, _ in spider6], [b for _, b in spider6],
+        domain_filter=False, **kw)
+    assert n_f == n_0 > 0
+
+    # domain soundness: only the hub (deg 12) and the K4 vertices
+    # (deg 3) can host the degree-4 center candidate... deg>=4 keeps
+    # ONLY the hub; every leaf/ring/K4 vertex is pruned
+    E = g.edges.map_batches(
+        lambda b: pa.table({
+            "a": pa.array(np.concatenate(
+                [b["src"].to_numpy(zero_copy_only=False),
+                 b["dst"].to_numpy(zero_copy_only=False)])),
+            "b": pa.array(np.concatenate(
+                [b["dst"].to_numpy(zero_copy_only=False),
+                 b["src"].to_numpy(zero_copy_only=False)]))}),
+        batch_format="pyarrow", batch_size=None).materialize()
+    doms = _lad_domains(E, spider6, 6, 4)
+    center_dom = sorted(r["v"] for r in doms[0].take_all())
+    assert center_dom == [0]
+    # leaf domain: neighborhood dominance demands a neighbor of target
+    # degree >= 4 (the center's pattern degree) — so the hub's leaves
+    # qualify (their neighbor IS the hub) while the hub itself does NOT
+    # (all its neighbors have degree <= 2)
+    leaf_dom = {r["v"] for r in doms[1].take_all()}
+    assert 0 not in leaf_dom
+    assert set(range(1, 13)) <= leaf_dom
+    assert not leaf_dom & set(range(20, 34))  # ring/K4 all pruned
