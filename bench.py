@@ -324,6 +324,14 @@ def bench_training_ops(sf_dir: str) -> dict:
     similarity_over_edges(_derive.graph_sparse(sf_dir),
                           method="jaccard").count()
     d["similarity_edges_s"] = round(time.perf_counter() - t, 3)
+
+    # round-5 addition: Karger trials in one keyed execution (r4
+    # verdict weak #2 — wall tracked here per the "done" bar)
+    t = time.perf_counter()
+    from igraph_ray.algorithms.mincut import global_mincut_karger
+    global_mincut_karger(_derive.edges_sparse(sf_dir), trials=4,
+                         num_partitions=8)
+    d["mincut_karger_s"] = round(time.perf_counter() - t, 3)
     return d
 
 
