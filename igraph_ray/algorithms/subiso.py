@@ -130,6 +130,49 @@ def _lad_domains(E, pedges, p: int, num_partitions: int):
     return domains
 
 
+def _directed_degree_domains(E, pedges, p: int, num_partitions: int):
+    """Directed-pattern candidate domains: target out-degree >= the
+    pattern vertex's out-degree AND in-degree >= its in-degree. One
+    per-batch pre-combined pass + one grouped sum builds the (v, o, i)
+    profile; one filter per pattern vertex."""
+    pout = [0] * p
+    pin = [0] * p
+    for a, b in set(pedges):
+        pout[a] += 1
+        pin[b] += 1
+
+    def _pre(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "o": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        a = b["a"].to_numpy(zero_copy_only=False)
+        d = b["b"].to_numpy(zero_copy_only=False)
+        va, ca = np.unique(a, return_counts=True)
+        vb, cb = np.unique(d, return_counts=True)
+        return pa.table({
+            "v": pa.array(np.concatenate([va, vb])),
+            "o": pa.array(np.concatenate(
+                [ca.astype(np.int64), np.zeros(len(vb), np.int64)])),
+            "i": pa.array(np.concatenate(
+                [np.zeros(len(va), np.int64), cb.astype(np.int64)]))})
+
+    prof = (E.map_batches(_pre, batch_format="pyarrow", batch_size=None)
+            .groupby("v").sum(["o", "i"])
+            .map_batches(
+                lambda b: (pa.table({"v": b["v"], "o": b["sum(o)"],
+                                     "i": b["sum(i)"]})
+                           if b.num_rows else
+                           pa.table({"v": pa.array([], pa.int64()),
+                                     "o": pa.array([], pa.int64()),
+                                     "i": pa.array([], pa.int64())})),
+                batch_format="pyarrow", batch_size=None)
+            .materialize())
+    return {v: (prof.filter(expr=f"o >= {pout[v]} and i >= {pin[v]}")
+                .select_columns(["v"]))
+            for v in range(p)}
+
+
 def count_sub_isomorphisms(
     graph: Graph,
     pattern_src: Sequence[int],
@@ -149,12 +192,13 @@ def count_sub_isomorphisms(
     building block for the fork's FSM support measures
     (fsm.c:745/890/959 mib/ego/shallow).
 
-    ``domain_filter``: LAD-style candidate-domain pruning (degree +
-    neighborhood-degree-sequence dominance, lad.c's filtering idea) —
-    a semi-join of every freshly-bound column against its pattern
-    vertex's domain. Defaults to on for undirected patterns with >= 6
-    vertices (where the binding stream would otherwise explode); the
-    small pinned patterns keep the bare plan."""
+    ``domain_filter``: LAD-style candidate-domain pruning (lad.c's
+    filtering idea) — a semi-join of every freshly-bound column
+    against its pattern vertex's domain. Undirected: degree +
+    neighborhood-degree-sequence dominance; directed: out/in-degree
+    thresholds. Defaults to on for patterns with >= 6 vertices (where
+    the binding stream would otherwise explode); the small pinned
+    patterns keep the bare plan."""
     pedges = [(int(a), int(b)) for a, b in zip(pattern_src, pattern_dst)
               if int(a) != int(b)]
     if not pedges:
@@ -193,9 +237,13 @@ def count_sub_isomorphisms(
         return (u, v) in pedges or (v, u) in pedges
 
     if domain_filter is None:
-        domain_filter = (not directed) and p >= 6
-    domains = (_lad_domains(E, pedges, p, num_partitions)
-               if domain_filter and not directed else {})
+        domain_filter = p >= 6
+    if not domain_filter:
+        domains = {}
+    elif directed:
+        domains = _directed_degree_domains(E, pedges, p, num_partitions)
+    else:
+        domains = _lad_domains(E, pedges, p, num_partitions)
 
     def _apply_domain(ds, v):
         if v not in domains:

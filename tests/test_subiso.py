@@ -373,3 +373,24 @@ def test_lad_domain_filter_preserves_counts(ray_session):
     assert 0 not in leaf_dom
     assert set(range(1, 13)) <= leaf_dom
     assert not leaf_dom & set(range(20, 34))  # ring/K4 all pruned
+
+
+def test_directed_degree_domains_preserve_counts(ray_session):
+    """Directed >= 6-vertex patterns use out/in-degree domains: same
+    counts as the unfiltered plan on a random digraph (domains are
+    sound prefilters, never semantic)."""
+    rng = np.random.default_rng(12)
+    n = 10
+    tedges = sorted({(int(a), int(b)) for a, b in
+                     rng.integers(0, n, (40, 2)) if a != b})
+    # 6-vertex directed broom: 0->1->2->3 with 3->4, 3->5
+    pedges = [(0, 1), (1, 2), (2, 3), (3, 4), (3, 5)]
+    kw = dict(directed=True, num_partitions=2)
+    a = count_sub_isomorphisms(
+        _g(n, tedges), [e[0] for e in pedges], [e[1] for e in pedges],
+        domain_filter=True, **kw)
+    b = count_sub_isomorphisms(
+        _g(n, tedges), [e[0] for e in pedges], [e[1] for e in pedges],
+        domain_filter=False, **kw)
+    want = _brute_count(n, tedges, pedges, 6, directed=True)
+    assert a == b == want
