@@ -26,6 +26,28 @@ def _pa_batch(fn):
     return fn
 
 
+_CANONICAL_SMALL_ROWS = 1 << 24
+
+
+@ray.remote
+def _dedup_packed(*blocks: pa.Table) -> pa.Table:
+    """Single-task exact dedup of pre-combined (lo, hi) blocks via one
+    np.unique over (lo<<32)|hi packed keys (ids < 2^32, caller-guarded).
+    Output sorted by (lo, hi) — deterministic."""
+    tables = [b for b in blocks if b.num_rows and "lo" in b.column_names]
+    if not tables:
+        return pa.table({"lo": pa.array([], pa.int64()),
+                         "hi": pa.array([], pa.int64())})
+    lo = np.concatenate([t["lo"].to_numpy(zero_copy_only=False)
+                         for t in tables]).astype(np.uint64)
+    hi = np.concatenate([t["hi"].to_numpy(zero_copy_only=False)
+                         for t in tables]).astype(np.uint64)
+    keys = np.unique((lo << np.uint64(32)) | hi)
+    return pa.table({
+        "lo": pa.array((keys >> np.uint64(32)).astype(np.int64)),
+        "hi": pa.array((keys & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+
+
 class Graph:
     """An edge-table graph over dense int64 vertex ids.
 
@@ -167,8 +189,13 @@ class Graph:
         """Simple undirected edge set: ``lo=min(src,dst) < hi=max(src,dst)``,
         loops dropped, duplicates collapsed — igraph_simplify semantics
         (structural_properties.c:2248) + the undirected canonical form
-        (type_indexededgelist.c:279-287). Exact dedup = hash-partition
-        (groupby) + per-group first."""
+        (type_indexededgelist.c:279-287). Exact dedup = per-batch
+        combiner, then TWO physical plans (the triangles-style split):
+        below ``_CANONICAL_SMALL_ROWS`` pre-deduped rows with ids <
+        2^32, ONE task packs (lo<<32)|hi and np.uniques it — a
+        sort-based groupby costs seconds of shuffle overhead for what
+        is megabytes of keys; above the guard, hash-partition groupby
+        + per-group first (the scale plan)."""
 
         def _canon(b: pa.Table) -> pa.Table:
             lo = pc.min_element_wise(b["src"], b["dst"])
@@ -176,18 +203,23 @@ class Graph:
             return pa.table({"lo": lo, "hi": hi})
 
         canon = self.without_loops().map_batches(_canon, batch_format="pyarrow", batch_size=None)
-        # groupby(count) then project = distinct; per-batch pre-dedup first to
-        # shrink the shuffle (combiner before the wide step).
+        # per-batch pre-dedup shrinks either plan's wide step
+        # (combiner before the shuffle / the single dedup task)
         def _local_dedup(b: pa.Table) -> pa.Table:
             return b.group_by(["lo", "hi"]).aggregate([])
 
-        deduped = (
-            canon.map_batches(_local_dedup, batch_format="pyarrow", batch_size=None)
-            .groupby(["lo", "hi"])
+        pre = canon.map_batches(_local_dedup, batch_format="pyarrow",
+                                batch_size=None).materialize()
+        n_pre = pre.count()
+        if 0 < n_pre <= _CANONICAL_SMALL_ROWS and int(pre.max("hi")) < 2**32:
+            refs = pre.to_arrow_refs()
+            return ray.data.from_arrow_refs(
+                [_dedup_packed.remote(*refs)])
+        return (
+            pre.groupby(["lo", "hi"])
             .count()
             .select_columns(["lo", "hi"])
         )
-        return deduped
 
     # ---------------- CSR index cache ----------------
 
